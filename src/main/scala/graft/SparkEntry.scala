@@ -1,13 +1,472 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Closure, Dedup, Similarity, Text, Transforms}
+import graft.reports.{BudgetReport, TaskTree}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
+  *
+  * Every operator from the survey has a `queries` entry runnable over the
+  * TPC-H-ish testdata plus a DuckDB `oracleSql` twin. Column names and value
+  * types are aligned on both sides (the driver sorts columns by name and
+  * hash-compares values). Floating-point discipline: money sums go through
+  * DECIMAL(18,6) per-row casts (exact, order-independent), double→long
+  * conversions use FLOOR (Spark ANSI cast truncates, DuckDB rounds — floor
+  * is the portable one), and cosine scores are computed with the identical
+  * left-to-right double accumulation on both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001: the reference's budget-vs-tracked recursive
+    * rollup (`SAMPLE-REPORTS.md:20-112`) over the derived task tree.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    BudgetReport(TaskTree.tasks(spark, dir), TaskTree.entries(spark, dir))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.1 sources / scans ---
+    "q_scan_entries" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    "q_scan_glob" -> ((s, dir) =>
+      s.read.option("pathGlobFilter", "lineite*.parquet").parquet(dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // --- §2.2 projections / row transforms ---
+    "q_project_drop" -> ((s, dir) =>
+      t(s, dir, "customer").drop("c_acctbal", "c_nationkey")),
+
+    "q_to_json" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        Transforms.arrayToJsonOrNull(split(col("o_orderpriority"), "-"))
+          .as("prio_json"))),
+
+    "q_coalesce_fallback" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Transforms.firstNonBlank(lit("unknown"),
+          col("c_mktsegment"), col("c_name")).as("segment_name"))),
+
+    "q_decode_map" -> ((s, dir) =>
+      Transforms.decodeMap(
+        t(s, dir, "orders"), "o_orderpriority",
+        Seq("1-URGENT" -> "Urgent", "2-HIGH" -> "High", "3-MEDIUM" -> "Medium"),
+        "prio_name", "No category")
+        .select(col("o_orderkey"), col("prio_name"))),
+
+    "q_filter" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .where(coalesce(col("c_acctbal") > 0, lit(true)))
+        .select(col("c_custkey"), col("c_acctbal"))),
+
+    "q_parse_date" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val asStr = when(pmod(col("l_orderkey"), lit(3)) === 0,
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .when(pmod(col("l_orderkey"), lit(3)) === 1,
+          date_format(col("l_shipdate"), "dd/MM/yyyy"))
+        .otherwise(date_format(col("l_shipdate"), "MM-dd-yyyy"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Transforms.parseDateMulti(asStr).as("parsed_date"))
+    }),
+
+    "q_date_sequence" -> ((s, dir) =>
+      t(s, dir, "region").select(
+        col("r_regionkey"),
+        Transforms.dateSequence(
+          date_add(to_date(lit("2024-01-01")), col("r_regionkey")),
+          date_add(to_date(lit("2024-01-01")), col("r_regionkey") + 3))
+          .as("d"))),
+
+    "q_add_months" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 6).as("plus6m"),
+        add_months(col("o_orderdate").cast("date"), -3).as("minus3m"))),
+
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("joined"),
+        substring(col("c_name"), 1, 4).as("prefix4"),
+        col("c_name").startsWith("C").as("starts_c"),
+        Transforms.stripIdPrefix(lower(col("c_mktsegment"))).as("stripped"))),
+
+    // --- §2.3 joins ---
+    "q_broadcast_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_name"), lit("")).as("nation_name"))
+    }),
+
+    "q_first_match" -> ((s, dir) =>
+      Transforms.firstPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"))),
+
+    "q_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_inner_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"))
+    }),
+
+    "q_left_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val agg = t(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      n.join(agg, n("n_nationkey") === agg("c_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+    }),
+
+    // --- §2.4 aggregations ---
+    "q_groupby_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_suppkey").isNotNull && col("l_suppkey") =!= 0)
+        .select(col("l_suppkey")).distinct()),
+
+    "q_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    "q_dedup_pk" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Transforms.dedupByPk(
+        o.unionByName(o), Seq("o_orderkey"), Seq(col("o_custkey")))
+    }),
+
+    // --- §2.5 window / sort ---
+    "q_sort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    "q_array_index" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        coalesce(try_element_at(words, lit(1)), lit("")).as("level_1"),
+        coalesce(try_element_at(words, lit(2)), lit("")).as("level_2"),
+        coalesce(try_element_at(words, lit(3)), lit("")).as("level_3"))
+    }),
+
+    // --- §2.6 recursion ---
+    "q_transitive_closure" -> ((s, dir) =>
+      Closure.transitiveClosure(TaskTree.tasks(s, dir), "task_id", "parent_id")),
+
+    "q_breadcrumb" -> ((s, dir) =>
+      Closure.breadcrumbs(TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
+        .select(col("task_id"), col("breadcrumb"))),
+
+    // --- §2.7 scalar bundles ---
+    "q_scalar_report_funcs" -> ((s, dir) => {
+      val secs = floor(col("o_totalprice")).cast("long")
+      val h = floor(secs / 3600).cast("long")
+      val m = pmod(secs, lit(3600)) / 60
+      val mI = floor(m).cast("long")
+      val sI = pmod(secs, lit(60))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(h.cast("string"), lit(":"),
+          lpad(mI.cast("string"), 2, "0"), lit(":"),
+          lpad(sI.cast("string"), 2, "0")).as("duration_fmt"),
+        abs(col("o_totalprice") - 100000.0).as("abs_diff"),
+        when(col("o_totalprice") > 100000.0, lit("over"))
+          .otherwise(lit("under")).as("band"),
+        format_string("%.4f", pmod(secs, lit(3600)).cast("double") / 3600.0)
+          .as("frac_hours"))
+    }),
+
+    // --- flagship report (recursive rollup end-to-end) ---
+    "q_budget_report" -> ((s, dir) =>
+      BudgetReport(TaskTree.tasks(s, dir), TaskTree.entries(s, dir))),
+
+    // --- training-data extensions: dedup ---
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // --- training-data extensions: similarity search ---
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // --- training-data extensions: text analysis ---
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.langId(col("text")).as("pred_lang"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("ws_tokens"),
+        Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // --- multimodal plumbing: opaque binary + typed metadata ---
+    "q_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest")))
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  private val tasksCte = TaskTree.tasksSql
+  private val entriesCte = TaskTree.entriesSql
+
+  private val docTokens =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private def docTokensOf(e: String) =
+    s"list_filter(string_split_regex($e, '\\s+'), x -> x <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_entries" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
+
+    "q_scan_glob" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "q_project_drop" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "q_to_json" ->
+      "SELECT o_orderkey, CASE WHEN len(string_split(o_orderpriority, '-')) > 0 THEN to_json(string_split(o_orderpriority, '-')) END AS prio_json FROM orders",
+
+    "q_coalesce_fallback" ->
+      "SELECT c_custkey, COALESCE(NULLIF(TRIM(c_mktsegment), ''), NULLIF(TRIM(c_name), ''), 'unknown') AS segment_name FROM customer",
+
+    "q_decode_map" ->
+      "SELECT o_orderkey, COALESCE(m.v, 'No category') AS prio_name FROM orders LEFT JOIN (VALUES ('1-URGENT','Urgent'),('2-HIGH','High'),('3-MEDIUM','Medium')) AS m(k, v) ON o_orderpriority = m.k",
+
+    "q_filter" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE COALESCE(c_acctbal > 0, TRUE)",
+
+    "q_parse_date" -> (
+      "WITH s AS (SELECT l_orderkey, l_linenumber, CASE l_orderkey % 3 " +
+        "WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d') " +
+        "WHEN 1 THEN strftime(l_shipdate, '%d/%m/%Y') " +
+        "ELSE strftime(l_shipdate, '%m-%d-%Y') END AS ds FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, CAST(COALESCE(" +
+        "try_strptime(ds, '%Y-%m-%d'), try_strptime(ds, '%d/%m/%Y'), " +
+        "try_strptime(ds, '%m/%d/%Y'), try_strptime(ds, '%d-%m-%Y'), " +
+        "try_strptime(ds, '%m-%d-%Y')) AS DATE) AS parsed_date FROM s"),
+
+    "q_date_sequence" ->
+      "SELECT r_regionkey, CAST(unnest(generate_series(DATE '2024-01-01' + r_regionkey, DATE '2024-01-01' + r_regionkey + 3, INTERVAL 1 DAY)) AS DATE) AS d FROM region",
+
+    "q_add_months" ->
+      "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH AS DATE) AS plus6m, CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH AS DATE) AS minus3m FROM orders",
+
+    "q_string_funcs" ->
+      "SELECT c_custkey, lower(c_name) AS lname, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, c_mktsegment || '/' || c_name AS joined, substring(c_name, 1, 4) AS prefix4, starts_with(c_name, 'C') AS starts_c, regexp_replace(lower(c_mktsegment), '^[ug]', '') AS stripped FROM customer",
+
+    "q_broadcast_join" ->
+      "SELECT c_custkey, COALESCE(n_name, '') AS nation_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey",
+
+    "q_first_match" ->
+      "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) WHERE rn = 1",
+
+    "q_semi_join" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
+
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+
+    "q_inner_join" ->
+      "SELECT l_orderkey, l_linenumber, o_custkey, CAST(o_orderdate AS DATE) AS o_date FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+
+    "q_left_join" ->
+      "SELECT n_nationkey, n_name, COALESCE(c.n_customers, 0) AS n_customers FROM nation LEFT JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer GROUP BY 1) c ON n_nationkey = c.c_nationkey",
+
+    "q_groupby_sum" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2",
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL AND l_suppkey <> 0",
+
+    "q_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_dedup_pk" ->
+      "SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus FROM (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus FROM orders)",
+
+    "q_sort" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+
+    "q_array_index" ->
+      "WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part) SELECT p_partkey, COALESCE(ws[1], '') AS level_1, COALESCE(ws[2], '') AS level_2, COALESCE(ws[3], '') AS level_3 FROM w",
+
+    "q_transitive_closure" ->
+      s"${TaskTree.closureSql} SELECT descendant_id, ancestor_id FROM th",
+
+    "q_breadcrumb" -> (
+      s"WITH RECURSIVE t AS ($tasksCte), bc AS (" +
+        "SELECT task_id, name AS breadcrumb FROM t WHERE parent_id IS NULL " +
+        "UNION ALL " +
+        "SELECT c.task_id, bc.breadcrumb || ' / ' || c.name " +
+        "FROM t c JOIN bc ON c.parent_id = bc.task_id) " +
+        "SELECT task_id, breadcrumb FROM bc"),
+
+    "q_scalar_report_funcs" -> (
+      "WITH b AS (SELECT o_orderkey, o_totalprice, CAST(FLOOR(o_totalprice) AS BIGINT) AS secs FROM orders) " +
+        "SELECT o_orderkey, " +
+        "CAST(secs // 3600 AS VARCHAR) || ':' || lpad(CAST((secs % 3600) // 60 AS VARCHAR), 2, '0') || ':' || lpad(CAST(secs % 60 AS VARCHAR), 2, '0') AS duration_fmt, " +
+        "ABS(o_totalprice - 100000.0) AS abs_diff, " +
+        "CASE WHEN o_totalprice > 100000.0 THEN 'over' ELSE 'under' END AS band, " +
+        "printf('%.4f', CAST(secs % 3600 AS DOUBLE) / 3600.0) AS frac_hours " +
+        "FROM b"),
+
+    "q_budget_report" -> (
+      s"${TaskTree.closureSql}, e AS ($entriesCte), " +
+        "tracked AS (SELECT th.ancestor_id AS task_id, CAST(SUM(e.duration) AS BIGINT) AS tracked_seconds " +
+        "FROM e JOIN th ON e.task_id = th.descendant_id GROUP BY 1) " +
+        "SELECT t.task_id, t.name, t.budgeted AS budgeted_seconds, " +
+        "COALESCE(tr.tracked_seconds, 0) AS tracked_seconds, " +
+        "t.budgeted - COALESCE(tr.tracked_seconds, 0) AS remaining_seconds, " +
+        "printf('%.4f', CAST(COALESCE(tr.tracked_seconds, 0) AS DOUBLE) / 3600.0) AS tracked_hours " +
+        "FROM t LEFT JOIN tracked tr ON t.task_id = tr.task_id " +
+        "WHERE t.budgeted > 0"),
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
+
+    "q_dedup_minhash" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks), " +
+        "sig AS (SELECT doc_id, [" +
+        (0 until 8).map(seed =>
+          s"list_min(list_transform(shingles, x -> md5('$seed:' || x)))")
+          .mkString(", ") +
+        "] AS sg FROM sh), " +
+        "banded AS (SELECT doc_id, b.b AS bno, sg[b.b * 2 + 1] || '|' || sg[b.b * 2 + 2] AS bkey FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
+        "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
+        "WHERE a.doc_id < c.doc_id"),
+
+    "q_dedup_simhash" -> (
+      s"WITH toks AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, md5(tok) AS d FROM toks), " +
+        "v AS (SELECT doc_id, " +
+        (0 until 16).map(j =>
+          s"SUM(CASE WHEN substr(d, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ") +
+        " FROM h GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(" +
+        (0 until 16).map(j =>
+          s"(CASE WHEN v$j > 0 THEN ${1L << (15 - j)} ELSE 0 END)")
+          .mkString(" + ") +
+        " AS BIGINT) AS simhash FROM v"),
+
+    "q_ngram_jaccard" -> (
+      s"WITH toks AS (SELECT doc_id, lang, $docTokens AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, lang, unnest(list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END)) AS s FROM toks), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard " +
+        "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id " +
+        "WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.1"),
+
+    "q_embed_topk" -> (
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b) / " +
+        "(sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) * " +
+        "sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score " +
+        "FROM q JOIN embeddings c ON q.query_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"),
+
+    "q_lang_id" -> (
+      s"WITH toks AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "len(list_filter(ts, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
+        "len(list_filter(ts, x -> x IN ('der','die','und','ist','das'))) AS s_de, " +
+        "len(list_filter(ts, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
+        "len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS s_fr, " +
+        "len(list_filter(ts, x -> x IN ('的','是','了','在','我'))) AS s_zh " +
+        "FROM toks), " +
+        "m AS (SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM sc) " +
+        "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' ELSE 'zh' END AS pred_lang FROM m"),
+
+    "q_quality_score" -> (
+      s"WITH b AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len, " +
+        s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
+        s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop FROM documents) " +
+        "SELECT doc_id, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b"),
+
+    "q_token_count" -> (
+      s"SELECT doc_id, CAST(len($docTokens) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INT) AS bpeish_tokens FROM documents"),
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
+
+    "q_binary_meta" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents"
+  )
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive-hierarchy operators — the one capability the reference needs
+  * that Spark has no single built-in operator for.
+  *
+  * Semantics from the reference's recursive CTE (`SAMPLE-REPORTS.md:59-75`,
+  * `SAMPLE-PROJECT-BUDGET-REPORT.md:53-70`) and the Python breadcrumb
+  * walkers (`dlt_fetch_timecamp.py:313-346`, `:527-547`).
+  *
+  * Implementation is an iterative fixpoint of DataFrame self-joins. Scale
+  * notes: hierarchy dimensions are small (tasks/groups — thousands to low
+  * millions of rows) even when the fact side is 100 TB, so each iteration
+  * is a small shuffle (or broadcast) join; `localCheckpoint` per iteration
+  * truncates lineage so the plan stays O(1) per step instead of growing
+  * exponentially, and the final closure is typically broadcast against the
+  * fact table by AQE.
+  */
+object Closure {
+
+  /** Transitive closure of a parent-pointer forest.
+    *
+    * Input: any DataFrame with an id column and a nullable parent column
+    * (NULL parent = root). Output: `(descendant_id, ancestor_id)` pairs
+    * including the reflexive self-pair for every node, exactly as the
+    * reference's base case does (`SAMPLE-REPORTS.md:61-63`).
+    *
+    * `maxDepth` caps iterations: cycle *tolerance*, not cycle detection —
+    * the reference's walkers return partial paths on cycles rather than
+    * erroring (`dlt_fetch_timecamp.py:534`).
+    */
+  def transitiveClosure(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxDepth: Int = 32): DataFrame = {
+    val edges = nodes
+      .select(col(idCol).as("_e_id"), col(parentCol).as("_e_parent"))
+      .where(col(parentCol).isNotNull)
+      .localCheckpoint(true)
+
+    val self = nodes.select(
+      col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"))
+
+    var result = self.localCheckpoint(true)
+    // frontier k = (descendant, ancestor-at-distance-k)
+    var frontier = edges
+      .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
+      .localCheckpoint(true)
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      result = result.unionByName(frontier).localCheckpoint(true)
+      frontier = frontier
+        .join(edges, frontier("ancestor_id") === edges("_e_id"))
+        .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
+        .localCheckpoint(true)
+      depth += 1
+    }
+    result
+  }
+
+  /** Root-to-self breadcrumb paths for a parent-pointer forest.
+    *
+    * Returns the input columns plus:
+    *  - `path`: ArrayType(String) of names, root first, self last
+    *  - `breadcrumb`: `" / "`-joined path (`dlt_fetch_timecamp.py:559-561`)
+    *
+    * Missing-parent tolerance matches the reference: a node whose parent id
+    * does not exist in the table starts its own path (the walker stops at
+    * the missing ancestor, `dlt_fetch_timecamp.py:534`). Depth is capped.
+    */
+  def breadcrumbs(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      nameCol: String,
+      maxDepth: Int = 32): DataFrame = {
+    val base = nodes
+      .select(col(idCol).as("_b_id"), col(parentCol).as("_b_parent"),
+        col(nameCol).as("_b_name"))
+      .localCheckpoint(true)
+
+    val ids = base.select(col("_b_id"))
+    // Roots: parent NULL, or parent not present in the table (orphans).
+    val roots = base
+      .join(ids.withColumnRenamed("_b_id", "_p_id"),
+        base("_b_parent") === col("_p_id"), "left_anti")
+      .select(col("_b_id"), array(col("_b_name")).as("path"))
+
+    var done = roots.localCheckpoint(true)
+    var level = done
+    var depth = 1
+    while (depth < maxDepth && !level.isEmpty) {
+      val next = base
+        .join(level.withColumnRenamed("_b_id", "_l_id"),
+          base("_b_parent") === col("_l_id"))
+        .select(base("_b_id"),
+          concat(col("path"), array(col("_b_name"))).as("path"))
+        .localCheckpoint(true)
+      level = next
+      if (!next.isEmpty) done = done.unionByName(next).localCheckpoint(true)
+      depth += 1
+    }
+    nodes.join(
+      done.select(col("_b_id").as(idCol), col("path"),
+        concat_ws(" / ", col("path")).as("breadcrumb")),
+      Seq(idCol), "left")
+  }
+
+  /** Fan the first `levels` breadcrumb elements out to string columns
+    * (`task_level_1..8` / `group_level_1..5`, empty string beyond depth —
+    * `dlt_fetch_timecamp.py:563-567`). Expects a `path` array column.
+    */
+  def withLevelColumns(df: DataFrame, prefix: String, levels: Int): DataFrame =
+    (1 to levels).foldLeft(df) { (d, i) =>
+      d.withColumn(s"${prefix}_level_$i",
+        coalesce(try_element_at(col("path"), lit(i)), lit("")))
+    }
+}

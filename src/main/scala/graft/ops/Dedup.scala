@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Hash choice: md5 hex strings (not Spark's murmur `hash()`), because md5 is
+  * engine-portable — the DuckDB oracle computes bit-identical values, and on
+  * a real cluster md5 stays stable across Spark versions/JVMs. Minhash over a
+  * shingle set = lexicographic MIN of seeded md5s, which every engine agrees
+  * on.
+  *
+  * Scale notes: exact dedup is one hash-shuffle on the digest (map-side
+  * partial agg applies). MinHash-LSH materializes (doc × bands) rows — bands
+  * is a small constant — then self-joins on the band key; the join input is
+  * pre-bucketed by the band hash so the shuffle is one pass over the corpus,
+  * never O(n²). Candidate pairs only; verification (exact Jaccard) runs on
+  * the candidate set.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: one row per distinct digest
+    * with the group size and the deterministic keeper (min id).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("digest"), col(idCol).as("_id"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_docs"), min(col("_id")).as("keeper_id"))
+
+  /** Portable minhash signature: for each seed, min over shingles of
+    * md5(seed || ':' || shingle). Returns ArrayType(String) of length
+    * `numHashes`.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr,
+        s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+    }: _*)
+
+  /** MinHash + LSH banding: candidate near-duplicate pairs.
+    *
+    * numHashes minhashes split into bands of `rowsPerBand`; docs sharing any
+    * full band collide. Output: distinct (id_a, id_b) with id_a < id_b.
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(
+      array_distinct(Text.shingles(col(textCol), shingleSize)), numHashes)
+    val numBands = numHashes / rowsPerBand
+    val banded = docs
+      .select(col(idCol).as("_id"), sig.as("_sig"))
+      .select(col("_id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("key"))
+      }: _*)).as("_band"))
+      .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
+    val a = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
+    val b = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
+    a.join(b, Seq("_bno", "_bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Portable SimHash (16-bit variant): for hex digit position j of
+    * md5(token), the digit's value >= 8 votes +1 on plane j, else -1; bit j
+    * set iff the vote sum is positive. Engine-portable (md5 + substring),
+    * mirrored exactly by the DuckDB oracle.
+    */
+  def simhash16(text: Column): Column = {
+    val ts = Text.tokens(lower(text))
+    val digests = transform(ts, t => md5(t.cast("binary")))
+    val bits = (0 until 16).map { j =>
+      val votes = aggregate(
+        digests,
+        lit(0),
+        (acc, d) => acc + when(
+          // hex digit >= '8': chars 8,9,a..f sort after '7'
+          substring(d, j + 1, 1) >= "8", lit(1)).otherwise(lit(-1)))
+      when(votes > 0, lit(1L << (15 - j))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** N-gram Jaccard near-dup pairs, bounded by a blocking key to avoid the
+    * O(n²) cross product: only pairs sharing `blockCol` are compared.
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("_id"), col(blockCol).as("_blk"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("_sh"))
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val a = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
+    val b = sh.select(col("_blk"), col("_sh"), col("_id").as("id_b"))
+    val inter = a.join(b, Seq("_blk", "_sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), "id_b")
+      .withColumn("jaccard",
+        round(col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * All are pure Column expressions (whole-stage-codegen friendly, no UDFs),
+  * so they stay inside the parquet-scan → project pipeline with zero
+  * shuffles — embarrassingly parallel at 100 TB.
+  */
+object Text {
+
+  /** Whitespace tokenization. `filter(..., _ <> '')` guards leading/trailing
+    * whitespace producing empty tokens.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: runs of word chars OR single
+    * non-word-non-space chars — the standard pre-tokenizer regex shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Word n-gram shingles as an array column (for MinHash/Jaccard dedup). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Heuristic language ID from character/stopword statistics. The signal
+    * set is deliberately tiny and deterministic so the DuckDB oracle can
+    * replicate it exactly: argmax over per-language marker-token hit counts,
+    * ties broken by language code, 'und' when no marker hits.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    markers.map(m => size(filter(ts, t => t === m)))
+      .reduce(_ + _)
+  }
+
+  /** Predicted language code: argmax marker-hit count, ties → smallest
+    * code, no hits → 'und'. Implemented as array_max over
+    * (score, -codeRank) structs so struct ordering does the argmax.
+    */
+  def langId(text: Column): Column = {
+    val codes = langMarkers.map(_._1).sorted
+    val entries = langMarkers.map { case (code, ms) =>
+      struct(
+        langScore(text, ms).as("score"),
+        lit(-codes.indexOf(code)).as("nr"),
+        lit(code).as("code"))
+    }
+    val best = array_max(array(entries: _*))
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("code"))
+  }
+
+  /** Quality score in [0,1]: mean of three deterministic signals —
+    * length band, alpha ratio, stopword presence. Matches the reference
+    * pipeline's "good enough" spirit; exact formula mirrored in the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / lit(400.0), lit(1.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val stop = langScore(text, Seq("the", "a", "of", "and", "to")).cast("double")
+    val stopScore = least(stop / lit(5.0), lit(1.0))
+    round((lenScore + alphaRatio + stopScore) / lit(3.0), 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * (An incremental Karp–Rabin rolling hash lives in
+    * graft.functions.RollingHash as the per-window variant.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+}

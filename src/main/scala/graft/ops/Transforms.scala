@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-level transforms from the reference pipeline, each a pure
+  * `Column`/`DataFrame` function built from codegen'd built-ins (zero UDFs —
+  * SURVEY.md §2.9). Citations into /root/reference/.
+  */
+object Transforms {
+
+  /** First non-blank of a list of string columns, else `default` —
+    * the app-name fallback chain (`dlt_fetch_timecamp.py:136-148`). Blank
+    * means NULL or whitespace-only after trim.
+    */
+  def firstNonBlank(default: Column, cols: Column*): Column =
+    coalesce(cols.map(c => nullif(trim(c), lit(""))) :+ default: _*)
+
+  /** Literal-map decode with default (category id→name,
+    * `dlt_fetch_timecamp.py:111-133`). Broadcast-joins a tiny in-code
+    * dimension — stays a BroadcastHashJoin at any fact-side scale.
+    */
+  def decodeMap(
+      df: DataFrame, keyCol: String, mapping: Seq[(String, String)],
+      outCol: String, default: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = mapping.toDF("_dm_key", "_dm_value")
+    df.join(broadcast(dim), df(keyCol) === col("_dm_key"), "left")
+      .withColumn(outCol, coalesce(col("_dm_value"), lit(default)))
+      .drop("_dm_key", "_dm_value")
+  }
+
+  /** NULL/''/'0' parent normalization (`SAMPLE-PROJECT-BUDGET-REPORT.md:35-39`,
+    * `dlt_fetch_timecamp.py:542-544`).
+    */
+  def normalizeParent(c: Column): Column =
+    when(c.isNull || c.isin("", "0"), lit(null)).otherwise(c)
+
+  /** Multi-format date parse (`common/utils.py:33-51`): first format that
+    * parses wins; `try_to_date` (not `to_date`) so unparseable stays NULL
+    * under ANSI mode instead of erroring.
+    */
+  def parseDateMulti(c: Column): Column = coalesce(
+    try_to_date(c, "yyyy-MM-dd"),
+    try_to_date(c, "dd/MM/yyyy"),
+    try_to_date(c, "MM/dd/yyyy"),
+    try_to_date(c, "dd-MM-yyyy"),
+    try_to_date(c, "MM-dd-yyyy"))
+
+  /** Inclusive per-day date rows between two date columns
+    * (`dlt_fetch_timecamp.py:151-162`).
+    */
+  def dateSequence(from: Column, to: Column): Column =
+    explode(sequence(from, to, expr("interval 1 day")))
+
+  /** JSON-serialize an array column to a string, NULL when empty/NULL —
+    * the `tags` transform (`dlt_fetch_timecamp.py:494-500`).
+    */
+  def arrayToJsonOrNull(c: Column): Column =
+    when(c.isNotNull && size(c) > 0, to_json(c)).otherwise(lit(null))
+
+  /** Deterministic first-per-group (primary-group pick). The reference uses
+    * dict insertion order (`dlt_fetch_timecamp.py:388-390`) — nondeterministic;
+    * we impose an explicit ordering (SURVEY.md §7.4).
+    */
+  def firstPerGroup(
+      df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("_fpg_rn", row_number().over(w))
+      .where(col("_fpg_rn") === 1)
+      .drop("_fpg_rn")
+  }
+
+  /** Strip a leading `u`/`g` marker from an id (`dlt_fetch_timecamp.py:349-355`). */
+  def stripIdPrefix(c: Column): Column = regexp_replace(c, "^[ug]", "")
+
+  /** Dedup by primary key with a deterministic survivor (lowest by
+    * `orderCols`) — `primary_key=` + replace disposition
+    * (`dlt_fetch_timecamp.py:458`, `:509-511`). `dropDuplicates` picks an
+    * arbitrary row; at scale (and for oracle comparison) the survivor must
+    * be deterministic, so this is a window-rank pick.
+    */
+  def dedupByPk(df: DataFrame, pk: Seq[String], orderCols: Seq[Column]): DataFrame =
+    firstPerGroup(df, pk, orderCols)
+}
