@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Closure, Dedup, Similarity, Text, Transforms}
-import graft.reports.{BudgetReport, TaskTree}
+import graft.ops.{Closure, Dedup, Enrich, Similarity, Text, Transforms}
+import graft.reports.{BudgetReport, ProjectBudgetReport, TaskTree}
+import graft.sources.Multimodal
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
   *
@@ -272,7 +274,71 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         octet_length(col("text").cast("binary")).as("n_bytes"),
-        md5(col("text").cast("binary")).as("digest")))
+        md5(col("text").cast("binary")).as("digest"))),
+
+    // mapPartitions decode seam (stubbed codec) — no SQL oracle; the driver
+    // records a rows-only check and MultimodalSpec covers determinism.
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        Multimodal.fromDocuments(t(s, dir, "documents")))),
+
+    // --- dict→rows normalize (S2: tasks endpoint returns dict-of-dicts) ---
+    "q_scan_tasks" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))))),
+
+    // --- U1 union all ---
+    "q_union_all" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.where(col("event_type") === "signup")
+        .select(col("event_id"), col("event_type"))
+      val b = e.where(col("event_type") === "error")
+        .select(col("event_id"), col("event_type"))
+      a.unionByName(b)
+    }),
+
+    // --- J1/G2/W3: user → group enrichment chain over a derived tree ---
+    "q_user_enrichment" -> ((s, dir) => {
+      val groups = t(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("group_id"),
+          lit(null).cast("string").as("parent_id"),
+          col("r_name").as("group_nm"))
+        .unionByName(t(s, dir, "nation")
+          .select(concat(lit("n"), col("n_nationkey")).as("group_id"),
+            concat(lit("r"), col("n_regionkey")).as("parent_id"),
+            col("n_name").as("group_nm")))
+      val customers = t(s, dir, "customer")
+        .withColumn("_gk", concat(lit("n"), col("c_nationkey")))
+      Enrich.withGroup(customers, "_gk",
+        groups, "group_id", "parent_id", "group_nm", levels = 5)
+        .select(col("c_custkey"), col("group_name"), col("group_breadcrumb"),
+          col("group_level_1"), col("group_level_2"), col("group_level_3"),
+          col("group_level_4"), col("group_level_5"))
+    }),
+
+    // --- second published report: per-project budget rollup ---
+    "q_project_budget_report" -> ((s, dir) =>
+      ProjectBudgetReport(TaskTree.tasks(s, dir), TaskTree.entries(s, dir))),
+
+    // --- streaming-shaped transforms (batch-checked; stream specs in tests) ---
+    "q_window_agg" -> ((s, dir) =>
+      EventStream.hourlyAgg(t(s, dir, "events"))
+        .withColumn("hour_start",
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss"))),
+
+    "q_running_count" -> ((s, dir) =>
+      EventStream.runningCount(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("running_n"))),
+
+    // --- similarity: LSH-bucketed ANN (scale path next to brute force) ---
+    "q_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    })
   )
 
   // --------------------------------------------------------------- oracles
@@ -467,6 +533,52 @@ object SparkEntry {
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
 
     "q_binary_meta" ->
-      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents"
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents",
+
+    "q_scan_tasks" ->
+      "SELECT event_id, key, CAST(json_extract(props, '$.' || key) AS INT) AS value FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)",
+
+    "q_union_all" ->
+      "SELECT event_id, event_type FROM events WHERE event_type = 'signup' UNION ALL SELECT event_id, event_type FROM events WHERE event_type = 'error'",
+
+    "q_user_enrichment" ->
+      "SELECT c_custkey, n_name AS group_name, r_name || ' / ' || n_name AS group_breadcrumb, r_name AS group_level_1, n_name AS group_level_2, '' AS group_level_3, '' AS group_level_4, '' AS group_level_5 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey",
+
+    "q_project_budget_report" -> (
+      s"${TaskTree.closureSql}, " +
+        "roots AS (SELECT task_id AS project_id, name AS project_name FROM t WHERE parent_id IS NULL), " +
+        "mem AS (SELECT th.descendant_id, r.project_id, r.project_name FROM th JOIN roots r ON th.ancestor_id = r.project_id), " +
+        s"e AS ($entriesCte), " +
+        "budget AS (SELECT m.project_id, CAST(SUM(t.budgeted) AS BIGINT) AS budget_seconds FROM t JOIN mem m ON t.task_id = m.descendant_id GROUP BY 1), " +
+        "tracked AS (SELECT m.project_id, CAST(SUM(e.duration) AS BIGINT) AS cumulative_seconds FROM e JOIN mem m ON e.task_id = m.descendant_id GROUP BY 1) " +
+        "SELECT r.project_id, r.project_name, " +
+        "COALESCE(b.budget_seconds, 0) AS budget_seconds, " +
+        "COALESCE(tr.cumulative_seconds, 0) AS cumulative_seconds, " +
+        "printf('%.4f', CAST(COALESCE(tr.cumulative_seconds, 0) AS DOUBLE) / 3600.0) AS cumulative_hours, " +
+        "CASE WHEN COALESCE(b.budget_seconds, 0) > 0 AND COALESCE(tr.cumulative_seconds, 0) > COALESCE(b.budget_seconds, 0) THEN 'OVER' ELSE 'OK' END AS status " +
+        "FROM roots r LEFT JOIN tracked tr ON r.project_id = tr.project_id LEFT JOIN budget b ON r.project_id = b.project_id"),
+
+    "q_window_agg" ->
+      "SELECT user_id, strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start, CAST(count(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2",
+
+    "q_running_count" ->
+      "SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n FROM events",
+
+    "q_lsh_topk" -> {
+      // same ±1-plane bucket derivation as Similarity.srpBucket, DuckDB-side
+      def proj(v: String, h: Int) =
+        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+      val bucketExpr = (0 until 4).map(h =>
+        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM bucketed WHERE vec_id < 8), " +
+        "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
+        "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+    }
   )
 }

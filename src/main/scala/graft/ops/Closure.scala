@@ -45,7 +45,9 @@ object Closure {
       col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"))
 
     var result = self.localCheckpoint(true)
-    // frontier k = (descendant, ancestor-at-distance-k)
+    // frontier k = (descendant, ancestor-at-distance-k), minus pairs already
+    // in the result — the set-difference makes cyclic graphs converge (the
+    // pair space is finite) instead of re-deriving pairs until the cap.
     var frontier = edges
       .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
       .localCheckpoint(true)
@@ -55,6 +57,8 @@ object Closure {
       frontier = frontier
         .join(edges, frontier("ancestor_id") === edges("_e_id"))
         .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
+        .distinct()
+        .join(result, Seq("descendant_id", "ancestor_id"), "left_anti")
         .localCheckpoint(true)
       depth += 1
     }

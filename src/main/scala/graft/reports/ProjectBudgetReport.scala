@@ -1,0 +1,49 @@
+package graft.reports
+
+import graft.ops.Closure
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's second published report: per-project budget vs
+  * cumulative tracked time (`SAMPLE-PROJECT-BUDGET-REPORT.md:20-119`).
+  * A "project" is a root task; every entry rolls up to its root; budget is
+  * the SUM of budgets in the project subtree.
+  *
+  * Same scale shape as BudgetReport: dimension-side recursion + one
+  * broadcast join against the fact side.
+  */
+object ProjectBudgetReport {
+
+  def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
+    val closure = Closure.transitiveClosure(tasks, "task_id", "parent_id")
+    val roots = tasks.where(col("parent_id").isNull)
+      .select(col("task_id").as("project_id"), col("name").as("project_name"))
+    // descendant → its root ancestor
+    val memberOf = closure
+      .join(roots, closure("ancestor_id") === roots("project_id"))
+      .select(col("descendant_id"), col("project_id"), col("project_name"))
+    val budget = tasks
+      .join(broadcast(memberOf), tasks("task_id") === memberOf("descendant_id"))
+      .groupBy("project_id")
+      .agg(sum("budgeted").as("budget_seconds"))
+    val tracked = entries
+      .join(broadcast(memberOf), entries("task_id") === memberOf("descendant_id"))
+      .groupBy(col("project_id"), col("project_name"))
+      .agg(sum("duration").as("cumulative_seconds"))
+    roots
+      .join(tracked.drop("project_name"), Seq("project_id"), "left")
+      .join(budget, Seq("project_id"), "left")
+      .select(
+        col("project_id"), col("project_name"),
+        coalesce(col("budget_seconds"), lit(0L)).as("budget_seconds"),
+        coalesce(col("cumulative_seconds"), lit(0L)).as("cumulative_seconds"),
+        format_string("%.4f",
+          coalesce(col("cumulative_seconds"), lit(0L)).cast("double") / 3600.0)
+          .as("cumulative_hours"),
+        when(coalesce(col("budget_seconds"), lit(0L)) > 0 &&
+          coalesce(col("cumulative_seconds"), lit(0L)) >
+            coalesce(col("budget_seconds"), lit(0L)), lit("OVER"))
+          .otherwise(lit("OK")).as("status"))
+      .orderBy(col("cumulative_seconds").desc, col("project_id"))
+  }
+}

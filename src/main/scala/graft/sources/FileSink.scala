@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+/** File sink matching the reference's dlt filesystem destination: one
+  * directory per run, files named `{table}.{file_id}.{ext}`, compression
+  * disabled (`dlt_fetch_timecamp.py:36`, `:685-698`).
+  *
+  * Spark writes part-files per partition (the distributed path — at scale
+  * this is the only write pattern that doesn't serialize through one node);
+  * the layout pass renames them to the reference's naming scheme. S3 is the
+  * same code via `s3a://` (Hadoop FS handles both), rename becomes a copy.
+  */
+object FileSink {
+
+  val Formats: Set[String] = Set("csv", "jsonl", "parquet")
+
+  def write(df: DataFrame, outDir: String, table: String, format: String): Unit = {
+    require(Formats.contains(format), s"unsupported format: $format")
+    val sparkFormat = if (format == "jsonl") "json" else format
+    val tmp = s"$outDir/_tmp_$table"
+    val writer = df.write.mode("overwrite")
+      .option("compression", "none")
+    val withHeader =
+      if (format == "csv") writer.option("header", "true") else writer
+    withHeader.format(sparkFormat).save(tmp)
+    layout(Paths.get(tmp), Paths.get(outDir), table, format)
+  }
+
+  /** Rename part-files to `{table}.{file_id}.{ext}` and drop the tmp dir. */
+  private def layout(tmp: Path, outDir: Path, table: String, ext: String): Unit = {
+    val parts = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, outDir.resolve(f"$table.$i%05d.$ext"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.list(tmp).iterator().asScala.foreach(Files.delete)
+    Files.delete(tmp)
+  }
+
+  /** Re-read a table written by `write` (glob over its file ids). */
+  def read(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      table: String, format: String): DataFrame = {
+    val sparkFormat = if (format == "jsonl") "json" else format
+    val reader = spark.read
+      .option("pathGlobFilter", s"$table.*.$format")
+    val withHeader =
+      if (format == "csv")
+        reader.option("header", "true").option("inferSchema", "true")
+      else reader
+    withHeader.format(sparkFormat).load(outDir)
+  }
+}

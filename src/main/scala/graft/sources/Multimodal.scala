@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns plus a typed metadata struct; decode / feature-extract run as
+  * per-partition batch functions.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): `FakeDecoder` derives deterministic pseudo-metadata from
+  * the bytes. Everything around it — schema, partition-level batching,
+  * the mapPartitions seam where a real decoder (or a Python
+  * `mapInPandas` worker in a PySpark deployment) plugs in — is real and
+  * tested.
+  *
+  * Scale notes: decode is embarrassingly parallel per partition; binary
+  * payloads never shuffle (decode before any join/agg, project metadata
+  * only); `spark.sql.files.maxPartitionBytes` sizes partitions so a batch
+  * of blobs fits executor memory.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Deterministic stand-in for a codec: metadata derived from byte stats.
+    * A real deployment replaces ONLY this function.
+    */
+  object FakeDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Option[Int], Option[Int], Option[Long]) = {
+      if (payload == null || payload.isEmpty) (None, None, None)
+      else {
+        val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+        mediaType match {
+          case "image" =>
+            (Some(64 + (h % 1024).toInt.abs), Some(64 + ((h >> 10) % 1024).toInt.abs), None)
+          case "audio" | "video" =>
+            (None, None, Some(1000L + (h % 600000L).abs))
+          case _ => (None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Extract typed metadata from a media DataFrame (mediaSchema →
+    * metaSchema) via the per-partition decode seam.
+    */
+  def extractMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val (w, hgt, dur) = FakeDecoder.decode(mt, payload)
+          Row(id, mt, if (payload == null) 0 else payload.length,
+            w.orNull, hgt.orNull, dur.orNull)
+        }
+      }
+    spark.createDataFrame(rdd, metaSchema)
+  }
+
+  /** Build a media table from the documents testdata (text bytes standing
+    * in for blobs) — deterministic fixture for specs and queries.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension (SURVEY.md §7.5 — not reference parity;
+  * the reference is strictly batch, `dlt_fetch_timecamp.py:55-66`).
+  *
+  * The transforms are written against a plain DataFrame so the identical
+  * logical plan serves batch (`Tables(.., "events")`) and streaming
+  * (`spark.readStream` on the same schema): Structured Streaming's
+  * incrementalization is exactly Spark's "one plan, two execution modes"
+  * contract. Watermarking applies only when the input is streaming.
+  */
+object EventStream {
+
+  /** Tumbling-window aggregate per user: hourly event count + value sum.
+    * On a stream, a 2-hour watermark bounds state; on batch it's a plain
+    * group-by (watermark is a no-op on batch plans).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("window.start").as("hour_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Per-user running event count ordered by event time — on a stream this
+    * is the `mapGroupsWithState` shape; expressed declaratively it is a
+    * cumulative window, which Structured Streaming cannot run but batch
+    * backfill uses. Streaming variant lives in the spec via MemoryStream.
+    */
+  def runningCount(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events.withColumn("running_n", count(lit(1)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixture trees per FIXTURES.md §2: ≥3 levels, a cycle pair, an orphan,
+  * deep chains — semantics from the reference walkers
+  * (`dlt_fetch_timecamp.py:313-346`, `:527-547`).
+  */
+class ClosureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tree = Seq(
+    // (task_id, parent_id, name)
+    ("1", null, "root"),
+    ("2", "1", "child"),
+    ("3", "2", "grandchild"),
+    ("4", null, "root2"),
+    ("9", "404", "orphan"),      // parent missing from table
+    ("7", "8", "cycA"),          // 7 <-> 8 cycle
+    ("8", "7", "cycB")
+  ).toDF("task_id", "parent_id", "name")
+
+  test("transitive closure contains all self-pairs (base case)") {
+    val c = Closure.transitiveClosure(tree, "task_id", "parent_id")
+    val selfPairs = c.where($"descendant_id" === $"ancestor_id").count()
+    assert(selfPairs == 7)
+  }
+
+  test("transitive closure reaches all ancestors") {
+    val c = Closure.transitiveClosure(tree, "task_id", "parent_id")
+      .where($"descendant_id" === "3").orderBy("ancestor_id")
+      .select("ancestor_id").as[String].collect().toSet
+    assert(c == Set("1", "2", "3"))
+  }
+
+  test("closure converges on cycles to the exact finite pair set") {
+    val c = Closure.transitiveClosure(tree, "task_id", "parent_id", maxDepth = 50)
+    // cycle 7<->8 yields exactly {(7,7),(7,8),(8,8),(8,7)} — no duplicates,
+    // termination before the cap
+    import spark.implicits._
+    val cyc = c.where($"descendant_id".isin("7", "8"))
+      .as[(String, String)].collect().toSet
+    assert(cyc == Set(("7", "7"), ("7", "8"), ("8", "8"), ("8", "7")))
+    // whole-closure row count is exact: 7 self + (2,1)(3,2)(3,1)(9,404)(7,8)(8,7)
+    assert(c.count() == 13)
+    assert(c.distinct().count() == 13)
+  }
+
+  test("breadcrumbs: root-to-self path joined by ' / '") {
+    val b = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
+    val bc = b.where($"task_id" === "3").select("breadcrumb").as[String].head()
+    assert(bc == "root / child / grandchild")
+  }
+
+  test("breadcrumbs: orphan starts its own path (missing-parent tolerance)") {
+    val b = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
+    val bc = b.where($"task_id" === "9").select("breadcrumb").as[String].head()
+    assert(bc == "orphan")
+  }
+
+  test("breadcrumbs: cycle nodes get no path rather than an infinite loop") {
+    val b = Closure.breadcrumbs(tree, "task_id", "parent_id", "name", maxDepth = 6)
+    val cyc = b.where($"task_id".isin("7", "8")).select("breadcrumb")
+      .collect().map(_.isNullAt(0))
+    assert(cyc.forall(identity))
+  }
+
+  test("level columns fan out with empty-string fill beyond depth") {
+    val b = Closure.withLevelColumns(
+      Closure.breadcrumbs(tree, "task_id", "parent_id", "name"), "task", 8)
+    val r = b.where($"task_id" === "3")
+      .select("task_level_1", "task_level_2", "task_level_3", "task_level_4")
+      .head()
+    assert(r.getString(0) == "root" && r.getString(1) == "child" &&
+      r.getString(2) == "grandchild" && r.getString(3) == "")
+  }
+
+  test("closure of a 10-deep chain reaches the root (depth > default levels)") {
+    val chain = (1 to 10).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString, s"n$i"))
+      .toDF("task_id", "parent_id", "name")
+    val c = Closure.transitiveClosure(chain, "task_id", "parent_id")
+    val anc10 = c.where($"descendant_id" === "10").count()
+    assert(anc10 == 10) // self + 9 ancestors
+  }
+}

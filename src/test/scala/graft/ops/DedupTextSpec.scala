@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "en"),  // near dup
+    (4L, "der schnelle braune fuchs ist und das war gut", "de"),
+    (5L, "completely different words entirely here now thanks", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactGroups: identical texts share a digest, keeper is min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4) // 1&2 collapse
+    val dup = g.where($"n_docs" === 2).head()
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash candidates find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → all bands collide
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated doc
+  }
+
+  test("simhash: identical texts get identical hashes, near-dups are close") {
+    val h = docs.select($"doc_id", Dedup.simhash16($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) <= hamming(h(1L), h(5L)))
+  }
+
+  test("ngramJaccard: exact dup has jaccard 1.0 within block") {
+    val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang")
+      .where($"id_a" === 1 && $"id_b" === 2).head()
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("tokens/tokenCount handle multi-space and empties") {
+    val df = Seq("  a  b   c ", "").toDF("t")
+    val out = df.select(Text.tokenCount($"t").as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(3, 0))
+  }
+
+  test("langId picks marker language, und when none") {
+    val df = Seq(
+      "the cat and the hat is here",
+      "der hund und die katze ist das",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(Text.langId($"text").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq("Hello   World", "hello world").toDF("t")
+    val fps = df.select(Text.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the most similar vector first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, 1.5),
+    Ev(2, ts("2024-01-01 10:55:00"), 1, 2.5),
+    Ev(3, ts("2024-01-01 11:05:00"), 1, 4.0),
+    Ev(4, ts("2024-01-01 10:30:00"), 2, 8.0))
+
+  test("hourlyAgg on batch: tumbling hour windows per user") {
+    val out = EventStream.hourlyAgg(batch.toDF())
+      .orderBy("user_id", "hour_start").collect()
+    assert(out.length == 3)
+    val first = out(0)
+    assert(first.getAs[Timestamp]("hour_start") == ts("2024-01-01 10:00:00"))
+    assert(first.getAs[Long]("n_events") == 2)
+    assert(first.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("hourlyAgg incrementalizes: same results via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .orderBy("user_id", "hour_start").collect()
+      val batched = EventStream.hourlyAgg(batch.toDF())
+        .orderBy("user_id", "hour_start").collect()
+      assert(streamed.toSeq == batched.toSeq)
+    } finally q.stop()
+  }
+
+  test("runningCount: cumulative per-user ordered by event time") {
+    val out = EventStream.runningCount(batch.toDF())
+      .orderBy("event_id").select("running_n").as[Long].collect()
+    assert(out.toSeq == Seq(1, 2, 3, 1))
+  }
+}
