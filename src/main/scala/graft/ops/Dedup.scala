@@ -47,22 +47,32 @@ object Dedup {
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(
-      array_distinct(Text.shingles(col(textCol), shingleSize)), numHashes)
     val numBands = numHashes / rowsPerBand
+    // Staged projections so each expensive array is computed exactly once
+    // per row (CollapseProject keeps multiply-referenced non-cheap aliases
+    // in their own stage); a single inline expression would re-derive the
+    // tokenization once per seed.
     val banded = docs
-      .select(col(idCol).as("_id"), sig.as("_sig"))
+      .select(col(idCol).as("_id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("_sh"))
+      .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
       .select(col("_id"), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
             .as("key"))
       }: _*)).as("_band"))
       .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
-    val a = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
-    val b = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
-    a.join(b, Seq("_bno", "_bkey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // One shuffle: group bucket members, emit pairs in-bucket. The corpus is
+    // hashed+banded in a single pass (no self-join that would recompute the
+    // signatures, and no second shuffle of the full banded set).
+    banded
+      .groupBy("_bno", "_bkey")
+      .agg(sort_array(collect_set(col("_id"))).as("_ids"))
+      .where(size(col("_ids")) > 1)
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + lit(2), size(col("_ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"))
       .distinct()
   }
 
@@ -93,9 +103,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("_id"), col(blockCol).as("_blk"),
-      explode(array_distinct(Text.shingles(col(textCol), n))).as("_sh"))
+    val sh = docs
+      .select(col(idCol).as("_id"), col(blockCol).as("_blk"),
+        array_distinct(Text.shingles(col(textCol), n)).as("_sharr"))
+      .select(col("_id"), col("_blk"), explode(col("_sharr")).as("_sh"))
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_sz"))
     val a = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
     val b = sh.select(col("_blk"), col("_sh"), col("_id").as("id_b"))

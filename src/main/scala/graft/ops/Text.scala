@@ -25,13 +25,27 @@ object Text {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
 
-  /** Word n-gram shingles as an array column (for MinHash/Jaccard dedup). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  /** Word n-gram shingles as an array column (for MinHash/Jaccard dedup).
+    *
+    * Implemented as a zip_with fold over n shifted slices of the token
+    * array rather than an index lambda: a lambda that captures the token
+    * expression would re-evaluate the regex tokenization once per element
+    * (O(T²) splits per row); slices evaluate the tokens a fixed n+2 times.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Shingles over an already-tokenized array column. Prefer materializing
+    * the token array in its own projection and passing the attribute here —
+    * each slice below re-evaluates `ts`, which is free for an attribute but
+    * a repeated regex split for an inline tokens(text) expression.
+    */
+  def shinglesOfTokens(ts: Column, n: Int): Column = {
+    val win = size(ts) - (n - 1)
+    val joined = (2 to n).foldLeft(slice(ts, lit(1), win)) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k), win), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(joined)
   }
 
   /** Heuristic language ID from character/stopword statistics. The signal
