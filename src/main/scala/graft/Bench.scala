@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warmup: JIT, codegen compiler, parquet reader, and
+    // shuffle machinery init otherwise land entirely on the first query.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables(spark, sfDir, "region").groupBy("r_name").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

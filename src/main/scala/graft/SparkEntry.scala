@@ -338,7 +338,35 @@ object SparkEntry {
       Similarity.lshTopK(
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
-    })
+    }),
+
+    // --- dedup: embedding-cosine near-dup pairs (LSH-blocked) ---
+    "q_dedup_embed" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // --- similarity: IVF cell-probed ANN ---
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // --- streaming: gap-based session windows (batch-checked) ---
+    "q_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(t(s, dir, "events"))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"))),
+
+    // --- multimodal frame sampling (stub codec; rows-only check) ---
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(t(s, dir, "documents")), 60000L))
   )
 
   // --------------------------------------------------------------- oracles
@@ -579,6 +607,44 @@ object SparkEntry {
         s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
         "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
         "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
-    }
+    },
+
+    "q_dedup_embed" -> {
+      def proj(v: String, h: Int) =
+        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+      val bucketExpr = (0 until 4).map(h =>
+        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      val cos = s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
+      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score " +
+        "FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
+    },
+
+    "q_ivf_topk" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 8), " +
+        s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
+        "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+    },
+
+    "q_sessionize" -> (
+      "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS news FROM e), " +
+        "y AS (SELECT user_id, ts, SUM(news) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
+        "strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM y GROUP BY user_id, sid")
   )
 }

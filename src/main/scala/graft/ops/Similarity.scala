@@ -65,6 +65,78 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: vectors sharing a
+    * sign-random-projection bucket are compared exactly; pairs with cosine
+    * >= threshold survive. One corpus pass for bucketing, one shuffle to
+    * group bucket members, pairs generated in-bucket — never O(n²) across
+    * the corpus (the standard recall-for-throughput trade; raise numPlanes
+    * to shrink buckets at larger corpora).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 4): DataFrame = {
+    val bucketed = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        srpBucket(col(vecCol), numPlanes).as("_bkt"))
+      .groupBy("_bkt")
+      .agg(sort_array(collect_list(struct(col("_id"), col("_v")))).as("_m"))
+      .where(size(col("_m")) > 1)
+    bucketed
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), size(col("_m"))),
+          b => struct(
+            a.getField("_id").as("id_a"),
+            b.getField("_id").as("id_b"),
+            cosine(a.getField("_v"), b.getField("_v")).as("score"))))))
+        .as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"),
+        round(col("_p.score"), 6).as("score"))
+      .where(col("score") >= threshold)
+      .distinct()
+  }
+
+  /** IVF (inverted-file) approximate top-k. Coarse quantizer = the first
+    * `nCentroids` corpus vectors by id (deterministic, oracle-replicable;
+    * a production build would train k-means centroids offline). Every
+    * vector is assigned to its max-cosine centroid (ties → smaller
+    * centroid id); search compares the query only against its own cell.
+    * The centroid set is broadcast, so assignment is a map-side pass over
+    * the corpus — the shuffle is one hash partition by cell id.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCentroids: Int = 4): DataFrame = {
+    // Centroids live on the driver (an IVF coarse quantizer is a model
+    // artifact, not data) and are inlined as literals — cell assignment is
+    // then a pure map-side projection, no join, no shuffle of the corpus.
+    val cents = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble // exact widening, matches CAST(FLOAT AS DOUBLE)
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }))
+    def cell(v: Column): Column =
+      array_max(array(cents.map { case (cid, cv) =>
+        val cvLit = array(cv.map(lit): _*)
+        struct(round(cosine(v, cvLit), 9).as("s"),
+          lit(-cid).as("nid"))
+      }: _*)).getField("nid") * -1
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      cell(col(vecCol)).as("_cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      cell(col(vecCol)).as("_cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    q.join(c, Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to same-bucket
     * vectors, then exact cosine + rank within candidates.
     */

@@ -73,6 +73,68 @@ object Multimodal {
     spark.createDataFrame(rdd, metaSchema)
   }
 
+  /** Image resize seam: the real transform (payload → resized payload) is
+    * stubbed — the fake emits a deterministic digest-sized payload — but
+    * the Spark plumbing (binary in/binary out per partition, metadata
+    * updated in lockstep) is the production shape.
+    */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(mediaSchema.fields :+
+      StructField("resized_w", IntegerType, nullable = true) :+
+      StructField("resized_h", IntegerType, nullable = true))
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val (w, h, _) = FakeDecoder.decode(mt, payload)
+          if (mt == "image" && w.isDefined && h.isDefined) {
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w.get, h.get))
+            val (nw, nh) = (math.max(1, (w.get * scale).toInt),
+              math.max(1, (h.get * scale).toInt))
+            // STUB: a real codec would re-encode; the fake truncates the
+            // payload proportionally so output size tracks the resize.
+            val out = if (payload == null) null
+              else payload.take(math.max(1, (payload.length * scale).toInt))
+            Row(id, out, mt, nw, nh)
+          } else Row(id, payload, mt, null, null)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Video frame-sampling seam: emits one row per sampled frame offset
+    * (every `everyMs` into the fake duration) — the explode-shaped UDTF a
+    * real pipeline runs before per-frame feature extraction. Binary
+    * payloads stay columnar; only (media_id, frame_ms, frame_payload
+    * stub) rows fan out.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_ms", LongType, nullable = false),
+      StructField("frame_digest", StringType, nullable = true)))
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val (_, _, dur) = FakeDecoder.decode(mt, payload)
+          if (mt == "video" && dur.isDefined)
+            (0L until dur.get by everyMs).map { ms =>
+              // STUB: real codec decodes the frame at `ms`; fake digests it.
+              Row(id, ms, java.lang.Long.toHexString(ms * 31 + id))
+            }
+          else Iterator.empty
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Build a media table from the documents testdata (text bytes standing
     * in for blobs) — deterministic fixture for specs and queries.
     */

@@ -31,6 +31,24 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Gap-based session windows per user (native `session_window`): events
+    * closer than `gap` merge into one session; output is the session span
+    * and event count. Identical plan serves batch and streaming (with a
+    * watermark bounding session state on streams). At scale this shuffles
+    * once on user_id; session merge is streaming-state or sort-based agg.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Per-user running event count ordered by event time — on a stream this
     * is the `mapGroupsWithState` shape; expressed declaratively it is a
     * cumulative window, which Structured Streaming cannot run but batch

@@ -80,4 +80,28 @@ class DedupTextSpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id").as[Long].collect()
     assert(top.toSeq == Seq(1L, 2L))
   }
+
+  test("cosineNearDupPairs finds colinear vectors above threshold") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(2.0f, 0.0f, 0.0f)),  // colinear with 0 → cosine 1.0
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ivfTopK: same-cell neighbors ranked by cosine") {
+    // centroids = first 2 vectors; 0/1-cluster and 2/3-cluster separate
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 5, nCentroids = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
+  }
 }

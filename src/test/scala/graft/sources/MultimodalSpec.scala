@@ -38,4 +38,28 @@ class MultimodalSpec extends SparkSpec {
     val types = m.select("media_type").as[String].collect()
     assert(types.toSeq == Seq("image", "audio", "video"))
   }
+
+  test("resizeImages caps the longer side, leaves non-images untouched") {
+    val out = Multimodal.resizeImages(media, maxSide = 32)
+      .orderBy("media_id").collect()
+    val img = out(0)
+    assert(!img.isNullAt(3) && !img.isNullAt(4))
+    assert(math.max(img.getInt(3), img.getInt(4)) <= 32)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4)) // audio untouched
+  }
+
+  test("sampleFrames emits evenly spaced offsets for payload videos only") {
+    import spark.implicits._
+    val rows = java.util.Arrays.asList(
+      Row(1L, "a video blob".getBytes("UTF-8"), "video"),
+      Row(2L, null, "video"), // undecodable → no frames
+      Row(3L, "img".getBytes("UTF-8"), "image"))
+    val m = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(m, everyMs = 60000L)
+    val ids = out.select("media_id").distinct().as[Long].collect()
+    assert(ids.toSeq == Seq(1L))
+    val frames = out.orderBy("frame_ms").select("frame_ms").as[Long].collect()
+    assert(frames.nonEmpty)
+    assert(frames.zipWithIndex.forall { case (ms, i) => ms == i * 60000L })
+  }
 }

@@ -51,4 +51,37 @@ class EventStreamSpec extends SparkSpec {
       .orderBy("event_id").select("running_n").as[Long].collect()
     assert(out.toSeq == Seq(1, 2, 3, 1))
   }
+
+  test("sessionize: events within the gap merge, session end = last + gap") {
+    // user 1: 10:05 and 10:55 merge (50min < 60min gap); 12:30 is separate
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, 0),
+      Ev(2, ts("2024-01-01 10:55:00"), 1, 0),
+      Ev(3, ts("2024-01-01 12:30:00"), 1, 0),
+      Ev(4, ts("2024-01-01 10:30:00"), 2, 0))
+    val out = EventStream.sessionize(evs.toDF(), gap = "60 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:05:00"))
+    assert(out(0).getAs[Timestamp]("session_end") == ts("2024-01-01 11:55:00"))
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("sessionize incrementalizes: same results via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(input.toDF(), gap = "60 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect()
+      val batched = EventStream.sessionize(batch.toDF(), gap = "60 minutes")
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.toSeq == batched.toSeq)
+    } finally q.stop()
+  }
 }
