@@ -196,12 +196,15 @@ object SparkEntry {
         coalesce(try_element_at(words, lit(3)), lit("")).as("level_3"))
     }),
 
-    // --- §2.6 recursion ---
+    // --- §2.6 recursion (native WITH RECURSIVE; the iterative
+    // cycle-tolerant twins are exercised by ClosureSpec) ---
     "q_transitive_closure" -> ((s, dir) =>
-      Closure.transitiveClosure(TaskTree.tasks(s, dir), "task_id", "parent_id")),
+      Closure.transitiveClosureRecursive(
+        TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>
-      Closure.breadcrumbs(TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
+      Closure.breadcrumbs(
+        TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
         .select(col("task_id"), col("breadcrumb"))),
 
     // --- §2.7 scalar bundles ---

@@ -44,16 +44,19 @@ object Closure {
     val self = nodes.select(
       col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"))
 
-    var result = self.localCheckpoint(true)
     // frontier k = (descendant, ancestor-at-distance-k), minus pairs already
-    // in the result — the set-difference makes cyclic graphs converge (the
-    // pair space is finite) instead of re-deriving pairs until the cap.
+    // seen — the set-difference makes cyclic graphs converge (the pair
+    // space is finite) instead of re-deriving pairs until the cap. Only
+    // frontiers are eagerly checkpointed; the accumulated result is a
+    // union of those materialized RDDs, so its plan stays shallow without
+    // paying one extra materialization job per iteration.
+    var result = self.localCheckpoint(true)
     var frontier = edges
       .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
       .localCheckpoint(true)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
-      result = result.unionByName(frontier).localCheckpoint(true)
+      result = result.unionByName(frontier)
       frontier = frontier
         .join(edges, frontier("ancestor_id") === edges("_e_id"))
         .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
@@ -63,6 +66,66 @@ object Closure {
       depth += 1
     }
     result
+  }
+
+  /** Transitive closure via Spark 4's native recursive CTE (`WITH
+    * RECURSIVE` → `UnionLoop`): one query execution, no driver-side
+    * fixpoint loop or per-iteration checkpoints. Spark only supports the
+    * UNION ALL step form, which re-derives pairs forever on a cycle — use
+    * this on inputs known to be acyclic (every hierarchy the reference
+    * ships is a forest) and `transitiveClosure` when cycle tolerance is
+    * required. Semantics on forests are identical.
+    */
+  def transitiveClosureRecursive(
+      nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
+    val view = s"_graft_closure_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // Materialize the projection once: UnionLoop re-executes the step plan
+    // per level, which would otherwise re-run the source scan every level.
+    nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView(view)
+    val out = nodes.sparkSession.sql(
+      s"""WITH RECURSIVE th(descendant_id, ancestor_id) AS (
+         |  SELECT id, id FROM $view
+         |  UNION ALL
+         |  SELECT th.descendant_id, n.parent
+         |  FROM th JOIN $view n ON th.ancestor_id = n.id
+         |  WHERE n.parent IS NOT NULL
+         |) SELECT descendant_id, ancestor_id FROM th""".stripMargin)
+    out
+  }
+
+  /** Breadcrumbs via Spark 4's native recursive CTE — single query
+    * execution instead of a per-level driver loop. Unlike the closure,
+    * this shape is cycle-SAFE even with UNION ALL: paths grow strictly
+    * downward from roots, so cycle components are never reached and the
+    * loop drains — they surface with NULL path/breadcrumb exactly like
+    * `breadcrumbs`. Only behavioral difference: forests deeper than the
+    * engine recursion limit (default 100) error instead of truncating at
+    * `maxDepth`.
+    */
+  def breadcrumbsRecursive(
+      nodes: DataFrame, idCol: String, parentCol: String,
+      nameCol: String): DataFrame = {
+    val view = s"_graft_bc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // Materialized once — the per-level step re-executes its scan of this
+    // view, and the anchor's NOT IN needs a second pass over it.
+    nodes.select(col(idCol).as("id"), col(parentCol).as("parent"),
+      col(nameCol).as("name"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView(view)
+    val done = nodes.sparkSession.sql(
+      s"""WITH RECURSIVE bc(id, path) AS (
+         |  SELECT id, array(name) FROM $view
+         |  WHERE parent IS NULL OR parent NOT IN (SELECT id FROM $view)
+         |  UNION ALL
+         |  SELECT c.id, concat(p.path, array(c.name))
+         |  FROM $view c JOIN bc p ON c.parent = p.id
+         |) SELECT id, path FROM bc""".stripMargin)
+    nodes.join(
+      done.select(col("id").as(idCol), col("path"),
+        concat_ws(" / ", col("path")).as("breadcrumb")),
+      Seq(idCol), "left")
   }
 
   /** Root-to-self breadcrumb paths for a parent-pointer forest.

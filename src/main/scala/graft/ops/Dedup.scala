@@ -53,8 +53,10 @@ object Dedup {
     // in their own stage); a single inline expression would re-derive the
     // tokenization once per seed.
     val banded = docs
+      // no array_distinct: min-over-shingles is unaffected by duplicates,
+      // and Spark's array_distinct on string arrays is O(n²) per row.
       .select(col(idCol).as("_id"),
-        array_distinct(Text.shingles(col(textCol), shingleSize)).as("_sh"))
+        Text.shingles(col(textCol), shingleSize).as("_sh"))
       .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
       .select(col("_id"), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
@@ -103,20 +105,38 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    // Set sizes ride along with each exploded shingle, so the whole
+    // computation is two shuffles: group docs per (block, shingle) and
+    // emit co-occurrence pairs in-bucket, then count per pair. The
+    // previous shape (shingle self-join + two size joins) read the
+    // shingle projection twice and shuffled five times.
+    // Shingles are hashed to 64-bit before the distinct/shuffle: the
+    // distinct then runs on a primitive array (Spark's string-array
+    // array_distinct is O(n²) per row) and the shuffle key is 8 bytes
+    // instead of an n-word string. A 64-bit collision inside one block
+    // would off-by-one an intersection count; at ~10⁶ distinct shingles
+    // per block that chance is ~10⁻⁸ — the standard shingle-hashing trade
+    // (the exact-string variant is a one-line revert).
     val sh = docs
       .select(col(idCol).as("_id"), col(blockCol).as("_blk"),
-        array_distinct(Text.shingles(col(textCol), n)).as("_sharr"))
-      .select(col("_id"), col("_blk"), explode(col("_sharr")).as("_sh"))
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_sz"))
-    val a = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
-    val b = sh.select(col("_blk"), col("_sh"), col("_id").as("id_b"))
-    val inter = a.join(b, Seq("_blk", "_sh"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+        array_distinct(transform(Text.shingles(col(textCol), n), s => xxhash64(s)))
+          .as("_sharr"))
+      .select(col("_id"), col("_blk"), size(col("_sharr")).as("_sz"),
+        explode(col("_sharr")).as("_sh"))
+    val pairs = sh
+      .groupBy("_blk", "_sh")
+      .agg(sort_array(collect_list(struct(col("_id"), col("_sz")))).as("_m"))
+      .where(size(col("_m")) > 1)
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), size(col("_m"))),
+          b => struct(
+            a.getField("_id").as("id_a"), a.getField("_sz").as("_sza"),
+            b.getField("_id").as("id_b"), b.getField("_sz").as("_szb"))))))
+        .as("_p"))
+      .select(col("_p.id_a"), col("_p._sza"), col("_p.id_b"), col("_p._szb"))
+    pairs
+      .groupBy("id_a", "id_b", "_sza", "_szb")
       .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), "id_b")
       .withColumn("jaccard",
         round(col("_inter").cast("double") /
           (col("_sza") + col("_szb") - col("_inter")).cast("double"), 6))

@@ -36,10 +36,13 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .withColumn("score",
+        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
@@ -50,15 +53,26 @@ object Similarity {
 
   /** Sign-random-projection bucket id: bit per hyperplane, hyperplane h =
     * deterministic ±1 pattern derived from md5(h || ':' || index) — fully
-    * engine-portable, no RNG state.
+    * engine-portable, no RNG state. The sign patterns are plan-time
+    * constants, precomputed on the driver and inlined as literal arrays:
+    * evaluating md5 per row × element would redo ~dim × planes digests of
+    * constants on every row of a 100 TB corpus.
     */
+  private def srpSign(plane: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) >= '8') 1.0 else -1.0 // same test as substr(md5,1,1) >= '8'
+  }
+
+  private val srpMaxDim = 4096
+
   def srpBucket(vec: Column, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { h =>
+      val signs = lit((0 until srpMaxDim).map(srpSign(h, _)).toArray)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            when(substring(md5(concat(lit(s"$h:"), i.cast("string"))
-              .cast("binary")), 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(vec, slice(signs, lit(1), size(vec)),
+          (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1 << h)).otherwise(lit(0))
     }
@@ -75,11 +89,16 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 4): DataFrame = {
+    // Norms ride along with each vector so the per-pair score is one dot
+    // product, not three (norms would otherwise be recomputed for every
+    // pair a vector participates in).
     val bucketed = corpus
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         srpBucket(col(vecCol), numPlanes).as("_bkt"))
+      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
       .groupBy("_bkt")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_v")))).as("_m"))
+      .agg(sort_array(collect_list(
+        struct(col("_id"), col("_v"), col("_n")))).as("_m"))
       .where(size(col("_m")) > 1)
     bucketed
       .select(explode(flatten(transform(col("_m"), (a, i) =>
@@ -87,7 +106,8 @@ object Similarity {
           b => struct(
             a.getField("_id").as("id_a"),
             b.getField("_id").as("id_b"),
-            cosine(a.getField("_v"), b.getField("_v")).as("score"))))))
+            (dot(a.getField("_v"), b.getField("_v")) /
+              (a.getField("_n") * b.getField("_n"))).as("score"))))))
         .as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"),
         round(col("_p.score"), 6).as("score"))
@@ -124,14 +144,15 @@ object Similarity {
           lit(-cid).as("nid"))
       }: _*)).getField("nid") * -1
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      cell(col(vecCol)).as("_cell"))
+      cell(col(vecCol)).as("_cell"), norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      cell(col(vecCol)).as("_cell"))
+      cell(col(vecCol)).as("_cell"), norm(col(vecCol)).as("_cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     q.join(c, Seq("_cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .withColumn("score",
+        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
@@ -144,12 +165,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, numPlanes: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      srpBucket(col(vecCol), numPlanes).as("_bkt"))
+      srpBucket(col(vecCol), numPlanes).as("_bkt"),
+      norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      srpBucket(col(vecCol), numPlanes).as("_bkt"))
+      srpBucket(col(vecCol), numPlanes).as("_bkt"),
+      norm(col(vecCol)).as("_cn"))
     val scored = q.join(c, Seq("_bkt"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .withColumn("score",
+        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored

@@ -23,7 +23,9 @@ object BudgetReport {
     * @param entries (task_id: String, duration: Long seconds)
     */
   def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
-    val closure = Closure.transitiveClosure(tasks, "task_id", "parent_id")
+    // Recursive-CTE closure: same UNION ALL shape as the published report's
+    // own recursive CTE (SAMPLE-REPORTS.md:59-75) — both assume a forest.
+    val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
     val tracked = entries
       .join(broadcast(closure),
         entries("task_id") === closure("descendant_id"))

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object ProjectBudgetReport {
 
   def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
-    val closure = Closure.transitiveClosure(tasks, "task_id", "parent_id")
+    val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
     val roots = tasks.where(col("parent_id").isNull)
       .select(col("task_id").as("project_id"), col("name").as("project_name"))
     // descendant → its root ancestor

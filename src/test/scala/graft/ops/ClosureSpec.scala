@@ -84,4 +84,21 @@ class ClosureSpec extends SparkSpec {
     val anc10 = c.where($"descendant_id" === "10").count()
     assert(anc10 == 10) // self + 9 ancestors
   }
+
+  test("recursive-CTE closure matches the iterative fixpoint on a forest") {
+    val forest = tree.where(!$"task_id".isin("7", "8")) // drop the cycle pair
+    val iter = Closure.transitiveClosure(forest, "task_id", "parent_id")
+      .orderBy("descendant_id", "ancestor_id").collect()
+    val rec = Closure.transitiveClosureRecursive(forest, "task_id", "parent_id")
+      .orderBy("descendant_id", "ancestor_id").collect()
+    assert(iter.toSeq == rec.toSeq)
+  }
+
+  test("recursive-CTE breadcrumbs: cycle-safe, matches iterative") {
+    val iter = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
+      .select("task_id", "breadcrumb").orderBy("task_id").collect()
+    val rec = Closure.breadcrumbsRecursive(tree, "task_id", "parent_id", "name")
+      .select("task_id", "breadcrumb").orderBy("task_id").collect()
+    assert(iter.toSeq == rec.toSeq) // incl. NULL breadcrumbs for the 7<->8 cycle
+  }
 }
