@@ -18,10 +18,13 @@ object ProjectBudgetReport {
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
     val roots = tasks.where(col("parent_id").isNull)
       .select(col("task_id").as("project_id"), col("name").as("project_name"))
-    // descendant → its root ancestor
+    // descendant → its root ancestor; materialized once — it feeds two
+    // joins (budget + tracked), which would otherwise re-execute the
+    // recursion per consumer. Dimension-sized, so the checkpoint is cheap.
     val memberOf = closure
       .join(roots, closure("ancestor_id") === roots("project_id"))
       .select(col("descendant_id"), col("project_id"), col("project_name"))
+      .localCheckpoint(true)
     val budget = tasks
       .join(broadcast(memberOf), tasks("task_id") === memberOf("descendant_id"))
       .groupBy("project_id")

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extension (SURVEY.md §7.5 — not reference parity;
   * the reference is strictly batch, `dlt_fetch_timecamp.py:55-66`).
@@ -52,12 +53,40 @@ object EventStream {
   /** Per-user running event count ordered by event time — on a stream this
     * is the `mapGroupsWithState` shape; expressed declaratively it is a
     * cumulative window, which Structured Streaming cannot run but batch
-    * backfill uses. Streaming variant lives in the spec via MemoryStream.
+    * backfill uses. The streaming twin is `runningCountStateful`.
     */
   def runningCount(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
     events.withColumn("running_n", count(lit(1)).over(
       w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
+  case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
+
+  /** The arbitrary-state twin of `runningCount` for true streams:
+    * `flatMapGroupsWithState` keeps one Long of state per user and emits
+    * each event with its running index. Within a micro-batch, events are
+    * ordered by (ts, event_id) before numbering — cross-batch order is
+    * arrival order, the standard at-a-time streaming contract. State is
+    * O(users), no watermark needed (nothing is ever evicted; add a
+    * timeout if user cardinality is unbounded).
+    */
+  def runningCountStateful(events: Dataset[EvIn]): Dataset[EvCounted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, EvCounted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[EvIn], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            n += 1
+            EvCounted(e.event_id, user, n)
+          }
+          state.update(n)
+          out.iterator
+      }
   }
 }

@@ -68,6 +68,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1)
   }
 
+  test("runningCountStateful: per-user state numbers events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.EvIn]
+    val q = EventStream.runningCountStateful(input.toDS())
+      .writeStream.format("memory").queryName("counted")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.EvIn(1, ts("2024-01-01 10:05:00"), 1),
+        EventStream.EvIn(2, ts("2024-01-01 10:06:00"), 1))
+      q.processAllAvailable()
+      input.addData(EventStream.EvIn(3, ts("2024-01-01 10:07:00"), 1),
+        EventStream.EvIn(4, ts("2024-01-01 09:00:00"), 2))
+      q.processAllAvailable()
+      val out = spark.table("counted")
+        .orderBy("event_id").select("running_n").as[Long].collect()
+      assert(out.toSeq == Seq(1, 2, 3, 1)) // state carried across batches
+    } finally q.stop()
+  }
+
   test("sessionize incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
