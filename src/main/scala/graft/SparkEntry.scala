@@ -241,6 +241,10 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))),
 
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("hamming", col("hamming").cast("int"))),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang")),
@@ -369,7 +373,23 @@ object SparkEntry {
     // --- multimodal frame sampling (stub codec; rows-only check) ---
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.fromDocuments(t(s, dir, "documents")), 60000L))
+        Multimodal.fromDocuments(t(s, dir, "documents")), 60000L)),
+
+    // --- skew-safe salted join (inner-join output is salt-invariant) ---
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      Transforms.saltedJoin(li, o, Seq("k"), 4)
+        .select(col("k").as("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+    }),
+
+    // --- sketch aggregate (HLL; implementation-specific value → rows-only
+    // check here, relative-error bound asserted in TransformsSpec) ---
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("n_approx")))
   )
 
   // --------------------------------------------------------------- oracles
@@ -381,6 +401,48 @@ object SparkEntry {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   private def docTokensOf(e: String) =
     s"list_filter(string_split_regex($e, '\\s+'), x -> x <> '')"
+
+  /** DuckDB rendering of Dedup.simhash16 over `documents`, ending in a
+    * CTE `sh(doc_id, simhash)`.
+    */
+  private val simhashCte =
+    s"WITH toks AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS d FROM toks), " +
+      "v AS (SELECT doc_id, " +
+      (0 until 16).map(j =>
+        s"SUM(CASE WHEN substr(d, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ") +
+      " FROM h GROUP BY doc_id), " +
+      "sh AS (SELECT doc_id, CAST(" +
+      (0 until 16).map(j =>
+        s"(CASE WHEN v$j > 0 THEN ${1L << (15 - j)} ELSE 0 END)")
+        .mkString(" + ") +
+      " AS BIGINT) AS simhash FROM v)"
+
+  /** DuckDB rendering of Dedup.simhash64Votes + votesToSimhash64, ending
+    * in a CTE `sh64(doc_id, simhash)`. Bit j = bit (j%4) of hex digit
+    * (j/4 + 1) of md5(token); bit 63 is assembled via signed BIGINT
+    * arithmetic that matches the OR'd bit pattern (adding distinct powers
+    * of two never carries, and 1<<63 is the sign bit on both engines).
+    */
+  private val simhash64Cte =
+    s"WITH toks AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS d FROM toks), " +
+      "v AS (SELECT doc_id, " +
+      (0 until 64).map { j =>
+        val pos = j / 4 + 1
+        val bit = j % 4
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(d, $pos, 1)) - 1) >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(", ") +
+      " FROM h GROUP BY doc_id), " +
+      "sh64 AS (SELECT doc_id, CAST(" +
+      (0 until 64).map { j =>
+        // DuckDB range-checks 1<<63; the sign bit needs its literal value
+        val bit = if (j == 63) "CAST(-9223372036854775808 AS BIGINT)"
+          else s"(CAST(1 AS BIGINT) << $j)"
+        s"(CASE WHEN v$j > 0 THEN $bit ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ") +
+      " AS BIGINT) AS simhash FROM v)"
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_entries" ->
@@ -506,19 +568,18 @@ object SparkEntry {
         "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
         "WHERE a.doc_id < c.doc_id"),
 
-    "q_dedup_simhash" -> (
-      s"WITH toks AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS tok FROM documents), " +
-        "h AS (SELECT doc_id, md5(tok) AS d FROM toks), " +
-        "v AS (SELECT doc_id, " +
-        (0 until 16).map(j =>
-          s"SUM(CASE WHEN substr(d, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
-          .mkString(", ") +
-        " FROM h GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(" +
-        (0 until 16).map(j =>
-          s"(CASE WHEN v$j > 0 THEN ${1L << (15 - j)} ELSE 0 END)")
-          .mkString(" + ") +
-        " AS BIGINT) AS simhash FROM v"),
+    "q_dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    "q_dedup_simhash_pairs" -> (
+      s"$simhash64Cte, b AS (SELECT doc_id, simhash, p.p AS pos, " +
+        "(simhash >> (p.p * 16)) & 65535 AS v FROM sh64 CROSS JOIN (VALUES (0), (1), (2), (3)) AS p(p)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming " +
+        "FROM b a JOIN b c ON a.pos = c.pos AND a.v = c.v AND a.doc_id < c.doc_id " +
+        "WHERE bit_count(xor(a.simhash, c.simhash)) <= 3"),
+
+    "q_salted_join" ->
+      "SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
 
     "q_ngram_jaccard" -> (
       s"WITH toks AS (SELECT doc_id, lang, $docTokens AS ts FROM documents), " +

@@ -98,6 +98,82 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Hex digits whose value has bit `b` set — the static decode table for
+    * per-bit simhash votes.
+    */
+  private def hexCharsWithBit(b: Int): Seq[String] =
+    "0123456789abcdef".zipWithIndex
+      .collect { case (c, v) if ((v >> b) & 1) == 1 => c.toString }
+
+  /** Per-bit vote vector for a 64-bit simhash: votes(j) = Σ over tokens of
+    * ±1, where the sign is bit (j%4) of hex digit (j/4 + 1) of md5(token).
+    * Digests are computed once per token in their own transform pass (a
+    * lambda that recomputed md5 per bit would cost 64× the digests); the
+    * bit index is a plan-time constant, so each vote is a literal-position
+    * substring + an 8-way IN. Callers must materialize this vector in its
+    * own projection before fanning it out — `votesToSimhash64` references
+    * it 64 times.
+    */
+  def simhash64Votes(text: Column): Column = {
+    // one md5 + one char-split per token; votes then index the char array
+    val digests = transform(Text.tokens(lower(text)),
+      t => split(md5(t.cast("binary")), ""))
+    aggregate(digests, array_repeat(lit(0), 64),
+      (acc, d) => zip_with(acc,
+        array((0 until 64).map { j =>
+          when(element_at(d, j / 4 + 1).isin(hexCharsWithBit(j % 4): _*),
+            lit(1)).otherwise(lit(-1))
+        }: _*),
+        (a, b) => a + b))
+  }
+
+  /** Fold a materialized 64-vote vector into the simhash value (bit j set
+    * iff votes(j) > 0; bit 63 lands in the sign bit — it's a bit pattern,
+    * assembled with OR so no arithmetic overflow semantics apply).
+    */
+  def votesToSimhash64(votes: Column): Column =
+    (0 until 64).map { j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** SimHash near-duplicate pairs: hamming(simhash64_a, simhash64_b) <=
+    * maxHamming. Pigeonhole blocking makes it scale: the 64-bit hash
+    * splits into 4 16-bit bands, and any pair within hamming 3 must agree
+    * exactly on at least one band — candidates are pairs sharing a
+    * (band-position, band-value) bucket, exact hamming checked only on
+    * those. One pass to hash, one shuffle to bucket, pairs in-bucket.
+    * (A 16-bit simhash is too coarse for blocking: on a 5k-doc corpus its
+    * nibble buckets collapse to a handful of values and candidate
+    * generation degenerates toward all-pairs.)
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers hamming <= 3")
+    val hashed = docs
+      .select(col(idCol).as("_id"), simhash64Votes(col(textCol)).as("_votes"))
+      .select(col("_id"), votesToSimhash64(col("_votes")).as("_h"))
+    val banded = hashed.select(col("_id"), col("_h"),
+      explode(array((0 until 4).map { band =>
+        struct(lit(band).as("pos"),
+          shiftright(col("_h"), band * 16).bitwiseAND(lit(65535L)).as("v"))
+      }: _*)).as("_b"))
+    banded
+      .groupBy(col("_b.pos"), col("_b.v"))
+      .agg(sort_array(collect_set(struct(col("_id"), col("_h")))).as("_m"))
+      .where(size(col("_m")) > 1)
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), size(col("_m"))),
+          b => struct(
+            a.getField("_id").as("id_a"),
+            b.getField("_id").as("id_b"),
+            bit_count(a.getField("_h").bitwiseXOR(b.getField("_h")))
+              .as("hamming")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** N-gram Jaccard near-dup pairs, bounded by a blocking key to avoid the
     * O(n²) cross product: only pairs sharing `blockCol` are compared.
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles.

@@ -82,6 +82,25 @@ object Transforms {
     * arbitrary row; at scale (and for oracle comparison) the survivor must
     * be deterministic, so this is a window-rank pick.
     */
+  /** Skew-safe equi-join by key salting: the left side scatters each hot
+    * key across `salt` sub-keys, the right side is replicated `salt` ways,
+    * and the join runs on (key, salt) — a hot key's rows land on `salt`
+    * reducers instead of one. The inner-join OUTPUT is salt-invariant, so
+    * correctness doesn't depend on the salt assignment. Use when the right
+    * side is too big to broadcast and the left key histogram is skewed;
+    * AQE's skew-join handles the sort-merge case adaptively, salting is
+    * the deterministic-plan alternative.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int): DataFrame = {
+    val sl = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val sr = right.withColumn("_salt",
+      explode(array((0 until salt).map(lit): _*)))
+    sl.join(sr, keys :+ "_salt").drop("_salt")
+  }
+
   def dedupByPk(df: DataFrame, pk: Seq[String], orderCols: Seq[Column]): DataFrame =
     firstPerGroup(df, pk, orderCols)
 }

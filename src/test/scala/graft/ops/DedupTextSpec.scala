@@ -81,6 +81,18 @@ class DedupTextSpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("simhashNearDupPairs: exact dups pair at hamming 0, unrelated don't") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zq xv wk jm pn qr st uv")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
   test("cosineNearDupPairs finds colinear vectors above threshold") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

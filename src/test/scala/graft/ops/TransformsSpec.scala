@@ -76,4 +76,21 @@ class TransformsSpec extends SparkSpec {
     val out = df.select(Transforms.stripIdPrefix($"id").as("s")).as[String].collect()
     assert(out.toSeq == Seq("123", "45", "9"))
   }
+
+  test("saltedJoin output equals the plain inner join") {
+    // skewed left: key 1 dominates
+    val left = (Seq.fill(50)(1) ++ Seq(2, 3, 99)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "row")
+    val right = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val salted = Transforms.saltedJoin(left, right, Seq("k"), 4)
+      .orderBy("row").collect()
+    val plain = left.join(right, Seq("k")).orderBy("row").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("approx_count_distinct lands within the advertised error bound") {
+    val df = (1 to 10000).map(i => i % 1234).toDF("v")
+    val approx = df.select(approx_count_distinct($"v")).as[Long].head()
+    assert(math.abs(approx - 1234.0) / 1234.0 < 0.1) // default rsd 5%
+  }
 }
