@@ -12,6 +12,7 @@ object Explain {
     val what = if (args.length > 1) args(1) else "ALL"
     val spark = SparkSession.builder()
       .master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -389,7 +389,17 @@ object SparkEntry {
     // check here, relative-error bound asserted in TransformsSpec) ---
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_suppkey")).as("n_approx")))
+        .agg(approx_count_distinct(col("l_suppkey")).as("n_approx"))),
+
+    // --- native Catalyst expression: O(n) Karp–Rabin window hashes
+    // (graft.functions.RollingHash, injected via GraftExtensions) ---
+    "q_rolling_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("rolling_hash(text, 8)").as("_h"))
+        .select(col("doc_id"),
+          size(col("_h")).as("n_windows"),
+          try_element_at(col("_h"), lit(1)).as("h_first"),
+          array_min(col("_h")).as("h_min")))
   )
 
   // --------------------------------------------------------------- oracles
@@ -580,6 +590,18 @@ object SparkEntry {
 
     "q_salted_join" ->
       "SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+
+    "q_rolling_hash" -> {
+      // Non-incremental rendering of RollingHash (documents are pure
+      // ASCII, so char codes == UTF-8 bytes); fold seeds at 0 like the
+      // Scala loop: ((0·31+b0)·31+b1)… ≡ Σ bi·31^(w-1-i) mod 1e9+7.
+      def h(i: String) =
+        s"list_reduce(list_transform(generate_series($i, $i + 7), k -> CAST(ascii(substr(text, k, 1)) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+      "SELECT doc_id, CAST(GREATEST(len(text) - 7, 0) AS INT) AS n_windows, " +
+        s"CASE WHEN len(text) >= 8 THEN ${h("1")} END AS h_first, " +
+        s"CASE WHEN len(text) >= 8 THEN list_min(list_transform(generate_series(1, len(text) - 7), i -> ${h("i")})) END AS h_min " +
+        "FROM documents"
+    },
 
     "q_ngram_jaccard" -> (
       s"WITH toks AS (SELECT doc_id, lang, $docTokens AS ts FROM documents), " +

@@ -115,15 +115,22 @@ object Dedup {
     * it 64 times.
     */
   def simhash64Votes(text: Column): Column = {
-    // one md5 + one char-split per token; votes then index the char array
+    // Constant-folded 16×4 lookup: hex value v → its per-bit ±1 votes.
+    // Indexing through it keeps the generated code small — a 64-way IN
+    // cascade made whole-stage codegen compile a pathological method.
+    val votesTable = array((0 until 16).map(v =>
+      array((0 until 4).map(b =>
+        lit(if (((v >> b) & 1) == 1) 1 else -1)): _*)): _*)
+    // one md5 + one 16-char split per token
     val digests = transform(Text.tokens(lower(text)),
-      t => split(md5(t.cast("binary")), ""))
+      t => slice(split(md5(t.cast("binary")), ""), 1, 16))
     aggregate(digests, array_repeat(lit(0), 64),
       (acc, d) => zip_with(acc,
-        array((0 until 64).map { j =>
-          when(element_at(d, j / 4 + 1).isin(hexCharsWithBit(j % 4): _*),
-            lit(1)).otherwise(lit(-1))
-        }: _*),
+        flatten(transform(d, c => {
+          val a = ascii(c)
+          val idx = when(a <= 57, a - 48).otherwise(a - 87) // '0'..'9', 'a'..'f'
+          element_at(votesTable, (idx + 1).cast("int"))
+        })),
         (a, b) => a + b))
   }
 
