@@ -98,13 +98,6 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Hex digits whose value has bit `b` set — the static decode table for
-    * per-bit simhash votes.
-    */
-  private def hexCharsWithBit(b: Int): Seq[String] =
-    "0123456789abcdef".zipWithIndex
-      .collect { case (c, v) if ((v >> b) & 1) == 1 => c.toString }
-
   /** Per-bit vote vector for a 64-bit simhash: votes(j) = Σ over tokens of
     * ±1, where the sign is bit (j%4) of hex digit (j/4 + 1) of md5(token).
     * Digests are computed once per token in their own transform pass (a
