@@ -399,7 +399,27 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("_h")).as("n_windows"),
           try_element_at(col("_h"), lit(1)).as("h_first"),
-          array_min(col("_h")).as("h_min")))
+          array_min(col("_h")).as("h_min"))),
+
+    // --- vocabulary build: token → frequency (one explode + one agg) ---
+    "q_token_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 5)),
+
+    // --- composite preprocessing chain: language + quality + length
+    // filter, then exact-dedup keeping the smallest doc_id ---
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .where(col("lang") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(20, 500))
+        .withColumn("_digest", md5(col("text").cast("binary")))
+      Transforms.firstPerGroup(filtered, Seq("_digest"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+    })
   )
 
   // --------------------------------------------------------------- oracles
@@ -638,6 +658,20 @@ object SparkEntry {
         s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
         s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop FROM documents) " +
         "SELECT doc_id, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b"),
+
+    "q_token_freq" -> (
+      s"SELECT token, CAST(count(*) AS BIGINT) AS freq " +
+        s"FROM (SELECT unnest(${docTokensOf("lower(text)")}) AS token FROM documents) " +
+        "GROUP BY token HAVING count(*) >= 5"),
+
+    "q_corpus_pipeline" -> (
+      s"WITH b AS (SELECT doc_id, text, lang, CAST(length(text) AS DOUBLE) AS len, " +
+        s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
+        s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop, " +
+        s"CAST(len($docTokens) AS INT) AS n_tokens FROM documents), " +
+        "q AS (SELECT doc_id, text, lang, n_tokens, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b), " +
+        "f AS (SELECT doc_id, n_tokens, quality, md5(text) AS digest FROM q WHERE lang = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 500) " +
+        "SELECT doc_id, n_tokens, quality FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn FROM f) WHERE rn = 1"),
 
     "q_token_count" -> (
       s"SELECT doc_id, CAST(len($docTokens) AS INT) AS ws_tokens, " +

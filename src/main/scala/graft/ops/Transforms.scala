@@ -64,13 +64,24 @@ object Transforms {
   /** Deterministic first-per-group (primary-group pick). The reference uses
     * dict insertion order (`dlt_fetch_timecamp.py:388-390`) — nondeterministic;
     * we impose an explicit ordering (SURVEY.md §7.4).
+    *
+    * Implemented as `min(struct(order..., payload...))`, not a row_number
+    * window: struct-min is a partial-aggregable fold, so the map side
+    * reduces each partition to one candidate row per group before the
+    * shuffle — at 100 TB the shuffle carries |groups| rows, where a window
+    * would shuffle and sort every row. Ties on `orderCols` break on the
+    * remaining payload columns (fully deterministic either way).
     */
   def firstPerGroup(
       df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("_fpg_rn", row_number().over(w))
-      .where(col("_fpg_rn") === 1)
-      .drop("_fpg_rn")
+    val payload = df.columns.filterNot(partitionCols.contains)
+    val ordered = struct(
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") } ++
+        payload.map(col): _*)
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(min(ordered).as("_first"))
+      .select(partitionCols.map(col) ++
+        payload.map(c => col(s"_first.$c").as(c)): _*)
   }
 
   /** Strip a leading `u`/`g` marker from an id (`dlt_fetch_timecamp.py:349-355`). */
