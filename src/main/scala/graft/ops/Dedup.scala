@@ -150,26 +150,28 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole covers hamming <= 3")
+    // Hashes materialized once (16 bytes/row) — a self-join that
+    // recomputed the vote aggregate per side would double the dominant
+    // cost; pair generation is a distributed band self-join rather than a
+    // per-bucket collect (see cosineNearDupPairs for the rationale).
     val hashed = docs
       .select(col(idCol).as("_id"), simhash64Votes(col(textCol)).as("_votes"))
       .select(col("_id"), votesToSimhash64(col("_votes")).as("_h"))
+      .localCheckpoint(true)
     val banded = hashed.select(col("_id"), col("_h"),
       explode(array((0 until 4).map { band =>
         struct(lit(band).as("pos"),
           shiftright(col("_h"), band * 16).bitwiseAND(lit(65535L)).as("v"))
       }: _*)).as("_b"))
-    banded
-      .groupBy(col("_b.pos"), col("_b.v"))
-      .agg(sort_array(collect_set(struct(col("_id"), col("_h")))).as("_m"))
-      .where(size(col("_m")) > 1)
-      .select(explode(flatten(transform(col("_m"), (a, i) =>
-        transform(slice(col("_m"), i + lit(2), size(col("_m"))),
-          b => struct(
-            a.getField("_id").as("id_a"),
-            b.getField("_id").as("id_b"),
-            bit_count(a.getField("_h").bitwiseXOR(b.getField("_h")))
-              .as("hamming")))))).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
+      .select(col("_id"), col("_h"), col("_b.pos").as("_pos"), col("_b.v").as("_v"))
+    val a = banded.select(col("_pos"), col("_v"),
+      col("_id").as("id_a"), col("_h").as("_ha"))
+    val b = banded.select(col("_pos"), col("_v"),
+      col("_id").as("id_b"), col("_h").as("_hb"))
+    a.join(b, Seq("_pos", "_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
