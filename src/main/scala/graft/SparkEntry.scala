@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Closure, Dedup, Enrich, Similarity, Text, Transforms}
+import graft.ops.{Closure, Dedup, Enrich, Joins, Similarity, Text, Transforms}
 import graft.reports.{BudgetReport, ProjectBudgetReport, TaskTree}
 import graft.sources.Multimodal
 import graft.streaming.EventStream
@@ -408,6 +408,138 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .where(col("freq") >= 5)),
 
+    // --- set operations (EXCEPT/INTERSECT, distinct semantics) ---
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey")))),
+
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey")))),
+
+    // --- grouping sets: ROLLUP / CUBE super-aggregates ---
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))),
+
+    // --- pivot: event_type → columns (fixed value list keeps the plan
+    // static; one shuffle, map-side partial agg) ---
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
+
+    // --- argmax/argmin per group as partial-aggregable struct extremes ---
+    "q_argmax" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          max(struct(col("l_extendedprice"), col("l_orderkey"))).as("_mx"),
+          min(struct(col("l_extendedprice"), col("l_orderkey"))).as("_mn"))
+        .select(col("l_returnflag"),
+          col("_mx.l_orderkey").as("top_orderkey"),
+          col("_mx.l_extendedprice").as("top_price"),
+          col("_mn.l_orderkey").as("bottom_orderkey"),
+          col("_mn.l_extendedprice").as("bottom_price"))),
+
+    // --- deterministic hash sampling (reproducible 25% doc sample; the
+    // scale-safe alternative to rand()-based sampling) ---
+    "q_sample_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(substring(md5(concat(lit("s:"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("doc_id"), col("lang"))),
+
+    // --- full outer join of two keyed aggregates ---
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // --- top-k per group (rank-window; k small so the sort is bounded) ---
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+    }),
+
+    // --- TF-IDF scoring over the corpus (two partial-agg shuffles) ---
+    "q_tfidf" -> ((s, dir) =>
+      Text.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("token"),
+          col("tf").as("n_tf"), col("df").as("n_df"), col("tfidf"))),
+
+    // --- as-of join: each click ← latest purchase at-or-before it (single
+    // window sweep, no inequality join — see Joins.asofJoin) ---
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event_id"), col("user_id"),
+          col("ts"), col("value").as("purchase_value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"), col("purchase_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_event_id"), col("purchase_value"))
+    }),
+
+    // --- banded range join: events within 5 min after each error ---
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val follows = ev.select(col("event_id").as("follow_id"),
+        col("event_type").as("follow_type"), col("user_id"),
+        col("ts").as("rts"))
+      Joins.rangeJoinBucketed(errors, follows, Seq("user_id"),
+        "ts", "rts", 300000L)
+        .select(col("error_id"), col("follow_id"), col("follow_type"))
+    }),
+
+    // --- dedup cluster resolution: connected components over minhash
+    // candidate pairs (min-label propagation to fixpoint) ---
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))),
+
+    // --- numeric aggregate bundle: avg/stddev/variance (rounded — the
+    // merge order of float partials differs per engine) ---
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"))),
+
+    // --- exact interpolated percentiles per group ---
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))),
+
     // --- composite preprocessing chain: language + quality + length
     // filter, then exact-dedup keeping the smallest doc_id ---
     "q_corpus_pipeline" -> ((s, dir) => {
@@ -474,7 +606,91 @@ object SparkEntry {
       }.mkString(" | ") +
       " AS BIGINT) AS simhash FROM v)"
 
+  /** The minhash-LSH candidate-pair derivation as a reusable CTE chain
+    * ending in `pairs(id_a, id_b)` — shared by q_dedup_minhash and the
+    * connected-components oracle.
+    */
+  private val minhashPairsCtes =
+    s"toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks), " +
+      "sig AS (SELECT doc_id, [" +
+      (0 until 8).map(seed =>
+        s"list_min(list_transform(shingles, x -> md5('$seed:' || x)))")
+        .mkString(", ") +
+      "] AS sg FROM sh), " +
+      "banded AS (SELECT doc_id, b.b AS bno, sg[b.b * 2 + 1] || '|' || sg[b.b * 2 + 2] AS bkey FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
+      "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
+      "WHERE a.doc_id < c.doc_id)"
+
   def oracleSql: Map[String, String] = Map(
+    "q_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+
+    "q_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+
+    "q_cube" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+
+    "q_pivot" -> (
+      "SELECT user_id, " +
+        Seq("click", "view", "purchase", "signup", "error").map(v =>
+          s"CAST(count(*) FILTER (event_type = '$v') AS BIGINT) AS n_$v")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id"),
+
+    "q_argmax" -> (
+      "WITH mx AS (SELECT l_returnflag, l_orderkey, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rx, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn FROM lineitem) " +
+        "SELECT a.l_returnflag, a.l_orderkey AS top_orderkey, a.l_extendedprice AS top_price, " +
+        "b.l_orderkey AS bottom_orderkey, b.l_extendedprice AS bottom_price " +
+        "FROM mx a JOIN mx b ON a.l_returnflag = b.l_returnflag AND a.rx = 1 AND b.rn = 1"),
+
+    "q_sample_hash" ->
+      "SELECT doc_id, lang FROM documents WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')",
+
+    "q_full_outer" -> (
+      "WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) " +
+        "SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, " +
+        "COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp " +
+        "FROM c FULL JOIN s ON c_nationkey = s_nationkey"),
+
+    "q_topk_per_group" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank FROM orders) WHERE rank <= 3",
+
+    "q_tfidf" -> (
+      s"WITH tok AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS n_df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT doc_id, tf.token, n_tf, n_df, " +
+        "round(n_tf * (ln(CAST(n + 1 AS DOUBLE) / CAST(n_df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n"),
+
+    "q_asof_join" -> (
+      "WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT event_id AS purchase_event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase') " +
+        "SELECT l.event_id, l.user_id, r.purchase_event_id, r.purchase_value " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+    "q_range_join" -> (
+      "WITH a AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'error'), " +
+        "b AS (SELECT event_id AS follow_id, event_type AS follow_type, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) " +
+        "SELECT error_id, follow_id, follow_type FROM a JOIN b ON a.user_id = b.user_id " +
+        "AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE"),
+
+    "q_stats_agg" ->
+      "SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty, round(stddev_samp(l_quantity), 4) AS sd_qty, round(var_samp(l_quantity), 4) AS var_qty FROM lineitem GROUP BY 1",
+
+    "q_percentile" ->
+      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, round(quantile_cont(l_quantity, 0.9), 6) AS p90 FROM lineitem GROUP BY 1",
+
     "q_scan_entries" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
 
@@ -585,18 +801,15 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
 
-    "q_dedup_minhash" -> (
-      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks), " +
-        "sig AS (SELECT doc_id, [" +
-        (0 until 8).map(seed =>
-          s"list_min(list_transform(shingles, x -> md5('$seed:' || x)))")
-          .mkString(", ") +
-        "] AS sg FROM sh), " +
-        "banded AS (SELECT doc_id, b.b AS bno, sg[b.b * 2 + 1] || '|' || sg[b.b * 2 + 2] AS bkey FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)) " +
-        "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
-        "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
-        "WHERE a.doc_id < c.doc_id"),
+    "q_dedup_minhash" ->
+      s"WITH $minhashPairsCtes SELECT id_a, id_b FROM pairs",
+
+    "q_dedup_clusters" -> (
+      s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id) " +
+        "SELECT id, min(anc) AS component FROM reach GROUP BY id"),
 
     "q_dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 

@@ -176,6 +176,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair graph
+    * (`(id_a, id_b)` rows): assigns every node the minimum id reachable
+    * from it — the canonical "dedup cluster" resolution step after any
+    * candidate generator (minhash/simhash/embedding pairs).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; fixpoint in O(component
+    * diameter) rounds. Near-dup components are short chains (diameter ≪
+    * 20), so the round count stays small at any corpus size; each round is
+    * one join + one aggregate on the EDGE set — never materializes
+    * anything larger than |edges|. `localCheckpoint` truncates lineage per
+    * round (same discipline as Closure.transitiveClosure). This is the
+    * two-phase "large-star/small-star" algorithm's simpler cousin —
+    * adequate while diameters stay small, and the oracle-comparable one.
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "_nl"),
+          Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("_nl")).as("_min_n"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("component"), col("_min_n")).as("component"))
+        .localCheckpoint(true)
+      changed = !next.join(labels, Seq("id", "component"), "left_anti").isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** N-gram Jaccard near-dup pairs, bounded by a blocking key to avoid the
     * O(n²) cross product: only pairs sharing `blockCol` are compared.
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles.

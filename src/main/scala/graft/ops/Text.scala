@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline.
@@ -95,6 +95,34 @@ object Text {
     val stop = langScore(text, Seq("the", "a", "of", "and", "to")).cast("double")
     val stopScore = least(stop / lit(5.0), lit(1.0))
     round((lenScore + alphaRatio + stopScore) / lit(3.0), 6)
+  }
+
+  /** TF-IDF per (doc, token) with sklearn-style smoothing:
+    * `idf = ln((N+1)/(df+1)) + 1`, `tfidf = tf · idf`, rounded to 6 for
+    * engine-portable comparison.
+    *
+    * Two shuffles total: one hash-agg on (doc, token) for tf, one on token
+    * for df — both map-side partially aggregated, so shuffled volume is
+    * |distinct (doc,token)| and |vocab|, not |token occurrences|. The df
+    * side (vocab-sized) comes back as a broadcast join against the tf
+    * rows; N is a scalar computed once on the doc table. No window, no
+    * collect — every step is the shape that survives a 100 TB corpus.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.select(count(lit(1)).as("_n"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((col("_n") + 1).cast("double") / (col("df") + 1).cast("double"))
+            + 1.0), 6))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.

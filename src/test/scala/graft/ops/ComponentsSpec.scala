@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels every node with the min reachable id") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val chain = (0 until 15).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(out.length === 16)
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("tfidf: common tokens score lower than rare ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "apple durian")
+    ).toDF("doc_id", "text")
+    val out = Text.tfidf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (d, t, tf, df, s) => (d, t) -> ((tf, df, s)) }.toMap
+    // 'apple' in all 3 docs: idf = ln(4/4)+1 = 1; tf=2 for doc 1
+    assert(out((1L, "apple")) === ((2L, 3L, 2.0)))
+    // 'cherry' df=1: idf = ln(4/2)+1
+    val cherry = out((2L, "cherry"))
+    assert(cherry._1 === 1L && cherry._2 === 1L)
+    assert(math.abs(cherry._3 - (math.log(2.0) + 1.0)) < 1e-4)
+    assert(cherry._3 > out((1L, "apple"))._3 / 2)
+  }
+}
