@@ -16,7 +16,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warmup: JIT, codegen compiler, parquet reader, and
     // shuffle machinery init otherwise land entirely on the first query.
+    // Touch every table once so per-query timings measure the operator,
+    // not whichever query happens to pay the first footer read + page-cache
+    // fill for its table.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(t => Tables(spark, sfDir, t).count())
     Tables(spark, sfDir, "region").groupBy("r_name").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

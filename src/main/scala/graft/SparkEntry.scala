@@ -524,6 +524,21 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))),
 
+    // --- stratified hash sampling: per-language keep rates (en 2/16,
+    // rest 8/16), reproducible across runs and engines ---
+    "q_stratified_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("_hx",
+          substring(md5(concat(lit("t:"), col("doc_id").cast("string"))), 1, 1))
+        .where(when(col("lang") === "en", col("_hx") < "2")
+          .otherwise(col("_hx") < "8"))
+        .select(col("doc_id"), col("lang"))),
+
+    // --- full dedup pipeline: LSH candidates → exact-Jaccard verify →
+    // connected components → canonical keeper per cluster ---
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- numeric aggregate bundle: avg/stddev/variance (rounded — the
     // merge order of float partials differs per engine) ---
     "q_stats_agg" -> ((s, dir) =>
@@ -581,7 +596,7 @@ object SparkEntry {
         .mkString(" + ") +
       " AS BIGINT) AS simhash FROM v)"
 
-  /** DuckDB rendering of Dedup.simhash64Votes + votesToSimhash64, ending
+  /** DuckDB rendering of Dedup.simhash64, ending
     * in a CTE `sh64(doc_id, simhash)`. Bit j = bit (j%4) of hex digit
     * (j/4 + 1) of md5(token); bit 63 is assembled via signed BIGINT
     * arithmetic that matches the OR'd bit pattern (adding distinct powers
@@ -687,6 +702,24 @@ object SparkEntry {
 
     "q_stats_agg" ->
       "SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty, round(stddev_samp(l_quantity), 4) AS sd_qty, round(var_samp(l_quantity), 4) AS var_qty FROM lineitem GROUP BY 1",
+
+    "q_stratified_sample" ->
+      "SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' ELSE substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' END",
+
+    "q_dedup_pipeline" -> (
+      s"WITH RECURSIVE $minhashPairsCtes, " +
+        "sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh), " +
+        "shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+        "inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i " +
+        "FROM pairs p JOIN shx a ON a.doc_id = p.id_a JOIN shx b ON b.doc_id = p.id_b AND b.s = a.s GROUP BY 1, 2), " +
+        "ver AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id " +
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
+        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id) " +
+        "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_id " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"),
 
     "q_percentile" ->
       "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, round(quantile_cont(l_quantity, 0.9), 6) AS p90 FROM lineitem GROUP BY 1",

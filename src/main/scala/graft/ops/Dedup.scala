@@ -98,44 +98,6 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Per-bit vote vector for a 64-bit simhash: votes(j) = Σ over tokens of
-    * ±1, where the sign is bit (j%4) of hex digit (j/4 + 1) of md5(token).
-    * Digests are computed once per token in their own transform pass (a
-    * lambda that recomputed md5 per bit would cost 64× the digests); the
-    * bit index is a plan-time constant, so each vote is a literal-position
-    * substring + an 8-way IN. Callers must materialize this vector in its
-    * own projection before fanning it out — `votesToSimhash64` references
-    * it 64 times.
-    */
-  def simhash64Votes(text: Column): Column = {
-    // Constant-folded 16×4 lookup: hex value v → its per-bit ±1 votes.
-    // Indexing through it keeps the generated code small — a 64-way IN
-    // cascade made whole-stage codegen compile a pathological method.
-    val votesTable = array((0 until 16).map(v =>
-      array((0 until 4).map(b =>
-        lit(if (((v >> b) & 1) == 1) 1 else -1)): _*)): _*)
-    // one md5 + one 16-char split per token
-    val digests = transform(Text.tokens(lower(text)),
-      t => slice(split(md5(t.cast("binary")), ""), 1, 16))
-    aggregate(digests, array_repeat(lit(0), 64),
-      (acc, d) => zip_with(acc,
-        flatten(transform(d, c => {
-          val a = ascii(c)
-          val idx = when(a <= 57, a - 48).otherwise(a - 87) // '0'..'9', 'a'..'f'
-          element_at(votesTable, (idx + 1).cast("int"))
-        })),
-        (a, b) => a + b))
-  }
-
-  /** Fold a materialized 64-vote vector into the simhash value (bit j set
-    * iff votes(j) > 0; bit 63 lands in the sign bit — it's a bit pattern,
-    * assembled with OR so no arithmetic overflow semantics apply).
-    */
-  def votesToSimhash64(votes: Column): Column =
-    (0 until 64).map { j =>
-      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-
   /** SimHash near-duplicate pairs: hamming(simhash64_a, simhash64_b) <=
     * maxHamming. Pigeonhole blocking makes it scale: the 64-bit hash
     * splits into 4 16-bit bands, and any pair within hamming 3 must agree
@@ -146,6 +108,41 @@ object Dedup {
     * nibble buckets collapse to a handful of values and candidate
     * generation degenerates toward all-pairs.)
     */
+  /** 64-bit simhash per document via explode + 64 partial-aggregable vote
+    * SUMs. Every expression here is whole-stage-codegen'd (plain substring/
+    * ascii/CASE arithmetic — no higher-order array lambdas, which Spark
+    * interprets per element); the shuffle carries one 64-long partial
+    * vector per (doc × partition), so the exchanged volume is O(|docs|)
+    * regardless of token count. Bit j = bit (j%4) of hex digit (j/4 + 1)
+    * of md5(token), matching `simhash64Votes` and the DuckDB oracle
+    * exactly. Documents with zero tokens produce no rows (same as the
+    * oracle's unnest).
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digests = docs
+      .select(col(idCol).as("_id"),
+        explode(Text.tokens(lower(col(textCol)))).as("_t"))
+      .select(col("_id"), md5(col("_t").cast("binary")).as("_d"))
+    // hex digit values materialized once per token (16 tiny codegen'd
+    // exprs), then 64 CASE sums over them
+    val withIdx = digests.select(col("_id") +: (1 to 16).map { pos =>
+      val a = ascii(substring(col("_d"), pos, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).as(s"_x$pos")
+    }: _*)
+    val votes = withIdx.groupBy("_id").agg(
+      sum(when(col("_x1").bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as("_v0"),
+      (1 until 64).map { j =>
+        val pos = j / 4 + 1
+        val bit = j % 4
+        sum(when(shiftright(col(s"_x$pos"), bit).bitwiseAND(lit(1)) === 1, 1)
+          .otherwise(-1)).as(s"_v$j")
+      }: _*)
+    votes.select(col("_id"),
+      (0 until 64).map { j =>
+        when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("_h"))
+  }
+
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -154,9 +151,7 @@ object Dedup {
     // recomputed the vote aggregate per side would double the dominant
     // cost; pair generation is a distributed band self-join rather than a
     // per-bucket collect (see cosineNearDupPairs for the rationale).
-    val hashed = docs
-      .select(col(idCol).as("_id"), simhash64Votes(col(textCol)).as("_votes"))
-      .select(col("_id"), votesToSimhash64(col("_votes")).as("_h"))
+    val hashed = simhash64(docs, idCol, textCol)
       .localCheckpoint(true)
     val banded = hashed.select(col("_id"), col("_h"),
       explode(array((0 until 4).map { band =>
@@ -176,6 +171,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard verification of minhash candidate pairs: recomputes the
+    * true shingle-set Jaccard for every LSH candidate and keeps pairs at or
+    * above `threshold`. The intersection join is RESTRICTED to candidate
+    * pairs — cost is |candidates| × shingles-per-doc, never the all-pairs
+    * product; this is the standard verify step after probabilistic blocking.
+    */
+  def verifiedJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleSize)
+    val sh = docs
+      .select(col(idCol).as("_id"),
+        array_distinct(transform(Text.shingles(col(textCol), shingleSize),
+          s => xxhash64(s))).as("_sharr"))
+      .select(col("_id"), size(col("_sharr")).as("_sz"),
+        explode(col("_sharr")).as("_sh"))
+    val a = sh.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_sh"))
+    val b = sh.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_sh"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b", "_sh"))
+      .groupBy("id_a", "id_b", "_sza", "_szb")
+      .agg(count(lit(1)).as("_inter"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** End-to-end dedup resolution: minhash-LSH candidates → exact-Jaccard
+    * verify → connected components → canonical keeper. Every document maps
+    * to its cluster's minimum id (itself when it has no verified near-dup).
+    * This is the full shape a 100 TB corpus dedup runs: probabilistic
+    * blocking bounds the pair space, verification removes LSH false
+    * positives, components make "A~B, B~C ⇒ one cluster" transitive, and
+    * the keeper choice is deterministic.
+    */
+  def dedupPipeline(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val verified = verifiedJaccardPairs(docs, idCol, textCol, threshold = threshold)
+    val comp = connectedComponents(verified.select("id_a", "id_b"))
+      .withColumnRenamed("id", "_cid")
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === col("_cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keeper_id"))
+  }
+
   /** Connected components over an undirected candidate-pair graph
     * (`(id_a, id_b)` rows): assigns every node the minimum id reachable
     * from it — the canonical "dedup cluster" resolution step after any
@@ -193,27 +236,38 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    // Symmetrized edges PLUS a self-loop per node: one join+agg then gives
+    // min over {self} ∪ neighbors — no second join against the previous
+    // labels. Materialized once; every round reuses it.
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val edges = sym
+      .unionByName(sym.select(col("a"), col("a").as("b")).distinct())
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var changed = true
+    // Labels only ever decrease, so Σ(component) is strictly monotone until
+    // the fixpoint — equality of consecutive sums IS convergence. The sum
+    // is a cheap scan over the just-materialized checkpoint (no extra
+    // shuffle, unlike an anti-join change detector).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    while (changed && round < maxRounds) {
-      val next = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "_nl"),
-          Seq("b"))
+    var converged = false
+    while (!converged && round < maxRounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("component", "_nl"), Seq("b"))
         .groupBy(col("a").as("id"))
-        .agg(min(col("_nl")).as("_min_n"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("component"), col("_min_n")).as("component"))
+        .agg(min(col("_nl")).as("component"))
         .localCheckpoint(true)
-      changed = !next.join(labels, Seq("id", "component"), "left_anti").isEmpty
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
     labels

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the properties that matter at 100 TB, locked
+  * in as tests so a refactor can't silently regress them:
+  * filter/column pushdown into the parquet scan, broadcast of dimension
+  * joins, and shuffle-free joins between co-bucketed tables.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = Tables(spark, dir, "orders")
+      .where(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
+      s"expected pushed filter in:\n$plan")
+    // pruned scan: only the referenced columns reach the reader
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string>"),
+      s"expected pruned ReadSchema in:\n$plan")
+  }
+
+  test("dimension join broadcasts (no shuffle of the fact side)") {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val plan = planOf(
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    val wh = Files.createTempDirectory("graft_bucketed").toString
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    li.write.mode("overwrite").option("path", s"$wh/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_li")
+    o.write.mode("overwrite").option("path", s"$wh/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_o")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_li")
+        .join(spark.table("b_o"), col("l_orderkey") === col("o_orderkey"))
+      val plan = planOf(j)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_li")
+      spark.sql("DROP TABLE IF EXISTS b_o")
+    }
+  }
+}
