@@ -408,6 +408,65 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .where(col("freq") >= 5)),
 
+    // --- window frames: moving average over a bounded ROWS frame ---
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("mavg"))
+    }),
+
+    // --- lag/lead: inter-event gap seconds per user ---
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+    }),
+
+    // --- JSON scalar functions: extract / typed parse / re-serialize ---
+    "q_json_funcs" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        to_json(struct(col("event_id").as("id"),
+          col("event_type").as("t"))).as("packed"))),
+
+    // --- regex bundle: extract / replace / count ---
+    "q_regex_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("int").as("n_vowels"),
+        col("p_name").rlike("^[a-m]").as("first_half"))),
+
+    // --- array function bundle over tokenized names ---
+    "q_array_funcs" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        array_sort(words).as("sorted_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        array_contains(words, "green").as("has_green"),
+        slice(sort_array(words), 1, 2).as("first2"),
+        concat_ws(",", array_sort(words)).as("joined"))
+    }),
+
+    // --- percent-of-total: group aggregate against a broadcast scalar ---
+    "q_pct_of_total" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val byFlag = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val total = li.agg(sum(col("l_quantity")).as("total_qty"))
+      byFlag.crossJoin(broadcast(total))
+        .select(col("l_returnflag"), col("qty"),
+          round(col("qty") / col("total_qty"), 6).as("pct"))
+    }),
+
     // --- set operations (EXCEPT/INTERSECT, distinct semantics) ---
     "q_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -639,6 +698,39 @@ object SparkEntry {
       "WHERE a.doc_id < c.doc_id)"
 
   def oracleSql: Map[String, String] = Map(
+    "q_moving_avg" ->
+      "SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events",
+
+    "q_lag_lead" -> (
+      "WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) " +
+        "SELECT event_id, user_id, " +
+        "CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT) AS gap_us, " +
+        "lead(event_id, 1) OVER w AS next_event_id " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+
+    "q_json_funcs" -> (
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val, " +
+        "'{\"id\":' || event_id || ',\"t\":\"' || event_type || '\"}' AS packed FROM events"),
+
+    "q_regex_funcs" -> (
+      "SELECT p_partkey, regexp_extract(p_name, '^(\\w+)', 1) AS first_word, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, " +
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels, " +
+        "regexp_matches(p_name, '^[a-m]') AS first_half FROM part"),
+
+    "q_array_funcs" -> (
+      "WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part) " +
+        "SELECT p_partkey, list_sort(ws) AS sorted_words, " +
+        "CAST(len(list_distinct(ws)) AS INT) AS n_distinct, " +
+        "list_contains(ws, 'green') AS has_green, " +
+        "list_sort(ws)[1:2] AS first2, " +
+        "array_to_string(list_sort(ws), ',') AS joined FROM w"),
+
+    "q_pct_of_total" -> (
+      "WITH f AS (SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS qty FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(l_quantity) AS DOUBLE) AS total_qty FROM lineitem) " +
+        "SELECT l_returnflag, qty, round(qty / total_qty, 6) AS pct FROM f CROSS JOIN t"),
+
     "q_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
 

@@ -180,13 +180,17 @@ object Dedup {
   def verifiedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Both the candidate set and the shingle rows are referenced twice in
+    // the join tree below (a- and b-side) — materialize each once.
     val cands = minhashCandidatePairs(docs, idCol, textCol, shingleSize)
+      .localCheckpoint(true)
     val sh = docs
       .select(col(idCol).as("_id"),
         array_distinct(transform(Text.shingles(col(textCol), shingleSize),
           s => xxhash64(s))).as("_sharr"))
       .select(col("_id"), size(col("_sharr")).as("_sz"),
         explode(col("_sharr")).as("_sh"))
+      .localCheckpoint(true)
     val a = sh.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_sh"))
     val b = sh.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_sh"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b", "_sh"))
@@ -236,11 +240,15 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // The pair input is materialized FIRST: it appears in both union
+    // branches below, and without the checkpoint Spark would re-execute
+    // the (often expensive — minhash/verify chains) pair derivation twice.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // Symmetrized edges PLUS a self-loop per node: one join+agg then gives
     // min over {self} ∪ neighbors — no second join against the previous
     // labels. Materialized once; every round reuses it.
-    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val sym = p.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
     val edges = sym
       .unionByName(sym.select(col("a"), col("a").as("b")).distinct())
       .distinct()

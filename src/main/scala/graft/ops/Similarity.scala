@@ -19,12 +19,16 @@ object Similarity {
   /** Elementwise dot product of two float-array columns, accumulated in
     * Double left-to-right (deterministic evaluation order, so the DuckDB
     * oracle reproduces the exact same floating-point result).
+    *
+    * Delegates to the native `vec_dot` codegen expression
+    * (graft.functions.VecDot, registered by GraftExtensions — sessions
+    * must be built `withExtensions(new GraftExtensions)`): ANN/near-dup
+    * scoring evaluates |candidate pairs| × dim multiplies, and Spark's
+    * higher-order `aggregate`/`zip_with` interpret a lambda per element —
+    * measured ~6× slower than the generated loop on the embed near-dup
+    * query. Bit-identical results (same left-to-right order).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -70,10 +74,7 @@ object Similarity {
   def srpBucket(vec: Column, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { h =>
       val signs = lit((0 until srpMaxDim).map(srpSign(h, _)).toArray)
-      val proj = aggregate(
-        zip_with(vec, slice(signs, lit(1), size(vec)),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, slice(signs, lit(1), size(vec)))
       when(proj > 0, lit(1 << h)).otherwise(lit(0))
     }
     bits.reduce(_ + _)

@@ -62,6 +62,43 @@ object EventStream {
       w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
 
+  /** Stream-stream interval join (purchase attribution): each click pairs
+    * with same-user purchases within `within` AFTER it. On streams both
+    * sides carry watermarks and the time-range condition bounds join state
+    * (Spark evicts buffered rows past watermark+bound); on batch the same
+    * plan is a plain range-condition join. One shuffle per side on
+    * user_id.
+    */
+  def purchaseAttribution(
+      clicks: DataFrame, purchases: DataFrame,
+      within: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
+    val l = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val r = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $within"))
+      .select(col("click_id"), col("user_id"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
+  /** Exactly-once-shaped dedup by event id. Streaming uses
+    * `dropDuplicatesWithinWatermark` so the dedup state is EVICTABLE —
+    * ids older than the watermark are forgotten (unbounded-state
+    * `dropDuplicates` on a stream never frees anything); batch is a plain
+    * dedup. Duplicate rows are byte-identical retransmissions, so the
+    * arbitrary survivor is deterministic in value.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
 

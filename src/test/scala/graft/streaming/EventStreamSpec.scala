@@ -89,6 +89,61 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution: interval join pairs clicks with later purchases in-window") {
+    val clicks = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 0),
+      Ev(2, ts("2024-01-01 12:00:00"), 1, 0),
+      Ev(3, ts("2024-01-01 10:00:00"), 2, 0)).toDF()
+    val purchases = Seq(
+      Ev(100, ts("2024-01-01 10:30:00"), 1, 9.99), // within 1h of click 1
+      Ev(101, ts("2024-01-01 11:30:00"), 1, 5.00), // within no click window
+      Ev(102, ts("2024-01-01 09:00:00"), 2, 1.00)).toDF() // before click 3
+    val out = EventStream.purchaseAttribution(clicks, purchases)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 100L)))
+  }
+
+  test("purchaseAttribution incrementalizes as a stream-stream join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStream.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 0))
+      purchases.addData(Ev(100, ts("2024-01-01 10:30:00"), 1, 9.99))
+      q.processAllAvailable()
+      val out = spark.table("attributed")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops retransmitted ids, streaming state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0), // in-batch dup
+        Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0)) // cross-batch dup
+      q.processAllAvailable()
+      val out = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(out.toSeq === Seq(1L, 2L))
+      // batch twin
+      val b = EventStream.dedupEvents(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0)).toDF())
+      assert(b.count() === 1)
+    } finally q.stop()
+  }
+
   test("sessionize incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
