@@ -203,7 +203,9 @@ object SparkEntry {
         TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>
-      Closure.breadcrumbs(
+      // native WITH RECURSIVE variant (cycle-safe for this downward-growing
+      // shape; the iterative depth-capped twin is covered by ClosureSpec)
+      Closure.breadcrumbsRecursive(
         TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
         .select(col("task_id"), col("breadcrumb"))),
 

@@ -46,17 +46,26 @@ object Dedup {
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatePairsFromShingles(
+      // no array_distinct: min-over-shingles is unaffected by duplicates,
+      // and Spark's array_distinct on string arrays is O(n²) per row.
+      docs.select(col(idCol).as("_id"),
+        Text.shingles(col(textCol), shingleSize).as("_sh")),
+      numHashes, rowsPerBand)
+
+  /** Candidate pairs from a pre-shingled `(_id, _sh: array<string>)` frame —
+    * lets pipelines that also need the shingles (exact-Jaccard verify)
+    * compute the tokenize+shingle pass exactly once.
+    */
+  def minhashCandidatePairsFromShingles(
+      shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // Staged projections so each expensive array is computed exactly once
     // per row (CollapseProject keeps multiply-referenced non-cheap aliases
     // in their own stage); a single inline expression would re-derive the
     // tokenization once per seed.
-    val banded = docs
-      // no array_distinct: min-over-shingles is unaffected by duplicates,
-      // and Spark's array_distinct on string arrays is O(n²) per row.
-      .select(col(idCol).as("_id"),
-        Text.shingles(col(textCol), shingleSize).as("_sh"))
+    val banded = shingled
       .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
       .select(col("_id"), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
@@ -180,14 +189,18 @@ object Dedup {
   def verifiedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Both the candidate set and the shingle rows are referenced twice in
-    // the join tree below (a- and b-side) — materialize each once.
-    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleSize)
-      .localCheckpoint(true)
-    val sh = docs
+    // One tokenize+shingle pass feeds BOTH the minhash candidates and the
+    // exact-verify side, and each derived frame is materialized once (the
+    // candidate set and shingle rows both appear twice in the join tree).
+    val shingled = docs
       .select(col(idCol).as("_id"),
-        array_distinct(transform(Text.shingles(col(textCol), shingleSize),
-          s => xxhash64(s))).as("_sharr"))
+        Text.shingles(col(textCol), shingleSize).as("_sh"))
+      .localCheckpoint(true)
+    val cands = minhashCandidatePairsFromShingles(shingled)
+      .localCheckpoint(true)
+    val sh = shingled
+      .select(col("_id"),
+        array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_sharr"))
       .select(col("_id"), size(col("_sharr")).as("_sz"),
         explode(col("_sharr")).as("_sh"))
       .localCheckpoint(true)

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+
+/** ScalaCheck properties (SURVEY §5.3): randomized structural invariants
+  * for the operators whose correctness doesn't reduce to one example —
+  * closure on random forests/graphs, breadcrumb/level agreement, dedup
+  * idempotence, components vs a union-find reference.
+  *
+  * Spark round-trips are slow, so each property runs a small number of
+  * generated cases (the DuckDB oracle gate covers volume; these cover
+  * SHAPE — cycles, orphans, singletons, duplicate-heavy inputs).
+  */
+object ClosureProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Random parent-pointer FOREST: node i's parent is some j < i (or none). */
+  private val forestGen: Gen[Map[Long, Option[Long]]] = for {
+    n <- Gen.choose(1, 25)
+    parents <- Gen.sequence[Seq[Option[Long]], Option[Long]](
+      (0 until n).map { i =>
+        if (i == 0) Gen.const(None)
+        else Gen.option(Gen.choose(0L, i - 1L))
+      })
+  } yield parents.zipWithIndex.map { case (p, i) => i.toLong -> p }.toMap
+
+  /** Arbitrary directed pairs over a small id space (cycles likely). */
+  private val pairsGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    pairs <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 12L)
+      b <- Gen.choose(0L, 12L)
+      if a != b
+    } yield (a, b))
+  } yield pairs
+
+  private def refAncestors(forest: Map[Long, Option[Long]]): Set[(Long, Long)] =
+    forest.keySet.flatMap { id =>
+      Iterator.iterate(Option(id))(o => o.flatMap(forest.get).flatten)
+        .takeWhile(_.isDefined).map(a => id -> a.get).toSet
+    }
+
+  property("transitiveClosure = reflexive ancestor set on random forests") =
+    forAll(forestGen) { forest =>
+      val df = forest.toSeq
+        .map { case (id, p) => (id.toString, p.map(_.toString).orNull) }
+        .toDF("id", "parent")
+      val got = Closure.transitiveClosure(df, "id", "parent")
+        .as[(String, String)].collect()
+        .map { case (d, a) => (d.toLong, a.toLong) }.toSet
+      got == refAncestors(forest)
+    }
+
+  property("iterative and native-recursive closure agree on forests") =
+    forAll(forestGen) { forest =>
+      val df = forest.toSeq
+        .map { case (id, p) => (id.toString, p.map(_.toString).orNull) }
+        .toDF("id", "parent")
+      val it = Closure.transitiveClosure(df, "id", "parent")
+        .as[(String, String)].collect().toSet
+      val rec = Closure.transitiveClosureRecursive(df, "id", "parent")
+        .as[(String, String)].collect().toSet
+      it == rec
+    }
+
+  property("breadcrumb path: root-first, self-last, levels = element_at") =
+    forAll(forestGen) { forest =>
+      val df = forest.toSeq
+        .map { case (id, p) => (id.toString, p.map(_.toString).orNull, s"n$id") }
+        .toDF("id", "parent", "name")
+      val out = Closure.withLevelColumns(
+        Closure.breadcrumbs(df, "id", "parent", "name"), "g", 3)
+      val rows = out.select(col("id"), col("path"),
+        col("g_level_1"), col("g_level_2"), col("g_level_3")).collect()
+      rows.forall { r =>
+        val path = r.getSeq[String](1)
+        val levels = Seq(r.getString(2), r.getString(3), r.getString(4))
+        path.lastOption.contains(s"n${r.getString(0)}") &&
+          levels.zipWithIndex.forall { case (l, i) =>
+            l == path.lift(i).getOrElse("")
+          }
+      }
+    }
+
+  property("dedupByPk is idempotent and pk-unique on duplicate-heavy input") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 5L))) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v")
+      val once = Transforms.dedupByPk(df, Seq("k"), Seq(col("v")))
+      val twice = Transforms.dedupByPk(once, Seq("k"), Seq(col("v")))
+      val a = once.as[(Long, Long)].collect().toSet
+      val b = twice.as[(Long, Long)].collect().toSet
+      a == b && a.size == a.map(_._1).size &&
+        // survivor is the minimum orderCol per key
+        a.forall { case (k, v) =>
+          v == keys.zipWithIndex.filter(_._1 == k).map(_._2).min.toLong
+        }
+    }
+
+  property("connectedComponents matches union-find on random graphs") =
+    forAll(pairsGen) { pairs =>
+      pairs.isEmpty || {
+        val df = pairs.toDF("id_a", "id_b")
+        val got = Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+        val ref = nodes.map { n =>
+          n -> nodes.filter(m => find(m) == find(n)).min
+        }.toMap
+        got == ref
+      }
+    }
+
+  property("firstPerGroup picks the true minimum per group") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))) {
+      rows =>
+        rows.isEmpty || {
+          val df = rows.toDF("g", "v")
+          val got = Transforms.firstPerGroup(df, Seq("g"), Seq(col("v")))
+            .as[(Long, Long)].collect().toMap
+          val ref = rows.groupBy(_._1).map { case (g, rs) =>
+            g -> rs.map(_._2).min
+          }
+          got == ref
+        }
+    }
+}
