@@ -24,7 +24,7 @@ object Enrich {
       groups: DataFrame, idCol: String, parentCol: String, nameCol: String,
       levels: Int = 5): DataFrame = {
     val crumbs = Closure
-      .breadcrumbsRecursive(groups, idCol, parentCol, nameCol)
+      .breadcrumbs(groups, idCol, parentCol, nameCol)
       .select(col(idCol).as("_g_id"), col(nameCol).as("_g_name"),
         col("breadcrumb").as("_g_breadcrumb"), col("path"))
     val withCols = Closure.withLevelColumns(crumbs, "group", levels)
