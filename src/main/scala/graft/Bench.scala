@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE: coalescePartitions.parallelismFirst=false was A/B-measured
+      // here and is ~19% SLOWER on this suite (size-based coalescing
+      // collapses medium shuffles to one partition and serializes their
+      // downstream stages) — keep AQE's parallelism-first default.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
