@@ -130,6 +130,54 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("asofJoin matches the per-row latest-at-or-before reference") =
+    forAll(
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))),
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))) {
+      (ls, rs) =>
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        val right = rs.zipWithIndex
+          .map { case ((k, t), i) => (1000L + i, k, new java.sql.Timestamp(t * 1000)) }
+        left.isEmpty || right.isEmpty || {
+          val lDf = left.toDF("lid", "k", "ts")
+          val rDf = right.toDF("rid", "k", "rts")
+          val got = Joins.asofJoin(lDf, rDf, Seq("k"), "ts", "rts",
+            Seq("rid"), col("rid"))
+            .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+          val ref = left.map { case (lid, k, ts) =>
+            val cands = right.filter(r => r._2 == k && !r._3.after(ts))
+            lid -> (if (cands.isEmpty) None
+                    else Some(cands.maxBy(r => (r._3.getTime, r._1))._1))
+          }.toMap
+          got == ref
+        }
+    }
+
+  property("rangeJoinBucketed equals the naive inequality join (random windows)") =
+    forAll(
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 120L))),
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 120L))),
+      Gen.oneOf(1000L, 7000L, 30000L)) { (ls, rs, win) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 500)) }
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, new java.sql.Timestamp(t * 500)) }
+      left.isEmpty || right.isEmpty || {
+        val lDf = left.toDF("lid", "k", "ts")
+        val rDf = right.toDF("rid", "k", "rts")
+        val got = Joins.rangeJoinBucketed(lDf, rDf, Seq("k"), "ts", "rts", win)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val ref = (for {
+          (lid, lk, lts) <- left
+          (rid, rk, rts) <- right
+          if lk == rk && rts.getTime >= lts.getTime &&
+            rts.getTime < lts.getTime + win
+        } yield (lid, rid)).toSet
+        got == ref
+      }
+    }
+
   property("firstPerGroup picks the true minimum per group") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))) {
       rows =>
