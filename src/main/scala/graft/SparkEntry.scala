@@ -364,6 +364,35 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- embedding normalization: unit-length vectors, map-side only ---
+    "q_embed_normalize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("_n"))
+      emb.select(col("vec_id"),
+        when(col("_n") > 0,
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("_n"), 6)))
+          .otherwise(col("embedding").cast("array<double>"))
+          .as("unit_vec"))
+    }),
+
+    // --- per-label centroid (in-engine "training" step for IVF): element
+    // sums go through DECIMAL so partial-agg merge order can't change a
+    // single bit, then divide by the group count ---
+    "q_centroid" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      e.groupBy("label", "pos")
+        .agg(sum(col("x").cast("decimal(28,10)")).as("_s"),
+          count(lit(1)).as("_n"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          round(col("_s").cast("double") / col("_n"), 6).as("v")))).as("_c"))
+        .select(col("label"),
+          transform(col("_c"), c => c.getField("v")).as("centroid"))
+    }),
+
     // --- streaming: gap-based session windows (batch-checked) ---
     "q_sessionize" -> ((s, dir) =>
       EventStream.sessionize(t(s, dir, "events"))
@@ -1100,6 +1129,19 @@ object SparkEntry {
         "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
         "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
     },
+
+    "q_embed_normalize" -> {
+      val normE =
+        "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b))"
+      s"SELECT vec_id, CASE WHEN $normE > 0 THEN " +
+        s"list_transform(embedding, x -> round(CAST(x AS DOUBLE) / $normE, 6)) " +
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS unit_vec FROM embeddings"
+    },
+
+    "q_centroid" -> (
+      "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +
+        "s AS (SELECT label, pos, SUM(CAST(x AS DECIMAL(28,10))) AS sm, count(*) AS n FROM e GROUP BY 1, 2) " +
+        "SELECT label, list(round(CAST(sm AS DOUBLE) / n, 6) ORDER BY pos) AS centroid FROM s GROUP BY label"),
 
     "q_sessionize" -> (
       "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
