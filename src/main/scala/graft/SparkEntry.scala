@@ -576,6 +576,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
     }),
 
+    // --- top-k per group via typed Aggregator UDAF: map-side k-element
+    // buffers, shuffle carries |groups|×k rows (vs the window variant's
+    // full-data sort) — same oracle-checked result as q_topk_per_group ---
+    "q_topk_partial" -> ((s, dir) => {
+      val topk = graft.functions.TopKAggregator.topK(3)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("_top"))
+        .select(col("o_custkey"), posexplode(col("_top")).as(Seq("_i", "_t")))
+        .select(col("o_custkey"), col("_t._2").as("o_orderkey"),
+          col("_t._1").as("o_totalprice"),
+          (col("_i") + 1).cast("int").as("rank"))
+    }),
+
     // --- TF-IDF scoring over the corpus (two partial-agg shuffles) ---
     "q_tfidf" -> ((s, dir) =>
       Text.tfidf(t(s, dir, "documents"), "doc_id", "text")
@@ -802,6 +816,9 @@ object SparkEntry {
         "FROM c FULL JOIN s ON c_nationkey = s_nationkey"),
 
     "q_topk_per_group" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank FROM orders) WHERE rank <= 3",
+
+    "q_topk_partial" ->
       "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank FROM orders) WHERE rank <= 3",
 
     "q_tfidf" -> (
