@@ -156,6 +156,42 @@ object SparkEntry {
           coalesce(col("n_customers"), lit(0L)).as("n_customers"))
     }),
 
+    // --- multi-join analytics (TPC-H Q3/Q5 shapes): filters push to every
+    // scan, dims broadcast, one fact-side shuffle for the l⋈o join ---
+    "q_multi_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q_multi_join_region" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
     // --- §2.4 aggregations ---
     "q_groupby_sum" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -923,6 +959,23 @@ object SparkEntry {
 
     "q_left_join" ->
       "SELECT n_nationkey, n_name, COALESCE(c.n_customers, 0) AS n_customers FROM nation LEFT JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer GROUP BY 1) c ON n_nationkey = c.c_nationkey",
+
+    "q_multi_join_topk" -> (
+      "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q_multi_join_region" -> (
+      "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY 1"),
 
     "q_groupby_sum" ->
       "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2",
