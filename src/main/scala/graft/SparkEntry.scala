@@ -316,6 +316,34 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
 
+    // --- PII redaction: email/phone masking before training (map-side) ---
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>").as("redacted"),
+        (col("text") =!= regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+          .as("had_email"))),
+
+    // --- corpus composition stats: per-source doc count, mean length,
+    // language entropy (one pass over (source,lang) counts;
+    // H = ln(N) - Σ n·ln(n)/N) ---
+    "q_corpus_stats" -> ((s, dir) => {
+      val byLang = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      byLang.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          round(sum(col("chars")).cast("double") / sum(col("n")), 4)
+            .as("mean_chars"),
+          round(log(sum(col("n")).cast("double")) -
+            sum(col("n").cast("double") * log(col("n").cast("double"))) /
+              sum(col("n")).cast("double"), 6).as("lang_entropy"))
+    }),
+
     // --- multimodal plumbing: opaque binary + typed metadata ---
     "q_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1120,6 +1148,20 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
+
+    "q_pii_redact" -> (
+      "SELECT doc_id, regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted, " +
+        "text <> regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS had_email " +
+        "FROM documents"),
+
+    "q_corpus_stats" -> (
+      "WITH bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, " +
+        "round(CAST(SUM(chars) AS DOUBLE) / SUM(n), 4) AS mean_chars, " +
+        "round(ln(CAST(SUM(n) AS DOUBLE)) - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE), 6) AS lang_entropy " +
+        "FROM bl GROUP BY 1"),
 
     "q_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents",
