@@ -44,6 +44,26 @@ class VecDotSpec extends SparkSpec {
     assert(out === 3.0)
   }
 
+  test("interpreted eval (codegen off) matches the codegen path bit-for-bit") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))
+    ).toDF("a", "b")
+    val expr = call_function("vec_dot", col("a"), col("b"))
+    val withCodegen = df.select(expr).collect().map(_.getDouble(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.select(expr).collect().map(_.getDouble(0))
+      assert(withCodegen.map(java.lang.Double.doubleToLongBits).toSeq ===
+        interpreted.map(java.lang.Double.doubleToLongBits).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("Similarity.dot routes through vec_dot and keeps oracle-exact scores") {
     val df = Seq(
       (1L, Array(0.5f, 0.25f, 0.125f)),
