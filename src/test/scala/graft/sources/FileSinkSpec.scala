@@ -23,6 +23,35 @@ class FileSinkSpec extends SparkSpec {
   test("jsonl round-trip with {table}.{id}.{ext} layout")(roundTrip("jsonl"))
   test("csv round-trip with {table}.{id}.{ext} layout")(roundTrip("csv"))
 
+  test("PERMISSIVE jsonl ingest: corrupt lines quarantined, good rows survive") {
+    // SURVEY §1.2: the reference relies on dlt's lenient normalize; our
+    // ingest contract is PERMISSIVE mode + _corrupt_record quarantine.
+    val dir = Files.createTempDirectory("permissive").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.00000.jsonl"),
+      """{"id": 1, "name": "ok"}
+        |{not json at all
+        |{"id": 2, "name": "also ok"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column requires a materialized referenced plan
+    assert(df.where(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .count() === 2)
+    assert(df.where(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .count() === 1)
+    df.unpersist()
+  }
+
   test("unsupported format is rejected") {
     val df = Seq((1, "a")).toDF("id", "n")
     intercept[IllegalArgumentException] {
