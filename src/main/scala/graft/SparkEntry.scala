@@ -316,6 +316,51 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
 
+    // --- document chunking: fixed-size token windows with overlap (the
+    // pre-training chunker; stride 40, width 50, map-side explode) ---
+    "q_chunk_docs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("_ts"))
+        .where(size(col("_ts")) > 0)
+      toks
+        .select(col("doc_id"), col("_ts"),
+          explode(sequence(lit(0), greatest(size(col("_ts")) - 1, lit(0)),
+            lit(40))).as("_start"))
+        .select(col("doc_id"), (col("_start") / 40).cast("int").as("chunk_id"),
+          concat_ws(" ", slice(col("_ts"), col("_start") + 1, lit(50))).as("chunk_text"),
+          least(size(col("_ts")) - col("_start"), lit(50)).as("n_tokens"))
+    }),
+
+    // --- sequence packing: deterministic start-offset binning of docs
+    // into ~2048-token bins per language (the scalable approximation of
+    // greedy packing: one window cumsum, no sequential driver loop) ---
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("_cum") - col("n_tokens")) / 2048).cast("long").as("bin"))
+    }),
+
+    // --- decontamination: drop docs sharing any 3-token shingle with the
+    // benchmark set (here: doc_id < 5 stands in for an eval suite) ---
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSh = docs
+        .select(col("doc_id"), Text.shingles(col("text"), 3).as("_sh"))
+        .select(col("doc_id"), explode(col("_sh")).as("_s"))
+      val evalSh = docs.where(col("doc_id") < 5)
+        .select(explode(Text.shingles(col("text"), 3)).as("_s")).distinct()
+      val contaminated = corpusSh
+        .join(evalSh, Seq("_s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // --- PII redaction: email/phone masking before training (map-side) ---
     "q_pii_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1155,6 +1200,26 @@ object SparkEntry {
         "'\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted, " +
         "text <> regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS had_email " +
         "FROM documents"),
+
+    "q_chunk_docs" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0), " +
+        "st AS (SELECT doc_id, ts, n, unnest(generate_series(0, n - 1, 40)) AS s FROM nz) " +
+        "SELECT doc_id, CAST(s // 40 AS INT) AS chunk_id, " +
+        "array_to_string(ts[s + 1 : s + 50], ' ') AS chunk_text, " +
+        "CAST(least(n - s, 50) AS INT) AS n_tokens FROM st"),
+
+    "q_pack_sequences" -> (
+      s"WITH b AS (SELECT doc_id, lang, CAST(len($docTokens) AS INT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
+        "SELECT doc_id, lang, n_tokens, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin FROM c"),
+
+    "q_decontaminate" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS s FROM toks), " +
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5), " +
+        "bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)) " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)"),
 
     "q_corpus_stats" -> (
       "WITH bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2) " +
