@@ -355,7 +355,7 @@ object SparkEntry {
       val evalSh = docs.where(col("doc_id") < 5)
         .select(explode(Text.shingles(col("text"), 3)).as("_s")).distinct()
       val contaminated = corpusSh
-        .join(evalSh, Seq("_s"), "left_semi")
+        .join(broadcast(evalSh), Seq("_s"), "left_semi")
         .select(col("doc_id")).distinct()
       docs.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
