@@ -1,0 +1,333 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Closure, Enrich, Transforms}
+import graft.sources.{FileSink, TimeCampClient}
+
+/** The reference's CLI entry point, Spark-native
+  * (`dlt_fetch_timecamp.py:49-99`, `:656-748`):
+  *
+  * {{{
+  * runMain graft.PipelineMain --from 2024-01-01 --to 2024-01-31 \
+  *   --datasets entries,tasks --format parquet --output /tmp/out
+  * }}}
+  *
+  * Defaults mirror the reference exactly: yesterday→yesterday, dataset
+  * `entries`, format `csv`, output `./timecamp_data`; invalid dataset names
+  * exit 1 with the available list (`:89-99`, `:722-726`).
+  *
+  * The transport is injectable (`--transport <registry key>` for tests;
+  * default is an offline deterministic stub clearly marked below — a
+  * production deployment registers an HTTP transport with the same retry
+  * semantics and changes nothing else). Each dataset runs the reference's
+  * transform chain: entries get tags→JSON-string + dedup-by-id; tasks get
+  * breadcrumbs + level columns + users/perms drop; users get settings
+  * enrichment + primary-group breadcrumbs; activities fan out per
+  * (user, ≤20-date chunk) with skip-and-continue; application_names get
+  * the name-fallback chain + category decode.
+  */
+object PipelineMain {
+
+  val AvailableDatasets: Seq[String] =
+    Seq("entries", "tasks", "computer_activities", "users", "application_names")
+
+  case class Config(
+      from: String = "yesterday", to: String = "yesterday",
+      output: String = "./timecamp_data", format: String = "csv",
+      datasets: Seq[String] = Seq("entries"), transportKey: String = "stub")
+
+  def parseArgs(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--from" :: v :: t => loop(t, c.copy(from = v))
+      case "--to" :: v :: t => loop(t, c.copy(to = v))
+      case "--output" :: v :: t => loop(t, c.copy(output = v))
+      case "--format" :: v :: t => loop(t, c.copy(format = v))
+      case "--datasets" :: v :: t =>
+        loop(t, c.copy(datasets = v.split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSeq))
+      case "--transport" :: v :: t => loop(t, c.copy(transportKey = v))
+      case "--debug" :: t => loop(t, c)
+      case Nil => c
+      case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
+    }
+    loop(args.toList, Config())
+  }
+
+  // ------------------------------------------------------------ transport
+
+  /** OFFLINE STUB transport — deterministic synthetic responses per
+    * endpoint so the full pipeline wiring runs without a network. A real
+    * deployment registers an HTTP-backed Transport under another key.
+    */
+  val stubTransport: TimeCampClient.Transport = (url, params) => url match {
+    case "/entries" =>
+      val from = java.time.LocalDate.parse(params("from"))
+      val rows = (0 until 5).map { i =>
+        val d = from.plusDays(i)
+        s"""{"id": ${100 + i}, "user_id": "u${i % 2 + 1}", "task_id": "t${i % 3 + 1}",
+           | "date": "$d", "duration": ${600 * (i + 1)},
+           | "tags": ${if (i % 2 == 0) s"""["tag$i","x"]""" else "[]"}}""".stripMargin
+      }
+      TimeCampClient.Response(200, rows.mkString("[", ",", "]"))
+    case "/tasks" =>
+      TimeCampClient.Response(200,
+        """{"t1": {"task_id": "t1", "parent_id": "0", "name": "Root A", "users": {"u1": 1}, "perms": {"a": 1}},
+          |"t2": {"task_id": "t2", "parent_id": "t1", "name": "Child B", "users": {}, "perms": {}},
+          |"t3": {"task_id": "t3", "parent_id": "t1", "name": "Child C", "users": {}, "perms": {}}}""".stripMargin)
+    case "/users" =>
+      TimeCampClient.Response(200,
+        """[{"user_id": "1", "email": "a@example.com", "display_name": "Ann"},
+          |{"user_id": "2", "email": "b@example.com", "display_name": "Bob"}]""".stripMargin)
+    case "/settings" =>
+      TimeCampClient.Response(200, """[{"user_id": "2", "disabled_user": "1"}]""")
+    case "/people_picker" =>
+      TimeCampClient.Response(200,
+        """{"groups": {"g1": {"group_id": "g1", "parent_id": "0", "name": "Org"},
+          |"g2": {"group_id": "g2", "parent_id": "g1", "name": "Eng"}},
+          |"users": {"u1": {"user_id": "1", "group_id": "g2"}, "u2": {"user_id": "2", "group_id": "g1"}}}""".stripMargin)
+    case "/computer_activities" =>
+      val user = params("user_id")
+      val dates = params.collect { case (k, v) if k.startsWith("dates[") => v }.toSeq.sorted
+      val rows = dates.zipWithIndex.map { case (d, i) =>
+        s"""{"user_id": "$user", "date": "$d", "application_id": "${1000 + i % 3}", "duration": ${120 * (i + 1)}}"""
+      }
+      TimeCampClient.Response(200, rows.mkString("[", ",", "]"))
+    case "/application" =>
+      val ids = params("application_ids").split(",").toSeq
+      val rows = ids.map { id =>
+        s"""{"application_id": "$id", "full_name": ${if (id.endsWith("0")) "\"\"" else s"\"App $id\""},
+           | "aditional_info": "Info $id", "app_name": "bin$id", "category_id": ${id.takeRight(1)}}""".stripMargin
+      }
+      TimeCampClient.Response(200, rows.mkString("[", ",", "]"))
+    case other => TimeCampClient.Response(404, s"unknown endpoint $other")
+  }
+
+  private val transports =
+    new java.util.concurrent.ConcurrentHashMap[String, TimeCampClient.Transport]()
+  transports.put("stub", stubTransport)
+
+  def registerTransport(key: String, t: TimeCampClient.Transport): Unit =
+    transports.put(key, t)
+
+  // ------------------------------------------------------------- parsing
+
+  private val mapper = new ObjectMapper()
+
+  private def jsonArray(body: String): Seq[JsonNode] =
+    mapper.readTree(body).elements().asScala.toSeq
+
+  private def jsonObjectValues(body: String): Seq[JsonNode] = {
+    val root = mapper.readTree(body)
+    root.properties().asScala.map(_.getValue).toSeq
+  }
+
+  private def textOf(n: JsonNode, k: String): String =
+    Option(n.get(k)).filterNot(_.isNull).map(_.asText()).orNull
+
+  private def longOf(n: JsonNode, k: String): java.lang.Long =
+    Option(n.get(k)).filterNot(_.isNull).map(v => java.lang.Long.valueOf(v.asLong())).orNull
+
+  // ------------------------------------------------------------ datasets
+
+  def buildEntries(spark: SparkSession, transport: TimeCampClient.Transport,
+      from: String, to: String): DataFrame = {
+    val get = TimeCampClient.get(transport) _
+    // ≤6-calendar-month windows per request (the reference's batching)
+    val rows = TimeCampClient.periodBatches(
+      java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+      .flatMap { case (f, t) =>
+        jsonArray(get("/entries", Map("from" -> f, "to" -> t,
+          "format" -> "json")).body)
+      }
+      .map { n =>
+        val tags = Option(n.get("tags")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        Row(longOf(n, "id"), textOf(n, "user_id"), textOf(n, "task_id"),
+          textOf(n, "date"), longOf(n, "duration"), tags)
+      }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user_id", StringType),
+      StructField("task_id", StringType), StructField("date", StringType),
+      StructField("duration", LongType),
+      StructField("tags", ArrayType(StringType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+      .withColumn("tags", Transforms.arrayToJsonOrNull(col("tags")))
+    Transforms.dedupByPk(df, Seq("id"), Seq(col("date")))
+  }
+
+  def buildTasks(spark: SparkSession,
+      transport: TimeCampClient.Transport): DataFrame = {
+    val get = TimeCampClient.get(transport) _
+    val rows = jsonObjectValues(get("/tasks", Map("status" -> "all")).body)
+      .map { n =>
+        Row(textOf(n, "task_id"), textOf(n, "parent_id"), textOf(n, "name"))
+      }
+    val schema = StructType(Seq(
+      StructField("task_id", StringType), StructField("parent_id", StringType),
+      StructField("name", StringType)))
+    // users/perms dropped before emit (reference pops them); parent
+    // NULL/''/'0' normalized; breadcrumbs + 8 level columns
+    val df = spark.createDataFrame(rows.asJava, schema)
+      .withColumn("parent_id", Transforms.normalizeParent(col("parent_id")))
+    val withPaths = Closure.breadcrumbs(df, "task_id", "parent_id", "name")
+    Transforms.dedupByPk(
+      Closure.withLevelColumns(withPaths, "task", 8).drop("path"),
+      Seq("task_id"), Seq(col("name")))
+  }
+
+  def buildUsers(spark: SparkSession,
+      transport: TimeCampClient.Transport): DataFrame = {
+    val get = TimeCampClient.get(transport) _
+    val users = jsonArray(get("/users", Map.empty).body)
+      .map(n => Row(textOf(n, "user_id"), textOf(n, "email"),
+        textOf(n, "display_name")))
+    val userSchema = StructType(Seq(
+      StructField("user_id", StringType), StructField("email", StringType),
+      StructField("display_name", StringType)))
+    val usersDf = spark.createDataFrame(users.asJava, userSchema)
+    // bulk settings lookup, 50/request; '1' → disabled; missing → enabled
+    val settings = jsonArray(get("/settings",
+      Map("name" -> "disabled_user")).body)
+      .map(n => Row(textOf(n, "user_id"), textOf(n, "disabled_user")))
+    val settingsDf = spark.createDataFrame(settings.asJava, StructType(Seq(
+      StructField("user_id", StringType),
+      StructField("disabled_user", StringType))))
+    val enabled = usersDf.join(broadcast(settingsDf), Seq("user_id"), "left")
+      .withColumn("is_enabled", !(col("disabled_user") <=> "1"))
+      .drop("disabled_user")
+    // people_picker → group tree + membership; primary group enrichment
+    val pp = mapper.readTree(get("/people_picker",
+      Map("context" -> "admin")).body)
+    val groups = pp.get("groups").properties().asScala.map(_.getValue).map(n =>
+      Row(textOf(n, "group_id"), textOf(n, "parent_id"), textOf(n, "name"))).toSeq
+    val groupsDf = spark.createDataFrame(groups.asJava, StructType(Seq(
+      StructField("group_id", StringType), StructField("parent_id", StringType),
+      StructField("group_nm", StringType))))
+      .withColumn("parent_id", Transforms.normalizeParent(col("parent_id")))
+    val membership = pp.get("users").properties().asScala.map(_.getValue).map(n =>
+      Row(Transforms.stripIdPrefixStr(textOf(n, "user_id")),
+        textOf(n, "group_id"))).toSeq
+    val memberDf = spark.createDataFrame(membership.asJava, StructType(Seq(
+      StructField("user_id", StringType), StructField("_gk", StringType))))
+    val withGroup = enabled.join(broadcast(memberDf), Seq("user_id"), "left")
+    Transforms.dedupByPk(
+      Enrich.withGroup(withGroup, "_gk", groupsDf,
+        "group_id", "parent_id", "group_nm", levels = 5).drop("_gk"),
+      Seq("user_id"), Seq(col("email")))
+  }
+
+  def buildActivities(spark: SparkSession, transport: TimeCampClient.Transport,
+      from: String, to: String, userIds: Seq[String]): DataFrame = {
+    val get = TimeCampClient.get(transport) _
+    val dates = Iterator.iterate(java.time.LocalDate.parse(from))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse(to))).map(_.toString).toSeq
+    val batches = TimeCampClient.activityBatches(userIds, dates)
+    val rows = TimeCampClient.fetchSkippingFailures(batches) { case (u, chunk) =>
+      jsonArray(get("/computer_activities",
+        Map("user_id" -> u) ++ chunk.zipWithIndex.map { case (d, i) =>
+          s"dates[$i]" -> d
+        }).body)
+        .map(n => Row(textOf(n, "user_id"), textOf(n, "date"),
+          textOf(n, "application_id"), longOf(n, "duration")))
+    }.flatten
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("user_id", StringType), StructField("date", StringType),
+      StructField("application_id", StringType),
+      StructField("duration", LongType))))
+  }
+
+  def buildApplicationNames(spark: SparkSession,
+      transport: TimeCampClient.Transport, activities: DataFrame): DataFrame = {
+    val get = TimeCampClient.get(transport) _
+    // semi-join-driven dimension fetch: only ids observed in activities
+    val ids = activities.select("application_id")
+      .where(col("application_id").isNotNull && col("application_id") =!= "0")
+      .distinct().orderBy("application_id")
+      .collect().map(_.getString(0)).toSeq
+    val rows = TimeCampClient.batched(ids, 100).flatMap { chunk =>
+      jsonArray(get("/application",
+        Map("application_ids" -> chunk.mkString(","))).body)
+    }.map { n =>
+      Row(textOf(n, "application_id"), textOf(n, "full_name"),
+        textOf(n, "aditional_info"), textOf(n, "app_name"),
+        textOf(n, "category_id"))
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("application_id", StringType),
+      StructField("full_name", StringType),
+      StructField("aditional_info", StringType),
+      StructField("app_name", StringType),
+      StructField("category_id", StringType))))
+      .withColumn("name", Transforms.firstNonBlank(lit(""),
+        col("full_name"), col("aditional_info"), col("app_name")))
+    val decoded = Transforms.decodeMap(df, "category_id",
+      Seq("1" -> "Productivity", "2" -> "Communication", "3" -> "Development"),
+      "category_name", "No category")
+    Transforms.dedupByPk(
+      decoded.select("application_id", "name", "category_name"),
+      Seq("application_id"), Seq(col("name")))
+  }
+
+  // ----------------------------------------------------------------- run
+
+  def run(spark: SparkSession, c: Config): Map[String, Long] = {
+    val invalid = c.datasets.filterNot(AvailableDatasets.contains)
+    if (invalid.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Invalid datasets: ${invalid.mkString(", ")}. " +
+          s"Available: ${AvailableDatasets.mkString(", ")}")
+    require(FileSink.Formats.contains(c.format),
+      s"unsupported format: ${c.format}")
+    val transport = Option(transports.get(c.transportKey)).getOrElse(
+      throw new IllegalStateException(s"no transport '${c.transportKey}'"))
+    val from = TimeCampClient.parseDateFlexible(c.from).toString
+    val to = TimeCampClient.parseDateFlexible(c.to).toString
+
+    // activities are shared between computer_activities and
+    // application_names (the reference preloads them once, `:447-454`)
+    lazy val activities = buildActivities(spark, transport, from, to,
+      userIds = Seq("1", "2")).cache()
+
+    c.datasets.map { ds =>
+      val df = ds match {
+        case "entries" => buildEntries(spark, transport, from, to)
+        case "tasks" => buildTasks(spark, transport)
+        case "users" => buildUsers(spark, transport)
+        case "computer_activities" => activities
+        case "application_names" =>
+          buildApplicationNames(spark, transport, activities)
+      }
+      FileSink.write(df, c.output, ds, c.format)
+      ds -> df.count()
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = try parseArgs(args) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(1)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val counts = try run(spark, c) catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(1)
+      }
+      counts.foreach { case (ds, n) => println(s"[pipeline] $ds: $n rows") }
+    } finally spark.stop()
+  }
+}

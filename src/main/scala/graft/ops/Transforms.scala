@@ -87,6 +87,10 @@ object Transforms {
   /** Strip a leading `u`/`g` marker from an id (`dlt_fetch_timecamp.py:349-355`). */
   def stripIdPrefix(c: Column): Column = regexp_replace(c, "^[ug]", "")
 
+  /** Driver-side twin of `stripIdPrefix` for ingestion-shim code. */
+  def stripIdPrefixStr(s: String): String =
+    if (s == null) null else s.replaceFirst("^[ug]", "")
+
   /** Dedup by primary key with a deterministic survivor (lowest by
     * `orderCols`) — `primary_key=` + replace disposition
     * (`dlt_fetch_timecamp.py:458`, `:509-511`). `dropDuplicates` picks an

@@ -65,6 +65,44 @@ object TimeCampClient {
   def batched[A](ids: Seq[A], batchSize: Int): Seq[Seq[A]] =
     ids.grouped(batchSize).toSeq
 
+  /** Multi-format date parse + `yesterday` keyword
+    * (`common/utils.py:28-51`): first format that parses wins.
+    */
+  def parseDateFlexible(s: String,
+      today: java.time.LocalDate = java.time.LocalDate.now()): java.time.LocalDate = {
+    if (s.trim.toLowerCase == "yesterday") return today.minusDays(1)
+    val fmts = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy", "MM-dd-yyyy")
+    fmts.iterator.flatMap { f =>
+      try Some(java.time.LocalDate.parse(s.trim,
+        java.time.format.DateTimeFormatter.ofPattern(f)))
+      catch { case _: Exception => None }
+    }.nextOption().getOrElse(
+      throw new IllegalArgumentException(s"unparseable date: $s"))
+  }
+
+  /** Calendar-month addition with day clamped to the target month's length
+    * (`dlt_fetch_timecamp.py:165-171`; java.time already clamps).
+    */
+  def addMonthsClamped(d: java.time.LocalDate, months: Int): java.time.LocalDate =
+    d.plusMonths(months)
+
+  /** Split an inclusive date period into ≤`months`-calendar-month batches
+    * (`dlt_fetch_timecamp.py:174-191`, `ENTRY_BATCH_MONTHS = 6`).
+    */
+  def periodBatches(from: java.time.LocalDate, to: java.time.LocalDate,
+      months: Int = 6): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var current = from
+    while (!current.isAfter(to)) {
+      val nextStart = addMonthsClamped(current, months)
+      val batchEnd = Seq(nextStart.minusDays(1), to).min(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      out += ((current.toString, batchEnd.toString))
+      current = batchEnd.plusDays(1)
+    }
+    out.result()
+  }
+
   /** (user × ≤20-date-chunk) fan-out plan for activity fetches. */
   def activityBatches(userIds: Seq[String], dates: Seq[String],
       maxDates: Int = 20): Seq[(String, Seq[String])] =

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class PipelineMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(out: String, datasets: Seq[String], format: String = "jsonl") =
+    PipelineMain.Config(from = "2024-01-01", to = "2024-01-03",
+      output = out, format = format, datasets = datasets)
+
+  test("CLI defaults mirror the reference") {
+    val c = PipelineMain.parseArgs(Array.empty)
+    assert(c.from === "yesterday" && c.to === "yesterday")
+    assert(c.format === "csv" && c.datasets === Seq("entries"))
+    assert(c.output === "./timecamp_data")
+  }
+
+  test("invalid dataset is rejected with the available list") {
+    val out = Files.createTempDirectory("pipe").toString
+    val e = intercept[IllegalArgumentException] {
+      PipelineMain.run(spark, cfg(out, Seq("entries", "nope")))
+    }
+    assert(e.getMessage.contains("Invalid datasets: nope"))
+    assert(e.getMessage.contains("entries, tasks, computer_activities"))
+  }
+
+  test("full pipeline run: all five datasets land with reference transforms") {
+    val out = Files.createTempDirectory("pipe").toString
+    val counts = PipelineMain.run(spark, cfg(out,
+      PipelineMain.AvailableDatasets))
+    assert(counts("entries") === 5)
+    assert(counts("tasks") === 3)
+    assert(counts("users") === 2)
+    assert(counts("computer_activities") === 6) // 2 users × 3 dates
+
+    val entries = graft.sources.FileSink.read(spark, out, "entries", "jsonl")
+    // tags: JSON string or absent-when-empty (reference yields NULL)
+    val tagged = entries.where(col("id") === 100).select("tags").as[String].head
+    assert(tagged === """["tag0","x"]""")
+
+    val tasks = graft.sources.FileSink.read(spark, out, "tasks", "jsonl")
+    assert(tasks.columns.toSet.intersect(Set("users", "perms")).isEmpty)
+    val crumb = tasks.where(col("task_id") === "t2")
+      .select("breadcrumb").as[String].head
+    assert(crumb === "Root A / Child B")
+    assert(tasks.where(col("task_id") === "t2")
+      .select("task_level_2").as[String].head === "Child B")
+
+    val users = graft.sources.FileSink.read(spark, out, "users", "jsonl")
+    val u2 = users.where(col("user_id") === "2").head
+    assert(u2.getAs[Boolean]("is_enabled") === false) // '1' → disabled
+    val u1 = users.where(col("user_id") === "1").head
+    assert(u1.getAs[Boolean]("is_enabled") === true) // missing → enabled
+    assert(u1.getAs[String]("group_breadcrumb") === "Org / Eng")
+
+    val apps = graft.sources.FileSink.read(spark, out, "application_names", "jsonl")
+    // id 1000 has blank full_name → falls back to aditional_info
+    assert(apps.where(col("application_id") === "1000")
+      .select("name").as[String].head === "Info 1000")
+    assert(apps.count() === counts("application_names"))
+  }
+}
