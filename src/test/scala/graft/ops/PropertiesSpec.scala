@@ -178,6 +178,73 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  private val docGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 8)
+    docs <- Gen.sequence[Seq[String], String]((0 until n).map { _ =>
+      Gen.choose(0, 120).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+          .map(_.mkString(" ")))
+    })
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("chunking covers every token: stride-offset chunks reassemble the doc") =
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val toks = df
+        .select(col("doc_id"), Text.tokens(col("text")).as("_ts"))
+        .where(size(col("_ts")) > 0)
+      val chunks = toks
+        .select(col("doc_id"), col("_ts"),
+          explode(sequence(lit(0), greatest(size(col("_ts")) - 1, lit(0)),
+            lit(40))).as("_start"))
+        .select(col("doc_id"), col("_start"),
+          concat_ws(" ", slice(col("_ts"), col("_start") + 1, lit(50))).as("chunk"))
+        .as[(Long, Int, String)].collect()
+      docs.forall { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        if (ts.isEmpty) mine.isEmpty
+        else {
+          // non-overlap prefixes (first 40 tokens of each chunk) reassemble
+          // the doc; every chunk is tokens [start, start+50)
+          val reassembled = mine.flatMap { case (_, s, c) =>
+            c.split(" ").filter(_.nonEmpty).take(
+              math.min(40, math.max(0, ts.length - s)))
+          }
+          reassembled.toSeq == ts.toSeq &&
+            mine.forall { case (_, s, c) =>
+              c.split(" ").filter(_.nonEmpty).toSeq ==
+                ts.slice(s, s + 50).toSeq
+            }
+        }
+      }
+    }
+
+  property("decontaminate keeps exactly the docs sharing no shingle with the eval set") =
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val clean = {
+        val corpusSh = df
+          .select(col("doc_id"), Text.shingles(col("text"), 3).as("_sh"))
+          .select(col("doc_id"), explode(col("_sh")).as("_s"))
+        val evalSh = df.where(col("doc_id") < 2)
+          .select(explode(Text.shingles(col("text"), 3)).as("_s")).distinct()
+        val bad = corpusSh.join(broadcast(evalSh), Seq("_s"), "left_semi")
+          .select("doc_id").distinct()
+        df.join(bad, Seq("doc_id"), "left_anti").select("doc_id")
+          .as[Long].collect().toSet
+      }
+      def sh(text: String): Set[String] = {
+        val ts = text.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.length < 3) Set(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val evalSet = docs.filter(_._1 < 2).flatMap(d => sh(d._2)).toSet
+      val refClean = docs.filter(d => sh(d._2).intersect(evalSet).isEmpty)
+        .map(_._1).toSet
+      clean == refClean
+    }
+
   property("firstPerGroup picks the true minimum per group") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))) {
       rows =>
