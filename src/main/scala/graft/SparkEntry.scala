@@ -361,6 +361,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // --- Gopher-style repetition/shape filters: duplicate-3gram fraction,
+    // mean word length, symbol-to-word ratio (all map-side) ---
+    "q_repetition_score" -> ((s, dir) => {
+      val ts = Text.tokens(col("text"))
+      val sh = Text.shinglesOfTokens(col("_ts"), 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), ts.as("_ts"))
+        .where(size(col("_ts")) > 0)
+        .select(col("doc_id"), col("_ts"), sh.as("_sh"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("_syms"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("_sh"))).cast("double") /
+            size(col("_sh")), 6).as("dup3_frac"),
+          round(aggregate(col("_ts"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / size(col("_ts")), 6).as("mean_word_len"),
+          round(col("_syms").cast("double") / size(col("_ts")), 6)
+            .as("symbol_ratio"))
+    }),
+
     // --- PII redaction: email/phone masking before training (map-side) ---
     "q_pii_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1200,6 +1219,16 @@ object SparkEntry {
         "'\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted, " +
         "text <> regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS had_email " +
         "FROM documents"),
+
+    "q_repetition_score" -> (
+      s"WITH toks AS (SELECT doc_id, text, $docTokens AS ts FROM documents), " +
+        "nz AS (SELECT doc_id, text, ts, len(ts) AS n FROM toks WHERE len(ts) > 0), " +
+        "sh AS (SELECT doc_id, text, ts, n, CASE WHEN n < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, n - 2), i -> array_to_string(ts[i:i+2], ' ')) END AS shingles FROM nz) " +
+        "SELECT doc_id, " +
+        "round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) AS dup3_frac, " +
+        "round(CAST(list_reduce(list_transform(ts, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / n, 6) AS mean_word_len, " +
+        "round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / n, 6) AS symbol_ratio " +
+        "FROM sh"),
 
     "q_chunk_docs" -> (
       s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
