@@ -552,6 +552,30 @@ object SparkEntry {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_suppkey")).as("n_approx"))),
 
+    // --- quantile sketch (approx_percentile; implementation-specific
+    // values → rows-only check; error bound asserted in TransformsSpec) ---
+    "q_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("q_approx"))),
+
+    // --- n-gram LM counts: bigram frequencies over the corpus ---
+    "q_bigram_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Text.tokens(lower(col("text"))).as("_ts"))
+        .select(explode(Text.shinglesOfTokens(col("_ts"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 5)),
+
+    // --- schema-evolution union: unionByName(allowMissingColumns) ---
+    "q_union_missing" -> ((s, dir) => {
+      val v1 = t(s, dir, "events").where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"))
+      val v2 = t(s, dir, "events").where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("value"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
     // --- native Catalyst expression: O(n) Karp–Rabin window hashes
     // (graft.functions.RollingHash, injected via GraftExtensions) ---
     "q_rolling_hash" -> ((s, dir) =>
@@ -1191,6 +1215,16 @@ object SparkEntry {
         s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
         s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop FROM documents) " +
         "SELECT doc_id, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b"),
+
+    "q_bigram_freq" -> (
+      "SELECT bigram, CAST(count(*) AS BIGINT) AS freq FROM (" +
+        s"SELECT unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 1), i -> array_to_string(ts[i:i+1], ' ')) END) AS bigram " +
+        s"FROM (SELECT ${docTokensOf("lower(text)")} AS ts FROM documents)) " +
+        "GROUP BY bigram HAVING count(*) >= 5"),
+
+    "q_union_missing" -> (
+      "SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events WHERE event_type = 'signup' " +
+        "UNION ALL SELECT event_id, user_id, value FROM events WHERE event_type = 'error'"),
 
     "q_token_freq" -> (
       s"SELECT token, CAST(count(*) AS BIGINT) AS freq " +

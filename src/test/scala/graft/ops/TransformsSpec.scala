@@ -93,4 +93,14 @@ class TransformsSpec extends SparkSpec {
     val approx = df.select(approx_count_distinct($"v")).as[Long].head()
     assert(math.abs(approx - 1234.0) / 1234.0 < 0.1) // default rsd 5%
   }
+
+  test("approx_percentile stays within rank error of the exact quantile") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val Seq(p50, p95) = df
+      .select(expr("approx_percentile(v, array(0.5, 0.95), 1000)"))
+      .head().getSeq[Double](0).toSeq
+    // accuracy=1000 → rank error ≤ n/1000 = 10 ranks ≈ 10 values here
+    assert(math.abs(p50 - 5000.0) <= 15.0)
+    assert(math.abs(p95 - 9500.0) <= 15.0)
+  }
 }

@@ -52,6 +52,19 @@ class FileSinkSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("schema evolution: mergeSchema read spans old and new file versions") {
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file → NULL
+    assert(rows(1).getAs[Double]("score") === 9.5)
+  }
+
   test("unsupported format is rejected") {
     val df = Seq((1, "a")).toDF("id", "n")
     intercept[IllegalArgumentException] {
