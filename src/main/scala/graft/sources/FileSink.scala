@@ -21,13 +21,22 @@ object FileSink {
   def write(df: DataFrame, outDir: String, table: String, format: String): Unit = {
     require(Formats.contains(format), s"unsupported format: $format")
     val sparkFormat = if (format == "jsonl") "json" else format
-    val tmp = s"$outDir/_tmp_$table"
     val writer = df.write.mode("overwrite")
       .option("compression", "none")
     val withHeader =
       if (format == "csv") writer.option("header", "true") else writer
-    withHeader.format(sparkFormat).save(tmp)
-    layout(Paths.get(tmp), Paths.get(outDir), table, format)
+    if (outDir.contains("://")) {
+      // Object store / URI target (s3a://bucket/..., matching the
+      // reference's S3 destination, docs/fetch-project-data-to-s3.md):
+      // executors write part files directly under {out}/{table}/ — no
+      // local rename pass (object stores have no cheap rename; the
+      // reference's own S3 output likewise keeps the writer's naming).
+      withHeader.format(sparkFormat).save(s"$outDir/$table")
+    } else {
+      val tmp = s"$outDir/_tmp_$table"
+      withHeader.format(sparkFormat).save(tmp)
+      layout(Paths.get(tmp), Paths.get(outDir), table, format)
+    }
   }
 
   /** Rename part-files to `{table}.{file_id}.{ext}` and drop the tmp dir. */
@@ -43,16 +52,20 @@ object FileSink {
     Files.delete(tmp)
   }
 
-  /** Re-read a table written by `write` (glob over its file ids). */
+  /** Re-read a table written by `write` (glob over its file ids, or the
+    * per-table directory for URI targets).
+    */
   def read(spark: org.apache.spark.sql.SparkSession, outDir: String,
       table: String, format: String): DataFrame = {
     val sparkFormat = if (format == "jsonl") "json" else format
-    val reader = spark.read
-      .option("pathGlobFilter", s"$table.*.$format")
+    val uriTarget = outDir.contains("://")
+    val reader = if (uriTarget) spark.read
+      else spark.read.option("pathGlobFilter", s"$table.*.$format")
     val withHeader =
       if (format == "csv")
         reader.option("header", "true").option("inferSchema", "true")
       else reader
-    withHeader.format(sparkFormat).load(outDir)
+    withHeader.format(sparkFormat)
+      .load(if (uriTarget) s"$outDir/$table" else outDir)
   }
 }

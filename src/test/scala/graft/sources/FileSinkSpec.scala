@@ -52,6 +52,15 @@ class FileSinkSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("URI target (object-store path): per-table dir, no rename, round-trips") {
+    val dir = "file://" + Files.createTempDirectory("sink_uri").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    FileSink.write(df, dir, "t", "jsonl")
+    val back = FileSink.read(spark, dir, "t", "jsonl")
+    assert(back.count() === 2)
+    assert(back.columns.sorted.toSeq === Seq("id", "name"))
+  }
+
   test("schema evolution: mergeSchema read spans old and new file versions") {
     val dir = Files.createTempDirectory("evolve").toString
     Seq((1L, "a")).toDF("id", "name")
