@@ -47,6 +47,28 @@ class IncrementalCacheSpec extends SparkSpec {
     assert(out == Map("a" -> 1L, "b" -> 20L, "c" -> 30L))
   }
 
+  test("streaming foreachBatch drives upsertPartitions (exactly the daily-refresh shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-cache-stream").toString + "/store"
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("d", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalCache.upsertPartitions(batch, dir, "d")
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(("2024-01-01", 1L), ("2024-01-02", 2L))
+      q.processAllAvailable()
+      input.addData(("2024-01-02", 22L)) // late refresh of one date
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+        .select($"d".cast("string"), $"v").as[(String, Long)].collect().toMap
+      assert(out == Map("2024-01-01" -> 1L, "2024-01-02" -> 22L))
+    } finally q.stop()
+  }
+
   test("upsertPartitions replaces only the written partitions") {
     val dir = Files.createTempDirectory("graft-cache-upsert").toString + "/store"
     val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("d", "v")
