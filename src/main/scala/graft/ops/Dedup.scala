@@ -73,17 +73,21 @@ object Dedup {
             .as("key"))
       }: _*)).as("_band"))
       .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
-    // One shuffle: group bucket members, emit pairs in-bucket. The corpus is
-    // hashed+banded in a single pass (no self-join that would recompute the
-    // signatures, and no second shuffle of the full banded set).
-    banded
-      .groupBy("_bno", "_bkey")
-      .agg(sort_array(collect_set(col("_id"))).as("_ids"))
-      .where(size(col("_ids")) > 1)
-      .select(explode(flatten(transform(col("_ids"), (a, i) =>
-        transform(slice(col("_ids"), i + lit(2), size(col("_ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b"))
+      // Materialized once so the self-join below doesn't recompute the
+      // signatures (the dominant cost) per join side.
+      .localCheckpoint(true)
+    // Pair generation is a distributed band self-join, NOT a per-bucket
+    // collect_set+explode: a collect concentrates a degenerate bucket's
+    // whole membership array and its O(k²) pair fan-out in ONE task — the
+    // exact hot-bucket failure a boilerplate-heavy band key hits at 100 TB.
+    // The join spreads each bucket's pair space across the cluster
+    // (same shape as simhashNearDupPairs / cosineNearDupPairs, where the
+    // collect variant measured 10× data → ~20× time).
+    val a = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
+    val b = banded.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
+    a.join(b, Seq("_bno", "_bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -302,10 +306,13 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.1): DataFrame = {
     // Set sizes ride along with each exploded shingle, so the whole
-    // computation is two shuffles: group docs per (block, shingle) and
-    // emit co-occurrence pairs in-bucket, then count per pair. The
-    // previous shape (shingle self-join + two size joins) read the
-    // shingle projection twice and shuffled five times.
+    // computation is: one (block, shingle) self-join emitting
+    // co-occurrence rows, then one count per pair. Pair generation is a
+    // distributed self-join, NOT a per-(block,shingle) collect_list —
+    // a stop-word-like shingle inside one block would otherwise pull its
+    // whole doc membership into a single task and fan out O(k²) pairs
+    // there (hot-bucket failure at corpus scale); the join spreads that
+    // pair space across the cluster.
     // Shingles are hashed to 64-bit before the distinct/shuffle: the
     // distinct then runs on a primitive array (Spark's string-array
     // array_distinct is O(n²) per row) and the shuffle key is 8 bytes
@@ -319,17 +326,16 @@ object Dedup {
           .as("_sharr"))
       .select(col("_id"), col("_blk"), size(col("_sharr")).as("_sz"),
         explode(col("_sharr")).as("_sh"))
-    val pairs = sh
-      .groupBy("_blk", "_sh")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_sz")))).as("_m"))
-      .where(size(col("_m")) > 1)
-      .select(explode(flatten(transform(col("_m"), (a, i) =>
-        transform(slice(col("_m"), i + lit(2), size(col("_m"))),
-          b => struct(
-            a.getField("_id").as("id_a"), a.getField("_sz").as("_sza"),
-            b.getField("_id").as("id_b"), b.getField("_sz").as("_szb"))))))
-        .as("_p"))
-      .select(col("_p.id_a"), col("_p._sza"), col("_p.id_b"), col("_p._szb"))
+      // Materialized once: the self-join would otherwise re-run the
+      // tokenize+shingle+hash pass (the dominant cost) per join side.
+      .localCheckpoint(true)
+    val lhs = sh.select(col("_blk"), col("_sh"),
+      col("_id").as("id_a"), col("_sz").as("_sza"))
+    val rhs = sh.select(col("_blk"), col("_sh"),
+      col("_id").as("id_b"), col("_sz").as("_szb"))
+    val pairs = lhs.join(rhs, Seq("_blk", "_sh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("_sza"), col("id_b"), col("_szb"))
     pairs
       .groupBy("id_a", "id_b", "_sza", "_szb")
       .agg(count(lit(1)).as("_inter"))

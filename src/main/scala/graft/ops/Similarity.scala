@@ -36,6 +36,11 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self), ties broken by corpus id.
+    *
+    * The QUERY side is broadcast (a query set is small by construction);
+    * the corpus streams through one scan with zero shuffle of the big side
+    * — broadcasting the corpus instead would OOM every executor at scale.
+    * The only shuffle is the per-query top-k window on `query_id`.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -44,7 +49,7 @@ object Similarity {
       norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       norm(col(vecCol)).as("_cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy("query_id")
