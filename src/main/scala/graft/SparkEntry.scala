@@ -232,14 +232,18 @@ object SparkEntry {
         coalesce(try_element_at(words, lit(3)), lit("")).as("level_3"))
     }),
 
-    // --- §2.6 recursion (iterative checkpointed fixpoint; the native
-    // WITH RECURSIVE twin is exercised by ClosureSpec) ---
+    // --- §2.6 recursion (native WITH RECURSIVE; the iterative
+    // cycle-tolerant twin is exercised by ClosureSpec) ---
     "q_transitive_closure" -> ((s, dir) =>
-      // iterative variant: same per-level join as WITH RECURSIVE but each
-      // level's frontier is materialized once, where UnionLoop re-executes
-      // its step plan per level (same A/B result as q_breadcrumb below;
-      // measured ~2× faster at sf0.1 — see SCALE.md)
-      Closure.transitiveClosure(
+      // A/B-measured at sf0.1, idle machine, 3 runs each after warmup:
+      // recursive ~1.3 s vs iterative ~1.9 s (see SCALE.md). Unlike the
+      // breadcrumb shape (where per-level path concat makes UnionLoop's
+      // step re-execution expensive and iterative wins 2.4×), the closure
+      // step is a narrow two-column join — the iterative variant's
+      // per-level localCheckpoint jobs and anti-join dedup cost MORE than
+      // UnionLoop's re-executed step plan. Keep recursive here, iterative
+      // (cycle-tolerant) stays the API for possibly-cyclic inputs.
+      Closure.transitiveClosureRecursive(
         TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>

@@ -60,6 +60,25 @@ class PlanSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("bruteForceTopK broadcasts the QUERY side, streams the corpus") {
+    val emb = Tables(spark, dir, "embeddings")
+    val df = ops.Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+    val plan = planOf(df)
+    // the non-equi self-exclusion forces a nested loop; the BUILD side must
+    // be the query set — broadcasting the corpus instead would OOM at scale
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected BroadcastNestedLoopJoin in:\n$plan")
+    val joinLine = plan.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(joinLine.contains("BuildRight"),
+      s"query side must be the (right) build side:\n$joinLine")
+    // corpus side reaches the join without an Exchange: the only shuffle
+    // in the whole plan is the per-query top-k window partitioning
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"corpus side must not shuffle before the join:\n$plan")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
