@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.{Closure, Enrich, Transforms}
-import graft.sources.{FileSink, TimeCampClient}
+import graft.sources.{BigQuerySink, FileSink, Sink, TimeCampClient, TimeCampConfig}
 
 /** The reference's CLI entry point, Spark-native
   * (`dlt_fetch_timecamp.py:49-99`, `:656-748`):
@@ -40,7 +40,8 @@ object PipelineMain {
   case class Config(
       from: String = "yesterday", to: String = "yesterday",
       output: String = "./timecamp_data", format: String = "csv",
-      datasets: Seq[String] = Seq("entries"), transportKey: String = "stub")
+      datasets: Seq[String] = Seq("entries"), transportKey: String = "stub",
+      sink: String = "file")
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -53,6 +54,7 @@ object PipelineMain {
         loop(t, c.copy(datasets = v.split(",").map(_.trim.toLowerCase)
           .filter(_.nonEmpty).toSeq))
       case "--transport" :: v :: t => loop(t, c.copy(transportKey = v))
+      case "--sink" :: v :: t => loop(t, c.copy(sink = v))
       case "--debug" :: t => loop(t, c)
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
@@ -115,6 +117,11 @@ object PipelineMain {
 
   def registerTransport(key: String, t: TimeCampClient.Transport): Unit =
     transports.put(key, t)
+
+  /** Environment config loaded at startup (`TimeCampConfig.fromEnv`);
+    * the handle an HTTP transport uses for base URL + auth headers.
+    */
+  @volatile var envConfig: TimeCampConfig = TimeCampConfig("", rootGroupId = 0)
 
   // ------------------------------------------------------------- parsing
 
@@ -277,14 +284,27 @@ object PipelineMain {
 
   // ----------------------------------------------------------------- run
 
-  def run(spark: SparkSession, c: Config): Map[String, Long] = {
+  def run(spark: SparkSession, c: Config,
+      sinkOverride: Option[Sink] = None): Map[String, Long] = {
     val invalid = c.datasets.filterNot(AvailableDatasets.contains)
     if (invalid.nonEmpty)
       throw new IllegalArgumentException(
         s"Invalid datasets: ${invalid.mkString(", ")}. " +
           s"Available: ${AvailableDatasets.mkString(", ")}")
-    require(FileSink.Formats.contains(c.format),
-      s"unsupported format: ${c.format}")
+    // Sink seam: the default file sink mirrors the reference's filesystem/S3
+    // destination; `--sink bigquery` selects the BigQuery-shaped sink
+    // (target = project.dataset, format fixed to the connector's).
+    val (sink: Sink, sinkFormat: String) = c.sink match {
+      case "file" =>
+        require(FileSink.Formats.contains(c.format),
+          s"unsupported format: ${c.format}")
+        (FileSink, c.format)
+      case BigQuerySink.Format =>
+        (sinkOverride.getOrElse(BigQuerySink()), BigQuerySink.Format)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown sink: $other (available: file, ${BigQuerySink.Format})")
+    }
     val transport = Option(transports.get(c.transportKey)).getOrElse(
       throw new IllegalStateException(s"no transport '${c.transportKey}'"))
     val from = TimeCampClient.parseDateFlexible(c.from).toString
@@ -304,7 +324,7 @@ object PipelineMain {
         case "application_names" =>
           buildApplicationNames(spark, transport, activities)
       }
-      FileSink.write(df, c.output, ds, c.format)
+      sink.write(df, c.output, ds, sinkFormat)
       ds -> df.count()
     }.toMap
   }
@@ -314,6 +334,12 @@ object PipelineMain {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage); sys.exit(1)
     }
+    // Reference setup path (`dlt_fetch_timecamp.py:102-108`): load `.env`
+    // (overriding the process env) and build the API config from
+    // TIMECAMP_* variables. An HTTP transport registered under
+    // `--transport` reads `envConfig.baseUrl` / `.headers`; the offline
+    // stub ignores it.
+    envConfig = TimeCampConfig.fromEnv()
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .withExtensions(new graft.functions.GraftExtensions)

@@ -14,11 +14,12 @@ import org.apache.spark.sql.DataFrame
   * the layout pass renames them to the reference's naming scheme. S3 is the
   * same code via `s3a://` (Hadoop FS handles both), rename becomes a copy.
   */
-object FileSink {
+object FileSink extends Sink {
 
   val Formats: Set[String] = Set("csv", "jsonl", "parquet")
 
-  def write(df: DataFrame, outDir: String, table: String, format: String): Unit = {
+  override def write(df: DataFrame, outDir: String, table: String,
+      format: String): Unit = {
     require(Formats.contains(format), s"unsupported format: $format")
     val sparkFormat = if (format == "jsonl") "json" else format
     val writer = df.write.mode("overwrite")

@@ -62,4 +62,50 @@ class PipelineMainSpec extends SparkSpec {
       .select("name").as[String].head === "Info 1000")
     assert(apps.count() === counts("application_names"))
   }
+
+  test("TimeCampConfig.fromEnv: reference defaults and env precedence") {
+    import graft.sources.TimeCampConfig
+    val missing = java.nio.file.Paths.get("/nonexistent/.env")
+    // no env, no .env → the reference's defaults (common/utils.py:19-26)
+    val d = TimeCampConfig.fromEnv(Map.empty, missing)
+    assert(d === TimeCampConfig("", "app.timecamp.com", 0))
+    assert(d.baseUrl === "https://app.timecamp.com/third_party/api")
+    // process env supplies the values
+    val fromProc = TimeCampConfig.fromEnv(Map(
+      "TIMECAMP_API_KEY" -> "k1", "TIMECAMP_ROOT_GROUP_ID" -> "42"), missing)
+    assert(fromProc.apiKey === "k1" && fromProc.rootGroupId === 42)
+    assert(fromProc.headers("Authorization") === "Bearer k1")
+    // .env file OVERRIDES the process env (load_dotenv(override=True))
+    val dir = Files.createTempDirectory("dotenv")
+    val dotenv = dir.resolve(".env")
+    java.nio.file.Files.writeString(dotenv,
+      """# comment line
+        |export TIMECAMP_API_KEY="k2"
+        |TIMECAMP_DOMAIN='eu.timecamp.com'
+        |TIMECAMP_ROOT_GROUP_ID=7
+        |""".stripMargin)
+    val c = TimeCampConfig.fromEnv(Map(
+      "TIMECAMP_API_KEY" -> "k1", "TIMECAMP_ROOT_GROUP_ID" -> "42"), dotenv)
+    assert(c === TimeCampConfig("k2", "eu.timecamp.com", 7))
+  }
+
+  test("--sink bigquery routes every dataset through the BigQuery sink") {
+    import graft.sources.BigQuerySink
+    var written = Vector.empty[(String, Long)]
+    val bq = BigQuerySink(saver = (df, opts, mode) => {
+      assert(mode === "overwrite")
+      written :+= (opts("table") -> df.count())
+    })
+    val counts = PipelineMain.run(spark,
+      cfg("proj.analytics", Seq("entries", "tasks")).copy(sink = "bigquery"),
+      sinkOverride = Some(bq))
+    assert(written.toMap === Map(
+      "proj.analytics.entries" -> 5L, "proj.analytics.tasks" -> 3L))
+    assert(counts === Map("entries" -> 5L, "tasks" -> 3L))
+    // unknown sink is rejected with the available list
+    val e = intercept[IllegalArgumentException] {
+      PipelineMain.run(spark, cfg("x", Seq("entries")).copy(sink = "kafka"))
+    }
+    assert(e.getMessage.contains("unknown sink"))
+  }
 }

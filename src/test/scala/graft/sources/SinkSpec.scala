@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The Sink seam: FileSink and the BigQuery-shaped sink behind one
+  * `write(df, target, table, format)` signature. The BigQuery saver is
+  * injected (the connector jar is not on this classpath), so these specs
+  * exercise the full option-building + mode wiring offline and round-trip
+  * the frame through a recording saver, FileSinkSpec-style.
+  */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+
+  test("BigQuerySink assembles the public connector option surface") {
+    val bq = BigQuerySink(
+      writeMethod = "indirect",
+      temporaryGcsBucket = Some("staging-bkt"),
+      partitionField = Some("date"),
+      clusteringFields = Seq("user_id", "task_id"),
+      saver = (_, _, _) => ())
+    val opts = bq.options("proj.analytics", "entries")
+    assert(opts("table") === "proj.analytics.entries")
+    assert(opts("writeMethod") === "indirect")
+    assert(opts("temporaryGcsBucket") === "staging-bkt")
+    assert(opts("partitionField") === "date")
+    assert(opts("clusteredFields") === "user_id,task_id")
+  }
+
+  test("direct writeMethod needs no staging bucket; indirect requires one") {
+    assert(BigQuerySink().options("p.d", "t") ===
+      Map("table" -> "p.d.t", "writeMethod" -> "direct"))
+    val e = intercept[IllegalArgumentException] {
+      BigQuerySink(writeMethod = "indirect", saver = (_, _, _) => ())
+    }
+    assert(e.getMessage.contains("temporaryGcsBucket"))
+    intercept[IllegalArgumentException] {
+      BigQuerySink(writeMethod = "streaming", saver = (_, _, _) => ())
+    }
+  }
+
+  test("BigQuerySink round-trips through a recording saver") {
+    val dir = Files.createTempDirectory("bqsink").toString
+    var captured: (Map[String, String], String) = null
+    val bq = BigQuerySink(saver = (df, opts, mode) => {
+      captured = (opts, mode)
+      df.write.mode("overwrite").parquet(s"$dir/${opts("table")}")
+    })
+    bq.write(sample, "proj.ds", "t", BigQuerySink.Format)
+    assert(captured._1("table") === "proj.ds.t")
+    assert(captured._2 === "overwrite")
+    val back = spark.read.parquet(s"$dir/proj.ds.t")
+    assert(back.count() === 2)
+    assert(back.columns.sorted.toSeq === Seq("id", "name", "v"))
+    // wrong format is rejected, not silently written
+    intercept[IllegalArgumentException](bq.write(sample, "proj.ds", "t", "csv"))
+  }
+
+  test("FileSink and BigQuerySink are interchangeable behind the Sink trait") {
+    val dir = Files.createTempDirectory("sinktrait").toString
+    var bqTables = Vector.empty[String]
+    val sinks: Seq[(Sink, String, String)] = Seq(
+      (FileSink, dir, "parquet"),
+      (BigQuerySink(saver = (_, opts, _) => bqTables :+= opts("table")),
+        "p.d", BigQuerySink.Format))
+    sinks.foreach { case (s, target, fmt) => s.write(sample, target, "t", fmt) }
+    assert(FileSink.read(spark, dir, "t", "parquet").count() === 2)
+    assert(bqTables === Vector("p.d.t"))
+  }
+}
