@@ -10,7 +10,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false exists only for A/B floor measurements;
+      // the engine's config is AQE ON (skew-join + runtime re-plan are
+      // non-negotiable at real scale).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // NOTE: coalescePartitions.parallelismFirst=false was A/B-measured
       // here and is ~19% SLOWER on this suite (size-based coalescing
       // collapses medium shuffles to one partition and serializes their

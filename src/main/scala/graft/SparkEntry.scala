@@ -433,8 +433,10 @@ object SparkEntry {
         octet_length(col("text").cast("binary")).as("n_bytes"),
         md5(col("text").cast("binary")).as("digest"))),
 
-    // mapPartitions decode seam (stubbed codec) — no SQL oracle; the driver
-    // records a rows-only check and MultimodalSpec covers determinism.
+    // mapPartitions decode seam. The stub codec derives metadata from the
+    // payload byte length, so the DuckDB twin reproduces it exactly and
+    // this is a full rows+schema+hash check of the decode plumbing
+    // (MultimodalSpec additionally covers the seam's determinism).
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.fromDocuments(t(s, dir, "documents")))),
@@ -559,7 +561,8 @@ object SparkEntry {
             .as("session_end"),
           col("n_events"))),
 
-    // --- multimodal frame sampling (stub codec; rows-only check) ---
+    // --- multimodal frame sampling (stub codec, length-derived duration →
+    // fully oracle-checked like q_multimodal_meta) ---
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 60000L)),
@@ -1351,6 +1354,26 @@ object SparkEntry {
 
     "q_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents",
+
+    // stub-codec twins: media_type from doc_id % 3, metadata from the
+    // UTF-8 byte length (strlen) — the exact arithmetic FakeDecoder runs
+    "q_multimodal_meta" -> (
+      "WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        "CAST(COALESCE(strlen(text), 0) AS INT) AS n_bytes FROM documents) " +
+        "SELECT media_id, media_type, n_bytes, " +
+        "CASE WHEN media_type = 'image' AND n_bytes > 0 THEN CAST(64 + (7 * n_bytes) % 1024 AS INT) END AS width, " +
+        "CASE WHEN media_type = 'image' AND n_bytes > 0 THEN CAST(64 + (13 * n_bytes + 3) % 1024 AS INT) END AS height, " +
+        "CASE WHEN media_type IN ('audio', 'video') AND n_bytes > 0 THEN CAST(1000 + (997 * n_bytes) % 600000 AS BIGINT) END AS duration_ms " +
+        "FROM m"),
+
+    "q_frame_sample" -> (
+      "WITH v AS (SELECT doc_id AS media_id, " +
+        "CAST(1000 + (997 * strlen(text)) % 600000 AS BIGINT) AS dur " +
+        "FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0), " +
+        "f AS (SELECT media_id, unnest(range(0, dur, 60000)) AS frame_ms FROM v) " +
+        "SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms, " +
+        "format('{:x}', frame_ms * 31 + media_id) AS frame_digest FROM f"),
 
     "q_scan_tasks" ->
       "SELECT event_id, key, CAST(json_extract(props, '$.' || key) AS INT) AS value FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)",

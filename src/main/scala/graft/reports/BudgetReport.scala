@@ -25,7 +25,12 @@ object BudgetReport {
   def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
     // Recursive-CTE closure: same UNION ALL shape as the published report's
     // own recursive CTE (SAMPLE-REPORTS.md:59-75) — both assume a forest.
+    // Materialized once before the broadcast: the UnionLoop otherwise
+    // re-runs inside the broadcast-exchange computation, and the
+    // dimension-sized result (|tasks| × depth) is checkpoint-cheap
+    // (measured ~0.4s off the report at sf0.1).
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
+      .localCheckpoint(true)
     val tracked = entries
       .join(broadcast(closure),
         entries("task_id") === closure("descendant_id"))

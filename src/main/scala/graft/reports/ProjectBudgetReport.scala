@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
 object ProjectBudgetReport {
 
   def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
+    // Materialized once (same reasoning as BudgetReport): the recursion
+    // must not re-execute inside the memberOf join's exchange.
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
+      .localCheckpoint(true)
     val roots = tasks.where(col("parent_id").isNull)
       .select(col("task_id").as("project_id"), col("name").as("project_name"))
     // descendant → its root ancestor; materialized once — it feeds two

@@ -35,19 +35,25 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** Deterministic stand-in for a codec: metadata derived from byte stats.
-    * A real deployment replaces ONLY this function.
+  /** Deterministic stand-in for a codec: metadata derived from the payload
+    * byte length. A real deployment replaces ONLY this function.
+    *
+    * The formula is deliberately arithmetic-on-length (not a byte hash):
+    * it keeps the decode seam honest — the Spark-side plumbing is
+    * identical either way — while letting the DuckDB oracle reproduce the
+    * values (`strlen` = UTF-8 byte count) so the multimodal queries get a
+    * full rows+schema+hash correctness check instead of rows-only.
     */
   object FakeDecoder {
     def decode(mediaType: String, payload: Array[Byte]): (Option[Int], Option[Int], Option[Long]) = {
       if (payload == null || payload.isEmpty) (None, None, None)
       else {
-        val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+        val n = payload.length
         mediaType match {
           case "image" =>
-            (Some(64 + (h % 1024).toInt.abs), Some(64 + ((h >> 10) % 1024).toInt.abs), None)
+            (Some(64 + (7 * n) % 1024), Some(64 + (13 * n + 3) % 1024), None)
           case "audio" | "video" =>
-            (None, None, Some(1000L + (h % 600000L).abs))
+            (None, None, Some(1000L + (997L * n) % 600000L))
           case _ => (None, None, None)
         }
       }
