@@ -245,18 +245,112 @@ object Dedup {
     * from it — the canonical "dedup cluster" resolution step after any
     * candidate generator (minhash/simhash/embedding pairs).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; fixpoint in O(component
-    * diameter) rounds. Near-dup components are short chains (diameter ≪
-    * 20), so the round count stays small at any corpus size; each round is
-    * one join + one aggregate on the EDGE set — never materializes
-    * anything larger than |edges|. `localCheckpoint` truncates lineage per
-    * round (same discipline as Closure.transitiveClosure). This is the
-    * two-phase "large-star/small-star" algorithm's simpler cousin —
-    * adequate while diameters stay small, and the oracle-comparable one.
+    * Hybrid strategy: min-label propagation first (2 jobs/round, and
+    * near-dup components are near-star shaped, so it converges in a few
+    * rounds — A/B-measured ~2× cheaper than the star algorithm at sf0.1),
+    * BUT its round count is O(component diameter), so if it has NOT
+    * converged within `propagationRounds` the result would be silently
+    * wrong — in that case this falls back to the diameter-independent
+    * large-star/small-star pass ([[connectedComponentsStar]]) instead of
+    * returning the partial labels. Normal corpora never pay the fallback;
+    * pathological ones (a similarity chain longer than the round cap) get
+    * a correct answer instead of a wrong one.
     */
   def connectedComponents(
-      pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+      pairs: DataFrame, propagationRounds: Int = 20): DataFrame = {
+    val (labels, converged) = labelPropagation(pairs, propagationRounds)
+    if (converged) labels else connectedComponentsStar(pairs)
+  }
+
+  /** Alternating large-star / small-star CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each phase is one groupBy-min
+    * plus one join on the EDGE set, and the edge set contracts toward
+    * per-component stars in O(log²) phases REGARDLESS of component
+    * diameter. Nothing larger than |edges| is ever materialized;
+    * `localCheckpoint` truncates lineage per phase. Costs ~3 shuffles per
+    * phase (vs 1 for label propagation), which is why it is the fallback
+    * for unbounded-diameter graphs rather than the default.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // Canonical (hi > lo) directed edges, self-loops dropped. Materialized:
+    // the pair derivation upstream (minhash/verify chains) must not re-run.
+    var edges = pairs
+      .where(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    // Node set remembered up front: star contraction erases isolated
+    // structure, but every input node must appear in the output.
+    val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: every node u connects its STRICTLY LARGER neighbors to
+    // m(u) = min(Γ(u) ∪ {u}); keeps (hi > lo) orientation by construction.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("u"), col("_mv")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+    }
+    // small-star: every node u connects its smaller neighbors (and itself)
+    // to the minimum smaller neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val viaNeighbors = e.join(mins, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      val self = mins.select(col("hi"), col("m").as("lo"))
+      viaNeighbors.unionByName(self).distinct()
+    }
+
+    // Fixpoint = edge multiset unchanged across a full round, detected by
+    // a (count, Σhi, Σlo, Σhash) signature in ONE aggregate over the
+    // just-checkpointed set (an exact except-based check would cost two
+    // more shuffles per round; a 4-field signature collision is vanishing
+    // and any miss would surface in the oracle gate).
+    def signature(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)), sum(col("hi").cast("decimal(38,0)")),
+        sum(col("lo").cast("decimal(38,0)")),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")))
+        .head.toSeq
+    var prev = signature(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = signature(edges)
+      converged = sig == prev
+      prev = sig
+      round += 1
+    }
+    // At the fixpoint every edge is (member, componentMin); minima and
+    // isolated nodes label themselves.
+    nodes.join(edges.withColumnRenamed("hi", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lo"), col("id")).as("component"))
+  }
+
+  /** Iterative min-label propagation CC: each round every node takes the
+    * min of its own and its neighbors' labels; fixpoint in O(component
+    * diameter) rounds — fine when components are known-short (near-dup
+    * clusters), WRONG past `maxRounds` on longer ones. Exposed for specs
+    * and A/B runs; [[connectedComponents]] uses it as the fast path and
+    * falls back to the star pass when it reports non-convergence.
+    */
+  def connectedComponentsLabelProp(
+      pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    labelPropagation(pairs, maxRounds)._1
+
+  /** Label-propagation core: returns (labels, converged). */
+  private[ops] def labelPropagation(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
     // The pair input is materialized FIRST: it appears in both union
     // branches below, and without the checkpoint Spark would re-execute
     // the (often expensive — minhash/verify chains) pair derivation twice.
@@ -278,11 +372,11 @@ object Dedup {
     // the fixpoint — equality of consecutive sums IS convergence. The sum
     // is a cheap scan over the just-materialized checkpoint (no extra
     // shuffle, unlike an anti-join change detector).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
     var prevSum = labelSum(labels)
     var round = 0
-    var converged = false
+    var converged = prevSum.isEmpty // empty edge set: trivially converged
     while (!converged && round < maxRounds) {
       labels = edges
         .join(labels.withColumnRenamed("id", "b")
@@ -291,11 +385,11 @@ object Dedup {
         .agg(min(col("_nl")).as("component"))
         .localCheckpoint(true)
       val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       round += 1
     }
-    labels
+    (labels, converged)
   }
 
   /** N-gram Jaccard near-dup pairs, bounded by a blocking key to avoid the

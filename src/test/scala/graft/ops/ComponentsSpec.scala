@@ -27,6 +27,36 @@ class ComponentsSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L))
   }
 
+  test("hybrid CC is diameter-proof: a 120-chain labels correctly " +
+    "where capped label propagation alone cannot") {
+    // diameter 120 ≫ the label-prop round cap: min-label propagation moves
+    // a label one hop per round, so alone it CANNOT finish — the default
+    // detects the non-convergence and falls back to the star pass, which
+    // contracts in O(log²) phases regardless of diameter.
+    val chain = (0 until 120).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val capped = Dedup.connectedComponentsLabelProp(chain, maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(capped.exists(_._2 != 0L)) // the failure mode the default avoids
+    val hybrid = Dedup.connectedComponents(chain, propagationRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(hybrid.length === 121)
+    assert(hybrid.forall(_._2 == 0L))
+  }
+
+  test("star CC and label propagation agree on short-diameter graphs") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 4L), // self-loop tolerated
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsLabelProp(pairs)
+      .as[(Long, Long)].collect().toMap
+    val c = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a === c)
+  }
+
   test("tfidf: common tokens score lower than rare ones") {
     val docs = Seq(
       (1L, "apple banana apple"),
