@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Closure, Dedup, Enrich, Joins, Similarity, Text, Transforms}
+import graft.ops.{Closure, Dedup, Enrich, Joins, Profile, Similarity, Text, Transforms}
 import graft.reports.{BudgetReport, ProjectBudgetReport, TaskTree}
 import graft.sources.Multimodal
 import graft.streaming.EventStream
@@ -425,6 +425,13 @@ object SparkEntry {
             sum(col("n").cast("double") * log(col("n").cast("double"))) /
               sum(col("n")).cast("double"), 6).as("lang_entropy"))
     }),
+
+    // --- column profiling: nulls / cardinality / min-max per column in
+    // one aggregate job (exact distinct here — oracle-comparable; the
+    // no-Expand HLL variant profileApprox is the 100 TB path, spec-bound)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))),
 
     // --- multimodal plumbing: opaque binary + typed metadata ---
     "q_binary_meta" -> ((s, dir) =>
@@ -1354,6 +1361,15 @@ object SparkEntry {
 
     "q_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, md5(text) AS digest FROM documents",
+
+    "q_profile" -> (
+      Seq("lang", "source", "n_chars").map { c =>
+        s"SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n_nonnull, " +
+          s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"MIN(CAST($c AS VARCHAR)) AS min_value, " +
+          s"MAX(CAST($c AS VARCHAR)) AS max_value FROM documents"
+      }.mkString(" UNION ALL ")),
 
     // stub-codec twins: media_type from doc_id % 3, metadata from the
     // UTF-8 byte length (strlen) — the exact arithmetic FakeDecoder runs

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: nulls, cardinality, min/max per column in one pass") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")),
+      (3L, Option("a"))).toDF("id", "v")
+    val out = Profile.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 3L)
+    assert(id.getString(4) === "1" && id.getString(5) === "3")
+    val v = out("v")
+    assert(v.getLong(1) === 3L && v.getLong(2) === 1L && v.getLong(3) === 2L)
+    assert(v.getString(4) === "a" && v.getString(5) === "b")
+  }
+
+  test("profileApprox tracks exact cardinality within HLL++ error") {
+    val df = (1 to 5000).map(i => (i.toLong % 997, s"s${i % 313}"))
+      .toDF("k", "s")
+    val exact = Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profileApprox(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for (c <- Seq("k", "s")) {
+      val rel = math.abs(approx(c).toDouble - exact(c)) / exact(c)
+      assert(rel < 0.05, s"$c: approx ${approx(c)} vs exact ${exact(c)}")
+    }
+    // same schema either way (the scale path is a drop-in)
+    assert(Profile.profile(df, Seq("k")).columns.toSeq ===
+      Profile.profileApprox(df, Seq("k")).columns.toSeq)
+  }
+}
