@@ -537,6 +537,12 @@ object SparkEntry {
           x => x.cast("decimal(18,6)").cast("string"))).as("unit_vec"))
     }),
 
+    // --- symmetric int8 quantization (4× storage cut before ANN):
+    // per-vector max-abs scale, floor(+0.5) rounding (round-half is not
+    // engine-portable for negatives), map-side only ---
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -1476,6 +1482,14 @@ object SparkEntry {
         "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END, " +
         "x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit_vec FROM embeddings"
     },
+
+    "q_embed_quantize" -> (
+      "WITH s AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc FROM embeddings) " +
+        "SELECT vec_id, sc AS scale, " +
+        "array_to_string(list_transform(embedding, x -> CAST(" +
+        "CASE WHEN sc > 0 THEN greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127 / sc + 0.5) AS INT))) ELSE 0 END " +
+        "AS VARCHAR)), ',') AS qvec FROM s"),
 
     "q_centroid" -> (
       "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +

@@ -185,4 +185,30 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max |x|, q_i = floor(x_i·127/scale + 0.5) ∈ [-127, 127] — the
+    * storage/serving format that cuts a float32 corpus 4× before ANN.
+    * Map-side only (no shuffle at any corpus size). Rounding is an
+    * explicit floor(+0.5) rather than `round`: engines disagree on
+    * round-half for negatives, floor(+0.5) is bit-portable — and the
+    * quantized vector serializes to a comma-joined string so the result
+    * is oracle-hashable. Zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      // scale projected once per row — inlining array_max into the
+      // quantize lambda would re-reduce the vector per element (O(d²))
+      .select(col(idCol), col(vecCol),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("_s"))
+      .select(
+        col(idCol),
+        // raw max — same floats reduce to the same double in any engine,
+        // while round-half-at-1e-9 is not portable
+        col("_s").as("scale"),
+        concat_ws(",", transform(col(vecCol), x =>
+          when(col("_s") > 0,
+            greatest(lit(-127), least(lit(127),
+              floor(x.cast("double") * 127 / col("_s") + 0.5).cast("int"))))
+            .otherwise(lit(0)).cast("string"))).as("qvec"))
 }

@@ -79,6 +79,22 @@ class PlanSpec extends SparkSpec {
       s"corpus side must not shuffle before the join:\n$plan")
   }
 
+  test("budget report: fact side scanned once and joined broadcast") {
+    val report = reports.BudgetReport(
+      reports.TaskTree.tasks(spark, dir), reports.TaskTree.entries(spark, dir))
+    val plan = planOf(report)
+    // the 100 TB side (entries = lineitem here) must appear in exactly ONE
+    // scan — the closure/rollup must never trigger a second pass or a
+    // re-shuffle of the fact table
+    val factScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans === 1, s"expected 1 lineitem scan, got $factScans in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"closure must broadcast against the fact side:\n$plan")
+    // partial aggregation runs map-side before the only fact shuffle
+    assert(plan.contains("HashAggregate"), s"expected hash agg in:\n$plan")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
