@@ -37,6 +37,19 @@ object PipelineMain {
   val AvailableDatasets: Seq[String] =
     Seq("entries", "tasks", "computer_activities", "users", "application_names")
 
+  /** The reference's application category id→name table, verbatim
+    * (`dlt_fetch_timecamp.py:111-133`); unknown ids decode to
+    * "No category" (`:633`).
+    */
+  val CategoryMapping: Seq[(String, String)] = Seq(
+    "0" -> "No category", "1" -> "Office", "2" -> "Developer Tools",
+    "3" -> "Chat, VoIP & Email", "4" -> "Graphic & Design", "5" -> "Home",
+    "6" -> "Productivity", "7" -> "Utilities & Tools", "8" -> "Audio & Video",
+    "9" -> "Games", "10" -> "Education", "11" -> "Fun", "12" -> "News & Blogs",
+    "13" -> "Reference & Search", "14" -> "Shopping",
+    "15" -> "Social Networking", "16" -> "Travel & Outdoors",
+    "17" -> "Business", "18" -> "Hobby")
+
   case class Config(
       from: String = "yesterday", to: String = "yesterday",
       output: String = "./timecamp_data", format: String = "csv",
@@ -275,8 +288,7 @@ object PipelineMain {
       .withColumn("name", Transforms.firstNonBlank(lit(""),
         col("full_name"), col("aditional_info"), col("app_name")))
     val decoded = Transforms.decodeMap(df, "category_id",
-      Seq("1" -> "Productivity", "2" -> "Communication", "3" -> "Development"),
-      "category_name", "No category")
+      CategoryMapping, "category_name", "No category")
     Transforms.dedupByPk(
       decoded.select("application_id", "name", "category_name"),
       Seq("application_id"), Seq(col("name")))

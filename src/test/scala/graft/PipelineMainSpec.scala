@@ -61,6 +61,13 @@ class PipelineMainSpec extends SparkSpec {
     assert(apps.where(col("application_id") === "1000")
       .select("name").as[String].head === "Info 1000")
     assert(apps.count() === counts("application_names"))
+    // category decode uses the reference's verbatim id→name table
+    // (dlt_fetch_timecamp.py:111-133): "0"→No category, "1"→Office, ...
+    val cats = apps.select("application_id", "category_name").as[(String, String)]
+      .collect().toMap
+    assert(cats("1000") === "No category")
+    assert(cats("1001") === "Office")
+    assert(cats("1002") === "Developer Tools")
   }
 
   test("TimeCampConfig.fromEnv: reference defaults and env precedence") {
