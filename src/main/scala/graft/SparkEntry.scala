@@ -592,9 +592,20 @@ object SparkEntry {
 
     // --- sketch aggregate (HLL; implementation-specific value → rows-only
     // check here, relative-error bound asserted in TransformsSpec) ---
+    // --- HLL++ cardinality sketch. The estimate itself is
+    // implementation-specific, so (same pattern as q_approx_quantile) the
+    // oracle comparison is an IN-ENGINE error-bound check: both the sketch
+    // and the exact distinct run in one aggregate, the output carries the
+    // exact count plus a within-bound flag (HLL++ at default rsd 0.05;
+    // checked at 3× rsd), and the DuckDB twin reproduces the exact side
+    // with the flag expected true. ---
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_suppkey")).as("n_approx"))),
+        .agg(approx_count_distinct(col("l_suppkey")).as("_approx"),
+          countDistinct(col("l_suppkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("_approx") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.15).as("within_bound"))),
 
     // --- quantile sketch (approx_percentile, accuracy 1000). The sketch
     // value itself is implementation-specific, so the oracle comparison is
@@ -990,6 +1001,13 @@ object SparkEntry {
         "list_contains(ws, 'green') AS has_green, " +
         "array_to_string(list_sort(ws)[1:2], '|') AS first2, " +
         "array_to_string(list_sort(ws), ',') AS joined FROM w"),
+
+    // error-bound contract check for the HLL++ sketch: the Spark side
+    // verifies its own estimate against the exact distinct; the oracle
+    // reproduces the exact side and expects every bound to hold
+    "q_approx_distinct" -> (
+      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_exact, " +
+        "true AS within_bound FROM lineitem GROUP BY 1"),
 
     // error-bound contract check for the quantile sketch: the Spark side
     // verifies its own approx_percentile output against exact ranks; the
