@@ -869,6 +869,14 @@ object SparkEntry {
           .otherwise(col("_hx") < "8"))
         .select(col("doc_id"), col("lang"))),
 
+    // --- training-mixture sampling: per-source token-budget weights →
+    // per-source keep fraction → seeded hash sample (engine-reproducible;
+    // the broadcast fraction table means the corpus never shuffles) ---
+    "q_mixture_sample" -> ((s, dir) =>
+      Text.mixtureSample(t(s, dir, "documents"), "doc_id", "source", "text",
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 2000L)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
     // --- full dedup pipeline: LSH candidates → exact-Jaccard verify →
     // connected components → canonical keeper per cluster ---
     "q_dedup_pipeline" -> ((s, dir) =>
@@ -1091,6 +1099,16 @@ object SparkEntry {
 
     "q_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' ELSE substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' END",
+
+    // all fraction arithmetic forced through DOUBLE (DuckDB VALUES
+    // literals are DECIMAL, which would round differently than Spark)
+    "q_mixture_sample" -> (
+      s"WITH av AS (SELECT source, SUM(len($docTokens)) AS avail FROM documents GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) t(source, wt)), " +
+        "f AS (SELECT av.source, least(CAST(1 AS DOUBLE), CAST(2000 AS DOUBLE) * CAST(wt AS DOUBLE) / avail) AS fr FROM av JOIN w USING (source)) " +
+        "SELECT d.doc_id, d.source, d.lang FROM documents d JOIN f ON d.source = f.source " +
+        "WHERE fr >= 1.0 OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
+        "format('{:08x}', CAST(floor(fr * 4294967296) AS BIGINT))"),
 
     "q_dedup_pipeline" -> (
       s"WITH RECURSIVE $minhashPairsCtes, " +

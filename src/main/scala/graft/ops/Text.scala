@@ -131,4 +131,39 @@ object Text {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Training-mixture sampling: draw a deterministic subcorpus whose
+    * per-source token mass approximates `totalTokens × weight(source)`.
+    *
+    * Per source s: available tokens A_s (one column-pruned aggregate
+    * scan), keep fraction f_s = min(1, T·w_s / A_s), then a seeded
+    * md5-prefix hash sample at rate f_s — reproducible across runs AND
+    * engines (the DuckDB twin draws the identical doc set), with 2^-32
+    * rate granularity. Sources absent from `weights` are dropped (that is
+    * the mixture definition). Scale shape: the corpus is scanned twice
+    * (once pruned to (source, text-length) for the aggregate, once for
+    * the filtered output); the per-source fraction table is
+    * dimension-sized and broadcast — no shuffle of the corpus itself.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, weights: Seq[(String, Double)],
+      totalTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("_src", "_w")
+    val avail = docs.groupBy(col(sourceCol).as("_src"))
+      .agg(sum(tokenCount(col(textCol))).as("_avail"))
+    val frac = avail.join(w, Seq("_src"))
+      .select(col("_src"),
+        least(lit(1.0),
+          lit(totalTokens.toDouble) * col("_w") / col("_avail")).as("_f"))
+    docs.join(broadcast(frac), docs(sourceCol) === frac("_src"))
+      // f ≥ 1 keeps everything explicitly: floor(1.0·2^32) renders as 9
+      // hex digits and would compare lexicographically BELOW every
+      // 8-char md5 prefix
+      .where(col("_f") >= 1.0 ||
+        substring(md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 8) <
+          format_string("%08x", floor(col("_f") * 4294967296d).cast("long")))
+      .drop("_src", "_w", "_f")
+  }
 }

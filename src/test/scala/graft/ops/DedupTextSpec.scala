@@ -116,4 +116,26 @@ class DedupTextSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect()
     assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
   }
+
+  test("mixtureSample: saturated source kept whole, partial rate tracks " +
+    "the budget, unlisted sources dropped, deterministic") {
+    // source a: 400 docs × 10 tokens = 4000; b: 10 × 10 = 100; c unlisted
+    val docs = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (400 until 410).map(i => (i.toLong, "b")) ++
+      (410 until 420).map(i => (i.toLong, "c")))
+      .map { case (id, src) => (id, src, Seq.fill(10)("tok").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    // T=2000: f_a = 2000·0.5/4000 = 0.25; f_b = 2000·0.5/100 = 10 → 1
+    val out = Text.mixtureSample(docs, "doc_id", "source", "text",
+      Seq("a" -> 0.5, "b" -> 0.5), totalTokens = 2000L)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("b") === 10L) // saturated → full keep
+    assert(!bySrc.contains("c")) // not in the mixture
+    val aKept = bySrc("a")
+    assert(aKept > 60 && aKept < 140, s"~25% of 400 expected, got $aKept")
+    val rerun = Text.mixtureSample(docs, "doc_id", "source", "text",
+      Seq("a" -> 0.5, "b" -> 0.5), totalTokens = 2000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rerun === out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
