@@ -877,6 +877,17 @@ object SparkEntry {
         Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 2000L)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // --- incremental ingest dedup: a new batch (doc_id ≥ 250) against the
+    // digest store of the already-deduped corpus (doc_id < 250) — the
+    // daily-ingest path that costs O(|batch|), never a corpus re-dedup ---
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.where(col("doc_id") < 250)
+        .select(md5(col("text").cast("binary")).as("digest")).distinct()
+      Dedup.exactIncremental(
+        docs.where(col("doc_id") >= 250), "doc_id", "text", seen)
+    }),
+
     // --- full dedup pipeline: LSH candidates → exact-Jaccard verify →
     // connected components → canonical keeper per cluster ---
     "q_dedup_pipeline" -> ((s, dir) =>
@@ -1099,6 +1110,11 @@ object SparkEntry {
 
     "q_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' ELSE substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' END",
+
+    "q_dedup_incremental" -> (
+      "WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250), " +
+        "g AS (SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id FROM documents WHERE doc_id >= 250 GROUP BY 1) " +
+        "SELECT keeper_id, digest FROM g WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = g.digest)"),
 
     // all fraction arithmetic forced through DOUBLE (DuckDB VALUES
     // literals are DECIMAL, which would round differently than Spark)

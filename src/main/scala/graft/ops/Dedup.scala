@@ -60,22 +60,7 @@ object Dedup {
     */
   def minhashCandidatePairsFromShingles(
       shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    // Staged projections so each expensive array is computed exactly once
-    // per row (CollapseProject keeps multiply-referenced non-cheap aliases
-    // in their own stage); a single inline expression would re-derive the
-    // tokenization once per seed.
-    val banded = shingled
-      .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
-      .select(col("_id"), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
-            .as("key"))
-      }: _*)).as("_band"))
-      .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
-      // Materialized once so the self-join below doesn't recompute the
-      // signatures (the dominant cost) per join side.
-      .localCheckpoint(true)
+    val banded = bandTable(shingled, numHashes, rowsPerBand)
     // Pair generation is a distributed band self-join, NOT a per-bucket
     // collect_set+explode: a collect concentrates a degenerate bucket's
     // whole membership array and its O(k²) pair fan-out in ONE task — the
@@ -88,6 +73,85 @@ object Dedup {
     a.join(b, Seq("_bno", "_bkey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** The LSH band table of a pre-shingled frame: `(_id, _bno, _bkey)`, one
+    * row per (doc, band), eagerly materialized. This is both the internal
+    * input to pair generation and the PERSISTENT artifact of incremental
+    * dedup: store it (parquet, partitioned by `_bno`) and each new ingest
+    * batch joins its own bands against the store instead of re-banding the
+    * corpus.
+    */
+  def bandTable(
+      shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    // Staged projections so each expensive array is computed exactly once
+    // per row (CollapseProject keeps multiply-referenced non-cheap aliases
+    // in their own stage); a single inline expression would re-derive the
+    // tokenization once per seed.
+    shingled
+      .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
+      .select(col("_id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("key"))
+      }: _*)).as("_band"))
+      .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
+      // Materialized once so consumers (self-join sides, store writes)
+      // don't recompute the signatures (the dominant cost).
+      .localCheckpoint(true)
+  }
+
+  // ------------------------------------------------------ incremental dedup
+
+  /** Incremental exact dedup: the survivors of a NEW ingest batch against
+    * an already-deduplicated corpus represented by its digest store (a
+    * `digest` column). In-batch duplicate groups resolve to the min id;
+    * groups whose digest the corpus has already seen are dropped. Output:
+    * `(keeper_id, digest)` — union the digests back into the store to
+    * complete the ingest.
+    *
+    * Scale shape: one digest shuffle over the BATCH plus one join against
+    * the store — a daily ingest costs O(|batch| + |store lookup|), never a
+    * re-dedup of the corpus. The store side is a bare 32-byte-digest
+    * column; at 100 TB it lives as parquet and the join prunes to the
+    * digest column only.
+    */
+  def exactIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      seenDigests: DataFrame): DataFrame =
+    exactGroups(newDocs, idCol, textCol)
+      .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .select(col("keeper_id"), col("digest"))
+
+  /** Incremental minhash-LSH: candidate near-dup pairs INVOLVING a new
+    * ingest batch — new×new plus new×stored — given the band table of the
+    * existing corpus (as produced by [[bandTable]] and persisted). The
+    * corpus is never re-banded; each pair is normalized (id_a < id_b).
+    * Equivalence: on (corpus ∪ batch), these are exactly the full run's
+    * candidate pairs that touch the batch (property-checked in specs).
+    */
+  def minhashIncrementalCandidates(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      storedBands: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nb = bandTable(
+      newDocs.select(col(idCol).as("_id"),
+        Text.shingles(col(textCol), shingleSize).as("_sh")),
+      numHashes, rowsPerBand)
+    val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
+    val b = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
+    val newNew = a.join(b, Seq("_bno", "_bkey"))
+      .where(col("id_a") < col("id_b"))
+    val stored = storedBands
+      .select(col("_bno"), col("_bkey"), col("_id").as("_sid"))
+    val newStored = a.join(stored, Seq("_bno", "_bkey"))
+      .where(col("id_a") =!= col("_sid"))
+      .select(least(col("id_a"), col("_sid")).as("id_a"),
+        greatest(col("id_a"), col("_sid")).as("id_b"))
+    newNew.select(col("id_a"), col("id_b"))
+      .unionByName(newStored)
       .distinct()
   }
 

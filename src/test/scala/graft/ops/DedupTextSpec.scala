@@ -117,6 +117,39 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
   }
 
+  test("exactIncremental: in-batch dups collapse, seen digests drop") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val seen = corpus.select(md5($"text".cast("binary")).as("digest")).distinct()
+    val batch = Seq(
+      (10L, "alpha text"), // already in the corpus → dropped
+      (11L, "gamma text"), (12L, "gamma text"), // in-batch dup → keeper 11
+      (13L, "delta text")).toDF("doc_id", "text")
+    val kept = Dedup.exactIncremental(batch, "doc_id", "text", seen)
+      .select("keeper_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+  }
+
+  test("minhashIncrementalCandidates = full-run pairs touching the batch") {
+    val mk = (id: Long, tail: String) =>
+      (id, s"the quick brown fox jumps over the lazy dog $tail")
+    val all = Seq(
+      mk(1L, "one"), mk(2L, "one"), mk(3L, "three"),
+      mk(10L, "one"), mk(11L, "three"), mk(12L, "twelve"), mk(13L, "one"))
+      .toDF("doc_id", "text")
+    val corpus = all.where($"doc_id" < 10)
+    val batch = all.where($"doc_id" >= 10)
+    val full = Dedup.minhashCandidatePairs(all, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val stored = Dedup.bandTable(corpus.select($"doc_id".as("_id"),
+      Text.shingles($"text", 3).as("_sh")))
+    val incr = Dedup.minhashIncrementalCandidates(
+      batch, "doc_id", "text", stored).as[(Long, Long)].collect().toSet
+    val batchIds = Set(10L, 11L, 12L, 13L)
+    val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incr === expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise both legs
+  }
+
   test("mixtureSample: saturated source kept whole, partial rate tracks " +
     "the budget, unlisted sources dropped, deterministic") {
     // source a: 400 docs × 10 tokens = 4000; b: 10 × 10 = 100; c unlisted
