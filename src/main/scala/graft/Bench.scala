@@ -35,16 +35,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Timings are fixed to 3 decimals (Locale.ROOT): full double repr made
-    // the 92-query line long enough that the driver's tail capture cut it
-    // mid-JSON in round 1. ~30 B/query keeps the whole line inside any
-    // sane tail window, and the totals field stays at the front.
+    // Emit order matters: the driver captures the TAIL of stdout, so the
+    // ~3 KB per-query map goes FIRST (truncation only costs detail) and a
+    // compact total line goes LAST — it always fits the tail window and
+    // always parses (round 2's front-loaded total was exactly what got
+    // truncated → BENCH_r02 "parsed": null). Timings fixed to 3 decimals
+    // (Locale.ROOT) to keep the detail line short.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -433,6 +433,13 @@ object SparkEntry {
       Profile.profile(t(s, dir, "documents"),
         Seq("lang", "source", "n_chars"))),
 
+    // --- HLL profiling path, oracle-graded: the sketch and the exact
+    // distinct run in ONE aggregate; within_bound carries the in-engine
+    // error contract (3×rsd), deterministic columns carry the comparison ---
+    "q_profile_approx" -> ((s, dir) =>
+      Profile.profileApproxChecked(t(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))),
+
     // --- multimodal plumbing: opaque binary + typed metadata ---
     "q_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1427,6 +1434,16 @@ object SparkEntry {
           s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
           s"MIN(CAST($c AS VARCHAR)) AS min_value, " +
           s"MAX(CAST($c AS VARCHAR)) AS max_value FROM documents"
+      }.mkString(" UNION ALL ")),
+
+    "q_profile_approx" -> (
+      Seq("lang", "source", "n_chars").map { c =>
+        s"SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n_nonnull, " +
+          s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"MIN(CAST($c AS VARCHAR)) AS min_value, " +
+          s"MAX(CAST($c AS VARCHAR)) AS max_value, " +
+          s"TRUE AS within_bound FROM documents"
       }.mkString(" UNION ALL ")),
 
     // stub-codec twins: media_type from doc_id % 3, metadata from the

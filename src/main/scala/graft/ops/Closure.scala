@@ -86,9 +86,9 @@ object Closure {
       .createOrReplaceTempView(view)
     val out = nodes.sparkSession.sql(
       s"""WITH RECURSIVE th(descendant_id, ancestor_id) AS (
-         |  SELECT id, id FROM $view
+         |  SELECT id AS descendant_id, id AS ancestor_id FROM $view
          |  UNION ALL
-         |  SELECT th.descendant_id, n.parent
+         |  SELECT th.descendant_id, n.parent AS ancestor_id
          |  FROM th JOIN $view n ON th.ancestor_id = n.id
          |  WHERE n.parent IS NOT NULL
          |) SELECT descendant_id, ancestor_id FROM th""".stripMargin)

@@ -272,9 +272,26 @@ object Dedup {
       .select(col("_id"), size(col("_sharr")).as("_sz"),
         explode(col("_sharr")).as("_sh"))
       .localCheckpoint(true)
+    // Both intersection hops must avoid a single hot doc key. Hop 2 is
+    // naturally spread over (id_b, shingle); hop 1 expands each candidate
+    // pair by id_a's shingle set, and keyed on bare `id_a` a
+    // boilerplate-heavy doc in k pairs with s shingles lands k×s rows in
+    // ONE task (k~1e4, s~1e3 at 100 TB ⇒ 1e7-row task). Fix: salt hop 1.
+    // The salt is derived from the OTHER pair member (deterministic, so a
+    // hot id_a's pairs spread over `salts` reducers), and the replicated
+    // shingle side is first semi-join-restricted to docs that actually
+    // appear in candidates — the corpus-sized shingle frame never pays the
+    // ×salts shuffle, only the (small) near-dup subset does. Hop 2's b side
+    // gets the same semi-join restriction to cut its shuffle volume.
+    val salts = 16
     val a = sh.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_sh"))
+      .join(cands.select("id_a").distinct(), Seq("id_a"), "left_semi")
+      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
     val b = sh.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_sh"))
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b", "_sh"))
+      .join(cands.select("id_b").distinct(), Seq("id_b"), "left_semi")
+    cands.withColumn("_salt", pmod(xxhash64(col("id_b")), lit(salts)).cast("int"))
+      .join(a, Seq("id_a", "_salt")).drop("_salt")
+      .join(b, Seq("id_b", "_sh"))
       .groupBy("id_a", "id_b", "_sza", "_szb")
       .agg(count(lit(1)).as("_inter"))
       .withColumn("jaccard",

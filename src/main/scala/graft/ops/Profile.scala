@@ -51,4 +51,34 @@ object Profile {
 
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     build(df, cols, exact = false)
+
+  /** Oracle-gradeable twin of [[profileApprox]]: runs the HLL++ sketch AND
+    * the exact distinct in the same single aggregate and grades the sketch
+    * in-engine — `within_bound` asserts |approx − exact| ≤ 3×rsd×exact
+    * (default rsd 0.05 → 15%), the same error-bound-contract pattern as
+    * the `q_approx_distinct` query. The deterministic columns (counts,
+    * exact distinct, min/max, flag) are what the DuckDB twin reproduces;
+    * the sketch value itself never leaves the engine. At 100 TB the
+    * deployed path is [[profileApprox]] (no exact-distinct Expand); this
+    * variant exists so that path's estimator has a CORRECTNESS row.
+    */
+  def profileApproxChecked(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      metrics(exact = true)(c) :+
+        approx_count_distinct(col(c)).as(s"_a_$c")
+    }
+    val one = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"_n_$c").as("n_nonnull"),
+        (col("_total") - col(s"_n_$c")).as("n_null"),
+        col(s"_d_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"),
+        col(s"_max_$c").as("max_value"),
+        (abs(col(s"_a_$c") - col(s"_d_$c")).cast("double") <=
+          col(s"_d_$c").cast("double") * 0.15).as("within_bound"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
 }

@@ -70,3 +70,47 @@ object FileSink extends Sink {
       .load(if (uriTarget) s"$outDir/$table" else outDir)
   }
 }
+
+/** Bucketed parquet destination through the same [[Sink]] seam: each table
+  * is hash-partitioned ONCE at write time into `numBuckets` buckets on
+  * `bucketCols` (optionally sorted within buckets), so every later
+  * equi-join or aggregation on those keys runs with ZERO Exchange — the
+  * write pays the shuffle once instead of every query paying it. At 100 TB
+  * the repeated fact-table shuffle is the dominant join cost; bucketing the
+  * warehouse layout is the standing answer (PlanSpec proves the
+  * shuffle-free plan on sink-written tables).
+  *
+  * Spark can only express bucketing through the session catalog
+  * (`saveAsTable`; a bare path `save()` has nowhere to record the bucket
+  * spec), so data files land under `target/table` and the bucket metadata
+  * under catalog name `{tablePrefix}_{table}` — [[read]] resolves through
+  * the catalog so the spec survives the round-trip.
+  */
+final case class BucketedSink(
+    numBuckets: Int, bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+    tablePrefix: String = "bucketed") extends Sink {
+
+  require(numBuckets > 0, s"numBuckets must be positive, got: $numBuckets")
+  require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+
+  def catalogName(table: String): String = s"${tablePrefix}_$table"
+
+  override def write(df: DataFrame, target: String, table: String,
+      format: String): Unit = {
+    require(format == "parquet",
+      s"bucketed layout is parquet-only (columnar + splittable), got: $format")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", s"$target/$table")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(catalogName(table))
+  }
+
+  /** Catalog-resolved read: keeps the bucket spec visible to the planner
+    * (reading the bare path would silently drop it and reintroduce the
+    * join shuffle this sink exists to remove).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(catalogName(table))
+}

@@ -73,23 +73,33 @@ object TimeCampDataSource {
     Option(transports.get(key)).getOrElse(
       throw new IllegalStateException(s"no transport registered under '$key'"))
 
-  /** Minimal activity-record parse: `[{"user_id":..,"date":"..",
+  /** Activity-record parse: `[{"user_id":..,"date":"..",
     * "application_id":"..","duration":N}, ...]` — the flattened shape;
-    * tolerant of missing fields (reference rows vary by API version).
+    * tolerant of missing fields (reference rows vary by API version) and
+    * of NESTED objects inside a record (a regex-bracket parse would
+    * silently drop fields there). Jackson, same as the pipeline's parsers.
+    * One shared mapper: `readTree` is thread-safe, and the object lives
+    * per-JVM on the executor — never serialized with the partition.
     */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[sources] def parseActivities(
       body: String): Seq[(String, String, Option[String], Option[Long])] = {
-    val obj = """\{[^{}]*\}""".r
-    def field(o: String, k: String): Option[String] =
-      (s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(o).map(_.group(1)))
-        .orElse(s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(o).map(_.group(1)))
-    obj.findAllIn(body).toSeq.flatMap { o =>
-      for {
-        u <- field(o, "user_id")
-        d <- field(o, "date")
-      } yield (u, d, field(o, "application_id"),
-        field(o, "duration").map(_.toLong))
-    }
+    val root =
+      try mapper.readTree(body)
+      catch { case _: java.io.IOException => return Seq.empty }
+    if (root == null || !root.isArray) return Seq.empty
+    def scalar(n: com.fasterxml.jackson.databind.JsonNode, k: String) =
+      Option(n.get(k)).filter(v => v.isValueNode && !v.isNull).map(_.asText)
+    root.elements().asScala.toSeq.collect {
+      case n if n.isObject =>
+        for {
+          u <- scalar(n, "user_id")
+          d <- scalar(n, "date")
+        } yield (u, d, scalar(n, "application_id"),
+          Option(n.get("duration")).filter(v => v.isValueNode && !v.isNull)
+            .map(_.asLong))
+    }.flatten
   }
 
   private case class ActivityPartition(

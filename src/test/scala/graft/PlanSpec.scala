@@ -95,19 +95,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash agg in:\n$plan")
   }
 
-  test("co-bucketed tables join without a shuffle") {
+  test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    li.write.mode("overwrite").option("path", s"$wh/li")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_li")
-    o.write.mode("overwrite").option("path", s"$wh/o")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_o")
+    // the production path: BucketedSink pays the shuffle once at write time
+    val liSink = graft.sources.BucketedSink(8, Seq("l_orderkey"),
+      Seq("l_orderkey"), tablePrefix = "b")
+    val oSink = graft.sources.BucketedSink(8, Seq("o_orderkey"),
+      Seq("o_orderkey"), tablePrefix = "b")
+    liSink.write(li, s"$wh/li", "li", "parquet")
+    oSink.write(o, s"$wh/o", "o", "parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = spark.table("b_li")
-        .join(spark.table("b_o"), col("l_orderkey") === col("o_orderkey"))
+      val j = liSink.read(spark, "li")
+        .join(oSink.read(spark, "o"), col("l_orderkey") === col("o_orderkey"))
       val plan = planOf(j)
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle either side:\n$plan")

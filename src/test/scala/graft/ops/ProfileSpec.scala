@@ -33,4 +33,18 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.profile(df, Seq("k")).columns.toSeq ===
       Profile.profileApprox(df, Seq("k")).columns.toSeq)
   }
+
+  test("profileApproxChecked grades the sketch in-engine") {
+    val df = (1 to 5000).map(i => (i.toLong % 997, s"s${i % 313}"))
+      .toDF("k", "s")
+    val rows = Profile.profileApproxChecked(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // deterministic columns match the exact profile; flag holds
+    val exact = Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("k", "s")) {
+      assert(rows(c).getLong(3) === exact(c).getLong(3)) // exact n_distinct
+      assert(rows(c).getBoolean(6), s"$c sketch outside 3×rsd bound")
+    }
+  }
 }

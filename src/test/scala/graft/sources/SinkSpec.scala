@@ -59,6 +59,26 @@ class SinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](bq.write(sample, "proj.ds", "t", "csv"))
   }
 
+  test("BucketedSink round-trips with the bucket spec intact") {
+    val dir = Files.createTempDirectory("bucketsink").toString
+    val sink = BucketedSink(numBuckets = 4, bucketCols = Seq("id"),
+      sortCols = Seq("id"), tablePrefix = "sinkspec")
+    try {
+      sink.write(sample, dir, "t", "parquet")
+      val back = sink.read(spark, "t")
+      assert(back.orderBy("id").collect().toSeq ===
+        sample.orderBy("id").collect().toSeq)
+      // the catalog keeps the bucket spec (this is what makes later joins
+      // shuffle-free — a bare path read would drop it)
+      val ddl = spark.sql(s"SHOW CREATE TABLE ${sink.catalogName("t")}")
+        .head().getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
+      // non-parquet and empty bucket cols are rejected
+      intercept[IllegalArgumentException](sink.write(sample, dir, "t", "csv"))
+      intercept[IllegalArgumentException](BucketedSink(4, Nil))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName("t")}")
+  }
+
   test("FileSink and BigQuerySink are interchangeable behind the Sink trait") {
     val dir = Files.createTempDirectory("sinktrait").toString
     var bqTables = Vector.empty[String]

@@ -64,4 +64,25 @@ class TimeCampDataSourceSpec extends SparkSpec {
       ("5", "2024-01-01", None, Some(30L)),
       ("5", "2024-01-02", Some("a9"), None)))
   }
+
+  test("activity JSON parse survives nested objects inside a record") {
+    // a regex-bracket parse truncates the record at the inner '}' and
+    // silently drops the fields after the nested object
+    val parsed = TimeCampDataSource.parseActivities(
+      """[{"user_id":"5","meta":{"os":"linux","tags":["a","b"]},
+         |"date":"2024-01-01","application_id":"a1","duration":42},
+         |{"user_id":"6","date":"2024-01-02",
+         |"window":{"title":"x { y }"},"duration":7}]""".stripMargin)
+    assert(parsed === Seq(
+      ("5", "2024-01-01", Some("a1"), Some(42L)),
+      ("6", "2024-01-02", None, Some(7L))))
+  }
+
+  test("activity JSON parse rejects malformed and non-array bodies") {
+    assert(TimeCampDataSource.parseActivities("""{"error":"rate limit"}""") === Seq.empty)
+    assert(TimeCampDataSource.parseActivities("""[{"user_id":"1",""") === Seq.empty)
+    // nested-object values never satisfy scalar fields
+    assert(TimeCampDataSource.parseActivities(
+      """[{"user_id":{"id":1},"date":"2024-01-01"}]""") === Seq.empty)
+  }
 }

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Scale the driver's sf0.1 testdata up by an integer factor (default 10×
+→ "sf1": ~6M lineitem, ~50k documents) for perf evidence one decade above
+the driver's bench SF. Dev-only tool; output lives under the repo (the
+driver's /root/testdata is read-only) and is .gitignored.
+
+Usage: python3 tools/gen_scale.py [src_dir] [dst_dir] [factor]
+
+Replication is key-consistent and workload-preserving:
+  - every key space gets a per-replica offset of `stride = max(key)+1`,
+    applied to BOTH sides of each FK edge (lineitem→orders/part/supplier,
+    orders→customer, events→user), so join fan-outs scale linearly;
+  - document text gets a per-replica Caesar shift (letters only): lengths,
+    token boundaries and within-replica duplicate structure are preserved,
+    but replicas share no shingles — otherwise every doc would acquire
+    factor-1 exact twins and the dedup suite would measure a pathological
+    all-near-dup corpus instead of a 10× version of the same one;
+  - embeddings get a per-replica cyclic rotation of their components:
+    norm-preserving, so cosine workloads keep their geometry without
+    cross-replica duplicate neighbors;
+  - region/nation stay fixed (TPC-H dimensions do not scale with SF).
+"""
+import string
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
+FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+con = duckdb.connect()
+con.execute("SET threads TO 16")
+con.execute(f"CREATE TEMP TABLE ks AS SELECT unnest(range({FACTOR})) AS k")
+
+def stride(table, col):
+    return con.execute(
+        f"SELECT max({col}) + 1 FROM read_parquet('{SRC}/{table}.parquet')"
+    ).fetchone()[0]
+
+o_str = stride("orders", "o_orderkey")
+c_str = stride("customer", "c_custkey")
+p_str = stride("part", "p_partkey")
+s_str = stride("supplier", "s_suppkey")
+e_str = stride("events", "event_id")
+u_str = stride("events", "user_id")
+d_str = stride("documents", "doc_id")
+v_str = stride("embeddings", "vec_id")
+
+def caesar_case(col):
+    """Per-replica letter rotation as a CASE over k (duckdb translate)."""
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    whens = []
+    for k in range(FACTOR):
+        r = k % 26
+        shifted = lo[r:] + lo[:r] + up[r:] + up[:r]
+        whens.append(f"WHEN k = {k} THEN translate({col}, '{lo}{up}', '{shifted}')")
+    return "CASE " + " ".join(whens) + " END"
+
+import pathlib
+pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
+
+def copy(table, select):
+    con.execute(
+        f"COPY ({select}) TO '{DST}/{table}.parquet' "
+        f"(FORMAT PARQUET, COMPRESSION SNAPPY)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{DST}/{table}.parquet')"
+    ).fetchone()[0]
+    print(f"{table}: {n} rows")
+
+for t in ("region", "nation"):
+    copy(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+copy("customer", f"""
+  SELECT c_custkey + k * {c_str} AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{SRC}/customer.parquet'), ks""")
+
+copy("supplier", f"""
+  SELECT s_suppkey + k * {s_str} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM read_parquet('{SRC}/supplier.parquet'), ks""")
+
+copy("part", f"""
+  SELECT p_partkey + k * {p_str} AS p_partkey, p_name, p_brand, p_type,
+         p_retailprice
+  FROM read_parquet('{SRC}/part.parquet'), ks""")
+
+copy("orders", f"""
+  SELECT o_orderkey + k * {o_str} AS o_orderkey,
+         o_custkey + k * {c_str} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet'), ks""")
+
+copy("lineitem", f"""
+  SELECT l_orderkey + k * {o_str} AS l_orderkey,
+         l_partkey + k * {p_str} AS l_partkey,
+         l_suppkey + k * {s_str} AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet'), ks""")
+
+copy("events", f"""
+  SELECT event_id + k * {e_str} AS event_id, ts,
+         user_id + k * {u_str} AS user_id, event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet'), ks""")
+
+copy("documents", f"""
+  SELECT doc_id + k * {d_str} AS doc_id,
+         {caesar_case('text')} AS text,
+         lang, source, n_chars
+  FROM read_parquet('{SRC}/documents.parquet'), ks""")
+
+copy("embeddings", f"""
+  SELECT vec_id + k * {v_str} AS vec_id,
+         list_cat(embedding[(k % len(embedding)) + 1:],
+                  embedding[1:(k % len(embedding))]) AS embedding,
+         label
+  FROM read_parquet('{SRC}/embeddings.parquet'), ks""")
+
+print(f"done: {DST} at {FACTOR}x {SRC}")
