@@ -367,7 +367,7 @@ object SparkEntry {
     // benchmark set (here: doc_id < 5 stands in for an eval suite) ---
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val corpusSh = docs
+      val corpusSh = Text.spread(docs)
         .select(col("doc_id"), Text.shingles(col("text"), 3).as("_sh"))
         .select(col("doc_id"), explode(col("_sh")).as("_s"))
       val evalSh = docs.where(col("doc_id") < 5)

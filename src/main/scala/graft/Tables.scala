@@ -20,7 +20,11 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // Type-adaptive: the driver's parquet stores ts as TIMESTAMP(NANOS)
+    // (read as Long under nanosAsLong); re-materialized copies (e.g. the
+    // scaled sf1 evidence set) store a real timestamp and need no rewrite.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }

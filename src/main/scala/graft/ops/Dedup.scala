@@ -50,7 +50,9 @@ object Dedup {
     minhashCandidatePairsFromShingles(
       // no array_distinct: min-over-shingles is unaffected by duplicates,
       // and Spark's array_distinct on string arrays is O(n²) per row.
-      docs.select(col(idCol).as("_id"),
+      // spread: the signature compute is per-row-dense — never let it
+      // inherit a byte-starved scan split count (Text.spread doc).
+      Text.spread(docs).select(col(idCol).as("_id"),
         Text.shingles(col(textCol), shingleSize).as("_sh")),
       numHashes, rowsPerBand)
 
@@ -137,7 +139,7 @@ object Dedup {
       storedBands: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val nb = bandTable(
-      newDocs.select(col(idCol).as("_id"),
+      Text.spread(newDocs).select(col(idCol).as("_id"),
         Text.shingles(col(textCol), shingleSize).as("_sh")),
       numHashes, rowsPerBand)
     val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
@@ -196,7 +198,9 @@ object Dedup {
     * oracle's unnest).
     */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val digests = docs
+    // spread: per-token md5 + 16 hex-digit extractions run PRE-shuffle in
+    // the scan's partitions — see Text.spread
+    val digests = Text.spread(docs)
       .select(col(idCol).as("_id"),
         explode(Text.tokens(lower(col(textCol)))).as("_t"))
       .select(col("_id"), md5(col("_t").cast("binary")).as("_d"))
@@ -260,7 +264,7 @@ object Dedup {
     // One tokenize+shingle pass feeds BOTH the minhash candidates and the
     // exact-verify side, and each derived frame is materialized once (the
     // candidate set and shingle rows both appear twice in the join tree).
-    val shingled = docs
+    val shingled = Text.spread(docs)
       .select(col(idCol).as("_id"),
         Text.shingles(col(textCol), shingleSize).as("_sh"))
       .localCheckpoint(true)
@@ -495,7 +499,7 @@ object Dedup {
     // would off-by-one an intersection count; at ~10⁶ distinct shingles
     // per block that chance is ~10⁻⁸ — the standard shingle-hashing trade
     // (the exact-string variant is a one-line revert).
-    val sh = docs
+    val sh = Text.spread(docs)
       .select(col(idCol).as("_id"), col(blockCol).as("_blk"),
         array_distinct(transform(Text.shingles(col(textCol), n), s => xxhash64(s)))
           .as("_sharr"))

@@ -102,7 +102,7 @@ object Similarity {
     // superlinear as buckets grow — measured 10× data → ~20× time. The
     // join distributes pair scoring across the cluster; the bucketed
     // frame is materialized once so the hashing isn't computed per side.
-    val bucketed = corpus
+    val bucketed = Text.spread(corpus)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         srpBucket(col(vecCol), numPlanes).as("_bkt"))
       .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))

@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Decouple a compute-dense stage's parallelism from its scan's
+    * byte-based splits. Parquet splits are sized on BYTES
+    * (`maxPartitionBytes`, floored by `openCostInBytes`), but
+    * tokenize/shingle/minhash cost is per ROW and dwarfs the scan cost —
+    * a small, heavily compressed text file can hand one core minutes of
+    * hashing while the rest of the cluster idles (measured at sf1: the
+    * 6 MB documents table scans as 2 splits on 32 cores and the
+    * ngram-Jaccard shingle pass ran 27× the 10×-data expectation; with
+    * this redistribution it returned to linear). When the scan yields
+    * fewer partitions than the session parallelism, redistribute ONCE
+    * before the heavy map; at real corpus scale scans already carry ≥
+    * parallelism splits, so this is a no-op and the corpus is never
+    * shuffled on the 100 TB path.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Whitespace tokenization. `filter(..., _ <> '')` guards leading/trailing
     * whitespace producing empty tokens.
     */
