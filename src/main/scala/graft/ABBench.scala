@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Micro A/B harness for operator-variant decisions (the SCALE.md
+  * "measured, not assumed" methodology): times named variants of the same
+  * logical result on a given sf dir, N runs each after a warmup, on one
+  * warm session. Usage:
+  *   sbt "runMain graft.ABBench <sfDir> <case> [runs]"
+  * Cases: closure | breadcrumb
+  */
+object ABBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "breadcrumb"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tasks = reports.TaskTree.tasks(spark, sfDir)
+    tasks.cache().count()
+
+    val variants: Seq[(String, () => DataFrame)] = which match {
+      case "closure" => Seq(
+        "iterative" -> (() =>
+          ops.Closure.transitiveClosure(tasks, "task_id", "parent_id")),
+        "recursive" -> (() =>
+          ops.Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")))
+      case _ => Seq(
+        "iterative" -> (() =>
+          ops.Closure.breadcrumbs(tasks, "task_id", "parent_id", "name")),
+        "recursive" -> (() =>
+          ops.Closure.breadcrumbsRecursive(tasks, "task_id", "parent_id", "name")))
+    }
+    variants.foreach { case (name, f) =>
+      f().count() // warmup (codegen + JIT)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        f().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"AB $which/$name: ${times.map(t => f"$t%.2f").mkString("/")} s")
+    }
+    spark.stop()
+  }
+}

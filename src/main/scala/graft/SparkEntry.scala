@@ -247,11 +247,14 @@ object SparkEntry {
         TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>
-      // iterative checkpointed variant: measured 2.4× faster than the
-      // WITH RECURSIVE twin here (UnionLoop re-executes its step plan per
-      // level and the orphan-tolerant anchor's NOT IN is a null-aware
-      // anti-join); breadcrumbsRecursive stays the API for deep forests
-      Closure.breadcrumbs(
+      // WITH RECURSIVE variant. Round 2 measured it 2.4× SLOWER — but that
+      // measurement was dominated by the anchor's NOT IN, a null-aware
+      // anti-join Spark executes as an O(n²) BroadcastNestedLoopJoin
+      // (effectively hung at sf1's 200k nodes). Rewritten as NOT EXISTS
+      // (hash LEFT ANTI), the recursive path wins: sf0.1 1.4s vs 1.6s
+      // iterative, sf1 3.6s vs 6.7s (ABBench, idle, 2026-08-12) — no
+      // per-level driver jobs or checkpoint materializations.
+      Closure.breadcrumbsRecursive(
         TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
         .select(col("task_id"), col("breadcrumb"))),
 
@@ -643,7 +646,7 @@ object SparkEntry {
 
     // --- n-gram LM counts: bigram frequencies over the corpus ---
     "q_bigram_freq" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Text.spread(t(s, dir, "documents"))
         .select(Text.tokens(lower(col("text"))).as("_ts"))
         .select(explode(Text.shinglesOfTokens(col("_ts"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("freq"))
@@ -670,7 +673,7 @@ object SparkEntry {
 
     // --- vocabulary build: token → frequency (one explode + one agg) ---
     "q_token_freq" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Text.spread(t(s, dir, "documents"))
         .select(explode(Text.tokens(lower(col("text")))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .where(col("freq") >= 5)),
@@ -919,7 +922,7 @@ object SparkEntry {
     // --- composite preprocessing chain: language + quality + length
     // filter, then exact-dedup keeping the smallest doc_id ---
     "q_corpus_pipeline" -> ((s, dir) => {
-      val filtered = t(s, dir, "documents")
+      val filtered = Text.spread(t(s, dir, "documents"))
         .withColumn("n_tokens", Text.tokenCount(col("text")))
         .withColumn("quality", Text.qualityScore(col("text")))
         .where(col("lang") === "en" && col("quality") >= 0.5 &&

@@ -114,10 +114,16 @@ object Closure {
       col(nameCol).as("name"))
       .localCheckpoint(true)
       .createOrReplaceTempView(view)
+    // Orphan detection is NOT EXISTS, not NOT IN: a NOT IN over a nullable
+    // subquery is a null-aware anti-join, which Spark can only execute as
+    // a BroadcastNestedLoopJoin — O(n²) row comparisons in the anchor
+    // (~4×10^10 at 200k nodes; the operator appeared to hang at sf1).
+    // NOT EXISTS with an equality correlate plans as a hash LEFT ANTI join.
     val done = nodes.sparkSession.sql(
       s"""WITH RECURSIVE bc(id, path) AS (
-         |  SELECT id, array(name) FROM $view
-         |  WHERE parent IS NULL OR parent NOT IN (SELECT id FROM $view)
+         |  SELECT id, array(name) FROM $view c
+         |  WHERE parent IS NULL
+         |     OR NOT EXISTS (SELECT 1 FROM $view v WHERE v.id = c.parent)
          |  UNION ALL
          |  SELECT c.id, concat(p.path, array(c.name))
          |  FROM $view c JOIN bc p ON c.parent = p.id
@@ -156,8 +162,14 @@ object Closure {
         base("_b_parent") === col("_p_id"), "left_anti")
       .select(col("_b_id"), array(col("_b_name")).as("path"))
 
-    var done = roots.localCheckpoint(true)
-    var level = done
+    // Each level is checkpointed once (the next level's join re-reads it),
+    // but the ACCUMULATED result is unioned lazily at the end — re-
+    // checkpointing `done` per level re-materializes O(depth × n) rows
+    // for nothing (~25% of the operator at sf1/200k nodes). The final
+    // union's lineage is `depth` flat union nodes over already-
+    // materialized frames.
+    val levels = scala.collection.mutable.ArrayBuffer(roots.localCheckpoint(true))
+    var level = levels.last
     var depth = 1
     while (depth < maxDepth && !level.isEmpty) {
       val next = base
@@ -167,9 +179,10 @@ object Closure {
           concat(col("path"), array(col("_b_name"))).as("path"))
         .localCheckpoint(true)
       level = next
-      if (!next.isEmpty) done = done.unionByName(next).localCheckpoint(true)
+      if (!next.isEmpty) levels += next
       depth += 1
     }
+    val done = levels.reduce(_ unionByName _)
     nodes.join(
       done.select(col("_b_id").as(idCol), col("path"),
         concat_ws(" / ", col("path")).as("breadcrumb")),

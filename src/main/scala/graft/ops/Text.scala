@@ -129,7 +129,8 @@ object Text {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))
-    val tf = docs
+    // spread: the tokenize+explode runs pre-shuffle in scan partitions
+    val tf = spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy("doc_id", "token")

@@ -171,4 +171,18 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(rerun === out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("spread redistributes starved scans and no-ops healthy ones") {
+    // a 1-partition frame on a multi-core session must fan out ...
+    val starved = docs.coalesce(1)
+    val p = spark.sparkContext.defaultParallelism
+    assert(Text.spread(starved).rdd.getNumPartitions === p)
+    // ... while a frame already at/above session parallelism is untouched
+    // (this is the 100 TB path: no shuffle is ever added to a real scan)
+    val healthy = docs.repartition(p + 4)
+    assert(Text.spread(healthy) eq healthy)
+    // row multiset is preserved either way
+    assert(Text.spread(starved).select("doc_id").as[Long].collect().sorted
+      === docs.select("doc_id").as[Long].collect().sorted)
+  }
 }
