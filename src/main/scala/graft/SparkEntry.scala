@@ -521,6 +521,18 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
+    // --- incremental embedding ingest: batch (vec_id % 5 = 0) vs the
+    // persisted SRP bucket table of the rest — pairs touching the batch,
+    // corpus never re-hashed (embedding twin of q_dedup_incremental) ---
+    "q_dedup_embed_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stored = Similarity.srpTable(
+        emb.where(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding")
+      Similarity.cosineIncrementalCandidates(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+        stored, 0.4)
+    }),
+
     // --- similarity: IVF cell-probed ANN ---
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -599,6 +611,18 @@ object SparkEntry {
       Transforms.saltedJoin(li, o, Seq("k"), 4)
         .select(col("k").as("l_orderkey"), col("l_linenumber"), col("o_custkey"))
     }),
+
+    // --- bloom-prefiltered fact⋈dim join: the selective dim's key set
+    // rides a broadcast bloom sketch that drops non-matching fact rows at
+    // the scan, before the join shuffle; the join removes the sketch's
+    // false positives, so the result is exactly the plain inner join ---
+    "q_bloom_join" -> ((s, dir) =>
+      Joins.bloomPrefilterJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        t(s, dir, "supplier").where(col("s_acctbal") > 6000)
+          .select(col("s_suppkey"), col("s_name")),
+        "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))),
 
     // --- sketch aggregate (HLL; implementation-specific value → rows-only
     // check here, relative-error bound asserted in TransformsSpec) ---
@@ -1513,6 +1537,30 @@ object SparkEntry {
         s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
         "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
         "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+    },
+
+    // the bloom prefilter is a pure optimization: the oracle is the plain join
+    "q_bloom_join" ->
+      ("SELECT l_orderkey, l_suppkey, s_name FROM lineitem " +
+        "JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 6000) " +
+        "ON l_suppkey = s_suppkey"),
+
+    // full-run near-dup pairs restricted to pairs touching the batch
+    // (vec_id % 5 = 0) — the incremental path must reproduce them exactly
+    "q_dedup_embed_incremental" -> {
+      def proj(v: String, h: Int) =
+        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+      val bucketExpr = (0 until 4).map(h =>
+        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      val cos = s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
+      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score " +
+        "FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id " +
+        "WHERE a.vec_id % 5 = 0 OR b.vec_id % 5 = 0) " +
+        "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
     },
 
     "q_dedup_embed" -> {

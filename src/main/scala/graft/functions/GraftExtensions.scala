@@ -33,5 +33,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "vec_dot(a, b): exactly two array arguments")
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
+    // expressions (only the InjectRuntimeFilter rule uses them; they are
+    // not in the public FunctionRegistry). graft's bloom-prefiltered join
+    // (ops.Joins.bloomPrefilterJoin) builds the same sketch explicitly, so
+    // expose them under graft names through the extension hook — public
+    // classes, public injection API, no Spark-private access.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(child, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(xxhash64(key), estimatedItems, numBits)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, value) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, value)
+        case _ => throw new IllegalArgumentException(
+          "might_contain(bloomFilter, xxhash64(key))")
+      }))
   }
 }

@@ -87,4 +87,47 @@ object Joins {
         col("_rms") < col("_lms") + windowMs)
       .drop("_band", "_lms", "_rms")
   }
+
+  /** Bloom-prefiltered fact ⋈ dim join: the dim side's join keys are
+    * folded into a bloom filter (one small aggregate), the filter is
+    * broadcast, and the FACT side is pre-filtered with `might_contain`
+    * BEFORE the join — so when the dim is selective, the fact rows that
+    * would not survive the join are dropped at the scan and never reach
+    * the join's shuffle/build. False positives are removed by the real
+    * join, so the result is EXACTLY the plain inner join (the oracle runs
+    * the plain join).
+    *
+    * This is the manual form of Spark's runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, which only
+    * triggers on shuffle joins with selective creation sides); expressing
+    * it in the plan makes the pruning unconditional and portable. At
+    * 100 TB: a 1M-key dim bloom is ~1 MB broadcast vs shuffling the
+    * non-matching majority of a fact scan — the standard semi-join
+    * reduction when the dim is too big to broadcast whole but its KEY SET
+    * fits a sketch.
+    *
+    * `expectedItems`/`numBits` size the sketch (Spark's
+    * `bloom_filter_agg` defaults target ~3% FPP at `expectedItems`);
+    * FPP only affects how much pre-filtering is achieved, never
+    * correctness.
+    */
+  def bloomPrefilterJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    // The sketch is built DISTRIBUTED (one partial-merged aggregate over
+    // the dim) and materialized to the driver as a model artifact — the
+    // same pattern as the IVF centroids — because `might_contain` requires
+    // a constant/scalar-subquery filter side. It re-enters the plan as a
+    // binary literal riding the task binary (~numBits/8 bytes; 1 MB for
+    // the default 8M bits), NOT as a join input.
+    val sketch = dim.agg(
+      expr(s"bloom_filter_agg(xxhash64($dimKey), ${expectedItems}L, ${numBits}L)")
+        .as("_bf")).head().getAs[Array[Byte]](0)
+    val pre =
+      if (sketch == null) fact.where(lit(false)) // empty dim → empty join
+      else fact.where(
+        call_function("might_contain", lit(sketch), xxhash64(col(factKey))))
+    pre.join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -102,17 +102,64 @@ object Similarity {
     // superlinear as buckets grow — measured 10× data → ~20× time. The
     // join distributes pair scoring across the cluster; the bucketed
     // frame is materialized once so the hashing isn't computed per side.
-    val bucketed = Text.spread(corpus)
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        srpBucket(col(vecCol), numPlanes).as("_bkt"))
-      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
-      .localCheckpoint(true)
+    val bucketed = srpTable(corpus, idCol, vecCol, numPlanes)
     val a = bucketed.select(col("_bkt"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
     val b = bucketed.select(col("_bkt"), col("_id").as("id_b"),
       col("_v").as("_vb"), col("_n").as("_nb"))
     a.join(b, Seq("_bkt"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+          .as("score"))
+      .where(col("score") >= threshold)
+  }
+
+  /** The SRP bucket table of a corpus: `(_id, _v, _bkt, _n)`, eagerly
+    * materialized. Internal input to pair generation AND the persistent
+    * artifact of INCREMENTAL embedding dedup — store it (parquet,
+    * partitioned by `_bkt`) and each ingest batch joins its own buckets
+    * against the store instead of re-hashing the corpus (the embedding
+    * twin of `Dedup.bandTable`).
+    */
+  def srpTable(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int = 4): DataFrame =
+    Text.spread(corpus)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        srpBucket(col(vecCol), numPlanes).as("_bkt"))
+      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
+      .localCheckpoint(true)
+
+  /** Incremental embedding near-dup: scored candidate pairs INVOLVING a
+    * new ingest batch — new×new plus new×stored — given the persisted
+    * [[srpTable]] of the existing corpus. The corpus is never re-hashed or
+    * self-joined; each pair is normalized (id_a < id_b). Equivalence: on
+    * (corpus ∪ batch) these are exactly the full run's pairs that touch
+    * the batch (property-checked in specs). Cost per ingest: O(|batch|)
+    * hashing + one bucket-key join against the store.
+    */
+  def cosineIncrementalCandidates(
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      storedBuckets: DataFrame, threshold: Double,
+      numPlanes: Int = 4): DataFrame = {
+    val nb = srpTable(newVecs, idCol, vecCol, numPlanes)
+    val a = nb.select(col("_bkt"), col("_id").as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val bNew = nb.select(col("_bkt"), col("_id").as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val newNew = a.join(bNew, Seq("_bkt"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_va"), col("_na"),
+        col("_vb"), col("_nb"))
+    val stored = storedBuckets.select(col("_bkt"), col("_id").as("_sid"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val newStored = a.join(stored, Seq("_bkt"))
+      .where(col("id_a") =!= col("_sid"))
+      .select(least(col("id_a"), col("_sid")).as("id_a"),
+        greatest(col("id_a"), col("_sid")).as("id_b"),
+        col("_va"), col("_na"), col("_vb"), col("_nb"))
+    newNew.unionByName(newStored)
       .select(col("id_a"), col("id_b"),
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
           .as("score"))

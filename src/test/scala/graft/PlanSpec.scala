@@ -95,6 +95,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash agg in:\n$plan")
   }
 
+  test("bloom prefilter lands on the fact side before the join") {
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val dim = Tables(spark, dir, "supplier")
+      .where(col("s_acctbal") > 6000).select(col("s_suppkey"), col("s_name"))
+    val j = ops.Joins.bloomPrefilterJoin(fact, dim, "l_suppkey", "s_suppkey")
+    val plan = planOf(j)
+    // the sketch probe must appear as a Filter on the fact branch —
+    // that's the whole point: non-matching fact rows die before the join
+    assert(plan.contains("might_contain"),
+      s"expected bloom probe filter in:\n$plan")
+    // exactness: identical multiset as the plain join (FPs removed)
+    val plain = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+    assert(j.count() === plain.count())
+    assert(j.exceptAll(plain).isEmpty && plain.exceptAll(j).isEmpty)
+  }
+
   test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")

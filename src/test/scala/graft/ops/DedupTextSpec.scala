@@ -104,6 +104,32 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("cosineIncrementalCandidates = full-run pairs touching the batch") {
+    // deterministic pseudo-random vectors; near-dups = scaled copies
+    def v(seed: Int): Seq[Float] =
+      (0 until 8).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val all = (
+      (0L until 6L).map(id => (id, v(id.toInt))) ++          // corpus
+        Seq((10L, v(2)map(_ * 2f)),                          // dup of corpus 2
+          (11L, v(11)), (12L, v(11).map(_ * 3f)),            // in-batch dup pair
+          (13L, v(4).map(_ * 0.5f)))                         // dup of corpus 4
+      ).toDF("vec_id", "embedding")
+    val corpus = all.where($"vec_id" < 10)
+    val batch = all.where($"vec_id" >= 10)
+    val full = Similarity.cosineNearDupPairs(all, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val stored = Similarity.srpTable(corpus, "vec_id", "embedding")
+    val incr = Similarity.cosineIncrementalCandidates(
+      batch, "vec_id", "embedding", stored, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchIds = Set(10L, 11L, 12L, 13L)
+    val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incr === expected)
+    assert(expected.nonEmpty)
+    assert(expected.exists(p => p._1 < 10L), "must exercise the new×stored leg")
+  }
+
   test("ivfTopK: same-cell neighbors ranked by cosine") {
     // centroids = first 2 vectors; 0/1-cluster and 2/3-cluster separate
     val vecs = Seq(
