@@ -37,6 +37,14 @@ object PipelineMain {
   val AvailableDatasets: Seq[String] =
     Seq("entries", "tasks", "computer_activities", "users", "application_names")
 
+  /** Primary key per dataset (the reference's `primary_key=` declarations,
+    * `dlt_fetch_timecamp.py:458,509,586,603`); `--sink bucketed` buckets
+    * each table on its key so later joins/dedups on it are shuffle-free.
+    */
+  val PrimaryKeys: Map[String, String] = Map(
+    "entries" -> "id", "tasks" -> "task_id", "users" -> "user_id",
+    "computer_activities" -> "user_id", "application_names" -> "application_id")
+
   /** The reference's application category id→name table, verbatim
     * (`dlt_fetch_timecamp.py:111-133`); unknown ids decode to
     * "No category" (`:633`).
@@ -313,9 +321,23 @@ object PipelineMain {
         (FileSink, c.format)
       case BigQuerySink.Format =>
         (sinkOverride.getOrElse(BigQuerySink()), BigQuerySink.Format)
+      case "bucketed" =>
+        // bucketed warehouse layout: each table hash-bucketed on its
+        // primary key at write time, so every downstream join/dedup on the
+        // key reads shuffle-free (PlanSpec proves the zero-Exchange join)
+        val perTable = new Sink {
+          override def write(df: org.apache.spark.sql.DataFrame,
+              target: String, table: String, format: String): Unit = {
+            val key = PrimaryKeys.getOrElse(table,
+              throw new IllegalArgumentException(s"no primary key for $table"))
+            graft.sources.BucketedSink(8, Seq(key), Seq(key), tablePrefix = "tc")
+              .write(df, target, table, format)
+          }
+        }
+        (perTable, "parquet")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown sink: $other (available: file, ${BigQuerySink.Format})")
+          s"unknown sink: $other (available: file, ${BigQuerySink.Format}, bucketed)")
     }
     val transport = Option(transports.get(c.transportKey)).getOrElse(
       throw new IllegalStateException(s"no transport '${c.transportKey}'"))

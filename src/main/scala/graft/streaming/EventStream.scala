@@ -99,6 +99,37 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  case class DocIn(doc_id: Long, text: String)
+  case class DocKept(doc_id: Long, digest: String)
+
+  /** Streaming twin of `Dedup.exactIncremental`: a document ingest stream
+    * deduplicated by content digest ACROSS micro-batches — the first doc
+    * per digest survives (in-batch ties resolve to the min doc_id, the
+    * batch path's keeper rule), every later retransmission or re-crawl is
+    * dropped. State is one boolean per distinct digest — the same
+    * O(distinct-digest) footprint the batch path persists as its digest
+    * store, here held by the streaming state store. NO watermark: corpus
+    * dedup is permanent semantics (a document seen a year ago is still a
+    * duplicate), which is exactly why the state must be the 32-byte
+    * digest, never the document.
+    */
+  def dedupDocStream(docs: Dataset[DocIn]): Dataset[DocKept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("digest")).as[DocKept]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Boolean, DocKept](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (digest: String, rows: Iterator[DocKept], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.toSeq.sortBy(_.doc_id).headOption.iterator
+          }
+      }
+  }
+
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
 

@@ -115,4 +115,20 @@ class PipelineMainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown sink"))
   }
+
+  test("--sink bucketed writes each dataset bucketed on its primary key") {
+    val out = java.nio.file.Files.createTempDirectory("tc_bucketed").toString
+    try {
+      val counts = PipelineMain.run(spark,
+        cfg(out, Seq("entries", "tasks")).copy(sink = "bucketed"))
+      assert(counts === Map("entries" -> 5L, "tasks" -> 3L))
+      // catalog keeps the bucket spec; data round-trips
+      assert(spark.table("tc_entries").count() === 5L)
+      val ddl = spark.sql("SHOW CREATE TABLE tc_entries").head().getString(0)
+      assert(ddl.contains("CLUSTERED BY (id)") && ddl.contains("8 BUCKETS"), ddl)
+      val ddlTasks = spark.sql("SHOW CREATE TABLE tc_tasks").head().getString(0)
+      assert(ddlTasks.contains("CLUSTERED BY (task_id)"), ddlTasks)
+    } finally Seq("tc_entries", "tc_tasks").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -144,6 +144,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocStream: first digest wins across micro-batches, min-id in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocIn]
+    val q = EventStream.dedupDocStream(input.toDS())
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: in-batch dup (7/5 same text → min id 5 wins) + unique
+      input.addData(
+        EventStream.DocIn(7, "alpha text"),
+        EventStream.DocIn(5, "alpha text"),
+        EventStream.DocIn(6, "beta text"))
+      q.processAllAvailable()
+      // batch 2: retransmission of alpha (dropped), one new doc
+      input.addData(
+        EventStream.DocIn(9, "alpha text"),
+        EventStream.DocIn(10, "gamma text"))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept === Seq(5L, 6L, 10L))
+      // exact batch-twin agreement: exactIncremental over the same two
+      // batches with the first batch's survivors as the digest store
+      val b1 = Seq((7L, "alpha text"), (5L, "alpha text"), (6L, "beta text"))
+        .toDF("doc_id", "text")
+      val store = graft.ops.Dedup.exactGroups(b1, "doc_id", "text")
+        .select("digest")
+      val b2 = Seq((9L, "alpha text"), (10L, "gamma text")).toDF("doc_id", "text")
+      val b2Kept = graft.ops.Dedup.exactIncremental(b2, "doc_id", "text", store)
+        .select("keeper_id").as[Long].collect().toSeq
+      assert(b2Kept === Seq(10L))
+    } finally q.stop()
+  }
+
   test("sessionize incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
