@@ -30,7 +30,15 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
     Tables(spark, sfDir, "region").groupBy("r_name").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (slope measurements at large
+    // SFs, per-query iteration); unset = the full surface (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

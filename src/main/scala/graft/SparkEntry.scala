@@ -621,7 +621,10 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         t(s, dir, "supplier").where(col("s_acctbal") > 6000)
           .select(col("s_suppkey"), col("s_name")),
-        "l_suppkey", "s_suppkey")
+        "l_suppkey", "s_suppkey",
+        // sketch sized to the dim (suppliers are thousands, not millions):
+        // 512k bits ≈ 64 KB literal instead of the 1 MB 1M-key default
+        expectedItems = 100000L, numBits = 512L * 1024)
         .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))),
 
     // --- sketch aggregate (HLL; implementation-specific value → rows-only

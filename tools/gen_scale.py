@@ -4,7 +4,12 @@
 the driver's bench SF. Dev-only tool; output lives under the repo (the
 driver's /root/testdata is read-only) and is .gitignored.
 
-Usage: python3 tools/gen_scale.py [src_dir] [dst_dir] [factor]
+Usage: python3 tools/gen_scale.py [src_dir] [dst_dir] [factor] [mutation]
+
+mutation = caesar (default; letter rotation, only sound for factor <= 26)
+         | suffix (append the replica number to every word — sound at any
+           factor; used for the sf10 slope evidence where caesar shifts
+           would collide mod 26 and manufacture cross-replica near-dups)
 
 Replication is key-consistent and workload-preserving:
   - every key space gets a per-replica offset of `stride = max(key)+1`,
@@ -28,6 +33,9 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+MUTATION = sys.argv[4] if len(sys.argv) > 4 else "caesar"
+assert MUTATION in ("caesar", "suffix")
+assert MUTATION == "suffix" or FACTOR <= 26, "caesar collides beyond 26 replicas"
 
 con = duckdb.connect()
 con.execute("SET threads TO 16")
@@ -56,6 +64,17 @@ def caesar_case(col):
         shifted = lo[r:] + lo[:r] + up[r:] + up[:r]
         whens.append(f"WHEN k = {k} THEN translate({col}, '{lo}{up}', '{shifted}')")
     return "CASE " + " ".join(whens) + " END"
+
+
+def mutate(col):
+    """Per-replica text mutation: replicas must share no word shingles so
+    the scaled corpus is N× the same near-dup workload, never an
+    all-twins pathology. `suffix` appends the replica number to every
+    word (token structure, counts and within-replica duplicate identity
+    preserved; vocabularies disjoint at any factor)."""
+    if MUTATION == "caesar":
+        return caesar_case(col)
+    return f"regexp_replace({col}, '([A-Za-z]+)', '\\1' || CAST(k AS VARCHAR), 'g')"
 
 import pathlib
 pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
@@ -107,7 +126,7 @@ copy("events", f"""
 
 copy("documents", f"""
   SELECT doc_id + k * {d_str} AS doc_id,
-         {caesar_case('text')} AS text,
+         {mutate('text')} AS text,
          lang, source, n_chars
   FROM read_parquet('{SRC}/documents.parquet'), ks""")
 
