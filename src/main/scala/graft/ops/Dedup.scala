@@ -405,7 +405,7 @@ object Dedup {
       e.agg(count(lit(1)), sum(col("hi").cast("decimal(38,0)")),
         sum(col("lo").cast("decimal(38,0)")),
         sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")))
-        .head.toSeq
+        .head().toSeq
     var prev = signature(edges)
     var round = 0
     var converged = edges.isEmpty
@@ -458,7 +458,7 @@ object Dedup {
     // is a cheap scan over the just-materialized checkpoint (no extra
     // shuffle, unlike an anti-join change detector).
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var round = 0
     var converged = prevSum.isEmpty // empty edge set: trivially converged

@@ -189,7 +189,7 @@ object Similarity {
         case n: java.lang.Number => n.doubleValue
       }))
     def cell(v: Column): Column =
-      array_max(array(cents.map { case (cid, cv) =>
+      array_max(array(cents.toSeq.map { case (cid, cv) =>
         val cvLit = array(cv.map(lit): _*)
         struct(round(cosine(v, cvLit), 9).as("s"),
           lit(-cid).as("nid"))
