@@ -115,6 +115,22 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** SRP plane count for a corpus of `n` vectors targeting ~`targetBucket`
+    * vectors per bucket: ceil(log2(n / targetBucket)), floor 1. In-bucket
+    * pair work is Σ k² over buckets, so the plane count MUST grow with the
+    * corpus — measured at 200k vectors (sf10, threshold 0.4): 4 planes =
+    * 16 buckets → 1.25G scored pairs, 176s; 8 planes → 13s; 10 planes
+    * (this formula's pick at target 256) → 6s. The recall trade is the
+    * standard LSH one: more planes split true near-dup pairs into
+    * different buckets with probability growing in the pair's angle —
+    * compensate with multi-probe or band OR-ing when recall matters more
+    * than throughput. The oracle-pinned queries keep 4 planes (the
+    * testdata operating point a DuckDB twin can replicate verbatim).
+    */
+  def numPlanesFor(n: Long, targetBucket: Long = 256L): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** The SRP bucket table of a corpus: `(_id, _v, _bkt, _n)`, eagerly
     * materialized. Internal input to pair generation AND the persistent
     * artifact of INCREMENTAL embedding dedup — store it (parquet,

@@ -130,6 +130,15 @@ class DedupTextSpec extends SparkSpec {
     assert(expected.exists(p => p._1 < 10L), "must exercise the new×stored leg")
   }
 
+  test("numPlanesFor: log2 bucket-density law, floor 1") {
+    assert(Similarity.numPlanesFor(200000L, 200L) === 10)
+    assert(Similarity.numPlanesFor(200000L) === 10) // default target 256
+    assert(Similarity.numPlanesFor(2000L, 256L) === 3)
+    assert(Similarity.numPlanesFor(10L, 256L) === 1)
+    // planes grow by ~log2 per decade of corpus
+    assert(Similarity.numPlanesFor(2000000L) - Similarity.numPlanesFor(200000L) >= 3)
+  }
+
   test("ivfTopK: same-cell neighbors ranked by cosine") {
     // centroids = first 2 vectors; 0/1-cluster and 2/3-cluster separate
     val vecs = Seq(

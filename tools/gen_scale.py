@@ -20,9 +20,11 @@ Replication is key-consistent and workload-preserving:
     but replicas share no shingles — otherwise every doc would acquire
     factor-1 exact twins and the dedup suite would measure a pathological
     all-near-dup corpus instead of a 10× version of the same one;
-  - embeddings get a per-replica cyclic rotation of their components:
-    norm-preserving, so cosine workloads keep their geometry without
-    cross-replica duplicate neighbors;
+  - embeddings get a per-replica deterministic sign-flip pattern
+    (md5-derived, identity for replica 0): norm-preserving, near-zero
+    cross-replica cosine for every pair of replicas at ANY factor (a
+    cyclic rotation would repeat mod the vector dim and hand factor>dim
+    replicas identical vectors);
   - region/nation stay fixed (TPC-H dimensions do not scale with SF).
 """
 import string
@@ -130,10 +132,28 @@ copy("documents", f"""
          lang, source, n_chars
   FROM read_parquet('{SRC}/documents.parquet'), ks""")
 
+import hashlib
+
+def sign_list(k, dim):
+    if k == 0:
+        return None  # identity — replica 0 is the original
+    signs = []
+    for i in range(dim):
+        h = hashlib.md5(f"emb{k}:{i}".encode()).hexdigest()
+        signs.append(1.0 if h[0] >= "8" else -1.0)
+    return "[" + ", ".join(str(s) for s in signs) + "]"
+
+emb_dim = con.execute(
+    f"SELECT max(len(embedding)) FROM read_parquet('{SRC}/embeddings.parquet')"
+).fetchone()[0]
+emb_whens = ["WHEN k = 0 THEN embedding"] + [
+    f"WHEN k = {k} THEN list_transform(generate_series(1, len(embedding)), "
+    f"i -> CAST(embedding[i] * ({sign_list(k, emb_dim)})[i] AS FLOAT))"
+    for k in range(1, FACTOR)
+]
 copy("embeddings", f"""
   SELECT vec_id + k * {v_str} AS vec_id,
-         list_cat(embedding[(k % len(embedding)) + 1:],
-                  embedding[1:(k % len(embedding))]) AS embedding,
+         CASE {' '.join(emb_whens)} END AS embedding,
          label
   FROM read_parquet('{SRC}/embeddings.parquet'), ks""")
 
