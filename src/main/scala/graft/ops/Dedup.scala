@@ -39,6 +39,25 @@ object Dedup {
         s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
     }: _*)
 
+  /** Rows-per-band pick for a target Jaccard threshold given a signature
+    * budget: the LSH S-curve puts the collision knee at
+    * t ≈ (1/b)^(1/r) with b = numHashes/r bands — choose the divisor r of
+    * numHashes whose knee lands closest to the requested threshold. The
+    * shipped defaults (numHashes=8, r=2 → b=4, knee (1/4)^(1/2) = 0.5)
+    * are exactly this pick for the 0.5 default threshold; at corpus scale
+    * raise numHashes (e.g. 128) and re-derive r so candidate volume
+    * tracks the threshold instead of the testdata setting — the minhash
+    * twin of [[graft.ops.Similarity.numPlanesFor]].
+    */
+  def rowsPerBandFor(threshold: Double, numHashes: Int = 8): Int = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { r =>
+      val knee = math.pow(1.0 / (numHashes / r), 1.0 / r)
+      math.abs(knee - threshold)
+    }
+  }
+
   /** MinHash + LSH banding: candidate near-duplicate pairs.
     *
     * numHashes minhashes split into bands of `rowsPerBand`; docs sharing any

@@ -130,6 +130,17 @@ class DedupTextSpec extends SparkSpec {
     assert(expected.exists(p => p._1 < 10L), "must exercise the new×stored leg")
   }
 
+  test("rowsPerBandFor: S-curve knee tracks the threshold") {
+    // shipped defaults: 8 hashes, t=0.5 → r=2 (knee (1/4)^(1/2) = 0.5)
+    assert(Dedup.rowsPerBandFor(0.5, 8) === 2)
+    // high threshold wants longer bands (fewer, stricter collisions) ...
+    assert(Dedup.rowsPerBandFor(0.9, 8) > Dedup.rowsPerBandFor(0.3, 8))
+    // ... and a bigger budget refines the knee without moving it far
+    val r128 = Dedup.rowsPerBandFor(0.5, 128)
+    val knee = math.pow(1.0 / (128 / r128), 1.0 / r128)
+    assert(math.abs(knee - 0.5) < 0.15, s"knee $knee for r=$r128")
+  }
+
   test("numPlanesFor: log2 bucket-density law, floor 1") {
     assert(Similarity.numPlanesFor(200000L, 200L) === 10)
     assert(Similarity.numPlanesFor(200000L) === 10) // default target 256
