@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt "runMain graft.Bench"` stdout and parses the
+// last JSON line. Forked runs default to LoggedOutput, which prefixes every
+// child stdout line with "[info] " — that prefix is what made BENCH_r03
+// `parsed: null` despite the total being emitted last. StdoutOutput passes
+// the child's stdout through verbatim, and showSuccess=false drops the
+// trailing "[success] Total time: ..." line so the bench JSON is the tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

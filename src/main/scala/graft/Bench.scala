@@ -35,7 +35,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case Some(names) =>
+        // A typo'd name silently selecting nothing would emit a plausible
+        // 0.000 total that reads as evidence — fail fast instead, naming
+        // the unmatched entries.
+        val unmatched = names.diff(SparkEntry.queries.keySet)
+        if (unmatched.nonEmpty) {
+          System.err.println(
+            s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unmatched.toSeq.sorted.mkString(", ")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
