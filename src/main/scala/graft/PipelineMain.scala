@@ -37,11 +37,15 @@ object PipelineMain {
   val AvailableDatasets: Seq[String] =
     Seq("entries", "tasks", "computer_activities", "users", "application_names")
 
-  /** Primary key per dataset (the reference's `primary_key=` declarations,
-    * `dlt_fetch_timecamp.py:458,509,586,603`); `--sink bucketed` buckets
-    * each table on its key so later joins/dedups on it are shuffle-free.
+  /** Bucket-distribution key per dataset: `--sink bucketed` buckets each
+    * table on its key so later joins/dedups on it are shuffle-free. For
+    * entries/tasks/users/application_names this is the reference's
+    * `primary_key=` declaration (`dlt_fetch_timecamp.py:458,511,586,606`);
+    * computer_activities declares NO primary key in the reference and
+    * `user_id` is not unique per activity row — it is a join-distribution
+    * key only, never a dedup key.
     */
-  val PrimaryKeys: Map[String, String] = Map(
+  val BucketKeys: Map[String, String] = Map(
     "entries" -> "id", "tasks" -> "task_id", "users" -> "user_id",
     "computer_activities" -> "user_id", "application_names" -> "application_id")
 
@@ -323,13 +327,14 @@ object PipelineMain {
         (sinkOverride.getOrElse(BigQuerySink()), BigQuerySink.Format)
       case "bucketed" =>
         // bucketed warehouse layout: each table hash-bucketed on its
-        // primary key at write time, so every downstream join/dedup on the
-        // key reads shuffle-free (PlanSpec proves the zero-Exchange join)
+        // distribution key at write time, so every downstream join (and,
+        // where the key is a true PK, dedup) on the key reads shuffle-free
+        // (PlanSpec proves the zero-Exchange join)
         val perTable = new Sink {
           override def write(df: org.apache.spark.sql.DataFrame,
               target: String, table: String, format: String): Unit = {
-            val key = PrimaryKeys.getOrElse(table,
-              throw new IllegalArgumentException(s"no primary key for $table"))
+            val key = BucketKeys.getOrElse(table,
+              throw new IllegalArgumentException(s"no bucket key for $table"))
             graft.sources.BucketedSink(8, Seq(key), Seq(key), tablePrefix = "tc")
               .write(df, target, table, format)
           }

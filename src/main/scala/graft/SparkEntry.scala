@@ -438,7 +438,8 @@ object SparkEntry {
 
     // --- HLL profiling path, oracle-graded: the sketch and the exact
     // distinct run in ONE aggregate; within_bound carries the in-engine
-    // error contract (3×rsd), deterministic columns carry the comparison ---
+    // error contract (hash-graded at 6×rsd; tight 3×rsd in ProfileSpec),
+    // deterministic columns carry the comparison ---
     "q_profile_approx" -> ((s, dir) =>
       Profile.profileApproxChecked(t(s, dir, "documents"),
         Seq("lang", "source", "n_chars"))),
@@ -634,15 +635,17 @@ object SparkEntry {
     // oracle comparison is an IN-ENGINE error-bound check: both the sketch
     // and the exact distinct run in one aggregate, the output carries the
     // exact count plus a within-bound flag (HLL++ at default rsd 0.05;
-    // checked at 3× rsd), and the DuckDB twin reproduces the exact side
-    // with the flag expected true. ---
+    // hash-graded at 6×rsd so a ~0.3%-tail 3σ sketch miss on correct code
+    // can't flip the oracle gate — the tight 3×rsd bound is asserted in
+    // TransformsSpec, outside the hash comparison), and the DuckDB twin
+    // reproduces the exact side with the flag expected true. ---
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_suppkey")).as("_approx"),
           countDistinct(col("l_suppkey")).as("n_exact"))
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("_approx") - col("n_exact")).cast("double") <=
-            col("n_exact").cast("double") * 0.15).as("within_bound"))),
+            col("n_exact").cast("double") * 0.30).as("within_bound"))),
 
     // --- quantile sketch (approx_percentile, accuracy 1000). The sketch
     // value itself is implementation-specific, so the oracle comparison is

@@ -54,13 +54,20 @@ object Profile {
 
   /** Oracle-gradeable twin of [[profileApprox]]: runs the HLL++ sketch AND
     * the exact distinct in the same single aggregate and grades the sketch
-    * in-engine — `within_bound` asserts |approx − exact| ≤ 3×rsd×exact
-    * (default rsd 0.05 → 15%), the same error-bound-contract pattern as
-    * the `q_approx_distinct` query. The deterministic columns (counts,
-    * exact distinct, min/max, flag) are what the DuckDB twin reproduces;
-    * the sketch value itself never leaves the engine. At 100 TB the
-    * deployed path is [[profileApprox]] (no exact-distinct Expand); this
-    * variant exists so that path's estimator has a CORRECTNESS row.
+    * in-engine — `within_bound` asserts |approx − exact| ≤ 6×rsd×exact
+    * (default rsd 0.05 → 30%), the same error-bound-contract pattern as
+    * the `q_approx_distinct` query. The hash-graded bound is deliberately
+    * 6×rsd, not 3×rsd: the HLL error is probabilistic, and at 3σ a
+    * ~0.3%-tail sketch miss on otherwise-correct code would flip the flag
+    * and read as a semantics regression in the oracle gate; at 6σ the tail
+    * is ~1e-9 while real estimator breakage (typically off by far more)
+    * still fails loudly. The tight 3×rsd contract is asserted in
+    * ProfileSpec, outside the hash comparison. The deterministic columns
+    * (counts, exact distinct, min/max, flag) are what the DuckDB twin
+    * reproduces; the sketch value itself never leaves the engine. At
+    * 100 TB the deployed path is [[profileApprox]] (no exact-distinct
+    * Expand); this variant exists so that path's estimator has a
+    * CORRECTNESS row.
     */
   def profileApproxChecked(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -77,7 +84,7 @@ object Profile {
         col(s"_min_$c").as("min_value"),
         col(s"_max_$c").as("max_value"),
         (abs(col(s"_a_$c") - col(s"_d_$c")).cast("double") <=
-          col(s"_d_$c").cast("double") * 0.15).as("within_bound"))
+          col(s"_d_$c").cast("double") * 0.30).as("within_bound"))
     }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }

@@ -126,10 +126,16 @@ copy("events", f"""
          user_id + k * {u_str} AS user_id, event_type, value, props
   FROM read_parquet('{SRC}/events.parquet'), ks""")
 
+# caesar is length-preserving so n_chars stays valid; suffix appends the
+# replica number to every word, so n_chars must be recomputed from the
+# mutated text or profiling/filter queries on it would measure wrong data.
+n_chars_expr = (
+    "n_chars" if MUTATION == "caesar"
+    else f"CAST(length({mutate('text')}) AS INT)")
 copy("documents", f"""
   SELECT doc_id + k * {d_str} AS doc_id,
          {mutate('text')} AS text,
-         lang, source, n_chars
+         lang, source, {n_chars_expr} AS n_chars
   FROM read_parquet('{SRC}/documents.parquet'), ks""")
 
 import hashlib
