@@ -145,6 +145,64 @@ object Text {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the published repetition/quality
+    * filter family): per-doc word count, mean word length, fraction of
+    * words containing an alphabetic character, and stopword hits, plus the
+    * conjunction `keep`. All signals are single-pass Column expressions
+    * over one tokenization (no shuffle, no UDF) — the filter runs at scan
+    * speed on a 100 TB corpus. Thresholds are the published ones scaled to
+    * the synthetic corpus (the reference rule set uses 50..100k words;
+    * these documents are 10..~100 words).
+    */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = size(col("_ts")).cast("int")
+    val meanLen = when(n > 0,
+      round(aggregate(col("_ts"), lit(0.0),
+        (acc, w) => acc + length(w).cast("double")) / n.cast("double"), 6))
+    val alphaFrac = when(n > 0,
+      round(size(filter(col("_ts"), w => w.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double"), 6))
+    val stops = size(filter(col("_ts"),
+      w => lower(w).isin("the", "and", "of", "to", "a"))).cast("int")
+    // tokens materialized once in their own projection (CollapseProject
+    // would otherwise re-run the regex split per derived signal)
+    docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), n.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"), stops.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(10, 1000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("alpha_word_frac") >= 0.7 && col("stop_hits") >= 1)
+  }
+
+  /** Temperature-flattened mixture sampling (the multilingual-corpus
+    * rebalancing rule, Conneau & Lample 2019 §3.1): source s gets
+    * probability p_s ∝ A_s^alpha where A_s is its available token mass, so
+    * alpha < 1 up-samples the tail sources relative to their natural share.
+    * Keep fraction f_s = min(1, T·p_s / A_s); the draw itself is the same
+    * seeded md5-prefix filter as [[mixtureSample]] — reproducible across
+    * runs and engines. One pruned aggregate scan + one filtered pass; the
+    * per-source fraction table is dimension-sized and broadcast.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, alpha: Double, totalTokens: Long): DataFrame = {
+    val avail = docs.groupBy(col(sourceCol).as("_src"))
+      .agg(sum(tokenCount(col(textCol))).as("_avail"))
+      .withColumn("_pw", pow(col("_avail").cast("double"), alpha))
+    val z = avail.select(sum("_pw").as("_z"))
+    val frac = avail.crossJoin(broadcast(z))
+      .select(col("_src"),
+        least(lit(1.0),
+          lit(totalTokens.toDouble) * (col("_pw") / col("_z")) / col("_avail"))
+          .as("_f"))
+    docs.join(broadcast(frac), docs(sourceCol) === frac("_src"))
+      .where(col("_f") >= 1.0 ||
+        substring(md5(concat(lit("temp:"), col(idCol).cast("string"))), 1, 8) <
+          format_string("%08x", floor(col("_f") * 4294967296d).cast("long")))
+      .drop("_src", "_pw", "_f")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * (An incremental Karp–Rabin rolling hash lives in
     * graft.functions.RollingHash as the per-window variant.)

@@ -93,7 +93,19 @@ final case class BucketedSink(
   require(numBuckets > 0, s"numBuckets must be positive, got: $numBuckets")
   require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
 
-  def catalogName(table: String): String = s"${tablePrefix}_$table"
+  /** Catalog identifier for (target, table). The target is folded in (as a
+    * short stable digest — catalog names must be bare identifiers, paths are
+    * not) so two writes of the same table name to DIFFERENT targets get
+    * distinct catalog entries instead of silently repointing one; without
+    * it, `write(df1, "/wh/a", "t")` then `write(df2, "/wh/b", "t")` left
+    * the catalog's `t` pointing at `/wh/b` while `/wh/a/t`'s files became
+    * unreachable through the bucket-aware path.
+    */
+  def catalogName(target: String, table: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(target.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${tablePrefix}_${table}_$digest"
+  }
 
   override def write(df: DataFrame, target: String, table: String,
       format: String): Unit = {
@@ -104,13 +116,17 @@ final case class BucketedSink(
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    ws.saveAsTable(catalogName(table))
+    ws.saveAsTable(catalogName(target, table))
   }
 
   /** Catalog-resolved read: keeps the bucket spec visible to the planner
     * (reading the bare path would silently drop it and reintroduce the
-    * join shuffle this sink exists to remove).
+    * join shuffle this sink exists to remove). Catalog entries persist only
+    * with a durable metastore; in a fresh ephemeral-metastore session,
+    * re-register via [[write]] (or `CREATE TABLE ... USING parquet
+    * CLUSTERED BY` over the existing files) before reading.
     */
-  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
-    spark.table(catalogName(table))
+  def read(spark: org.apache.spark.sql.SparkSession, target: String,
+      table: String): DataFrame =
+    spark.table(catalogName(target, table))
 }

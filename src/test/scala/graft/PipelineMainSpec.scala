@@ -116,19 +116,22 @@ class PipelineMainSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown sink"))
   }
 
-  test("--sink bucketed writes each dataset bucketed on its primary key") {
+  test("--sink bucketed writes each dataset bucketed on its distribution key") {
     val out = java.nio.file.Files.createTempDirectory("tc_bucketed").toString
+    val sink = graft.sources.BucketedSink(8, Seq("id"), tablePrefix = "tc")
+    val entriesCat = sink.catalogName(out, "entries")
+    val tasksCat = sink.catalogName(out, "tasks")
     try {
       val counts = PipelineMain.run(spark,
         cfg(out, Seq("entries", "tasks")).copy(sink = "bucketed"))
       assert(counts === Map("entries" -> 5L, "tasks" -> 3L))
       // catalog keeps the bucket spec; data round-trips
-      assert(spark.table("tc_entries").count() === 5L)
-      val ddl = spark.sql("SHOW CREATE TABLE tc_entries").head().getString(0)
+      assert(spark.table(entriesCat).count() === 5L)
+      val ddl = spark.sql(s"SHOW CREATE TABLE $entriesCat").head().getString(0)
       assert(ddl.contains("CLUSTERED BY (id)") && ddl.contains("8 BUCKETS"), ddl)
-      val ddlTasks = spark.sql("SHOW CREATE TABLE tc_tasks").head().getString(0)
+      val ddlTasks = spark.sql(s"SHOW CREATE TABLE $tasksCat").head().getString(0)
       assert(ddlTasks.contains("CLUSTERED BY (task_id)"), ddlTasks)
-    } finally Seq("tc_entries", "tc_tasks").foreach(t =>
+    } finally Seq(entriesCat, tasksCat).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

@@ -126,16 +126,17 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = liSink.read(spark, "li")
-        .join(oSink.read(spark, "o"), col("l_orderkey") === col("o_orderkey"))
+      val j = liSink.read(spark, s"$wh/li", "li")
+        .join(oSink.read(spark, s"$wh/o", "o"),
+          col("l_orderkey") === col("o_orderkey"))
       val plan = planOf(j)
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle either side:\n$plan")
       assert(j.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS b_li")
-      spark.sql("DROP TABLE IF EXISTS b_o")
+      spark.sql(s"DROP TABLE IF EXISTS ${liSink.catalogName(s"$wh/li", "li")}")
+      spark.sql(s"DROP TABLE IF EXISTS ${oSink.catalogName(s"$wh/o", "o")}")
     }
   }
 }

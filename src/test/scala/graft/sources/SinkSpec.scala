@@ -65,18 +65,36 @@ class SinkSpec extends SparkSpec {
       sortCols = Seq("id"), tablePrefix = "sinkspec")
     try {
       sink.write(sample, dir, "t", "parquet")
-      val back = sink.read(spark, "t")
+      val back = sink.read(spark, dir, "t")
       assert(back.orderBy("id").collect().toSeq ===
         sample.orderBy("id").collect().toSeq)
       // the catalog keeps the bucket spec (this is what makes later joins
       // shuffle-free — a bare path read would drop it)
-      val ddl = spark.sql(s"SHOW CREATE TABLE ${sink.catalogName("t")}")
+      val ddl = spark.sql(s"SHOW CREATE TABLE ${sink.catalogName(dir, "t")}")
         .head().getString(0)
       assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
       // non-parquet and empty bucket cols are rejected
       intercept[IllegalArgumentException](sink.write(sample, dir, "t", "csv"))
       intercept[IllegalArgumentException](BucketedSink(4, Nil))
-    } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName("t")}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName(dir, "t")}")
+  }
+
+  test("same table name written to two targets keeps two catalog entries") {
+    val dirA = Files.createTempDirectory("bucketsink_a").toString
+    val dirB = Files.createTempDirectory("bucketsink_b").toString
+    val sink = BucketedSink(numBuckets = 2, bucketCols = Seq("id"),
+      tablePrefix = "sinkspec2")
+    try {
+      sink.write(sample, dirA, "t", "parquet")
+      sink.write(sample.withColumn("v", $"v" * 10), dirB, "t", "parquet")
+      // the second write must NOT repoint the first target's entry
+      assert(sink.catalogName(dirA, "t") !== sink.catalogName(dirB, "t"))
+      assert(sink.read(spark, dirA, "t").agg(Map("v" -> "sum"))
+        .head().getDouble(0) === 4.0)
+      assert(sink.read(spark, dirB, "t").agg(Map("v" -> "sum"))
+        .head().getDouble(0) === 40.0)
+    } finally Seq(dirA, dirB).foreach(d =>
+      spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName(d, "t")}"))
   }
 
   test("FileSink and BigQuerySink are interchangeable behind the Sink trait") {
