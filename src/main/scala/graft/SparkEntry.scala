@@ -917,6 +917,37 @@ object SparkEntry {
         Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 2000L)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // --- temperature-flattened mixture (p_s ∝ A_s^0.5): the multilingual
+    // rebalancing rule, same seeded engine-reproducible draw ---
+    "q_temperature_sample" -> ((s, dir) =>
+      Text.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+        "text", alpha = 0.5, totalTokens = 10000L)
+        .select(col("doc_id"), col("source"))),
+
+    // --- Gopher-style quality rule bundle: one scan, no shuffle ---
+    "q_gopher_filter" -> ((s, dir) =>
+      Text.gopherStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- corpus boilerplate: fraction of each doc's distinct 3-gram
+    // shingles shared with ≥5 documents ---
+    "q_boilerplate" -> ((s, dir) =>
+      Text.boilerplateStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- MinHash estimator audit: signature-agreement estimate vs true
+    // Jaccard per LSH candidate pair — fully deterministic, oracle
+    // reproduces both columns; empirical backing for the banding law ---
+    "q_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- cluster-representative selection: near-dup components + quality
+    // argmax per cluster = which copy the training set keeps ---
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBestPerCluster(docs, "doc_id", Text.qualityScore(col("text")),
+        Dedup.connectedComponents(
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text")))
+    }),
+
     // --- incremental ingest dedup: a new batch (doc_id ≥ 250) against the
     // digest store of the already-deduped corpus (doc_id < 250) — the
     // daily-ingest path that costs O(|batch|), never a corpus re-dedup ---
@@ -1165,6 +1196,58 @@ object SparkEntry {
         "SELECT d.doc_id, d.source, d.lang FROM documents d JOIN f ON d.source = f.source " +
         "WHERE fr >= 1.0 OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
         "format('{:08x}', CAST(floor(fr * 4294967296) AS BIGINT))"),
+
+    "q_temperature_sample" -> (
+      s"WITH av AS (SELECT source, CAST(SUM(len($docTokens)) AS DOUBLE) AS avail FROM documents GROUP BY 1), " +
+        "p AS (SELECT source, avail, pow(avail, 0.5) AS pw FROM av), " +
+        "z AS (SELECT SUM(pw) AS zz FROM p), " +
+        "f AS (SELECT source, least(CAST(1 AS DOUBLE), 10000.0 * (pw / zz) / avail) AS fr FROM p CROSS JOIN z) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.source " +
+        "WHERE fr >= 1.0 OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
+        "format('{:08x}', CAST(floor(fr * 4294967296) AS BIGINT))"),
+
+    "q_gopher_filter" -> (
+      s"WITH t AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_words, " +
+        "CASE WHEN len(ts) > 0 THEN round(CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts), 6) END AS mean_word_len, " +
+        "CASE WHEN len(ts) > 0 THEN round(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ts), 6) END AS alpha_word_frac, " +
+        "CAST(len(list_filter(ts, w -> lower(w) IN ('the','and','of','to','a'))) AS INT) AS stop_hits FROM t) " +
+        "SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits, " +
+        "(n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0 " +
+        "AND alpha_word_frac >= 0.7 AND stop_hits >= 1) AS keep FROM s"),
+
+    "q_boilerplate" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "shd AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END)) AS s FROM toks), " +
+        "freq AS (SELECT s FROM shd GROUP BY s HAVING count(*) >= 5), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM shd GROUP BY 1), " +
+        "hot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frequent FROM shd JOIN freq USING (s) GROUP BY 1) " +
+        "SELECT sizes.doc_id, n_shingles, COALESCE(n_frequent, 0) AS n_frequent, " +
+        "round(CAST(COALESCE(n_frequent, 0) AS DOUBLE) / n_shingles, 6) AS boilerplate_frac " +
+        "FROM sizes LEFT JOIN hot ON sizes.doc_id = hot.doc_id"),
+
+    "q_minhash_estimate" -> (
+      s"WITH $minhashPairsCtes " +
+        "SELECT p.id_a, p.id_b, " +
+        "round(CAST(len(list_filter(generate_series(1, 8), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 8.0, 6) AS est_jaccard, " +
+        "round(CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE) / " +
+        "(len(ha.shingles) + len(hb.shingles) - len(list_intersect(ha.shingles, hb.shingles))), 6) AS jaccard " +
+        "FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id " +
+        "JOIN sh ha ON p.id_a = ha.doc_id JOIN sh hb ON p.id_b = hb.doc_id"),
+
+    "q_dedup_keep_best" -> (
+      s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
+        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
+        "q AS (SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) + " +
+        "(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) + " +
+        s"least(CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) AS quality FROM documents), " +
+        "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
+        "k AS (SELECT cluster, doc_id AS keeper FROM (SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1) " +
+        "SELECT cl.doc_id, cl.cluster, cl.quality, cl.doc_id = k.keeper AS keep " +
+        "FROM cl JOIN k ON cl.cluster = k.cluster"),
 
     "q_dedup_pipeline" -> (
       s"WITH RECURSIVE $minhashPairsCtes, " +

@@ -324,6 +324,68 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash estimator audit for candidate pairs: for every LSH candidate,
+    * the signature-agreement Jaccard estimate (matching positions /
+    * numHashes — the textbook unbiased MinHash estimator) NEXT TO the true
+    * shingle-set Jaccard. Everything is deterministic (md5-seeded
+    * minhashes), so an oracle reproduces both columns bit-for-bit; the
+    * row set doubles as the empirical S-curve evidence behind
+    * [[rowsPerBandFor]]'s banding law. Cost shape: the pair table is
+    * blocking-bounded, and each join below keys it against the
+    * dimension-per-doc signature/shingle frame — per-row work is
+    * O(numHashes + shingles-per-doc), never corpus × corpus.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val shingled = Text.spread(docs)
+      .select(col(idCol).as("_id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("_sh"))
+      .localCheckpoint(true)
+    val cands = minhashCandidatePairsFromShingles(shingled, numHashes, rowsPerBand)
+    val sigs = shingled.select(col("_id"),
+      minhashSignature(col("_sh"), numHashes).as("_sig"), col("_sh"))
+    val est = cands
+      .join(sigs.select(col("_id").as("id_a"), col("_sig").as("_siga"),
+        col("_sh").as("_sha")), Seq("id_a"))
+      .join(sigs.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
+        col("_sh").as("_shb")), Seq("id_b"))
+    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
+    est.select(col("id_a"), col("id_b"),
+      round(size(filter(zip_with(col("_siga"), col("_sigb"),
+        (a, b) => a === b), m => m)).cast("double") / numHashes, 6)
+        .as("est_jaccard"),
+      round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
+        .as("jaccard"))
+  }
+
+  /** Cluster-representative selection: given per-doc near-dup components
+    * (from [[connectedComponents]] over any candidate generator), keep the
+    * highest-quality member of each cluster — the step that turns "these
+    * docs are near-dups" into "this is the copy the training set keeps".
+    * Docs in no cluster are their own singleton and keep themselves.
+    * Keeper choice is a partial-aggregable struct-min (max quality, ties →
+    * min id) — no window over the corpus, and the keeper join is one row
+    * per cluster against cluster-keyed members, so a degenerate
+    * boilerplate cluster spreads across tasks instead of funneling one.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, quality: Column,
+      clusters: DataFrame): DataFrame = {
+    val clustered = docs
+      .select(col(idCol).as("doc_id"), quality.as("quality"))
+      .join(clusters.withColumnRenamed("id", "_cid"),
+        col("doc_id") === col("_cid"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val keepers = clustered.groupBy("cluster")
+      .agg(min(struct((-col("quality")).as("_nq"), col("doc_id").as("kid")))
+        .as("_k"))
+      .select(col("cluster"), col("_k.kid").as("_keeper"))
+    clustered.join(keepers, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("_keeper")).as("keep"))
+  }
+
   /** End-to-end dedup resolution: minhash-LSH candidates → exact-Jaccard
     * verify → connected components → canonical keeper. Every document maps
     * to its cluster's minimum id (itself when it has no verified near-dup).

@@ -145,6 +145,36 @@ object Text {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-level boilerplate detection: the fraction of each document's
+    * distinct word n-grams that are "frequent" (appear in ≥ `minDf` other
+    * documents) — the standard signal for template/navigation boilerplate
+    * in web-scale corpora (high fraction ⇒ the doc is mostly text shared
+    * with many others). Shape at 100 TB: one explode + distinct on
+    * (doc, shingle) — a hash shuffle keyed by BOTH doc and shingle, so
+    * neither a hot document nor a hot shingle concentrates a task — then
+    * two partial aggregates off the materialized pair frame and one
+    * shingle-keyed join against the df-filtered frequent set. No
+    * collect, no per-doc array recomputation, no all-pairs anything.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minDf: Int = 5): DataFrame = {
+    val sh = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .distinct()
+      .localCheckpoint(true) // feeds sizes, df counts, and the hot join
+    val freq = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= minDf).select("_sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hot = sh.join(freq, Seq("_sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frequent"))
+    sizes.join(hot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+        round(coalesce(col("n_frequent"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("boilerplate_frac"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", §A1.1 — the published repetition/quality
     * filter family): per-doc word count, mean word length, fraction of

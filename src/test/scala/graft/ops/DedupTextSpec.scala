@@ -218,6 +218,90 @@ class DedupTextSpec extends SparkSpec {
     assert(rerun === out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("gopherStats: signals and the keep conjunction") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog wins"), // 10 words
+      (2L, "x y"),                                  // too short → keep=false
+      (3L, ("the " * 10) + "0 1 2 3 4 5 6")         // mean len < 2 → false
+    ).toDF("doc_id", "text")
+    val out = Text.gopherStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_words") === 10)
+    assert(out(0).getAs[Double]("mean_word_len") === 3.9) // 39 chars / 10
+    assert(out(0).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(0).getAs[Int]("stop_hits") === 2) // the, the
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(!out(2).getAs[Boolean]("keep")) // 17 words, mean (40+7)/17 < 2
+  }
+
+  test("boilerplateStats: shared shingles counted as frequent, frac in [0,1]") {
+    // 5 docs share the template 'a b c d'; doc 6 is unique text
+    val tpl = (1 to 5).map(i => (i.toLong, s"a b c d unique$i words$i here$i"))
+    val df = (tpl :+ (6L, "totally fresh content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Text.boilerplateStats(df, "doc_id", "text", shingleSize = 3,
+      minDf = 5).orderBy("doc_id").collect()
+    // 'a b c' and 'b c d' appear in all 5 template docs → frequent
+    (0 until 5).foreach { i =>
+      assert(out(i).getAs[Long]("n_frequent") === 2L, out(i).toString)
+      assert(out(i).getAs[Double]("boilerplate_frac") > 0.0)
+    }
+    assert(out(5).getAs[Long]("n_frequent") === 0L)
+    assert(out(5).getAs[Double]("boilerplate_frac") === 0.0)
+  }
+
+  test("temperatureSample: alpha=1 matches natural share; alpha=0 equalizes " +
+    "fractions; deterministic") {
+    val df = ((0 until 300).map(i => (i.toLong, "a")) ++
+      (300 until 320).map(i => (i.toLong, "b")))
+      .map { case (id, s) => (id, s, Seq.fill(10)("tok").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    // alpha=1: p_s = A_s/ΣA → f_s = T/ΣA uniform over docs (same keep rate)
+    val a1 = Text.temperatureSample(df, "doc_id", "source", "text",
+      alpha = 1.0, totalTokens = 1600L)
+    // f = 1600/3200 = 0.5 for both sources
+    val n1 = a1.count()
+    assert(n1 > 110 && n1 < 210, s"~160 of 320 expected, got $n1")
+    // alpha=0: p_s = 1/2 each → b (small source) saturates to keep-all
+    val a0 = Text.temperatureSample(df, "doc_id", "source", "text",
+      alpha = 0.0, totalTokens = 400L)
+    val bySrc = a0.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("b") === 20L) // T·(1/2)/200 = 1 → saturated
+    val rerun = Text.temperatureSample(df, "doc_id", "source", "text",
+      alpha = 1.0, totalTokens = 1600L)
+    assert(rerun.select("doc_id").as[Long].collect().sorted.toSeq ===
+      a1.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("minhashEstimatePairs: exact dups estimate 1.0 and measure 1.0; " +
+    "estimate stays within the 8-hash error envelope") {
+    val out = Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    val exact = out.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(exact._3 === 1.0 && exact._4 === 1.0)
+    // every candidate's estimate is a multiple of 1/8 and within the
+    // 8-hash binomial envelope of the true jaccard (3σ ≈ 0.53 worst case;
+    // candidates are ≥0.5-ish so use the loose bound)
+    out.foreach { case (_, _, est, j) =>
+      assert(est * 8 === math.rint(est * 8))
+      assert(math.abs(est - j) <= 0.55, s"est $est vs true $j")
+    }
+  }
+
+  test("keepBestPerCluster: best quality wins, ties break to min id, " +
+    "singletons keep themselves") {
+    val df = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // cluster 1: 2 and 3 tie on quality
+      (4L, 0.1)                        // singleton
+    ).toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val out = Dedup.keepBestPerCluster(df, "doc_id", col("q"), clusters)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect()
+    assert(out.map(_._4).toSeq === Seq(false, true, false, true))
+    assert(out.map(_._2).toSeq === Seq(1L, 1L, 1L, 4L))
+  }
+
   test("spread redistributes starved scans and no-ops healthy ones") {
     // a 1-partition frame on a multi-core session must fan out ...
     val starved = docs.coalesce(1)
