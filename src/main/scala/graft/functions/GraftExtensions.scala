@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rolling_hash(text, window): window must be an integer literal")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => MinHashSig(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingles, numHashes): numHashes must be an integer literal")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

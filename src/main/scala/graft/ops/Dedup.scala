@@ -31,9 +31,21 @@ object Dedup {
 
   /** Portable minhash signature: for each seed, min over shingles of
     * md5(seed || ':' || shingle). Returns ArrayType(String) of length
-    * `numHashes`.
+    * `numHashes`. Delegates to the native one-pass `minhash_sig` codegen
+    * expression (graft.functions.MinHashSig, registered by
+    * GraftExtensions) — bit-identical to [[minhashSignatureBuiltin]]
+    * (equivalence property-checked in MinHashSigSpec) but without the
+    * numHashes × |shingles| digest/hex/array allocations.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingleArr, lit(numHashes))
+
+  /** The pure-builtin composition of [[minhashSignature]] — the reference
+    * rendering of the signature definition (and the shape the DuckDB
+    * oracles replicate). Kept as the equivalence-check twin for the native
+    * expression.
+    */
+  def minhashSignatureBuiltin(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingleArr,
         s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
