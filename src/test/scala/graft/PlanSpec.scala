@@ -112,6 +112,25 @@ class PlanSpec extends SparkSpec {
     assert(j.exceptAll(plain).isEmpty && plain.exceptAll(j).isEmpty)
   }
 
+  test("gopher rule bundle runs at scan speed: zero Exchange, one scan") {
+    val plan = planOf(
+      graft.ops.Text.gopherStats(Tables(spark, dir, "documents"), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"gopher filter must not shuffle:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("keep-best resolution uses a partial-aggregable struct-min, no Window") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7)).toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val plan = planOf(graft.ops.Dedup.keepBestPerCluster(
+      docs, "doc_id", col("q"), clusters))
+    // a window-rank keeper pick would serialize each cluster through one
+    // task AND block partial aggregation; the struct-min shape must hold
+    assert(!plan.contains("Window"), s"keeper pick must not use a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"expected map-side partial struct-min in:\n$plan")
+  }
+
   test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
