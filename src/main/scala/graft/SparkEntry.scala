@@ -300,6 +300,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    // --- multi-signal dedup: union of MinHash-LSH and SimHash candidate
+    // edges → one component resolution. The two families have complementary
+    // recall (set-overlap vs weighted-bit similarity); production corpus
+    // dedup unions the edge sets before clustering so a pair caught by
+    // EITHER signal lands in the same cluster ---
+    "q_dedup_multi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+          .union(Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+            .select(col("id_a"), col("id_b"))))
+    }),
+
     // --- training-data extensions: similarity search ---
     "q_embed_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1413,6 +1426,22 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming " +
         "FROM b a JOIN b c ON a.pos = c.pos AND a.v = c.v AND a.doc_id < c.doc_id " +
         "WHERE bit_count(xor(a.simhash, c.simhash)) <= 3"),
+
+    // Multi-signal dedup: minhash CTE chain + the simhash chain (its
+    // `toks` renamed — same tokenization but lowercased, so the two chains
+    // must keep distinct CTEs) + union of both edge sets → reachability.
+    "q_dedup_multi" -> (
+      s"WITH RECURSIVE $minhashPairsCtes, " +
+        simhash64Cte.stripPrefix("WITH ").replace("toks", "sxtoks") + ", " +
+        "sb AS (SELECT doc_id, simhash, p.p AS pos, (simhash >> (p.p * 16)) & 65535 AS v FROM sh64 CROSS JOIN (VALUES (0), (1), (2), (3)) AS p(p)), " +
+        "spairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
+        "FROM sb a JOIN sb c ON a.pos = c.pos AND a.v = c.v AND a.doc_id < c.doc_id " +
+        "WHERE bit_count(xor(a.simhash, c.simhash)) <= 3), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs " +
+        "UNION SELECT id_a, id_b FROM spairs UNION SELECT id_b, id_a FROM spairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id) " +
+        "SELECT id, min(anc) AS component FROM reach GROUP BY id"),
 
     "q_salted_join" ->
       "SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
