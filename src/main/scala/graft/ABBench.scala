@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * logical result on a given sf dir, N runs each after a warmup, on one
   * warm session. Usage:
   *   sbt "runMain graft.ABBench <sfDir> <case> [runs]"
-  * Cases: closure | breadcrumb
+  * Cases: closure | breadcrumb | minhash
   */
 object ABBench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +34,17 @@ object ABBench {
           ops.Closure.transitiveClosure(tasks, "task_id", "parent_id")),
         "recursive" -> (() =>
           ops.Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")))
+      case "minhash" =>
+        import org.apache.spark.sql.functions.col
+        val shingled = ops.Text.spread(Tables(spark, sfDir, "documents"))
+          .select(col("doc_id"),
+            ops.Text.shingles(col("text"), 3).as("_sh"))
+        shingled.cache().count()
+        Seq(
+          "builtin" -> (() => shingled.select(
+            ops.Dedup.minhashSignatureBuiltin(col("_sh"), 8).as("_sig"))),
+          "native" -> (() => shingled.select(
+            ops.Dedup.minhashSignature(col("_sh"), 8).as("_sig"))))
       case _ => Seq(
         "iterative" -> (() =>
           ops.Closure.breadcrumbs(tasks, "task_id", "parent_id", "name")),
