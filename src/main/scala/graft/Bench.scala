@@ -78,19 +78,26 @@ object Bench {
     }
     // Min of SPARK_GRAFT_RUNS (default 2) executions per query: single-run
     // timings on a 32-thread local JVM carry multi-second transients (GC
-    // pauses, kernel scheduling) that land on arbitrary queries — two
+    // pauses, host CPU steal) that land on arbitrary queries — two
     // back-to-back suite runs showed ±6s swings on queries whose code
     // didn't change. The min is the reproducible steady-state cost of the
     // operator; the aggregation is declared in the emitted JSON.
+    // The repeats run as INTERLEAVED full-suite rounds, not back-to-back
+    // executions of each query: a sustained stall (one was measured
+    // covering 20s) inflates BOTH back-to-back runs of whichever query it
+    // lands on, but with round interleaving it hits different queries in
+    // different rounds and the per-query min discards it.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val rounds = (1 to runs).map { _ =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
     }
+    val results = selected.keys.map { name =>
+      name -> rounds.map(_(name)).min
+    }.toMap
     // Emit order matters: the driver captures the TAIL of stdout, so the
     // ~3 KB per-query map goes FIRST (truncation only costs detail) and a
     // compact total line goes LAST — it always fits the tail window and
