@@ -283,6 +283,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-scale variant of [[simhashNearDupPairs]]: block-permuted
+    * banding (Manku, Jain & Das Sarma 2007, "Detecting Near-Duplicates for
+    * Web Crawling"). The 4×16-bit pigeonhole's spurious-collision term is
+    * C(n,2)/2^16 per band — fine to ~1M docs, quadratic death beyond (at
+    * 100M docs it is ~10^11 hamming checks per band). Splitting the 64-bit
+    * hash into `blocks` blocks and banding on every (blocks − maxHamming)-
+    * block combination widens the band key: with the default 8 blocks /
+    * hamming ≤ 3, each of the C(8,5)=56 bands keys on 40 bits, cutting
+    * spurious collisions by 2^24 at the cost of 14× more band rows — the
+    * published trade for web-scale corpora. Same exact-cover guarantee
+    * (≤ maxHamming differing bits touch ≤ maxHamming blocks, so some
+    * (blocks − maxHamming)-subset is untouched and collides), therefore
+    * IDENTICAL output to the pigeonhole variant — spec-checked, and the
+    * band construction is data-independent so the choice is a pure
+    * corpus-size switch.
+    */
+  def simhashNearDupPairsBlocked(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    require(blocks > maxHamming && 64 % blocks == 0,
+      s"need 64 % blocks == 0 and blocks > maxHamming, got $blocks/$maxHamming")
+    val width = 64 / blocks
+    val keep = blocks - maxHamming
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashed = simhash64(docs, idCol, textCol).localCheckpoint(true)
+    // one band per keep-sized block combination; the key concatenates the
+    // chosen blocks' bits (band id disambiguates which combination)
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val banded = hashed.select(col("_id"), col("_h"),
+      explode(array(combos.zipWithIndex.map { case (combo, bandId) =>
+        struct(lit(bandId).as("pos"),
+          concat_ws("|", combo.map(b =>
+            shiftright(col("_h"), b * width).bitwiseAND(lit(mask))): _*).as("v"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_h"), col("_b.pos").as("_pos"), col("_b.v").as("_v"))
+    val a = banded.select(col("_pos"), col("_v"),
+      col("_id").as("id_a"), col("_h").as("_ha"))
+    val b = banded.select(col("_pos"), col("_v"),
+      col("_id").as("id_b"), col("_h").as("_hb"))
+    a.join(b, Seq("_pos", "_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact-Jaccard verification of minhash candidate pairs: recomputes the
     * true shingle-set Jaccard for every LSH candidate and keeps pairs at or
     * above `threshold`. The intersection join is RESTRICTED to candidate

@@ -36,6 +36,20 @@ class DedupTextSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) <= hamming(h(1L), h(5L)))
   }
 
+  test("block-permuted simhash banding = pigeonhole banding, exactly") {
+    // same pair set on the spec corpus (the exact-cover argument says the
+    // outputs are identical for ANY input; this pins the implementation)
+    val pigeon = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.simhashNearDupPairsBlocked(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === pigeon)
+    assert(pigeon.exists(p => p._1 == 1L && p._2 == 2L)) // exact dup found
+    // parameter guard
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairsBlocked(docs, "doc_id", "text", blocks = 3))
+  }
+
   test("ngramJaccard: exact dup has jaccard 1.0 within block") {
     val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang")
       .where($"id_a" === 1 && $"id_b" === 2).head()
