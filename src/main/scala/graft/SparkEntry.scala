@@ -296,6 +296,14 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("hamming", col("hamming").cast("int"))),
 
+    // --- web-scale simhash banding (Manku et al. block-permuted, 56 bands
+    // × 40-bit keys): exact-cover guarantees the SAME pair set as the
+    // pigeonhole variant, so the oracle twin is shared — this row makes
+    // the corpus-size switch driver-graded, not just spec-pinned ---
+    "q_dedup_simhash_blocked" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsBlocked(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("hamming", col("hamming").cast("int"))),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang")),
@@ -1418,6 +1426,16 @@ object SparkEntry {
         "SELECT id, min(anc) AS component FROM reach GROUP BY id"),
 
     "q_dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    // Shared with q_dedup_simhash_blocked: block-permuted banding produces
+    // the identical pair set (exact cover), so one oracle grades both.
+    "q_dedup_simhash_blocked" -> (
+      s"$simhash64Cte, b AS (SELECT doc_id, simhash, p.p AS pos, " +
+        "(simhash >> (p.p * 16)) & 65535 AS v FROM sh64 CROSS JOIN (VALUES (0), (1), (2), (3)) AS p(p)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming " +
+        "FROM b a JOIN b c ON a.pos = c.pos AND a.v = c.v AND a.doc_id < c.doc_id " +
+        "WHERE bit_count(xor(a.simhash, c.simhash)) <= 3"),
 
     "q_dedup_simhash_pairs" -> (
       s"$simhash64Cte, b AS (SELECT doc_id, simhash, p.p AS pos, " +
