@@ -51,11 +51,16 @@ object ABBench {
         "recursive" -> (() =>
           ops.Closure.breadcrumbsRecursive(tasks, "task_id", "parent_id", "name")))
     }
+    // noop-sink forcing, not count(): a bare count() column-prunes every
+    // deterministic projection, so variants whose difference lives in a
+    // projection (e.g. the minhash signature) would both time a no-op.
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     variants.foreach { case (name, f) =>
-      f().count() // warmup (codegen + JIT)
+      force(f()) // warmup (codegen + JIT)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        f().count()
+        force(f())
         (System.nanoTime() - t0) / 1e9
       }
       println(f"AB $which/$name: ${times.map(t => f"$t%.2f").mkString("/")} s")

@@ -36,27 +36,33 @@ object Bench {
     // sort machinery under them is common — measured ~3s off whichever
     // query otherwise pays the first text-path compile at sf0.1. Tiny
     // in-memory frames: the warmup costs ~2s once, not per query.
+    // Forced through the noop sink, NOT count(): under a bare count()
+    // ColumnPruning deletes every deterministic projection (and
+    // EliminateSorts the sort), so the paths this block exists to warm
+    // would never execute.
     locally {
       import spark.implicits._
       import org.apache.spark.sql.functions._
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
       val txt = (1 to 64).map(i => (i.toLong, s"warm up the jit $i path a b c"))
         .toDF("id", "text")
-      txt.select(col("id"), explode(split(col("text"), "\\s+")).as("t"))
-        .groupBy("t").agg(count(lit(1))).count()
-      txt.select(md5(col("text").cast("binary")),
+      force(txt.select(col("id"), explode(split(col("text"), "\\s+")).as("t"))
+        .groupBy("t").agg(count(lit(1))))
+      force(txt.select(md5(col("text").cast("binary")),
         substring(regexp_replace(col("text"), "[^a-z]", ""), 1, 4),
         aggregate(transform(split(col("text"), " "), w => length(w)),
           lit(0), (a, b) => a + b),
         zip_with(split(col("text"), " "), split(col("text"), " "),
-          (a, b) => concat(a, b))).count()
+          (a, b) => concat(a, b))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(1)).orderBy("id")
-      txt.withColumn("r", row_number().over(w)).count()
-      txt.join(broadcast(txt.limit(8).select(col("id").as("id2"))),
-        col("id") === col("id2")).count()
-      txt.select(approx_count_distinct("text"),
-        percentile_approx(col("id"), lit(0.5), lit(100))).count()
-      txt.orderBy(col("text").desc).count()
+      force(txt.withColumn("r", row_number().over(w)))
+      force(txt.join(broadcast(txt.limit(8).select(col("id").as("id2"))),
+        col("id") === col("id2")))
+      force(txt.select(approx_count_distinct("text"),
+        percentile_approx(col("id"), lit(0.5), lit(100))))
+      force(txt.orderBy(col("text").desc))
     }
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (slope measurements at large
     // SFs, per-query iteration); unset = the full surface (driver mode).
@@ -87,11 +93,18 @@ object Bench {
     // covering 20s) inflates BOTH back-to-back runs of whichever query it
     // lands on, but with round interleaving it hits different queries in
     // different rounds and the per-query min discards it.
+    // Timed via the noop sink: every output column is computed and every
+    // output row materialized then discarded — the same semantics as the
+    // DuckDB baseline's fetchall(). A count() here would column-prune
+    // projection-only queries down to bare row counts and time nothing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val rounds = (1 to runs).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

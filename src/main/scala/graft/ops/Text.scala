@@ -88,18 +88,36 @@ object Text {
   /** Predicted language code: argmax marker-hit count, ties → smallest
     * code, no hits → 'und'. Implemented as array_max over
     * (score, -codeRank) structs so struct ordering does the argmax.
+    *
+    * All per-language scores accumulate in ONE aggregate pass over one
+    * tokenization: higher-order functions are interpreted (no codegen, no
+    * common-subexpression elimination), so the earlier shape — a separate
+    * `langScore` filter per language — re-ran the regex tokenization per
+    * language expression (measured 2.8s → ~0.3s at sf0.1 under
+    * materialized timing). The argmax lives in the aggregate's FINISH
+    * lambda: referencing the aggregate from outside re-evaluates it per
+    * reference, while the finish body only touches the bound accumulator.
     */
   def langId(text: Column): Column = {
     val codes = langMarkers.map(_._1).sorted
-    val entries = langMarkers.map { case (code, ms) =>
-      struct(
-        langScore(text, ms).as("score"),
-        lit(-codes.indexOf(code)).as("nr"),
-        lit(code).as("code"))
-    }
-    val best = array_max(array(entries: _*))
-    when(best.getField("score") === 0, lit("und"))
-      .otherwise(best.getField("code"))
+    aggregate(
+      tokens(lower(text)),
+      struct(langMarkers.map { case (code, _) => lit(0).as(code) }: _*),
+      (acc, t) => struct(langMarkers.map { case (code, ms) =>
+        (acc.getField(code) +
+          when(t.isin(ms.map(lit): _*), lit(1)).otherwise(lit(0))).as(code)
+      }: _*),
+      acc => {
+        val entries = langMarkers.map { case (code, _) =>
+          struct(
+            acc.getField(code).as("score"),
+            lit(-codes.indexOf(code)).as("nr"),
+            lit(code).as("code"))
+        }
+        val best = array_max(array(entries: _*))
+        when(best.getField("score") === 0, lit("und"))
+          .otherwise(best.getField("code"))
+      })
   }
 
   /** Quality score in [0,1]: mean of three deterministic signals —

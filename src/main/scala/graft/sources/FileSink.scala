@@ -102,8 +102,16 @@ final case class BucketedSink(
     * unreachable through the bucket-aware path.
     */
   def catalogName(target: String, table: String): String = {
+    // Normalize before digesting so equivalent spellings of one directory
+    // (trailing slash, relative vs absolute, ./ segments) resolve to the
+    // SAME catalog entry — write("/wh/a/", t) then read("/wh/a", t) must
+    // not miss. URI targets (s3a://...) only get trailing-slash stripping
+    // (java.nio normalization would mangle the scheme).
+    val canonical =
+      if (target.contains("://")) target.replaceAll("/+$", "")
+      else java.nio.file.Paths.get(target).toAbsolutePath.normalize.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(target.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"${tablePrefix}_${table}_$digest"
   }
 

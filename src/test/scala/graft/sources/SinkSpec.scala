@@ -89,6 +89,11 @@ class SinkSpec extends SparkSpec {
       sink.write(sample.withColumn("v", $"v" * 10), dirB, "t", "parquet")
       // the second write must NOT repoint the first target's entry
       assert(sink.catalogName(dirA, "t") !== sink.catalogName(dirB, "t"))
+      // ... while equivalent spellings of ONE directory must agree
+      assert(sink.catalogName(s"$dirA/", "t") === sink.catalogName(dirA, "t"))
+      assert(sink.catalogName(s"$dirA/./", "t") === sink.catalogName(dirA, "t"))
+      assert(sink.catalogName("s3a://bkt/wh/", "t") ===
+        sink.catalogName("s3a://bkt/wh", "t"))
       assert(sink.read(spark, dirA, "t").agg(Map("v" -> "sum"))
         .head().getDouble(0) === 4.0)
       assert(sink.read(spark, dirB, "t").agg(Map("v" -> "sum"))
