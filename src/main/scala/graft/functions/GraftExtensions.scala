@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rolling_hash(text, window): window must be an integer literal")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => SimHash16(arr)
+        case _ => throw new IllegalArgumentException(
+          "simhash16(tokens): exactly one array<string> argument")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => args match {
