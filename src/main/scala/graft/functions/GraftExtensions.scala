@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "simhash16(tokens): exactly one array<string> argument")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => SimHash64(arr)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(tokens): exactly one array<string> argument")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => args match {

@@ -50,6 +50,85 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   }
 }
 
+/** 64-bit SimHash over a token array — the near-dup pair variant's hash
+  * (`simhash64(tokens)` → Long). Bit j (value `1 << j`) is set when the
+  * summed ±1 vote over bit (j mod 4) of hex-digit j/4 of md5(token) is
+  * positive — bit-identical to the explode → 64-column vote-SUM groupBy
+  * composition (the shape the DuckDB oracles replicate; equivalence
+  * spec-checked in SimHash16Spec).
+  *
+  * The aggregate composition was the right DISTRIBUTED shape when votes
+  * had to survive a shuffle, but simhash votes are entirely per-document:
+  * computing them per row deletes the explode (|tokens|× row blowup) and
+  * the 64-column vote shuffle from every simhash pair query — the hash
+  * step becomes a pure map inside whole-stage codegen.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got ${other.simpleString}")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.hash($c);")
+  }
+}
+
+object SimHash64 {
+
+  /** One pass: md5 per non-null token; vote j is ±1 on bit (j mod 4) of
+    * the VALUE of hex digit j/4 (digit at 0-based index k = high nibble
+    * of byte k/2 when k is even, low nibble otherwise); output bit j set
+    * when the vote sum is positive.
+    */
+  def hash(arr: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var j = 0
+        while (j < 64) {
+          val k = j >> 2
+          val nibble =
+            if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
+          votes(j) += (if (((nibble >> (j & 3)) & 1) == 1) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+}
+
 object SimHash16 {
 
   /** One pass: md5 per non-null token, ±1 vote per nibble position,

@@ -252,7 +252,25 @@ object Dedup {
     * exactly. Documents with zero tokens produce no rows (same as the
     * oracle's unnest).
     */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Native one-pass expression: simhash votes are per-DOCUMENT, so the
+    // hash is a pure map — no explode (|tokens|× row blowup) and no
+    // 64-column vote shuffle. Bit-identical to [[simhash64Builtin]]
+    // (equivalence spec-checked); spread for the per-row-dense compute.
+    // Token-less (or null-text) docs are dropped exactly like the
+    // builtin's explode does — otherwise every empty doc would carry
+    // hash 0 and spuriously pair with every other empty doc.
+    Text.spread(docs)
+      .select(col(idCol).as("_id"),
+        Text.tokens(lower(col(textCol))).as("_ts"))
+      .where(size(col("_ts")) > 0)
+      .select(col("_id"), call_function("simhash64", col("_ts")).as("_h"))
+
+  /** The explode → 64-vote-SUM groupBy composition of [[simhash64]] — the
+    * distributed-aggregate rendering the DuckDB oracle replicates, kept as
+    * the equivalence-check twin for the native expression.
+    */
+  def simhash64Builtin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // spread: per-token md5 + 16 hex-digit extractions run PRE-shuffle in
     // the scan's partitions — see Text.spread
     val digests = Text.spread(docs)
