@@ -99,17 +99,32 @@ object Bench {
     // projection-only queries down to bare row counts and time nothing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    // A failed attempt must NOT enter the min: a query that throws fast
+    // would otherwise record a near-zero "time" that silently improves the
+    // artifact the project is graded on. Each round records Right(sec) or
+    // Left(error); the min is over successful rounds only, and queries with
+    // zero successes are emitted as -1 plus an "errors" entry and excluded
+    // from the total.
+    // SPARK_GRAFT_FAIL=q_name deliberately throws in that query — exists
+    // only to demonstrate the err path end-to-end (SCALE.md records a run).
+    val failName = sys.env.get("SPARK_GRAFT_FAIL")
     val rounds = (1 to runs).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
+        name -> (try {
+          if (failName.contains(name))
+            throw new RuntimeException("deliberate SPARK_GRAFT_FAIL")
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+          Right((System.nanoTime() - t0) / 1e9): Either[String, Double]
+        } catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        })
       }
     }
     val results = selected.keys.map { name =>
-      name -> rounds.map(_(name)).min
+      val ok = rounds.flatMap(_(name).toOption)
+      name -> (if (ok.nonEmpty) Right(ok.min)
+               else Left(rounds.head(name).swap.getOrElse("unknown error")))
     }.toMap
     // Emit order matters: the driver captures the TAIL of stdout, so the
     // ~3 KB per-query map goes FIRST (truncation only costs detail) and a
@@ -119,11 +134,19 @@ object Bench {
     // (Locale.ROOT) to keep the detail line short.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold(_ => "-1", f3)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(msg)) => s"\"$k\":${jstr(msg)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"per_query","unit":"sec","agg":"min_of_$runs","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_$runs","sf":"$sfDir"}""")
+    val ok = results.values.collect { case Right(v) => v }
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nErr = results.values.count(_.isLeft)
+    println(s"""{"metric":"per_query","unit":"sec","agg":"min_of_$runs","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":$nErr,"agg":"min_of_$runs","sf":"$sfDir"}""")
     spark.stop()
   }
 }
