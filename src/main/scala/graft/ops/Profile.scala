@@ -53,21 +53,23 @@ object Profile {
     build(df, cols, exact = false)
 
   /** Oracle-gradeable twin of [[profileApprox]]: runs the HLL++ sketch AND
-    * the exact distinct in the same single aggregate and grades the sketch
-    * in-engine — `within_bound` asserts |approx − exact| ≤ 6×rsd×exact
-    * (default rsd 0.05 → 30%), the same error-bound-contract pattern as
-    * the `q_approx_distinct` query. The hash-graded bound is deliberately
-    * 6×rsd, not 3×rsd: the HLL error is probabilistic, and at 3σ a
-    * ~0.3%-tail sketch miss on otherwise-correct code would flip the flag
-    * and read as a semantics regression in the oracle gate; at 6σ the tail
-    * is ~1e-9 while real estimator breakage (typically off by far more)
-    * still fails loudly. The tight 3×rsd contract is asserted in
-    * ProfileSpec, outside the hash comparison. The deterministic columns
-    * (counts, exact distinct, min/max, flag) are what the DuckDB twin
-    * reproduces; the sketch value itself never leaves the engine. At
-    * 100 TB the deployed path is [[profileApprox]] (no exact-distinct
-    * Expand); this variant exists so that path's estimator has a
-    * CORRECTNESS row.
+    * the exact distinct in the same single aggregate, but every OUTPUT
+    * column is deterministic, so the DuckDB twin reproduces the result
+    * bit-for-bit with no probabilistic flag inside the hash gate (ADVICE
+    * r4: a tail-probability sketch miss must never read as a semantics
+    * regression). The sketch's error contract — the part that IS
+    * probabilistic — is graded in ProfileSpec at the tight 3×rsd bound,
+    * outside the hash comparison.
+    *
+    * `n_distinct` is emitted as `greatest(exact, least(exact, approx))`,
+    * which is identically `exact` for every possible sketch value (the
+    * inner least is ≤ exact, so the outer greatest returns exact) — but
+    * Catalyst cannot prove that, so the HLL aggregate survives column
+    * pruning and the CORRECTNESS/bench runs still execute the 100 TB
+    * estimator path rather than a silently-degenerated exact-only plan.
+    * At 100 TB the deployed variant is [[profileApprox]] (no
+    * exact-distinct Expand); this one exists so that path's estimator has
+    * a CORRECTNESS row.
     */
   def profileApproxChecked(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -80,11 +82,10 @@ object Profile {
       struct(lit(c).as("col_name"),
         col(s"_n_$c").as("n_nonnull"),
         (col("_total") - col(s"_n_$c")).as("n_null"),
-        col(s"_d_$c").as("n_distinct"),
+        greatest(col(s"_d_$c"), least(col(s"_d_$c"), col(s"_a_$c")))
+          .as("n_distinct"),
         col(s"_min_$c").as("min_value"),
-        col(s"_max_$c").as("max_value"),
-        (abs(col(s"_a_$c") - col(s"_d_$c")).cast("double") <=
-          col(s"_d_$c").cast("double") * 0.30).as("within_bound"))
+        col(s"_max_$c").as("max_value"))
     }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }

