@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
@@ -13,57 +13,82 @@ import org.apache.spark.sql.types.IntegerType
   * // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
   * spark.sql("SELECT rolling_hash(text, 8) FROM docs")
   * }}}
+  *
+  * DEPENDENCY NOTE for library consumers: the ops-layer entry points that
+  * delegate to these expressions (`Dedup.minhashSignature`, `.simhash16`,
+  * `simhash64`, `Similarity.dot` and everything built on them) resolve the
+  * functions BY NAME via `call_function`, so a session created without this
+  * extension fails analysis with UNRESOLVED_ROUTINE. Either build the
+  * session `withExtensions(new GraftExtensions)` / set
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on an already-built session (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+object GraftExtensions {
+
+  /** Retrofit the graft functions onto an EXISTING session that was built
+    * without the extension (e.g. a shared notebook session). Idempotent:
+    * already-registered names are left untouched.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+
+  private[functions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => args match {
         case Seq(text, Literal(w: Int, IntegerType)) => RollingHash(text, w)
         case _ => throw new IllegalArgumentException(
           "rolling_hash(text, window): window must be an integer literal")
-      }))
-    ext.injectFunction((
+      }),
+    (
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => args match {
         case Seq(arr) => SimHash16(arr)
         case _ => throw new IllegalArgumentException(
           "simhash16(tokens): exactly one array<string> argument")
-      }))
-    ext.injectFunction((
+      }),
+    (
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => args match {
         case Seq(arr) => SimHash64(arr)
         case _ => throw new IllegalArgumentException(
           "simhash64(tokens): exactly one array<string> argument")
-      }))
-    ext.injectFunction((
+      }),
+    (
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => args match {
         case Seq(arr, Literal(n: Int, IntegerType)) => MinHashSig(arr, n)
         case _ => throw new IllegalArgumentException(
           "minhash_sig(shingles, numHashes): numHashes must be an integer literal")
-      }))
-    ext.injectFunction((
+      }),
+    (
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => VecDot(a, b)
         case _ => throw new IllegalArgumentException(
           "vec_dot(a, b): exactly two array arguments")
-      }))
+      }),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (only the InjectRuntimeFilter rule uses them; they are
     // not in the public FunctionRegistry). graft's bloom-prefiltered join
     // (ops.Joins.bloomPrefilterJoin) builds the same sketch explicitly, so
     // expose them under graft names through the extension hook — public
     // classes, public injection API, no Spark-private access.
-    ext.injectFunction((
+    (
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -74,8 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .BloomFilterAggregate(child, items, bits)
         case _ => throw new IllegalArgumentException(
           "bloom_filter_agg(xxhash64(key), estimatedItems, numBits)")
-      }))
-    ext.injectFunction((
+      }),
+    (
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -86,5 +111,4 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "might_contain(bloomFilter, xxhash64(key))")
       }))
-  }
 }

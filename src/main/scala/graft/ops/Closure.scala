@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,10 +14,12 @@ import org.apache.spark.sql.functions._
   * Implementation is an iterative fixpoint of DataFrame self-joins. Scale
   * notes: hierarchy dimensions are small (tasks/groups — thousands to low
   * millions of rows) even when the fact side is 100 TB, so each iteration
-  * is a small shuffle (or broadcast) join; `localCheckpoint` per iteration
-  * truncates lineage so the plan stays O(1) per step instead of growing
-  * exponentially, and the final closure is typically broadcast against the
-  * fact table by AQE.
+  * is a small shuffle (or broadcast) join; an eager
+  * [[graft.Materialize.checkpoint]] per iteration truncates lineage so the
+  * plan stays O(1) per step instead of growing exponentially (local
+  * checkpoint on local mode, reliable checkpoint on clusters — see
+  * Materialize's scaladoc), and the final closure is typically broadcast
+  * against the fact table by AQE.
   */
 object Closure {
 
@@ -39,7 +42,7 @@ object Closure {
     val edges = nodes
       .select(col(idCol).as("_e_id"), col(parentCol).as("_e_parent"))
       .where(col(parentCol).isNotNull)
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
 
     val self = nodes.select(
       col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"))
@@ -50,10 +53,10 @@ object Closure {
     // frontiers are eagerly checkpointed; the accumulated result is a
     // union of those materialized RDDs, so its plan stays shallow without
     // paying one extra materialization job per iteration.
-    var result = self.localCheckpoint(true)
+    var result = self.transform(Materialize.checkpoint)
     var frontier = edges
       .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       result = result.unionByName(frontier)
@@ -62,7 +65,7 @@ object Closure {
         .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
         .distinct()
         .join(result, Seq("descendant_id", "ancestor_id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Materialize.checkpoint)
       depth += 1
     }
     result
@@ -82,7 +85,7 @@ object Closure {
     // Materialize the projection once: UnionLoop re-executes the step plan
     // per level, which would otherwise re-run the source scan every level.
     nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
       .createOrReplaceTempView(view)
     val out = nodes.sparkSession.sql(
       s"""WITH RECURSIVE th(descendant_id, ancestor_id) AS (
@@ -112,7 +115,7 @@ object Closure {
     // view, and the anchor's NOT IN needs a second pass over it.
     nodes.select(col(idCol).as("id"), col(parentCol).as("parent"),
       col(nameCol).as("name"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
       .createOrReplaceTempView(view)
     // Orphan detection is NOT EXISTS, not NOT IN: a NOT IN over a nullable
     // subquery is a null-aware anti-join, which Spark can only execute as
@@ -153,7 +156,7 @@ object Closure {
     val base = nodes
       .select(col(idCol).as("_b_id"), col(parentCol).as("_b_parent"),
         col(nameCol).as("_b_name"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
 
     val ids = base.select(col("_b_id"))
     // Roots: parent NULL, or parent not present in the table (orphans).
@@ -168,7 +171,7 @@ object Closure {
     // for nothing (~25% of the operator at sf1/200k nodes). The final
     // union's lineage is `depth` flat union nodes over already-
     // materialized frames.
-    val levels = scala.collection.mutable.ArrayBuffer(roots.localCheckpoint(true))
+    val levels = scala.collection.mutable.ArrayBuffer(roots.transform(Materialize.checkpoint))
     var level = levels.last
     var depth = 1
     while (depth < maxDepth && !level.isEmpty) {
@@ -177,7 +180,7 @@ object Closure {
           base("_b_parent") === col("_l_id"))
         .select(base("_b_id"),
           concat(col("path"), array(col("_b_name"))).as("path"))
-        .localCheckpoint(true)
+        .transform(Materialize.checkpoint)
       level = next
       if (!next.isEmpty) levels += next
       depth += 1

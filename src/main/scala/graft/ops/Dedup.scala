@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +37,9 @@ object Dedup {
     * GraftExtensions) — bit-identical to [[minhashSignatureBuiltin]]
     * (equivalence property-checked in MinHashSigSpec) but without the
     * numHashes × |shingles| digest/hex/array allocations.
+    * Sessions built WITHOUT GraftExtensions fail analysis here with
+    * UNRESOLVED_ROUTINE — retrofit with `GraftExtensions.register(spark)`,
+    * or use [[minhashSignatureBuiltin]] (same bits, slower).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleArr, lit(numHashes))
@@ -133,7 +137,7 @@ object Dedup {
       .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
       // Materialized once so consumers (self-join sides, store writes)
       // don't recompute the signatures (the dominant cost).
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
   }
 
   // ------------------------------------------------------ incremental dedup
@@ -306,7 +310,7 @@ object Dedup {
     // cost; pair generation is a distributed band self-join rather than a
     // per-bucket collect (see cosineNearDupPairs for the rationale).
     val hashed = simhash64(docs, idCol, textCol)
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val banded = hashed.select(col("_id"), col("_h"),
       explode(array((0 until 4).map { band =>
         struct(lit(band).as("pos"),
@@ -349,7 +353,7 @@ object Dedup {
     val width = 64 / blocks
     val keep = blocks - maxHamming
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashed = simhash64(docs, idCol, textCol).localCheckpoint(true)
+    val hashed = simhash64(docs, idCol, textCol).transform(Materialize.checkpoint)
     // one band per keep-sized block combination; the key concatenates the
     // chosen blocks' bits (band id disambiguates which combination)
     val combos = (0 until blocks).combinations(keep).toSeq
@@ -378,24 +382,41 @@ object Dedup {
     * pairs — cost is |candidates| × shingles-per-doc, never the all-pairs
     * product; this is the standard verify step after probabilistic blocking.
     */
+  /** Salt count for the verify join's replicated hop, derived from the
+    * candidate-pair volume the way [[rowsPerBandFor]]/`numPlanesFor`
+    * derive their knobs. Worst-case skew is every candidate pair sharing
+    * one boilerplate doc as `id_a` — keyed on bare id_a those pairs land
+    * in ONE task, so pick salts such that even then no reducer sees more
+    * than ~`targetPerSalt` pairs: ceil(pairs / target), clamped to
+    * [1, 1024] (the cap bounds the ×salts replication of the semi-join-
+    * restricted shingle side). Small candidate sets derive salt 1 and pay
+    * zero replication.
+    */
+  def verifySaltsFor(candidatePairs: Long, targetPerSalt: Long = 4096L): Int = {
+    require(targetPerSalt > 0, "targetPerSalt must be positive")
+    math.min(1024L,
+      math.max(1L, math.ceil(candidatePairs.toDouble / targetPerSalt).toLong)).toInt
+  }
+
   def verifiedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      targetPairsPerSalt: Long = 4096L): DataFrame = {
     // One tokenize+shingle pass feeds BOTH the minhash candidates and the
     // exact-verify side, and each derived frame is materialized once (the
     // candidate set and shingle rows both appear twice in the join tree).
     val shingled = Text.spread(docs)
       .select(col(idCol).as("_id"),
         Text.shingles(col(textCol), shingleSize).as("_sh"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val cands = minhashCandidatePairsFromShingles(shingled)
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val sh = shingled
       .select(col("_id"),
         array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_sharr"))
       .select(col("_id"), size(col("_sharr")).as("_sz"),
         explode(col("_sharr")).as("_sh"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     // Both intersection hops must avoid a single hot doc key. Hop 2 is
     // naturally spread over (id_b, shingle); hop 1 expands each candidate
     // pair by id_a's shingle set, and keyed on bare `id_a` a
@@ -407,7 +428,11 @@ object Dedup {
     // appear in candidates — the corpus-sized shingle frame never pays the
     // ×salts shuffle, only the (small) near-dup subset does. Hop 2's b side
     // gets the same semi-join restriction to cut its shuffle volume.
-    val salts = 16
+    // The salt count is DERIVED from the candidate volume (cands is already
+    // materialized, so the count is a cheap scan): a fixed constant either
+    // under-salts a 10⁵-pair boilerplate doc at corpus scale or replicates
+    // a tiny corpus's shingles for nothing.
+    val salts = verifySaltsFor(cands.count(), targetPairsPerSalt)
     val a = sh.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_sh"))
       .join(cands.select("id_a").distinct(), Seq("id_a"), "left_semi")
       .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
@@ -442,7 +467,7 @@ object Dedup {
     val shingled = Text.spread(docs)
       .select(col(idCol).as("_id"),
         array_distinct(Text.shingles(col(textCol), shingleSize)).as("_sh"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val cands = minhashCandidatePairsFromShingles(shingled, numHashes, rowsPerBand)
     val sigs = shingled.select(col("_id"),
       minhashSignature(col("_sh"), numHashes).as("_sig"), col("_sh"))
@@ -478,9 +503,17 @@ object Dedup {
         col("doc_id") === col("_cid"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
+    // NULL quality sorts to a -Inf sentinel, not first: Spark's struct-min
+    // orders a NULL field BEFORE every value, so a null-quality doc would
+    // otherwise always win its cluster — the opposite of the quality-DESC-
+    // nulls-last contract (and of the DuckDB twin's row_number ordering).
+    // With the sentinel, null-quality docs win only all-null clusters,
+    // where the doc_id tie-break decides in both engines.
     val keepers = clustered.groupBy("cluster")
-      .agg(min(struct((-col("quality")).as("_nq"), col("doc_id").as("kid")))
-        .as("_k"))
+      .agg(min(struct(
+        (-coalesce(col("quality").cast("double"), lit(Double.NegativeInfinity)))
+          .as("_nq"),
+        col("doc_id").as("kid"))).as("_k"))
       .select(col("cluster"), col("_k.kid").as("_keeper"))
     clustered.join(keepers, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("quality"),
@@ -566,7 +599,7 @@ object Dedup {
     * plus one join on the EDGE set, and the edge set contracts toward
     * per-component stars in O(log²) phases REGARDLESS of component
     * diameter. Nothing larger than |edges| is ever materialized;
-    * `localCheckpoint` truncates lineage per phase. Costs ~3 shuffles per
+    * an eager [[graft.Materialize.checkpoint]] truncates lineage per phase. Costs ~3 shuffles per
     * phase (vs 1 for label propagation), which is why it is the fallback
     * for unbounded-diameter graphs rather than the default.
     */
@@ -579,12 +612,12 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     // Node set remembered up front: star contraction erases isolated
     // structure, but every input node must appear in the output.
     val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
 
     // large-star: every node u connects its STRICTLY LARGER neighbors to
     // m(u) = min(Γ(u) ∪ {u}); keeps (hi > lo) orientation by construction.
@@ -624,7 +657,7 @@ object Dedup {
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = smallStar(largeStar(edges)).transform(Materialize.checkpoint)
       val sig = signature(edges)
       converged = sig == prev
       prev = sig
@@ -656,7 +689,7 @@ object Dedup {
     // The pair input is materialized FIRST: it appears in both union
     // branches below, and without the checkpoint Spark would re-execute
     // the (often expensive — minhash/verify chains) pair derivation twice.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p = pairs.select(col("id_a"), col("id_b")).transform(Materialize.checkpoint)
     // Symmetrized edges PLUS a self-loop per node: one join+agg then gives
     // min over {self} ∪ neighbors — no second join against the previous
     // labels. Materialized once; every round reuses it.
@@ -665,11 +698,11 @@ object Dedup {
     val edges = sym
       .unionByName(sym.select(col("a"), col("a").as("b")).distinct())
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     // Labels only ever decrease, so Σ(component) is strictly monotone until
     // the fixpoint — equality of consecutive sums IS convergence. The sum
     // is a cheap scan over the just-materialized checkpoint (no extra
@@ -685,7 +718,7 @@ object Dedup {
           .withColumnRenamed("component", "_nl"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("_nl")).as("component"))
-        .localCheckpoint(true)
+        .transform(Materialize.checkpoint)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
@@ -724,7 +757,7 @@ object Dedup {
         explode(col("_sharr")).as("_sh"))
       // Materialized once: the self-join would otherwise re-run the
       // tokenize+shingle+hash pass (the dominant cost) per join side.
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val lhs = sh.select(col("_blk"), col("_sh"),
       col("_id").as("id_a"), col("_sz").as("_sza"))
     val rhs = sh.select(col("_blk"), col("_sh"),

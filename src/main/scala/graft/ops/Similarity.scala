@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,8 @@ object Similarity {
     *
     * Delegates to the native `vec_dot` codegen expression
     * (graft.functions.VecDot, registered by GraftExtensions — sessions
-    * must be built `withExtensions(new GraftExtensions)`): ANN/near-dup
+    * must be built `withExtensions(new GraftExtensions)` or retrofitted
+    * via `GraftExtensions.register(spark)`): ANN/near-dup
     * scoring evaluates |candidate pairs| × dim multiplies, and Spark's
     * higher-order `aggregate`/`zip_with` interpret a lambda per element —
     * measured ~6× slower than the generated loop on the embed near-dup
@@ -145,7 +147,7 @@ object Similarity {
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         srpBucket(col(vecCol), numPlanes).as("_bkt"))
       .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
 
   /** Incremental embedding near-dup: scored candidate pairs INVOLVING a
     * new ingest batch — new×new plus new×stored — given the persisted

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -88,6 +89,9 @@ object Text {
   /** Predicted language code: argmax marker-hit count, ties → smallest
     * code, no hits → 'und'. Implemented as array_max over
     * (score, -codeRank) structs so struct ordering does the argmax.
+    * NULL text → NULL (aggregate over a null token array propagates null;
+    * a doc with no text has no detectable language — distinct from 'und',
+    * which means "has tokens, none matched a marker"). Pinned in TextSpec.
     *
     * All per-language scores accumulate in ONE aggregate pass over one
     * tokenization: higher-order functions are interpreted (no codegen, no
@@ -164,8 +168,10 @@ object Text {
   }
 
   /** Corpus-level boilerplate detection: the fraction of each document's
-    * distinct word n-grams that are "frequent" (appear in ≥ `minDf` other
-    * documents) — the standard signal for template/navigation boilerplate
+    * distinct word n-grams that are "frequent" (appear in ≥ `minDf`
+    * documents INCLUDING this one — i.e. ≥ minDf−1 others; the oracle's
+    * HAVING count(*) >= minDf matches) — the standard signal for
+    * template/navigation boilerplate
     * in web-scale corpora (high fraction ⇒ the doc is mostly text shared
     * with many others). Shape at 100 TB: one explode + distinct on
     * (doc, shingle) — a hash shuffle keyed by BOTH doc and shingle, so
@@ -180,7 +186,7 @@ object Text {
       .select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), shingleSize)).as("_sh"))
       .distinct()
-      .localCheckpoint(true) // feeds sizes, df counts, and the hot join
+      .transform(Materialize.checkpoint) // feeds sizes, df counts, and the hot join
     val freq = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
       .where(col("_df") >= minDf).select("_sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -1,5 +1,6 @@
 package graft.reports
 
+import graft.Materialize
 import graft.ops.Closure
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -30,7 +31,7 @@ object BudgetReport {
     // dimension-sized result (|tasks| × depth) is checkpoint-cheap
     // (measured ~0.4s off the report at sf0.1).
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val tracked = entries
       .join(broadcast(closure),
         entries("task_id") === closure("descendant_id"))

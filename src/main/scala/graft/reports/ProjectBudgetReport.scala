@@ -1,5 +1,6 @@
 package graft.reports
 
+import graft.Materialize
 import graft.ops.Closure
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -18,7 +19,7 @@ object ProjectBudgetReport {
     // Materialized once (same reasoning as BudgetReport): the recursion
     // must not re-execute inside the memberOf join's exchange.
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val roots = tasks.where(col("parent_id").isNull)
       .select(col("task_id").as("project_id"), col("name").as("project_name"))
     // descendant → its root ancestor; materialized once — it feeds two
@@ -27,7 +28,7 @@ object ProjectBudgetReport {
     val memberOf = closure
       .join(roots, closure("ancestor_id") === roots("project_id"))
       .select(col("descendant_id"), col("project_id"), col("project_name"))
-      .localCheckpoint(true)
+      .transform(Materialize.checkpoint)
     val budget = tasks
       .join(broadcast(memberOf), tasks("task_id") === memberOf("descendant_id"))
       .groupBy("project_id")

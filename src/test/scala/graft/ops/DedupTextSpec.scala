@@ -316,6 +316,56 @@ class DedupTextSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(1L, 1L, 1L, 4L))
   }
 
+  test("keepBestPerCluster: NULL quality never beats a scored doc " +
+    "(quality-DESC-nulls-last contract)") {
+    val df = Seq(
+      (1L, None: Option[Double]), (2L, Some(0.2)), // null must lose to 0.2
+      (10L, None: Option[Double]), (11L, None: Option[Double]) // all-null → min id
+    ).toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val out = Dedup.keepBestPerCluster(df, "doc_id", col("q"), clusters)
+      .orderBy("doc_id").select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(2L) && !out(1L), "scored doc must beat the null-quality doc")
+    assert(out(10L) && !out(11L), "all-null cluster falls back to min id")
+  }
+
+  test("verifySaltsFor derives the salt from candidate volume, clamped") {
+    assert(Dedup.verifySaltsFor(0L) === 1)
+    assert(Dedup.verifySaltsFor(4096L) === 1) // exactly one target-full task
+    assert(Dedup.verifySaltsFor(4097L) === 2)
+    assert(Dedup.verifySaltsFor(100000L) === 25)
+    assert(Dedup.verifySaltsFor(100000000L) === 1024) // replication cap
+    assert(Dedup.verifySaltsFor(100L, targetPerSalt = 10L) === 10)
+    intercept[IllegalArgumentException](Dedup.verifySaltsFor(1L, 0L))
+  }
+
+  test("verifiedJaccardPairs: a skewed hot-doc fixture derives salts > 1 " +
+    "and the salted join changes nothing but the distribution") {
+    // 24 near-identical docs (one hot near-dup cluster) → C(24,2) = 276
+    // candidate pairs, the all-pairs-share-a-doc skew shape
+    val hot = (1 to 24).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidatePairs(hot, "doc_id", "text")
+    assert(Dedup.verifySaltsFor(cands.count(), targetPerSalt = 50L) > 1)
+    val salted = Dedup.verifiedJaccardPairs(hot, "doc_id", "text",
+      targetPairsPerSalt = 50L) // forces the multi-salt path at spec scale
+    val unsalted = Dedup.verifiedJaccardPairs(hot, "doc_id", "text",
+      targetPairsPerSalt = Long.MaxValue) // salts = 1
+    assert(salted.orderBy("id_a", "id_b").collect().toSeq ===
+      unsalted.orderBy("id_a", "id_b").collect().toSeq)
+    assert(salted.count() > 0)
+  }
+
+  test("langId: NULL text yields NULL, not a language or 'und'") {
+    val df = Seq(Some("the cat and the hat"), None: Option[String]).toDF("text")
+    val out = df.select(Text.langId($"text").as("l")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq == Seq("en", null))
+  }
+
   test("spread redistributes starved scans and no-ops healthy ones") {
     // a 1-partition frame on a multi-core session must fan out ...
     val starved = docs.coalesce(1)
