@@ -130,6 +130,66 @@ object EventStream {
       }
   }
 
+  case class BandRow(doc_id: Long, bno: Int, bkey: String)
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming twin of `Dedup.minhashIncrementalCandidates`: a document
+    * ingest stream emitting minhash-LSH candidate near-dup pairs as docs
+    * arrive. The banding projection is IDENTICAL to `Dedup.bandTable`
+    * (same shingles → signature → band-key expressions, minus the batch
+    * path's eager materialization — here the STATE STORE is the band
+    * table): state per (band, key) bucket is the member doc-id list, so
+    * an arriving doc pairs with every previously-stored member of its
+    * buckets plus its in-batch peers, then joins the bucket. That is
+    * exactly the O(bucket-membership) artifact the batch path persists as
+    * `bandTable` rows — keyed by band instead of row-wise — and each
+    * ingest batch costs O(|batch| bands + emitted pairs), never a corpus
+    * re-band. NO watermark: band membership is permanent corpus state,
+    * which is why it holds 8-byte ids, never documents.
+    *
+    * Emission contract: a pair sharing k bands is emitted up to k times
+    * (one per bucket — buckets are independent state groups); the batch
+    * path's trailing `.distinct()` is not expressible under append mode,
+    * so the pair SET (after a downstream distinct) equals the batch
+    * twin's, which is what EventStreamSpec asserts.
+    */
+  def minhashCandidateStream(
+      docs: Dataset[DocIn], shingleSize: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val numBands = numHashes / rowsPerBand
+    val banded = docs.toDF()
+      .select(col("doc_id"),
+        graft.ops.Dedup.minhashSignature(
+          graft.ops.Text.shingles(col("text"), shingleSize), numHashes)
+          .as("_sig"))
+      .select(col("doc_id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("bno"),
+          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bkey"))
+      }: _*)).as("_b"))
+      .select(col("doc_id"), col("_b.bno").as("bno"), col("_b.bkey").as("bkey"))
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.bno, r.bkey))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          val stored = state.getOption.getOrElse(Seq.empty)
+          val seen = stored.toSet
+          val arriving = rows.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(seen)
+          val newVsStored = for (n <- arriving.iterator; s <- stored.iterator)
+            yield CandPair(math.min(n, s), math.max(n, s))
+          val newVsNew = for {
+            i <- arriving.indices.iterator
+            j <- (i + 1 until arriving.size).iterator
+          } yield CandPair(arriving(i), arriving(j))
+          if (arriving.nonEmpty) state.update(stored ++ arriving)
+          newVsStored ++ newVsNew
+      }
+  }
+
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
 

@@ -178,6 +178,58 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashCandidateStream: band state store reproduces the batch " +
+    "twin's candidate pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocIn]
+    val q = EventStream.minhashCandidateStream(input.toDS())
+      .writeStream.format("memory").queryName("minhash_cands")
+      .outputMode("append").start()
+    val b1 = Seq(
+      EventStream.DocIn(1, "the quick brown fox jumps over the lazy dog"),
+      EventStream.DocIn(2, "the quick brown fox jumps over the lazy dog"),
+      EventStream.DocIn(5, "completely different words entirely here now"))
+    val b2 = Seq(
+      EventStream.DocIn(3, "the quick brown fox leaps over the lazy dog"),
+      EventStream.DocIn(9, "unrelated content again something else"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("minhash_cands")
+        .distinct().as[EventStream.CandPair].collect().toSet
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val all = spark.table("minhash_cands")
+        .distinct().as[EventStream.CandPair].collect().toSet
+
+      // (1) after batch 1: exactly the batch path's pairs on b1
+      def df(rows: Seq[EventStream.DocIn]) =
+        rows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      val batchB1 = graft.ops.Dedup.minhashCandidatePairs(df(b1), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(afterB1.map(p => (p.id_a, p.id_b)) === batchB1)
+
+      // (2) accumulated stream = full-corpus batch run on b1 ∪ b2
+      val batchFull = graft.ops.Dedup.minhashCandidatePairs(
+        df(b1 ++ b2), "doc_id", "text").as[(Long, Long)].collect().toSet
+      assert(all.map(p => (p.id_a, p.id_b)) === batchFull)
+
+      // (3) batch-2 emissions alone = the incremental batch twin against
+      // b1's persisted band table (the state store plays that role here)
+      val incr = graft.ops.Dedup.minhashIncrementalCandidates(
+        df(b2), "doc_id", "text",
+        graft.ops.Dedup.bandTable(
+          df(b1).select(col("doc_id").as("_id"),
+            graft.ops.Text.shingles(col("text"), 3).as("_sh"))))
+        .as[(Long, Long)].collect().toSet
+      assert((all -- afterB1).map(p => (p.id_a, p.id_b)) === incr)
+
+      // the exact dup pair (1,2) must be present, the unrelated docs absent
+      assert(all.exists(p => p.id_a == 1L && p.id_b == 2L))
+      assert(!all.exists(p => p.id_a == 5L || p.id_b == 5L || p.id_b == 9L))
+    } finally q.stop()
+  }
+
   test("sessionize incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
