@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct; decode / feature-extract run as
   * per-partition batch functions.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): `FakeDecoder` derives deterministic pseudo-metadata from
-  * the bytes. Everything around it — schema, partition-level batching,
-  * the mapPartitions seam where a real decoder (or a Python
-  * `mapInPandas` worker in a PySpark deployment) plugs in — is real and
-  * tested.
+  * Two codecs plug into one seam: `FakeDecoder` (deterministic
+  * pseudo-metadata from byte length — what the DuckDB-oracle queries use,
+  * since an oracle can replicate it bit-for-bit) and `ImageIoDecoder`
+  * (REAL image decode via the JDK's javax.imageio — png/jpeg/gif/bmp,
+  * spec-verified against an actual PNG). Audio/video stay stubbed: the
+  * JDK ships no container parsers, and the seam's contract is that ONLY
+  * the decode function changes between deployments (a Python
+  * `mapInPandas` worker slots into the same place in a PySpark stack).
   *
   * Scale notes: decode is embarrassingly parallel per partition; binary
   * payloads never shuffle (decode before any join/agg, project metadata
@@ -60,10 +62,53 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode: `javax.imageio` (JDK-builtin — png/jpeg/gif/bmp,
+    * no external codec libraries) parses the payload and returns
+    * (width, height). Returns None for null/empty/undecodable bytes and
+    * for media ImageIO has no reader for — the caller maps that to NULL
+    * metadata, the honest answer for a corrupt blob in a 100 TB crawl
+    * (decode failures are data, not exceptions; a throw would kill the
+    * whole partition task).
+    */
+  object ImageIoDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int)] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          .map(img => (img.getWidth, img.getHeight))
+      } catch { case _: Exception => None }
+  }
+
   /** Extract typed metadata from a media DataFrame (mediaSchema →
     * metaSchema) via the per-partition decode seam.
     */
-  def extractMeta(media: DataFrame): DataFrame = {
+  def extractMeta(media: DataFrame): DataFrame =
+    extractMetaWith(media, (mt, payload) => FakeDecoder.decode(mt, payload))
+
+  /** [[extractMeta]] with the REAL image codec: image rows decode through
+    * [[ImageIoDecoder]] (real width/height, or NULLs for undecodable
+    * bytes); audio/video stay on the stub — the JDK ships no audio/video
+    * container parsers, and the seam's contract is that ONLY the decode
+    * function changes between deployments. The oracle-graded queries keep
+    * [[extractMeta]] (deterministic stub, DuckDB-reproducible); this is
+    * the drop-in for corpora with actual image bytes, spec-verified
+    * against a real PNG in MultimodalSpec.
+    */
+  def extractMetaImageIo(media: DataFrame): DataFrame =
+    extractMetaWith(media, (mt, payload) =>
+      if (mt == "image")
+        ImageIoDecoder.decode(payload) match {
+          case Some((w, h)) => (Some(w), Some(h), None)
+          case None => (None, None, None)
+        }
+      else FakeDecoder.decode(mt, payload))
+
+  /** The decode seam itself: per-partition map, one metadata row per blob;
+    * `decode` is the ONLY thing a deployment swaps.
+    */
+  private def extractMetaWith(
+      media: DataFrame,
+      decode: (String, Array[Byte]) => (Option[Int], Option[Int], Option[Long])): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload", "media_type").rdd
       .mapPartitions { rows =>
@@ -71,7 +116,7 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
-          val (w, hgt, dur) = FakeDecoder.decode(mt, payload)
+          val (w, hgt, dur) = decode(mt, payload)
           Row(id, mt, if (payload == null) 0 else payload.length,
             w.orNull, hgt.orNull, dur.orNull)
         }

@@ -31,6 +31,32 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.getInt(2) == 0 && empty.isNullAt(5)) // null payload
   }
 
+  test("extractMetaImageIo decodes a real PNG through the same seam") {
+    // a genuine 37x19 PNG, produced by the JDK encoder in-memory
+    val img = new java.awt.image.BufferedImage(
+      37, 19, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 5, 0xff8800)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    assert(Multimodal.ImageIoDecoder.decode(png) === Some((37, 19)))
+
+    val rows = java.util.Arrays.asList(
+      Row(1L, png, "image"),
+      Row(2L, "not an image at all".getBytes("UTF-8"), "image"), // corrupt
+      Row(3L, "blob".getBytes("UTF-8"), "audio")) // non-image → stub path
+    val m = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.extractMetaImageIo(m).orderBy("media_id").collect()
+    assert(out(0).getInt(3) === 37 && out(0).getInt(4) === 19) // real dims
+    assert(out(0).getInt(2) === png.length)
+    // corrupt bytes are data, not exceptions: NULL metadata, row survives
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+    // audio keeps the deterministic stub duration
+    assert(!out(2).isNullAt(5))
+    // same output schema as the stub path — a true drop-in
+    assert(Multimodal.extractMetaImageIo(m).schema === Multimodal.metaSchema)
+  }
+
   test("fromDocuments builds the opaque-binary media table") {
     import spark.implicits._
     val docs = Seq((0L, "abc"), (1L, "def"), (2L, "ghi")).toDF("doc_id", "text")
