@@ -132,7 +132,9 @@ final case class BucketedSink(
     * join shuffle this sink exists to remove). Catalog entries persist only
     * with a durable metastore; in a fresh ephemeral-metastore session,
     * re-register via [[write]] (or `CREATE TABLE ... USING parquet
-    * CLUSTERED BY` over the existing files) before reading.
+    * CLUSTERED BY ... LOCATION` over the existing files — no data
+    * rewrite) before reading. SinkSpec's fresh-session case pins that
+    * recovery path end-to-end.
     */
   def read(spark: org.apache.spark.sql.SparkSession, target: String,
       table: String): DataFrame =

@@ -79,6 +79,40 @@ class SinkSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName(dir, "t")}")
   }
 
+  test("BucketedSink fresh-session contract: a lost catalog entry is " +
+    "re-registered over the existing files, bucket spec intact") {
+    // The data files under target/table are durable; the BUCKET SPEC lives
+    // only in the session catalog (Spark cannot record it in a bare path
+    // write). With an ephemeral metastore a new JVM loses the entry — this
+    // pins the documented recovery: CREATE TABLE ... USING parquet
+    // CLUSTERED BY ... LOCATION over the files, no data rewrite.
+    val dir = Files.createTempDirectory("bucketsink_fresh").toString
+    val sink = BucketedSink(numBuckets = 4, bucketCols = Seq("id"),
+      sortCols = Seq("id"), tablePrefix = "sinkspec3")
+    val name = sink.catalogName(dir, "t")
+    try {
+      sink.write(sample, dir, "t", "parquet")
+      // simulate the fresh ephemeral-metastore session: entry gone,
+      // files still on disk
+      spark.sql(s"DROP TABLE $name")
+      intercept[org.apache.spark.sql.AnalysisException](
+        sink.read(spark, dir, "t").collect())
+      assert(Files.list(java.nio.file.Paths.get(s"$dir/t")).count() > 0)
+      // documented re-registration path (no data rewrite — LOCATION points
+      // at the sink's files; schema/bucketing restated in DDL)
+      spark.sql(
+        s"""CREATE TABLE $name (id BIGINT, name STRING, v DOUBLE)
+           |USING parquet
+           |CLUSTERED BY (id) SORTED BY (id) INTO 4 BUCKETS
+           |LOCATION '$dir/t'""".stripMargin)
+      val back = sink.read(spark, dir, "t")
+      assert(back.orderBy("id").collect().toSeq ===
+        sample.orderBy("id").collect().toSeq)
+      val ddl = spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("same table name written to two targets keeps two catalog entries") {
     val dirA = Files.createTempDirectory("bucketsink_a").toString
     val dirB = Files.createTempDirectory("bucketsink_b").toString
