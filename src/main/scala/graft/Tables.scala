@@ -21,11 +21,22 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Type-adaptive: the driver's parquet stores ts as TIMESTAMP(NANOS)
-    // (read as Long under nanosAsLong); re-materialized copies (e.g. the
-    // scaled sf1 evidence set) store a real timestamp and need no rewrite.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // (read as Long under nanosAsLong); re-materialized copies store a
+    // real timestamp. DuckDB-written copies (the scaled sf1/sf10 evidence
+    // sets) carry isAdjustedToUTC=false and surface as TIMESTAMP_NTZ,
+    // which timestamp functions (unix_micros, windows) reject — normalize
+    // to TimestampType (identity on values: every session here runs UTC).
+    // Caught by the bench's error reporting at sf10; the old
+    // swallow-and-time bench recorded the failure as a fast run.
+    if (name == "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     else df
   }
 }

@@ -79,8 +79,25 @@ object Closure {
     * ships is a forest) and `transitiveClosure` when cycle tolerance is
     * required. Semantics on forests are identical.
     */
+  /** Spark's recursive CTE guards against runaway recursion with a
+    * 1M-row default cap (`RECURSION_ROW_LIMIT_EXCEEDED`) — sized for
+    * interactive misuse, not ETL: a closure over a 2M-node forest
+    * legitimately emits tens of millions of pairs (hit at sf10 by the
+    * bench's error reporting). Raise the session cap, never lower it —
+    * the depth cap (`cteRecursionLevelLimit`, default 100) stays, it is
+    * the actual cycle guard.
+    */
+  private def raiseRecursionRowLimit(nodes: DataFrame): Unit = {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val conf = nodes.sparkSession.conf
+    val target = Int.MaxValue
+    if (conf.getOption(key).map(_.toLong).getOrElse(1000000L) < target)
+      conf.set(key, target)
+  }
+
   def transitiveClosureRecursive(
       nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
+    raiseRecursionRowLimit(nodes)
     val view = s"_graft_closure_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     // Materialize the projection once: UnionLoop re-executes the step plan
     // per level, which would otherwise re-run the source scan every level.
@@ -110,6 +127,7 @@ object Closure {
   def breadcrumbsRecursive(
       nodes: DataFrame, idCol: String, parentCol: String,
       nameCol: String): DataFrame = {
+    raiseRecursionRowLimit(nodes)
     val view = s"_graft_bc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     // Materialized once — the per-level step re-executes its scan of this
     // view, and the anchor's NOT IN needs a second pass over it.

@@ -94,6 +94,25 @@ class ClosureSpec extends SparkSpec {
     assert(iter.toSeq == rec.toSeq)
   }
 
+  test("recursive-CTE paths raise the engine's 1M-row recursion cap " +
+    "(an ETL closure legitimately exceeds the interactive default)") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, 1000000)
+      Closure.transitiveClosureRecursive(
+        tree.where(!$"task_id".isin("7", "8")), "task_id", "parent_id").count()
+      assert(spark.conf.get(key).toLong === Int.MaxValue.toLong)
+      // never LOWERED if a session already set it higher than our target
+      spark.conf.set(key, Int.MaxValue)
+      Closure.breadcrumbsRecursive(tree, "task_id", "parent_id", "name").count()
+      assert(spark.conf.get(key).toLong === Int.MaxValue.toLong)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("recursive-CTE breadcrumbs: cycle-safe, matches iterative") {
     val iter = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
       .select("task_id", "breadcrumb").orderBy("task_id").collect()
