@@ -33,7 +33,9 @@ object ABBench {
         "iterative" -> (() =>
           ops.Closure.transitiveClosure(tasks, "task_id", "parent_id")),
         "recursive" -> (() =>
-          ops.Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")))
+          ops.Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")),
+        "doubling" -> (() =>
+          ops.Closure.transitiveClosureDoubling(tasks, "task_id", "parent_id")))
       case "minhash" =>
         import org.apache.spark.sql.functions.col
         val shingled = ops.Text.spread(Tables(spark, sfDir, "documents"))
@@ -49,7 +51,9 @@ object ABBench {
         "iterative" -> (() =>
           ops.Closure.breadcrumbs(tasks, "task_id", "parent_id", "name")),
         "recursive" -> (() =>
-          ops.Closure.breadcrumbsRecursive(tasks, "task_id", "parent_id", "name")))
+          ops.Closure.breadcrumbsRecursive(tasks, "task_id", "parent_id", "name")),
+        "doubling" -> (() =>
+          ops.Closure.breadcrumbsDoubling(tasks, "task_id", "parent_id", "name")))
     }
     // noop-sink forcing, not count(): a bare count() column-prunes every
     // deterministic projection, so variants whose difference lives in a

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Runtime conf key: max row count `broadcastIfSmall` will still
+    * broadcast. Default 2M rows ≈ 100–200 MB for the narrow id-pair
+    * frames this guards — at the upper edge of what a driver should
+    * collect and every executor should hold resident.
+    */
+  val MaxBroadcastRowsKey = "spark.graft.broadcast.maxRows"
+
+  /** Broadcast `dim` only when it is actually broadcast-sized; identity
+    * otherwise (the join then falls to AQE's shuffle-side strategies).
+    *
+    * Exists because an unconditional `broadcast()` hint OVERRIDES Spark's
+    * own size checks: a closure/member table that is dimension-sized at
+    * one SF (20k tasks → 140k pairs) is 15M+ rows two decades up, and the
+    * forced hint would collect ~1 GB to the driver and re-ship it to every
+    * executor — the measured bulk of `q_budget_report`'s sf10 cost, and an
+    * OOM on a real cluster. Below the threshold the hint stays: a TRUE row
+    * count beats the planner's sizeInBytes estimate (checkpointed frames
+    * propagate the PRE-materialization estimate, which over-counts after a
+    * selective derivation and would leave a broadcastable dim on the
+    * shuffle path). Above it, no hint — Spark/AQE still auto-broadcast
+    * from runtime stats if they disagree, which is the safe direction.
+    *
+    * Callers pass MATERIALIZED frames (the `count()` is then a cheap pass
+    * over resident blocks, not a recompute) and may supply `countHint`
+    * when the count is already known.
+    */
+  def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
+    val maxRows =
+      dim.sparkSession.conf.get(MaxBroadcastRowsKey, "2000000").toLong
+    val n = countHint.getOrElse(dim.count())
+    if (n <= maxRows) broadcast(dim) else dim
+  }
+
   /** As-of join: for every left row, attach the latest right row with
     * `rightTs <= leftTs` for the same key (NULL payload when none).
     *

@@ -1,7 +1,7 @@
 package graft.reports
 
 import graft.Materialize
-import graft.ops.Closure
+import graft.ops.{Closure, Joins}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * tasks → transitive closure → entries ⋈ closure → SUM per ancestor →
   * tasks ⟕ rollup → budget filter → presentation projection → sort.
   *
-  * Scale notes: `tasks` is a dimension (small at any fact scale), so the
-  * closure is cheap and the closure⋈entries join broadcasts the closure —
-  * the 100 TB side (`entries`) is scanned exactly once, aggregated with
-  * map-side partial SUM, and never re-shuffled.
+  * Scale notes: the fact side is pre-aggregated per task BEFORE the
+  * closure join (eager aggregation, Yan & Larson VLDB'95 — SUM is
+  * decomposable, so SUM-per-ancestor = SUM over SUM-per-task): the
+  * 100 TB side is scanned exactly once, collapses to ≤|tasks| partial
+  * rows via map-side combine, and the closure join touches only those
+  * partials — never the raw fact rows. The closure side broadcasts only
+  * while it is actually broadcast-sized ([[graft.ops.Joins.broadcastIfSmall]]);
+  * two decades up a 15M-pair closure falls to a shuffle join of two
+  * dimension-sized frames instead of a ~1 GB forced broadcast.
   */
 object BudgetReport {
 
@@ -32,11 +37,15 @@ object BudgetReport {
     // (measured ~0.4s off the report at sf0.1).
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
       .transform(Materialize.checkpoint)
-    val tracked = entries
-      .join(broadcast(closure),
-        entries("task_id") === closure("descendant_id"))
+    // Eager aggregation below the join: 60M fact rows → ≤|tasks| partials
+    // (the shuffle carries map-side-combined partial sums, not raw rows).
+    val perTask = entries
+      .groupBy(col("task_id").as("descendant_id"))
+      .agg(sum("duration").as("_partial"))
+    val tracked = perTask
+      .join(Joins.broadcastIfSmall(closure), Seq("descendant_id"))
       .groupBy(col("ancestor_id").as("task_id"))
-      .agg(sum("duration").as("tracked_seconds"))
+      .agg(sum("_partial").as("tracked_seconds"))
     tasks
       .join(tracked, Seq("task_id"), "left")
       .where(col("budgeted") > 0)

@@ -1,7 +1,7 @@
 package graft.reports
 
 import graft.Materialize
-import graft.ops.Closure
+import graft.ops.{Closure, Joins}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * A "project" is a root task; every entry rolls up to its root; budget is
   * the SUM of budgets in the project subtree.
   *
-  * Same scale shape as BudgetReport: dimension-side recursion + one
-  * broadcast join against the fact side.
+  * Same scale shape as BudgetReport: dimension-side recursion, fact side
+  * pre-aggregated per task below the member join (eager aggregation —
+  * SUM decomposes), and the member table broadcast only while it is
+  * actually broadcast-sized ([[graft.ops.Joins.broadcastIfSmall]]).
   */
 object ProjectBudgetReport {
 
@@ -29,14 +31,23 @@ object ProjectBudgetReport {
       .join(roots, closure("ancestor_id") === roots("project_id"))
       .select(col("descendant_id"), col("project_id"), col("project_name"))
       .transform(Materialize.checkpoint)
+    // One count decides the strategy for BOTH consumers of the member
+    // table (it is materialized, so the count is a pass over resident
+    // blocks, not a recompute).
+    val member = Joins.broadcastIfSmall(memberOf, Some(memberOf.count()))
     val budget = tasks
-      .join(broadcast(memberOf), tasks("task_id") === memberOf("descendant_id"))
+      .join(member, tasks("task_id") === col("descendant_id"))
       .groupBy("project_id")
       .agg(sum("budgeted").as("budget_seconds"))
-    val tracked = entries
-      .join(broadcast(memberOf), entries("task_id") === memberOf("descendant_id"))
+    // Eager aggregation below the join: fact rows collapse to ≤|tasks|
+    // map-side-combined partials before they ever meet the member table.
+    val perTask = entries
+      .groupBy(col("task_id").as("descendant_id"))
+      .agg(sum("duration").as("_partial"))
+    val tracked = perTask
+      .join(member, Seq("descendant_id"))
       .groupBy(col("project_id"), col("project_name"))
-      .agg(sum("duration").as("cumulative_seconds"))
+      .agg(sum("_partial").as("cumulative_seconds"))
     roots
       .join(tracked.drop("project_name"), Seq("project_id"), "left")
       .join(budget, Seq("project_id"), "left")

@@ -89,10 +89,35 @@ class PlanSpec extends SparkSpec {
     val factScans = plan.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
     assert(factScans === 1, s"expected 1 lineitem scan, got $factScans in:\n$plan")
+    // at this SF the closure is dimension-sized, so broadcastIfSmall must
+    // still dispatch to a broadcast join
     assert(plan.contains("BroadcastHashJoin"),
       s"closure must broadcast against the fact side:\n$plan")
     // partial aggregation runs map-side before the only fact shuffle
     assert(plan.contains("HashAggregate"), s"expected hash agg in:\n$plan")
+  }
+
+  test("broadcastIfSmall: hint only while the dim is broadcast-sized") {
+    val dim = spark.range(100)
+      .select(col("id").as("k"), lit("x").as("v"))
+      .transform(Materialize.checkpoint)
+    val fact = spark.range(1000).select((col("id") % 100).as("k"), col("id").as("p"))
+    // isolate the helper's dispatch from Spark's own stats-based broadcast
+    // (checkpointed frames PROPAGATE size estimates, so auto-broadcast can
+    // fire with no hint at all — the helper's job is only the hint)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = planOf(fact.join(ops.Joins.broadcastIfSmall(dim), Seq("k")))
+      assert(small.contains("BroadcastHashJoin"),
+        s"100 rows must dispatch to broadcast:\n$small")
+      spark.conf.set(ops.Joins.MaxBroadcastRowsKey, "10")
+      val big = planOf(fact.join(ops.Joins.broadcastIfSmall(dim), Seq("k")))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"over-threshold dim must NOT be force-broadcast:\n$big")
+    } finally {
+      spark.conf.unset(ops.Joins.MaxBroadcastRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("bloom prefilter lands on the fact side before the join") {

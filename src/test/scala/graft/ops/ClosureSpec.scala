@@ -113,11 +113,45 @@ class ClosureSpec extends SparkSpec {
     }
   }
 
+  test("pointer-doubling closure matches the fixpoint, incl. a deep chain") {
+    val forest = tree.where(!$"task_id".isin("7", "8")) // acyclic input only
+    val iter = Closure.transitiveClosure(forest, "task_id", "parent_id")
+      .orderBy("descendant_id", "ancestor_id").collect()
+    val dbl = Closure.transitiveClosureDoubling(forest, "task_id", "parent_id")
+      .orderBy("descendant_id", "ancestor_id").collect()
+    assert(iter.toSeq == dbl.toSeq)
+    // depth 10 (crosses three doubling rounds: spans 1,2,4,8,16) — and on a
+    // forest doubling must emit each pair EXACTLY once with no dedup step
+    val chain = (1 to 10).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString, s"n$i"))
+      .toDF("task_id", "parent_id", "name")
+    val c = Closure.transitiveClosureDoubling(chain, "task_id", "parent_id")
+    assert(c.count() === 55) // sum 1..10, no duplicates
+    assert(c.distinct().count() === 55)
+    assert(c.where($"descendant_id" === "10").count() === 10)
+  }
+
   test("recursive-CTE breadcrumbs: cycle-safe, matches iterative") {
     val iter = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
       .select("task_id", "breadcrumb").orderBy("task_id").collect()
     val rec = Closure.breadcrumbsRecursive(tree, "task_id", "parent_id", "name")
       .select("task_id", "breadcrumb").orderBy("task_id").collect()
     assert(iter.toSeq == rec.toSeq) // incl. NULL breadcrumbs for the 7<->8 cycle
+  }
+
+  test("doubling breadcrumbs: orphan + cycle semantics match iterative, deep chain composes") {
+    val iter = Closure.breadcrumbs(tree, "task_id", "parent_id", "name")
+      .select("task_id", "breadcrumb").orderBy("task_id").collect()
+    val dbl = Closure.breadcrumbsDoubling(tree, "task_id", "parent_id", "name")
+      .select("task_id", "breadcrumb").orderBy("task_id").collect()
+    assert(iter.toSeq == dbl.toSeq) // NULL for 7<->8; orphan 9 starts its own path
+    // depth 11: crosses spans 1,2,4,8 with a non-power-of-two remainder,
+    // so the final compose glues a full-path prefix onto a 2^k segment
+    val chain = (1 to 11).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString, s"n$i"))
+      .toDF("task_id", "parent_id", "name")
+    val bc = Closure.breadcrumbsDoubling(chain, "task_id", "parent_id", "name")
+      .where($"task_id" === "11").select("breadcrumb").as[String].head()
+    assert(bc === (1 to 11).map(i => s"n$i").mkString(" / "))
   }
 }
