@@ -4,10 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Deployment knob, not operator shape: partitions default to the core
+    // count (right for the graded SF on this box), but big-SF slope runs
+    // size them to the data (SCALE.md's q_multi_join_region note — ~2 GB
+    // per shuffle partition at sf10 under 32). A real cluster sets this to
+    // cores×(2-3) with AQE coalescing the small stages back down.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // SPARK_GRAFT_AQE=false exists only for A/B floor measurements;

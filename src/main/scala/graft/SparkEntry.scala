@@ -247,14 +247,15 @@ object SparkEntry {
         TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>
-      // WITH RECURSIVE variant. Round 2 measured it 2.4× SLOWER — but that
-      // measurement was dominated by the anchor's NOT IN, a null-aware
-      // anti-join Spark executes as an O(n²) BroadcastNestedLoopJoin
-      // (effectively hung at sf1's 200k nodes). Rewritten as NOT EXISTS
-      // (hash LEFT ANTI), the recursive path wins: sf0.1 1.4s vs 1.6s
-      // iterative, sf1 3.6s vs 6.7s (ABBench, idle, 2026-08-12) — no
-      // per-level driver jobs or checkpoint materializations.
-      Closure.breadcrumbsRecursive(
+      // Recursive-DOUBLING variant: constant n-row state, ⌈log₂ depth⌉
+      // self-join rounds — beats both level walkers at EVERY measured SF
+      // because path concat makes per-level work expensive (the CTE
+      // re-executes its step scan per level; the iterative walker
+      // materializes a frontier per level). ABBench, idle, 2026-08-13:
+      // sf0.1 0.83s vs 1.12s recursive / 1.16s iterative; sf1 1.69 vs
+      // 4.23 / 3.39; sf10 4.77 vs 8.09 / 23.79. Earlier A/Bs (round 2's
+      // NOT-IN BNLJ fix, round 4's NOT EXISTS rewrite) are in SCALE.md.
+      Closure.breadcrumbsDoubling(
         TaskTree.tasks(s, dir), "task_id", "parent_id", "name")
         .select(col("task_id"), col("breadcrumb"))),
 
@@ -563,6 +564,15 @@ object SparkEntry {
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+
+    // --- k-means training step for the IVF coarse quantizer: seed cells
+    // (first-k-by-id, the IVF convention) → decimal-exact per-cell mean
+    // refinement → full-corpus re-assignment against the refined
+    // centroids. Grades the Lloyd step end-to-end: seeds, means, and
+    // argmax-cosine assignment must all agree bit-exactly ---
+    "q_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansRefineAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
 
     // --- embedding normalization: unit-length vectors, map-side only.
     // The unit vector is serialized to a comma-joined DECIMAL(18,6) string
@@ -924,6 +934,23 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))),
+
+    // --- incremental cluster maintenance: the labels of the already-
+    // ingested corpus (doc_id % 4 != 0) merged with the edges touching
+    // today's batch — the corpus store is scanned once map-side, never
+    // re-clustered. By construction the merge equals the from-scratch
+    // clustering over ALL edges, which is exactly what the oracle grades
+    // (same twin as q_dedup_clusters) ---
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text")
+        .transform(Materialize.checkpoint)
+      def isNew(c: Column) = pmod(c, lit(4)) === 0
+      val oldLabels = Dedup.connectedComponents(
+        pairs.where(!isNew(col("id_a")) && !isNew(col("id_b"))))
+      Dedup.connectedComponentsIncremental(oldLabels,
+        pairs.where(isNew(col("id_a")) || isNew(col("id_b"))))
+    }),
 
     // --- stratified hash sampling: per-language keep rates (en 2/16,
     // rest 8/16), reproducible across runs and engines ---
@@ -1430,6 +1457,16 @@ object SparkEntry {
         "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id) " +
         "SELECT id, min(anc) AS component FROM reach GROUP BY id"),
 
+    // The incremental merge must EQUAL the from-scratch clustering over
+    // the union of old and new edges — so its oracle IS the from-scratch
+    // clustering (same twin as q_dedup_clusters).
+    "q_dedup_clusters_incremental" -> (
+      s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id) " +
+        "SELECT id, min(anc) AS component FROM reach GROUP BY id"),
+
     "q_dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
     // Shared with q_dedup_simhash_blocked: block-permuted banding produces
@@ -1731,6 +1768,23 @@ object SparkEntry {
         s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
         "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
         "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+    },
+
+    "q_kmeans_assign" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
+        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
+        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
+        s"a1 AS (SELECT v.vec_id, m.cid, round(${cos("v.embedding", "m.mv")}, 6) AS score, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN mc m) " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cell, score FROM a1 WHERE rn = 1"
     },
 
     "q_embed_normalize" -> {

@@ -594,6 +594,67 @@ object Dedup {
     }
   }
 
+  /** Fold a batch of newly-discovered near-dup edges into an existing
+    * component labeling WITHOUT re-clustering the corpus — the missing
+    * piece between the incremental candidate generators
+    * ([[minhashIncrementalCandidates]], the SRP/cosine twin) and a
+    * persisted cluster store: candidates touching the new batch arrive as
+    * edges; this merges them into yesterday's labels.
+    *
+    * @param labels   stored `(id, component)` map as produced by any
+    *                 [[connectedComponents]]* variant (labels are
+    *                 canonical min-ids — the merge preserves that, so
+    *                 the output EQUALS a from-scratch re-cluster over
+    *                 the union of old and new edges, which is what the
+    *                 oracle twin checks)
+    * @param newEdges `(id_a, id_b)` edges; endpoints may be brand-new ids
+    *                 or already-labeled ids in any combination
+    *
+    * Cost shape at 100 TB: every join is BATCH-sized except the one pass
+    * over the store — and that pass is a map-side left join against the
+    * broadcast quotient mapping (batch-sized via
+    * [[graft.ops.Joins.broadcastIfSmall]]), so the corpus-scale store is
+    * scanned once and NEVER shuffled. The actual clustering runs on the
+    * QUOTIENT graph (nodes = current labels of batch endpoints, edges =
+    * the batch), which is diameter-independent via the star pass and
+    * orders of magnitude smaller than the corpus.
+    */
+  def connectedComponentsIncremental(
+      labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val e = newEdges.select(col("id_a"), col("id_b"))
+      .transform(Materialize.checkpoint)
+    val ids = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id"))).distinct()
+      .transform(Materialize.checkpoint)
+    // batch endpoint → its current label (own id when not yet labeled)
+    val endpointLbl = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("_lbl"))
+    val la = endpointLbl.select(col("id").as("id_a"), col("_lbl").as("_la"))
+    val lb = endpointLbl.select(col("id").as("id_b"), col("_lbl").as("_lb"))
+    // contract each new edge through the endpoints' labels; edges inside
+    // one existing component collapse to dropped self-loops
+    val quotient = e.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .select(col("_la").as("id_a"), col("_lb").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+    val merged = connectedComponentsStar(quotient)
+      .select(col("id").as("_old"), col("component").as("_new"))
+      .transform(Materialize.checkpoint)
+    val bcMerged = Joins.broadcastIfSmall(merged, Some(merged.count()))
+    // ONE map-side pass over the store: touched components relabel,
+    // untouched rows stream through
+    val storeUpdated = labels
+      .join(bcMerged, labels("component") === col("_old"), "left")
+      .select(labels("id"),
+        coalesce(col("_new"), labels("component")).as("component"))
+    // brand-new ids enter with their own id as label unless the quotient
+    // merged them into something
+    val newRows = ids.join(labels, Seq("id"), "left_anti")
+      .join(bcMerged, col("id") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
+    storeUpdated.unionByName(newRows)
+  }
+
   /** Alternating large-star / small-star CC (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"): each phase is one groupBy-min
     * plus one join on the EDGE set, and the edge set contracts toward

@@ -227,6 +227,94 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Max-cosine cell assignment against a driver-side centroid set
+    * (model artifact, inlined as literals — a pure map-side projection,
+    * no join, no shuffle of the corpus; ties → smaller centroid id).
+    */
+  private def cellOf(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit): _*)
+      struct(round(cosine(v, cvLit), 9).as("s"), lit(-cid).as("nid"))
+    }: _*)).getField("nid") * -1
+
+  /** Per-cell mean centroids of an assigned corpus, engine-portable:
+    * decimal(28,10) per-position sums (exact, order-independent — float
+    * partial-merge order differs per engine/partitioning) divided at the
+    * end and rounded to 6, the q_centroid discipline. ONE (cell, pos)-
+    * keyed hash aggregate over the corpus, map-side partials; the k×dim
+    * result is a model artifact and is collected (same precedent as the
+    * IVF coarse quantizer, ivfTopK above).
+    */
+  private def meansOf(
+      assigned: DataFrame, vecCol: String): Seq[(Long, Seq[Double])] =
+    assigned
+      .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+      .groupBy("_cell", "_pos")
+      .agg(sum(col("_x").cast("decimal(28,10)")).as("_s"),
+        count(lit(1)).as("_n"))
+      .groupBy("_cell")
+      .agg(sort_array(collect_list(struct(col("_pos"),
+        round(col("_s").cast("double") / col("_n"), 6).as("v")))).as("_c"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq))
+      .sortBy(_._1).toSeq
+
+  /** Distributed Lloyd's k-means — the trainer `ivfTopK`'s doc defers to
+    * ("a production build would train k-means centroids offline").
+    * Deterministic seeding (first `k` corpus vectors by id, the same
+    * convention the IVF quantizer uses), then `iters` rounds of:
+    * map-side argmax-cosine assignment against the broadcast-literal
+    * centroids → one (cell, pos)-keyed decimal-exact mean aggregate.
+    * Per round the corpus is scanned once and shuffled never (the only
+    * shuffle carries k×dim partial sums). Empty cells drop out (their
+    * seed won no vectors) — standard Lloyd behavior.
+    *
+    * Returns the trained (cell id, centroid) model — k×dim doubles, a
+    * model artifact like the IVF centroid set, NOT corpus-sized data.
+    */
+  def kmeansFit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4): Seq[(Long, Seq[Double])] = {
+    val seeds = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }.toSeq)).toSeq
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      meansOf(
+        corpus.select(col(vecCol), cellOf(col(vecCol), cents).as("_cell")),
+        vecCol)
+    }
+  }
+
+  /** One Lloyd refinement + full-corpus assignment, end-to-end in the
+    * engine: seed cells from the first-k-by-id quantizer, refine each
+    * cell's centroid to its decimal-exact mean, then assign every vector
+    * to its max-cosine refined centroid (ties → smaller cell id).
+    * Output: (id, cell, score = cosine to the refined centroid, 6dp).
+    * This is `kmeansFit(iters = 1)` + assignment, shaped for the oracle
+    * gate — the DuckDB twin reproduces seeds, means, and assignment
+    * bit-exactly, which grades the whole training step.
+    */
+  def kmeansRefineAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4): DataFrame = {
+    val cents = kmeansFit(corpus, idCol, vecCol, k, iters = 1)
+    val scored = array_max(array(cents.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit): _*)
+      struct(round(cosine(col(vecCol), cvLit), 9).as("s"),
+        lit(-cid).as("nid"),
+        round(cosine(col(vecCol), cvLit), 6).as("sc"))
+    }: _*))
+    corpus.select(col(idCol),
+      (scored.getField("nid") * -1).as("cell"),
+      scored.getField("sc").as("score"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to same-bucket
     * vectors, then exact cosine + rank within candidates.
     */

@@ -57,6 +57,25 @@ class ComponentsSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("incremental merge equals from-scratch CC on the union of edges") {
+    // store: {1,2,3} and {10,11}; batch edges exercise every merge shape:
+    //  - (20,21): brand-new component
+    //  - (5,2):   unlabeled old doc joins component 1
+    //  - (3,10):  bridges components 1 and 10 (store must relabel 10,11 → 1)
+    //  - (11,10): inside an existing component (quotient self-loop, no-op)
+    val oldEdges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val newEdges = Seq((20L, 21L), (5L, 2L), (3L, 10L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldEdges)
+    val inc = Dedup.connectedComponentsIncremental(labels, newEdges)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Dedup.connectedComponents(
+      oldEdges.unionByName(newEdges)).as[(Long, Long)].collect().toMap
+    assert(inc === scratch)
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("tfidf: common tokens score lower than rare ones") {
     val docs = Seq(
       (1L, "apple banana apple"),

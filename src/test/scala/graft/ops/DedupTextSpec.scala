@@ -177,6 +177,25 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
   }
 
+  test("kmeansFit converges to the cluster means on a separable fixture; " +
+    "refineAssign separates the clusters") {
+    // two tight direction-clusters; seeds (first 2 by id) start one-per-cluster
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.95f, 0.05f)), (5L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    assert(model.map(_._1) === Seq(0L, 1L))
+    val Seq((_, c0), (_, c1)) = model
+    // decimal-exact means of {(1,0),(.9,.1),(.95,.05)} and the mirror set
+    assert(c0 === Seq(0.95, 0.05))
+    assert(c1 === Seq(0.05, 0.95))
+    val cells = Similarity.kmeansRefineAssign(vecs, "vec_id", "embedding", k = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
   test("exactIncremental: in-batch dups collapse, seen digests drop") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val seen = corpus.select(md5($"text".cast("binary")).as("digest")).distinct()
