@@ -144,10 +144,18 @@ object Text {
     *
     * Two shuffles total: one hash-agg on (doc, token) for tf, one on token
     * for df — both map-side partially aggregated, so shuffled volume is
-    * |distinct (doc,token)| and |vocab|, not |token occurrences|. The df
-    * side (vocab-sized) comes back as a broadcast join against the tf
-    * rows; N is a scalar computed once on the doc table. No window, no
-    * collect — every step is the shape that survives a 100 TB corpus.
+    * |distinct (doc,token)| and |vocab|, not |token occurrences|. The tf
+    * subtree appears under BOTH the join and the df aggregate, but is
+    * computed once: the identical exchange is deduplicated by Spark's
+    * ReuseExchange (materializing it through the checkpoint seam instead
+    * was MEASURED 2× slower at sf10 — 7.1 → 13.7 s — the reuse is free,
+    * the serialization is not; that also rules out row-count dispatch for
+    * the df join, which would pay a third tokenize pass for the count).
+    * The df side (vocab-sized) joins back broadcast by default — right
+    * until a web-scale noisy vocabulary outgrows broadcast; THERE set
+    * `spark.graft.tfidf.broadcastDf=false` to fall to a shuffle join on
+    * `token`, which both sides are already keyed by.
+    * N is a scalar computed once on the doc table. No window, no collect.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))
@@ -158,7 +166,11 @@ object Text {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df_), Seq("token"))
+    val dfSide =
+      if (docs.sparkSession.conf.get("spark.graft.tfidf.broadcastDf", "true").toBoolean)
+        broadcast(df_)
+      else df_
+    tf.join(dfSide, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") *

@@ -92,5 +92,14 @@ class ComponentsSpec extends SparkSpec {
     assert(cherry._1 === 1L && cherry._2 === 1L)
     assert(math.abs(cherry._3 - (math.log(2.0) + 1.0)) < 1e-4)
     assert(cherry._3 > out((1L, "apple"))._3 / 2)
+    // the web-scale escape hatch (shuffle join on token instead of a
+    // vocab-sized broadcast) must produce the identical result
+    spark.conf.set("spark.graft.tfidf.broadcastDf", "false")
+    try {
+      val shuffled = Text.tfidf(docs, "doc_id", "text")
+        .as[(Long, String, Long, Long, Double)].collect()
+        .map { case (d, t, tf, df, s) => (d, t) -> ((tf, df, s)) }.toMap
+      assert(shuffled === out)
+    } finally spark.conf.unset("spark.graft.tfidf.broadcastDf")
   }
 }
