@@ -190,6 +190,49 @@ object EventStream {
       }
   }
 
+  /** Streaming cluster maintenance: keeps a PERSISTED component labeling
+    * current as near-dup edges stream in (e.g. from
+    * [[minhashCandidateStream]]). Component merging spans arbitrary keys
+    * — cross-group global state that `flatMapGroupsWithState` cannot
+    * express — so this is the standard `foreachBatch` composition: each
+    * micro-batch folds its edges into the label store via
+    * [[graft.ops.Dedup.connectedComponentsIncremental]] (O(batch +
+    * touched components); the store is scanned once map-side, never
+    * re-clustered) and replaces the store. The updated labeling is
+    * eagerly materialized through the [[graft.Materialize]] seam BEFORE
+    * the overwrite — its plan reads the store being replaced.
+    *
+    * Returns the started query; the store at `storeDir` is parquet
+    * `(id, component)`, the same artifact the batch incremental APIs
+    * read, bootstrapped empty on first batch.
+    */
+  def clusterMaintenance(
+      edges: DataFrame, storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idType = batch.schema("id_a").dataType
+        val labels =
+          if (new java.io.File(storeDir).exists
+              && spark.read.parquet(storeDir).columns.nonEmpty)
+            spark.read.parquet(storeDir)
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id", idType),
+                org.apache.spark.sql.types.StructField("component", idType))))
+        val updated = graft.Materialize.checkpoint(
+          graft.ops.Dedup.connectedComponentsIncremental(labels, batch))
+        updated.write.mode("overwrite").parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
 

@@ -246,4 +246,31 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.toSeq == batched.toSeq)
     } finally q.stop()
   }
+
+  test("clusterMaintenance: streamed edge batches converge the store to " +
+    "from-scratch CC, including a cross-batch component merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cluster_store").toString
+    val store = s"$base/labels"
+    val input = MemoryStream[EventStream.CandPair]
+    val q = EventStream.clusterMaintenance(
+      input.toDF(), store, s"$base/ckpt")
+    try {
+      // batch 1: two separate components {1,2} and {10,11}
+      input.addData(EventStream.CandPair(1L, 2L), EventStream.CandPair(10L, 11L))
+      q.processAllAvailable()
+      // batch 2: a bridge 2-10 (merges the two stored components) plus a
+      // brand-new pair — the store must relabel 10/11 without re-clustering
+      input.addData(EventStream.CandPair(2L, 10L), EventStream.CandPair(20L, 21L))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(store)
+        .as[(Long, Long)].collect().toMap
+      val scratch = graft.ops.Dedup.connectedComponents(
+        Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === scratch)
+      assert(streamed(11L) === 1L) // the cross-batch merge actually happened
+    } finally q.stop()
+  }
 }
