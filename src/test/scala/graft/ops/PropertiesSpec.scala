@@ -130,6 +130,28 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("incremental CC merge = from-scratch CC for ANY old/new edge split") =
+    forAll(pairsGen, Gen.choose(0L, 12L)) { (pairs, splitId) =>
+      pairs.isEmpty || {
+        // "old" = edges with both endpoints below the split — an arbitrary
+        // but adversarial partition (new edges may bridge, extend, or be
+        // disjoint from stored components in any combination)
+        val (oldE, newE) = pairs.partition(p => p._1 < splitId && p._2 < splitId)
+        newE.isEmpty || {
+          val labels = Dedup.connectedComponents(
+            if (oldE.isEmpty)
+              Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+            else oldE.toDF("id_a", "id_b"))
+          val inc = Dedup.connectedComponentsIncremental(
+            labels, newE.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toMap
+          val scratch = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toMap
+          inc == scratch
+        }
+      }
+    }
+
   property("asofJoin matches the per-row latest-at-or-before reference") =
     forAll(
       Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))),
