@@ -901,6 +901,11 @@ object SparkEntry {
         .select(col("doc_id"), col("token"),
           col("tf").as("n_tf"), col("df").as("n_df"), col("tfidf"))),
 
+    // --- CCNet-style quality signal: mean in-corpus unigram log-prob per
+    // doc (the self-contained stand-in for LM-perplexity filtering) ---
+    "q_unigram_logprob" -> ((s, dir) =>
+      Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- as-of join: each click ← latest purchase at-or-before it (single
     // window sweep, no inequality join — see Joins.asofJoin) ---
     "q_asof_join" -> ((s, dir) => {
@@ -1216,6 +1221,19 @@ object SparkEntry {
         "SELECT doc_id, tf.token, n_tf, n_df, " +
         "round(n_tf * (ln(CAST(n + 1 AS DOUBLE) / CAST(n_df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf " +
         "FROM tf JOIN df USING (token) CROSS JOIN n"),
+
+    // per-token ln p quantized to INTEGER 1e-9 units with floor(+0.5)
+    // (round(x,9) half-tie semantics differ per engine and sums amplify
+    // it), integer-exact per-doc sum, one double division + floor at 1e6
+    // — mirrors the Spark side bit-exactly
+    "q_unigram_logprob" -> (
+      s"WITH tok AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+        "fr AS (SELECT token, SUM(tf) AS freq FROM tf GROUP BY 1), " +
+        "t AS (SELECT SUM(freq) AS tt FROM fr) " +
+        "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "floor(CAST(SUM(CAST(floor(ln(CAST(freq AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logprob " +
+        "FROM tf JOIN fr USING (token) CROSS JOIN t GROUP BY doc_id"),
 
     "q_asof_join" -> (
       "WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'), " +

@@ -179,6 +179,47 @@ object Text {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** In-corpus unigram log-probability per document — the from-scratch
+    * version of the CCNet/KenLM perplexity quality filter (Wenzek et al.
+    * 2020 score against a pretrained LM; with no model download the
+    * corpus's own unigram distribution is the honest self-contained
+    * variant): score = mean over the doc's tokens of ln p(token), p from
+    * corpus frequencies. Low scores = out-of-distribution docs (OCR
+    * noise, wrong language, gibberish) — the standard pretraining filter
+    * signal next to [[gopherStats]]' rule bundle.
+    *
+    * Same two-shuffle skeleton as [[tfidf]] (tf subtree shared via
+    * ReuseExchange, vocab-sized frequency table broadcast back). Float
+    * discipline for the oracle gate — stricter than the per-row ops,
+    * because SUMMING amplifies per-term divergence: each token's ln p is
+    * quantized to an exact INTEGER count of 1e-9 units with floor(+0.5)
+    * (engines' round(x, 9) disagree at half-ties; floor is bit-portable
+    * — quantizeInt8's trick), the per-doc sum runs on those integers
+    * (exact in any engine, any order), and one double division + floor at
+    * 1e6 lands the mean. round(·,9)+DECIMAL sums were MEASURED to
+    * disagree on 15/500 sf0.01 docs by 1e-6 — integer units: 0.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("token").agg(sum("tf").as("freq"))
+    val total = freq.select(sum("freq").as("_t"))
+    tf.join(broadcast(freq), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(floor(log(col("freq").cast("double") / col("_t").cast("double"))
+          * 1e9 + 0.5).cast("long") * col("tf")).as("_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("_u").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0) + 0.5) / 1e6)
+          .as("logprob"))
+  }
+
   /** Corpus-level boilerplate detection: the fraction of each document's
     * distinct word n-grams that are "frequent" (appear in ≥ `minDf`
     * documents INCLUDING this one — i.e. ≥ minDf−1 others; the oracle's

@@ -71,6 +71,17 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("unigramLogProb: common-token docs score higher; exact tiny-corpus value") {
+    // corpus: 4 tokens total — "a" 3 times (p=3/4), "z" once (p=1/4)
+    val docs = Seq((1L, "a a a"), (2L, "z")).toDF("doc_id", "text")
+    val out = Text.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log(0.75)) < 1e-5)
+    assert(math.abs(out(2L)._2 - math.log(0.25)) < 1e-5)
+    assert(out(1L)._2 > out(2L)._2) // in-distribution doc scores higher
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq("Hello   World", "hello world").toDF("t")
     val fps = df.select(Text.fingerprint($"t")).as[String].collect()
