@@ -404,6 +404,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // --- fuzzy decontamination: NEAR-dup (minhash-banded, Jaccard-
+    // verified) leakage of the benchmark set, catching paraphrased
+    // contamination the exact-shingle semi-join above misses ---
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateFuzzy(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 5))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // --- Gopher-style repetition/shape filters: duplicate-3gram fraction,
     // mean word length, symbol-to-word ratio (all map-side) ---
     "q_repetition_score" -> ((s, dir) => {
@@ -1639,6 +1649,20 @@ object SparkEntry {
         "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5), " +
         "bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)) " +
         "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)"),
+
+    // candidate pairs restricted to (corpus, benchmark) sides, verified
+    // with exact Jaccard on distinct shingles — mirrors decontaminateFuzzy
+    "q_decontaminate_fuzzy" -> (
+      s"WITH $minhashPairsCtes, " +
+        "sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh), " +
+        "shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+        "touch AS (SELECT id_a, id_b FROM pairs WHERE (id_a < 5) <> (id_b < 5)), " +
+        "inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i " +
+        "FROM touch p JOIN shx a ON a.doc_id = p.id_a JOIN shx b ON b.doc_id = p.id_b AND b.s = a.s GROUP BY 1, 2), " +
+        "ver AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id " +
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), " +
+        "bad AS (SELECT CASE WHEN id_a < 5 THEN id_b ELSE id_a END AS doc_id FROM ver) " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
 
     "q_corpus_stats" -> (
       "WITH bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2) " +

@@ -192,6 +192,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy decontamination: drop corpus docs NEAR-duplicate (banded
+    * minhash candidates, then exact-Jaccard verified ≥ `threshold`) to
+    * any benchmark doc — the fuzzy upgrade of the exact-shingle
+    * semi-join (`q_decontaminate`): n-gram equality misses paraphrased
+    * or lightly-edited benchmark leakage, which is exactly what
+    * evaluation-contamination audits flag (Brown et al. 2020 App. C
+    * use 13-gram overlap; near-dup subsumes it at threshold→0).
+    * Benchmark docs themselves are dropped too (same contract as the
+    * exact variant, where they trivially self-match).
+    *
+    * Scale shape — deliberately NOT the dedup pipeline's corpus×corpus
+    * pair space: a benchmark is small (eval suites: 1e3–1e5 docs), so
+    * its band table and shingle sets ride BROADCAST joins; the corpus
+    * pays one shingle+banding pass, is semi-join-restricted to candidate
+    * docs before the verify explode, and is never self-joined.
+    */
+  def decontaminateFuzzy(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bSh = Text.spread(benchmark)
+      .select(col(idCol).as("_bid"),
+        Text.shingles(col(textCol), shingleSize).as("_sh"))
+      .transform(Materialize.checkpoint)
+    val bBands = bandTable(bSh.select(col("_bid").as("_id"), col("_sh")))
+      .select(col("_bno"), col("_bkey"), col("_id").as("_bid"))
+    val bSets = bSh
+      .select(col("_bid"),
+        array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_arr"))
+      .select(col("_bid"), size(col("_arr")).as("_szb"),
+        explode(col("_arr")).as("_h"))
+    val cSh = Text.spread(docs)
+      .select(col(idCol).as("_cid"),
+        Text.shingles(col(textCol), shingleSize).as("_sh"))
+      .transform(Materialize.checkpoint)
+    val cBands = bandTable(cSh.select(col("_cid").as("_id"), col("_sh")))
+      .select(col("_bno"), col("_bkey"), col("_id").as("_cid"))
+    val cands = cBands.join(broadcast(bBands), Seq("_bno", "_bkey"))
+      .where(col("_cid") =!= col("_bid"))
+      .select("_cid", "_bid").distinct()
+      .transform(Materialize.checkpoint)
+    val cSets = cSh
+      .join(cands.select("_cid"), Seq("_cid"), "left_semi")
+      .select(col("_cid"),
+        array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_arr"))
+      .select(col("_cid"), size(col("_arr")).as("_szc"),
+        explode(col("_arr")).as("_h"))
+    val bad = cands.join(cSets, Seq("_cid"))
+      .join(broadcast(bSets), Seq("_bid", "_h"))
+      .groupBy("_cid", "_bid", "_szc", "_szb")
+      .agg(count(lit(1)).as("_i"))
+      .where(col("_i").cast("double") /
+        (col("_szc") + col("_szb") - col("_i")).cast("double") >= threshold)
+      .select(col("_cid").as(idCol)).distinct()
+    docs
+      .join(benchmark.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Portable SimHash (16-bit variant): for hex digit position j of
     * md5(token), the digit's value >= 8 votes +1 on plane j, else -1; bit j
     * set iff the vote sum is positive. Engine-portable (md5 + substring),

@@ -188,6 +188,17 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
   }
 
+  test("decontaminateFuzzy drops the benchmark and its verified near-dups, " +
+    "keeps sub-threshold and unrelated docs") {
+    // benchmark = doc 1; doc 2 is its exact dup (J=1.0 → dropped); doc 3
+    // differs in 1 of 9 tokens → J = 4/10 = 0.4 < 0.5 → KEPT (this is the
+    // fuzzy-vs-exact distinction: the exact-shingle variant drops 3 too)
+    val out = Dedup.decontaminateFuzzy(docs, "doc_id", "text",
+      docs.where($"doc_id" === 1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(3L, 4L, 5L))
+  }
+
   test("kmeansFit converges to the cluster means on a separable fixture; " +
     "refineAssign separates the clusters") {
     // two tight direction-clusters; seeds (first 2 by id) start one-per-cluster
