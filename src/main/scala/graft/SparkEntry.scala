@@ -916,6 +916,15 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- DSIR importance weights: mean per-token target-vs-raw unigram
+    // log-likelihood ratio (Xie et al. 2023) — docs resembling the seed
+    // set (doc_id < 50 here) score positive and get upsampled ---
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.dsirLogRatio(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 50))
+    }),
+
     // --- as-of join: each click ← latest purchase at-or-before it (single
     // window sweep, no inequality join — see Joins.asofJoin) ---
     "q_asof_join" -> ((s, dir) => {
@@ -1663,6 +1672,18 @@ object SparkEntry {
         "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), " +
         "bad AS (SELECT CASE WHEN id_a < 5 THEN id_b ELSE id_a END AS doc_id FROM ver) " +
         "SELECT doc_id, lang FROM documents WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+
+    // ONE ln per row with identical operand order, floor(+0.5) to integer
+    // 1e-9 units, exact integer sums — the q_unigram_logprob discipline
+    "q_dsir_weights" -> (
+      s"WITH tok AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+        "rf AS (SELECT token, SUM(tf) AS rfreq FROM tf GROUP BY 1), " +
+        "tg AS (SELECT token, SUM(tf) AS tfreq FROM tf WHERE doc_id < 50 GROUP BY 1), " +
+        "sc AS (SELECT (SELECT SUM(rfreq) FROM rf) AS rt, (SELECT count(*) FROM rf) AS v, (SELECT SUM(tfreq) FROM tg) AS tt) " +
+        "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "floor(CAST(SUM(CAST(floor(ln((CAST(COALESCE(tfreq, 0) * v + 1 AS DOUBLE) * CAST(rt AS DOUBLE)) / (CAST(tt + 1 AS DOUBLE) * CAST(v AS DOUBLE) * CAST(rfreq AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logratio " +
+        "FROM tf JOIN rf USING (token) LEFT JOIN tg USING (token) CROSS JOIN sc GROUP BY doc_id"),
 
     "q_corpus_stats" -> (
       "WITH bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2) " +

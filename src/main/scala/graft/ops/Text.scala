@@ -220,6 +220,56 @@ object Text {
           .as("logprob"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per doc, the mean
+    * per-token log-likelihood RATIO between a small target corpus (the
+    * high-quality seed you want more of) and the raw corpus — documents
+    * with positive `logratio` look more like the target than like the
+    * raw pool and get upsampled. Unigram feature space (DSIR's hashed
+    * n-gram generalization drops out to this at n=1), Lidstone α = 1/|V|
+    * smoothing on the target side (total pseudo-mass 1; add-1 would put
+    * |V| pseudo-tokens on a seed set that may hold fewer REAL tokens and
+    * invert the signal): p_t(t) = (tf_t·|V| + 1) / ((T_t + 1)·|V|),
+    * raw-only tokens stay finite.
+    *
+    * Scale shape: the target corpus is SMALL by construction (a seed
+    * set), so its frequency table broadcasts; the raw-vocab frequency
+    * table is the same broadcast-until-web-scale trade as [[tfidf]]; the
+    * corpus pays the one tokenize pass it already owes. Portability: the
+    * ratio is ONE ln of one double (identical operand order in both
+    * engines), quantized to integer 1e-9 units with floor(+0.5) and
+    * summed exactly — the [[unigramLogProb]] discipline.
+    */
+  def dsirLogRatio(
+      docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame): DataFrame = {
+    def tfOf(d: DataFrame) = spread(d)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val tf = tfOf(docs)
+    val rawFreq = tf.groupBy("token").agg(sum("tf").as("rfreq"))
+    val tgtFreq = tfOf(target).groupBy("token").agg(sum("tf").as("tfreq"))
+    val scalars = rawFreq
+      .agg(sum("rfreq").as("_rt"), count(lit(1)).as("_v"))
+      .crossJoin(tgtFreq.select(sum("tfreq").as("_tt")))
+    tf.join(broadcast(rawFreq), Seq("token"))
+      .join(broadcast(tgtFreq), Seq("token"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(floor(log(
+          ((coalesce(col("tfreq"), lit(0L)) * col("_v") + 1).cast("double") * col("_rt").cast("double")) /
+            ((col("_tt") + 1).cast("double") * col("_v").cast("double") * col("rfreq").cast("double")))
+          * 1e9 + 0.5).cast("long") * col("tf")).as("_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("_u").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0) + 0.5) / 1e6)
+          .as("logratio"))
+  }
+
   /** Corpus-level boilerplate detection: the fraction of each document's
     * distinct word n-grams that are "frequent" (appear in ≥ `minDf`
     * documents INCLUDING this one — i.e. ≥ minDf−1 others; the oracle's

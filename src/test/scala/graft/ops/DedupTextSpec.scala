@@ -82,6 +82,16 @@ class DedupTextSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2) // in-distribution doc scores higher
   }
 
+  test("dsirLogRatio: target-like docs score above out-of-distribution docs") {
+    val out = Text.dsirLogRatio(docs, "doc_id", "text",
+      docs.where($"doc_id" === 1))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // doc 2 is a verbatim copy of the target doc; doc 5 shares no tokens
+    assert(out(2L) > out(5L))
+    assert(out(2L) > 0.0) // looks MORE like the target than like the pool
+    assert(out(5L) < 0.0) // penalized: none of its tokens appear in target
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq("Hello   World", "hello world").toDF("t")
     val fps = df.select(Text.fingerprint($"t")).as[String].collect()
