@@ -142,8 +142,11 @@ object Bench {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =
+      // the FULL control range, not just \n\r\t: JSON forbids unescaped
+      // U+0000–U+001F, and a parser error quoting binary bytes in its
+      // message would otherwise make the errors map unparseable
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+        .replaceAll("[\\p{Cntrl}]", " ") + "\""
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.fold(_ => "-1", f3)
     }.mkString("{", ",", "}")

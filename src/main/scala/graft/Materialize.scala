@@ -47,6 +47,9 @@ object Materialize {
     */
   val DirKey = "spark.graft.materialize.dir"
 
+  // last conf value pushed to SparkContext.setCheckpointDir (see below)
+  @volatile private var lastReliableDir: Option[String] = None
+
   /** Eagerly materialize `df` under the configured strategy and return
     * the materialized frame (lineage-truncated under `local`/`reliable`).
     * Usable point-free: `df.transform(Materialize.checkpoint)`.
@@ -58,7 +61,17 @@ object Materialize {
       case "reliable" =>
         val sc = spark.sparkContext
         spark.conf.getOption(DirKey) match {
-          case Some(dir) => sc.setCheckpointDir(dir) // conf wins: runtime-switchable
+          case Some(dir) =>
+            // Set ONCE per distinct conf value, not per call:
+            // setCheckpointDir mkdirs a fresh UUID subdirectory every
+            // invocation — per-iteration calls in the closure/CC loops
+            // would issue one namenode round-trip per round and scatter
+            // artifacts over dozens of directories. The resolved dir is
+            // remembered so a runtime conf change still takes effect.
+            if (!lastReliableDir.contains(dir)) {
+              sc.setCheckpointDir(dir)
+              lastReliableDir = Some(dir)
+            }
           case None if sc.getCheckpointDir.nonEmpty => ()
           case None => throw new IllegalStateException(
             s"$ModeKey=reliable requires SparkContext.setCheckpointDir(...) or $DirKey")

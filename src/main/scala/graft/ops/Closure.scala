@@ -90,7 +90,13 @@ object Closure {
     * work, so rounds are the term to minimize. Requires acyclic input
     * (like the recursive-CTE variant; cycles never terminate a doubling
     * chain wrong — `maxDepth` caps rounds at 2^rounds ≥ maxDepth).
-    * Output is identical to `transitiveClosure`/-`Recursive` on forests.
+    * Output is identical to `transitiveClosure`/-`Recursive` on forests
+    * SHALLOWER than the caps; at or beyond them the variants truncate at
+    * DIFFERENT boundaries (iterative: distance ≤ its maxDepth, default
+    * 32; doubling: distance < the first power of two ≥ `maxDepth`, so
+    * the default 64 covers < 64) — deep-forest callers align the caps
+    * explicitly. Same applies to [[breadcrumbsDoubling]] vs the level
+    * walkers.
     */
   def transitiveClosureDoubling(
       nodes: DataFrame,

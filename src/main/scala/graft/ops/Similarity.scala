@@ -198,24 +198,14 @@ object Similarity {
     // Centroids live on the driver (an IVF coarse quantizer is a model
     // artifact, not data) and are inlined as literals — cell assignment is
     // then a pure map-side projection, no join, no shuffle of the corpus.
-    val cents = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(nCentroids).collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
-        case f: Float => f.toDouble // exact widening, matches CAST(FLOAT AS DOUBLE)
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue
-      }))
-    def cell(v: Column): Column =
-      array_max(array(cents.toSeq.map { case (cid, cv) =>
-        val cvLit = array(cv.map(lit): _*)
-        struct(round(cosine(v, cvLit), 9).as("s"),
-          lit(-cid).as("nid"))
-      }: _*)).getField("nid") * -1
+    // Seed extraction and the argmax expression are shared with kmeansFit
+    // (seedCentroids/cellOf): one definition for the tie-break/rounding
+    // contract the oracle twins mirror.
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      cell(col(vecCol)).as("_cell"), norm(col(vecCol)).as("_qn"))
+      cellOf(col(vecCol), cents).as("_cell"), norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      cell(col(vecCol)).as("_cell"), norm(col(vecCol)).as("_cn"))
+      cellOf(col(vecCol), cents).as("_cell"), norm(col(vecCol)).as("_cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     q.join(c, Seq("_cell"))
@@ -226,6 +216,24 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** Deterministic centroid seeds: the first `k` corpus vectors by id,
+    * collected as a driver-side model artifact (Float widened exactly,
+    * matching CAST(FLOAT AS DOUBLE)). Shared by the IVF quantizer and
+    * the k-means trainer so both sides of the oracle gate see one seed
+    * definition.
+    */
+  private def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Seq[Double])] =
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }.toSeq)).toSeq
 
   /** Max-cosine cell assignment against a driver-side centroid set
     * (model artifact, inlined as literals — a pure map-side projection,
@@ -276,14 +284,7 @@ object Similarity {
   def kmeansFit(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 4): Seq[(Long, Seq[Double])] = {
-    val seeds = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(k).collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue
-      }.toSeq)).toSeq
+    val seeds = seedCentroids(corpus, idCol, vecCol, k)
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       meansOf(
         corpus.select(col(vecCol), cellOf(col(vecCol), cents).as("_cell")),

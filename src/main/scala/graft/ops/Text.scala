@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Runtime conf: broadcast the vocab-sized frequency tables (tfidf's
+    * df side, unigram/DSIR raw frequencies)? Default true — right until
+    * a web-scale noisy vocabulary outgrows broadcast; set false THERE to
+    * fall to a shuffle join on `token`, which both sides are already
+    * keyed by. One knob for all three operators (they share the trade).
+    */
+  val BroadcastVocabKey = "spark.graft.text.broadcastVocab"
+
+  private def vocabSide(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(BroadcastVocabKey, "true").toBoolean)
+      broadcast(df)
+    else df
+
   /** Decouple a compute-dense stage's parallelism from its scan's
     * byte-based splits. Parquet splits are sized on BYTES
     * (`maxPartitionBytes`, floored by `openCostInBytes`), but
@@ -151,11 +164,10 @@ object Text {
     * was MEASURED 2× slower at sf10 — 7.1 → 13.7 s — the reuse is free,
     * the serialization is not; that also rules out row-count dispatch for
     * the df join, which would pay a third tokenize pass for the count).
-    * The df side (vocab-sized) joins back broadcast by default — right
-    * until a web-scale noisy vocabulary outgrows broadcast; THERE set
-    * `spark.graft.tfidf.broadcastDf=false` to fall to a shuffle join on
-    * `token`, which both sides are already keyed by.
-    * N is a scalar computed once on the doc table. No window, no collect.
+    * The df side (vocab-sized) joins back through [[vocabSide]]
+    * (`spark.graft.text.broadcastVocab` — the shared web-scale escape
+    * hatch). N is a scalar computed once on the doc table. No window, no
+    * collect.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))
@@ -166,11 +178,7 @@ object Text {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val dfSide =
-      if (docs.sparkSession.conf.get("spark.graft.tfidf.broadcastDf", "true").toBoolean)
-        broadcast(df_)
-      else df_
-    tf.join(dfSide, Seq("token"))
+    tf.join(vocabSide(df_), Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") *
@@ -207,7 +215,7 @@ object Text {
       .agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy("token").agg(sum("tf").as("freq"))
     val total = freq.select(sum("freq").as("_t"))
-    tf.join(broadcast(freq), Seq("token"))
+    tf.join(vocabSide(freq), Seq("token"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
@@ -254,7 +262,7 @@ object Text {
     val scalars = rawFreq
       .agg(sum("rfreq").as("_rt"), count(lit(1)).as("_v"))
       .crossJoin(tgtFreq.select(sum("tfreq").as("_tt")))
-    tf.join(broadcast(rawFreq), Seq("token"))
+    tf.join(vocabSide(rawFreq), Seq("token"))
       .join(broadcast(tgtFreq), Seq("token"), "left")
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")

@@ -204,7 +204,15 @@ object EventStream {
     *
     * Returns the started query; the store at `storeDir` is parquet
     * `(id, component)`, the same artifact the batch incremental APIs
-    * read, bootstrapped empty on first batch.
+    * read, bootstrapped empty on first batch. Store replacement is
+    * write-to-temp + FileSystem rename, NOT overwrite-in-place: the
+    * updated plan READS the store it replaces, and in-place overwrite
+    * would both trip Spark's overwrite-while-reading guard (under
+    * materialize modes that don't truncate lineage, e.g. `persist`) and
+    * lose the store on a mid-write crash. Existence checks and the swap
+    * go through the Hadoop FileSystem of the store's own URI — a bare
+    * `java.io.File` would report false on every DFS path and silently
+    * reset the store each batch.
     */
   def clusterMaintenance(
       edges: DataFrame, storeDir: String, checkpointDir: String)
@@ -214,20 +222,27 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val idType = batch.schema("id_a").dataType
         val labels =
-          if (new java.io.File(storeDir).exists
-              && spark.read.parquet(storeDir).columns.nonEmpty)
-            spark.read.parquet(storeDir)
+          if (fs.exists(path)) spark.read.parquet(storeDir)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("id", idType),
                 org.apache.spark.sql.types.StructField("component", idType))))
-        val updated = graft.Materialize.checkpoint(
-          graft.ops.Dedup.connectedComponentsIncremental(labels, batch))
-        updated.write.mode("overwrite").parquet(storeDir)
+        val updated = graft.ops.Dedup
+          .connectedComponentsIncremental(labels, batch)
+        val tmp = new org.apache.hadoop.fs.Path(storeDir + "._next")
+        fs.delete(tmp, true)
+        // executes the full plan (reading the OLD store) before any
+        // mutation of it
+        updated.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(path, true)
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"rename $tmp -> $path failed")
         ()
       }
       .start()

@@ -94,12 +94,12 @@ class ComponentsSpec extends SparkSpec {
     assert(cherry._3 > out((1L, "apple"))._3 / 2)
     // the web-scale escape hatch (shuffle join on token instead of a
     // vocab-sized broadcast) must produce the identical result
-    spark.conf.set("spark.graft.tfidf.broadcastDf", "false")
+    spark.conf.set("spark.graft.text.broadcastVocab", "false")
     try {
       val shuffled = Text.tfidf(docs, "doc_id", "text")
         .as[(Long, String, Long, Long, Double)].collect()
         .map { case (d, t, tf, df, s) => (d, t) -> ((tf, df, s)) }.toMap
       assert(shuffled === out)
-    } finally spark.conf.unset("spark.graft.tfidf.broadcastDf")
+    } finally spark.conf.unset("spark.graft.text.broadcastVocab")
   }
 }
