@@ -555,6 +555,17 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
+    // --- the same operator at a DENSER law-side operating point. The
+    // plane-density law trades recall for bucket density (numPlanesFor
+    // derives 10 at sf10's 200k vectors — measured 25× cheaper than the
+    // 4-plane point above, SCALE.md); each plane count is a different
+    // candidate set, so each graded point needs its own static oracle
+    // twin. 6 planes is the densest point that still emits pairs at the
+    // oracle SF (10 planes → 0 rows there — a vacuous gate row) ---
+    "q_dedup_embed_dense" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, numPlanes = 6)),
+
     // --- incremental embedding ingest: batch (vec_id % 5 = 0) vs the
     // persisted SRP bucket table of the rest — pairs touching the batch,
     // corpus never re-hashed (embedding twin of q_dedup_incremental) ---
@@ -1807,6 +1818,22 @@ object SparkEntry {
       def proj(v: String, h: Int) =
         s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
       val bucketExpr = (0 until 4).map(h =>
+        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      val cos = s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
+      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score " +
+        "FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
+    },
+
+    // identical twin at the denser 6-plane operating point
+    "q_dedup_embed_dense" -> {
+      def proj(v: String, h: Int) =
+        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+      val bucketExpr = (0 until 6).map(h =>
         s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
         .mkString(" + ")
       def dot(a: String, b: String) =
