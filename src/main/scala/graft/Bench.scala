@@ -29,6 +29,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deployment knobs: run the suite under a different materialization
+    // strategy (e.g. MODE=reliable + DIR=<checkpoint dir>) to measure the
+    // cluster-durability seam's cost against the local default.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE")
+      .foreach(spark.conf.set(Materialize.ModeKey, _))
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_DIR")
+      .foreach(spark.conf.set(Materialize.DirKey, _))
     // Untimed session warmup: JIT, codegen compiler, parquet reader, and
     // shuffle machinery init otherwise land entirely on the first query.
     // Touch every table once so per-query timings measure the operator,

@@ -47,30 +47,75 @@ object Materialize {
     */
   val DirKey = "spark.graft.materialize.dir"
 
-  // last conf value pushed to SparkContext.setCheckpointDir (see below)
-  @volatile private var lastReliableDir: Option[String] = None
+  // Last (context, conf value) pushed to SparkContext.setCheckpointDir.
+  // Keyed by the CONTEXT, not just the dir string: checkpoint dirs are
+  // per-SparkContext state, so after a stop + recreate (or with two
+  // sessions over distinct contexts) a cached bare string would claim the
+  // dir is set on a context that never saw it — every reliable checkpoint
+  // would then throw "Checkpoint directory has not been set". The context
+  // is held weakly so a stopped context can be collected.
+  @volatile private var lastReliable
+      : Option[(java.lang.ref.WeakReference[org.apache.spark.SparkContext], String)] = None
 
   /** Eagerly materialize `df` under the configured strategy and return
     * the materialized frame (lineage-truncated under `local`/`reliable`).
     * Usable point-free: `df.transform(Materialize.checkpoint)`.
     */
-  def checkpoint(df: DataFrame): DataFrame = {
+  def checkpoint(df: DataFrame): DataFrame =
+    materialize(df, spark => spark.conf.get(ModeKey, "local"))
+
+  /** [[checkpoint]] for frames produced INSIDE an iterative fixpoint loop
+    * (transitive closure, breadcrumbs, CC label propagation): `persist`
+    * does not truncate lineage, so under that mode a loop's plan grows
+    * per round and analysis cost compounds — exactly what the per-round
+    * materialization exists to prevent. Here `persist` dispatches to a
+    * lineage-truncating mode instead: `reliable` when a checkpoint dir is
+    * available (the durable choice the user signalled by picking a
+    * replicated mode), else `local` with a warning. Single-shot
+    * multi-consumer frames (band/shingle/SRP tables) keep plain
+    * [[checkpoint]], where `persist` is the right trade.
+    */
+  def checkpointIterative(df: DataFrame): DataFrame =
+    materialize(df, { spark =>
+      spark.conf.get(ModeKey, "local") match {
+        case "persist" =>
+          val durable = spark.conf.getOption(DirKey).nonEmpty ||
+            spark.sparkContext.getCheckpointDir.nonEmpty
+          if (durable) "reliable"
+          else {
+            org.slf4j.LoggerFactory.getLogger("graft.Materialize").warn(
+              s"$ModeKey=persist does not truncate lineage; iterative " +
+                "operator falling back to mode=local (set a checkpoint " +
+                s"dir or $DirKey for a durable loop)")
+            "local"
+          }
+        case m => m
+      }
+    })
+
+  private def materialize(df: DataFrame, modeFor: org.apache.spark.sql.SparkSession => String): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.get(ModeKey, "local") match {
+    modeFor(spark) match {
       case "local" => df.localCheckpoint(eager = true)
       case "reliable" =>
         val sc = spark.sparkContext
         spark.conf.getOption(DirKey) match {
           case Some(dir) =>
-            // Set ONCE per distinct conf value, not per call:
+            // Set ONCE per (context, conf value), not per call:
             // setCheckpointDir mkdirs a fresh UUID subdirectory every
             // invocation — per-iteration calls in the closure/CC loops
             // would issue one namenode round-trip per round and scatter
-            // artifacts over dozens of directories. The resolved dir is
-            // remembered so a runtime conf change still takes effect.
-            if (!lastReliableDir.contains(dir)) {
+            // artifacts over dozens of directories. Gate on the CONTEXT's
+            // own state too: a recreated context starts with no
+            // checkpoint dir regardless of what was pushed before, and a
+            // caller's later direct setCheckpointDir(...) wins (DirKey is
+            // the fallback; getCheckpointDir is a local getter, so the
+            // per-call cost is nil).
+            val pushedToThis =
+              lastReliable.collect { case (c, d) if c.get eq sc => d }
+            if (sc.getCheckpointDir.isEmpty || pushedToThis.exists(_ != dir)) {
               sc.setCheckpointDir(dir)
-              lastReliableDir = Some(dir)
+              lastReliable = Some((new java.lang.ref.WeakReference(sc), dir))
             }
           case None if sc.getCheckpointDir.nonEmpty => ()
           case None => throw new IllegalStateException(

@@ -16,6 +16,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deployment knobs for at-scale evidence runs: verify the whole
+    // surface under the cluster-durability materialization mode
+    // (SPARK_GRAFT_MATERIALIZE_MODE=reliable with ..._DIR pointing at a
+    // real checkpoint directory) without touching operator code.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE")
+      .foreach(spark.conf.set(Materialize.ModeKey, _))
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_DIR")
+      .foreach(spark.conf.set(Materialize.DirKey, _))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -53,10 +53,10 @@ object Closure {
     // frontiers are eagerly checkpointed; the accumulated result is a
     // union of those materialized RDDs, so its plan stays shallow without
     // paying one extra materialization job per iteration.
-    var result = self.transform(Materialize.checkpoint)
+    var result = self.transform(Materialize.checkpointIterative)
     var frontier = edges
       .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       result = result.unionByName(frontier)
@@ -65,7 +65,7 @@ object Closure {
         .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
         .distinct()
         .join(result, Seq("descendant_id", "ancestor_id"), "left_anti")
-        .transform(Materialize.checkpoint)
+        .transform(Materialize.checkpointIterative)
       depth += 1
     }
     result
@@ -87,43 +87,63 @@ object Closure {
     * Scale: a depth-60 hierarchy costs 6 rounds of dimension-sized joins
     * and 6 lineage truncations instead of 60 — at 100 TB the per-round
     * fixed cost (scheduling + materialization barrier) dominates closure
-    * work, so rounds are the term to minimize. Requires acyclic input
-    * (like the recursive-CTE variant; cycles never terminate a doubling
-    * chain wrong — `maxDepth` caps rounds at 2^rounds ≥ maxDepth).
-    * Output is identical to `transitiveClosure`/-`Recursive` on forests
-    * SHALLOWER than the caps; at or beyond them the variants truncate at
-    * DIFFERENT boundaries (iterative: distance ≤ its maxDepth, default
-    * 32; doubling: distance < the first power of two ≥ `maxDepth`, so
-    * the default 64 covers < 64) — deep-forest callers align the caps
-    * explicitly. Same applies to [[breadcrumbsDoubling]] vs the level
-    * walkers.
+    * work, so rounds are the term to minimize.
+    *
+    * Cap semantics are UNIFIED with the other variants (one boundary for
+    * all of [[transitiveClosure]]/[[transitiveClosureDoubling]]/
+    * [[transitiveClosureRecursive]]): output = pairs at walk distance
+    * ≤ `maxDepth`, exactly. Each reach row carries its distance; the
+    * compose step prunes compositions that would exceed the cap, so the
+    * boundary is exact rather than "the next power of two".
+    *
+    * Cyclic input (parent pointers are functional, so a "cycle" is a
+    * ρ-shaped chain into a loop): the hop table never drains, but rounds
+    * are capped, even-cycle self-pointer degeneracy is dropped, and with
+    * `assumeForest = false` a final pair-level dedup makes the output the
+    * SAME SET the iterative variant produces (it re-derives ancestors
+    * once per winding otherwise — on forests every pair is produced
+    * exactly once because d = d' + 2^k with d' < 2^k is the binary
+    * representation of d, so the dedup shuffle is pure waste there and
+    * stays opt-in).
     */
   def transitiveClosureDoubling(
       nodes: DataFrame,
       idCol: String,
       parentCol: String,
-      maxDepth: Int = 64): DataFrame = {
+      maxDepth: Int = 32,
+      assumeForest: Boolean = true): DataFrame = {
     var reach = nodes
-      .select(col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"))
-      .transform(Materialize.checkpoint)
+      .select(col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"),
+        lit(0L).as("_dist"))
+      .transform(Materialize.checkpointIterative)
     var hop = nodes
       .select(col(idCol).as("_h_from"), col(parentCol).as("_h_to"))
       .where(col(parentCol).isNotNull)
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     var span = 1L // hop distance this round
-    while (span < maxDepth && !hop.isEmpty) {
+    while (span <= maxDepth && !hop.isEmpty) {
+      // compose only rows that stay within the cap — the pruned rows can
+      // never produce an in-cap pair later either (distances only grow)
+      val composable = reach.where(col("_dist") + span <= maxDepth)
       reach = reach
-        .unionByName(reach
-          .join(hop, reach("ancestor_id") === hop("_h_from"))
-          .select(reach("descendant_id"), hop("_h_to").as("ancestor_id")))
-        .transform(Materialize.checkpoint)
+        .unionByName(composable
+          .join(hop, composable("ancestor_id") === hop("_h_from"))
+          .select(composable("descendant_id"),
+            hop("_h_to").as("ancestor_id"),
+            (composable("_dist") + span).as("_dist")))
+        .transform(Materialize.checkpointIterative)
       hop = hop.alias("a")
         .join(hop.alias("b"), col("a._h_to") === col("b._h_from"))
         .select(col("a._h_from").as("_h_from"), col("b._h_to").as("_h_to"))
-        .transform(Materialize.checkpoint)
+        // even-length cycles collapse to self-pointers at span ≥ cycle
+        // length; dropping them re-drains the hop table (no-op on forests)
+        .where(col("_h_from") =!= col("_h_to"))
+        .transform(Materialize.checkpointIterative)
       span *= 2
     }
-    reach
+    val out = reach.select(col("descendant_id"), col("ancestor_id"))
+    if (assumeForest) out
+    else out.dropDuplicates("descendant_id", "ancestor_id")
   }
 
   /** Transitive closure via Spark 4's native recursive CTE (`WITH
@@ -142,17 +162,35 @@ object Closure {
     * the depth cap (`cteRecursionLevelLimit`, default 100) stays, it is
     * the actual cycle guard.
     */
-  private def raiseRecursionRowLimit(nodes: DataFrame): Unit = {
-    val key = "spark.sql.cteRecursionRowLimit"
+  private def raiseRecursionRowLimit(nodes: DataFrame, maxDepth: Int): Unit = {
     val conf = nodes.sparkSession.conf
-    val target = Int.MaxValue
-    if (conf.getOption(key).map(_.toLong).getOrElse(1000000L) < target)
-      conf.set(key, target)
+    val rowKey = "spark.sql.cteRecursionRowLimit"
+    if (conf.getOption(rowKey).map(_.toLong).getOrElse(1000000L) < Int.MaxValue)
+      conf.set(rowKey, Int.MaxValue)
+    // The engine depth guard (default 100) must sit ABOVE the requested
+    // truncation boundary, or the query errors before our own lvl cap
+    // truncates; never lower it (it stays the runaway backstop for
+    // misconfigured caps).
+    val lvlKey = "spark.sql.cteRecursionLevelLimit"
+    val need = maxDepth.toLong + 2
+    if (conf.getOption(lvlKey).map(_.toLong).getOrElse(100L) < need)
+      conf.set(lvlKey, need)
   }
 
+  /** Cap semantics unified with [[transitiveClosure]]: the step tracks its
+    * level and stops at distance `maxDepth`, TRUNCATING like the iterative
+    * variant instead of erroring into the engine recursion limit (which is
+    * raised above the cap when needed and kept as the backstop). On cyclic
+    * input the level bound also makes the UNION ALL loop terminate — the
+    * output is then a multiset (one row per winding); callers needing the
+    * iterative variant's set semantics on possibly-cyclic input use
+    * [[transitiveClosure]] or `transitiveClosureDoubling(...,
+    * assumeForest = false)`.
+    */
   def transitiveClosureRecursive(
-      nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
-    raiseRecursionRowLimit(nodes)
+      nodes: DataFrame, idCol: String, parentCol: String,
+      maxDepth: Int = 32): DataFrame = {
+    raiseRecursionRowLimit(nodes, maxDepth)
     val view = s"_graft_closure_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     // Materialize the projection once: UnionLoop re-executes the step plan
     // per level, which would otherwise re-run the source scan every level.
@@ -160,12 +198,12 @@ object Closure {
       .transform(Materialize.checkpoint)
       .createOrReplaceTempView(view)
     val out = nodes.sparkSession.sql(
-      s"""WITH RECURSIVE th(descendant_id, ancestor_id) AS (
-         |  SELECT id AS descendant_id, id AS ancestor_id FROM $view
+      s"""WITH RECURSIVE th(descendant_id, ancestor_id, lvl) AS (
+         |  SELECT id AS descendant_id, id AS ancestor_id, 0 AS lvl FROM $view
          |  UNION ALL
-         |  SELECT th.descendant_id, n.parent AS ancestor_id
+         |  SELECT th.descendant_id, n.parent AS ancestor_id, th.lvl + 1
          |  FROM th JOIN $view n ON th.ancestor_id = n.id
-         |  WHERE n.parent IS NOT NULL
+         |  WHERE n.parent IS NOT NULL AND th.lvl < $maxDepth
          |) SELECT descendant_id, ancestor_id FROM th""".stripMargin)
     out
   }
@@ -175,14 +213,15 @@ object Closure {
     * this shape is cycle-SAFE even with UNION ALL: paths grow strictly
     * downward from roots, so cycle components are never reached and the
     * loop drains — they surface with NULL path/breadcrumb exactly like
-    * `breadcrumbs`. Only behavioral difference: forests deeper than the
-    * engine recursion limit (default 100) error instead of truncating at
-    * `maxDepth`.
+    * `breadcrumbs`. Cap semantics unified with the walker: paths cover
+    * levels ≤ `maxDepth` (root = level 1), deeper nodes emit NULL
+    * path/breadcrumb; the engine recursion limit is raised above the cap
+    * when needed and stays the backstop.
     */
   def breadcrumbsRecursive(
       nodes: DataFrame, idCol: String, parentCol: String,
-      nameCol: String): DataFrame = {
-    raiseRecursionRowLimit(nodes)
+      nameCol: String, maxDepth: Int = 32): DataFrame = {
+    raiseRecursionRowLimit(nodes, maxDepth)
     val view = s"_graft_bc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     // Materialized once — the per-level step re-executes its scan of this
     // view, and the anchor's NOT IN needs a second pass over it.
@@ -196,13 +235,14 @@ object Closure {
     // (~4×10^10 at 200k nodes; the operator appeared to hang at sf1).
     // NOT EXISTS with an equality correlate plans as a hash LEFT ANTI join.
     val done = nodes.sparkSession.sql(
-      s"""WITH RECURSIVE bc(id, path) AS (
-         |  SELECT id, array(name) FROM $view c
+      s"""WITH RECURSIVE bc(id, path, lvl) AS (
+         |  SELECT id, array(name), 1 AS lvl FROM $view c
          |  WHERE parent IS NULL
          |     OR NOT EXISTS (SELECT 1 FROM $view v WHERE v.id = c.parent)
          |  UNION ALL
-         |  SELECT c.id, concat(p.path, array(c.name))
+         |  SELECT c.id, concat(p.path, array(c.name)), p.lvl + 1
          |  FROM $view c JOIN bc p ON c.parent = p.id
+         |  WHERE p.lvl < $maxDepth
          |) SELECT id, path FROM bc""".stripMargin)
     nodes.join(
       done.select(col("id").as(idCol), col("path"),
@@ -220,28 +260,30 @@ object Closure {
     * level-walking variants — AND no per-level frontier materialization
     * (the level walker materializes O(n) rows per level; the recursive CTE
     * re-executes its step scan per level). Semantics match `breadcrumbs`
-    * exactly: a missing parent starts its own path (orphan tolerance,
-    * `dlt_fetch_timecamp.py:534`), and nodes whose ancestor chain enters a
-    * cycle still hold a non-NULL `up` when the round cap fires and are
-    * emitted with NULL path/breadcrumb.
+    * exactly, including the cap boundary: paths cover levels ≤ `maxDepth`
+    * (the loop overshoots to the next power of two, then the emit clamps
+    * on `size(path)`), a missing parent starts its own path (orphan
+    * tolerance, `dlt_fetch_timecamp.py:534`), and nodes whose ancestor
+    * chain enters a cycle still hold a non-NULL `up` when the round cap
+    * fires and are emitted with NULL path/breadcrumb.
     */
   def breadcrumbsDoubling(
       nodes: DataFrame,
       idCol: String,
       parentCol: String,
       nameCol: String,
-      maxDepth: Int = 64): DataFrame = {
+      maxDepth: Int = 32): DataFrame = {
     val base = nodes
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"),
         col(nameCol).as("_name"))
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     val ids = base.select(col("_id").as("_x"))
     var state = base
       .join(ids, base("_parent") === col("_x"), "left")
       .select(col("_id"),
         when(col("_x").isNotNull, col("_parent")).as("_up"),
         array(col("_name")).as("path"))
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     var span = 1L
     while (span < maxDepth &&
         !state.where(col("_up").isNotNull).isEmpty) {
@@ -256,11 +298,15 @@ object Closure {
           when(state("_up").isNotNull, col("_a_up")).as("_up"),
           when(state("_up").isNotNull, concat(col("_a_path"), state("path")))
             .otherwise(state("path")).as("path"))
-        .transform(Materialize.checkpoint)
+        .transform(Materialize.checkpointIterative)
       span *= 2
     }
+    // clamp to the walker's boundary: completed paths deeper than
+    // maxDepth levels (covered because rounds overshoot to a power of
+    // two) emit NULL exactly like an uncompleted one
     val done = state.select(col("_id").as(idCol),
-      when(col("_up").isNull, col("path")).as("path"))
+      when(col("_up").isNull && size(col("path")) <= maxDepth,
+        col("path")).as("path"))
     nodes.join(
       done.withColumn("breadcrumb",
         when(col("path").isNotNull, concat_ws(" / ", col("path")))),
@@ -286,7 +332,7 @@ object Closure {
     val base = nodes
       .select(col(idCol).as("_b_id"), col(parentCol).as("_b_parent"),
         col(nameCol).as("_b_name"))
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
 
     val ids = base.select(col("_b_id"))
     // Roots: parent NULL, or parent not present in the table (orphans).
@@ -301,7 +347,7 @@ object Closure {
     // for nothing (~25% of the operator at sf1/200k nodes). The final
     // union's lineage is `depth` flat union nodes over already-
     // materialized frames.
-    val levels = scala.collection.mutable.ArrayBuffer(roots.transform(Materialize.checkpoint))
+    val levels = scala.collection.mutable.ArrayBuffer(roots.transform(Materialize.checkpointIterative))
     var level = levels.last
     var depth = 1
     while (depth < maxDepth && !level.isEmpty) {
@@ -310,7 +356,7 @@ object Closure {
           base("_b_parent") === col("_l_id"))
         .select(base("_b_id"),
           concat(col("path"), array(col("_b_name"))).as("path"))
-        .transform(Materialize.checkpoint)
+        .transform(Materialize.checkpointIterative)
       level = next
       if (!next.isEmpty) levels += next
       depth += 1

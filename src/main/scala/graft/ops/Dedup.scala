@@ -732,7 +732,7 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct()
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     // Node set remembered up front: star contraction erases isolated
     // structure, but every input node must appear in the output.
     val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
@@ -777,7 +777,7 @@ object Dedup {
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).transform(Materialize.checkpoint)
+      edges = smallStar(largeStar(edges)).transform(Materialize.checkpointIterative)
       val sig = signature(edges)
       converged = sig == prev
       prev = sig
@@ -822,7 +822,7 @@ object Dedup {
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .transform(Materialize.checkpoint)
+      .transform(Materialize.checkpointIterative)
     // Labels only ever decrease, so Σ(component) is strictly monotone until
     // the fixpoint — equality of consecutive sums IS convergence. The sum
     // is a cheap scan over the just-materialized checkpoint (no extra
@@ -838,7 +838,7 @@ object Dedup {
           .withColumnRenamed("component", "_nl"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("_nl")).as("component"))
-        .transform(Materialize.checkpoint)
+        .transform(Materialize.checkpointIterative)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

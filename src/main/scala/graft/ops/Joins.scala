@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** Runtime conf key: max row count `broadcastIfSmall` will still
-    * broadcast. Default 2M rows ≈ 100–200 MB for the narrow id-pair
-    * frames this guards — at the upper edge of what a driver should
-    * collect and every executor should hold resident.
+    * broadcast. The row gate bounds the per-row work of the broadcast
+    * build (hash-table entries); the byte gate below bounds its memory.
     */
   val MaxBroadcastRowsKey = "spark.graft.broadcast.maxRows"
+
+  /** Runtime conf key: max ESTIMATED size in bytes `broadcastIfSmall`
+    * will still broadcast (default 256 MB). Estimated as row count ×
+    * measured average row size over a small driver-side sample — a row
+    * gate alone cannot see width: a 2M-row frame of (long, long) id
+    * pairs is ~100 MB, the same row count of 100-dim embedding arrays is
+    * ~1.6 GB, a driver OOM under a pure row threshold.
+    */
+  val MaxBroadcastBytesKey = "spark.graft.broadcast.maxBytes"
+
+  private val SampleRows = 64
 
   /** Broadcast `dim` only when it is actually broadcast-sized; identity
     * otherwise (the join then falls to AQE's shuffle-side strategies).
@@ -26,22 +36,37 @@ object Joins {
     * one SF (20k tasks → 140k pairs) is 15M+ rows two decades up, and the
     * forced hint would collect ~1 GB to the driver and re-ship it to every
     * executor — the measured bulk of `q_budget_report`'s sf10 cost, and an
-    * OOM on a real cluster. Below the threshold the hint stays: a TRUE row
-    * count beats the planner's sizeInBytes estimate (checkpointed frames
-    * propagate the PRE-materialization estimate, which over-counts after a
-    * selective derivation and would leave a broadcastable dim on the
-    * shuffle path). Above it, no hint — Spark/AQE still auto-broadcast
-    * from runtime stats if they disagree, which is the safe direction.
+    * OOM on a real cluster. Below the thresholds the hint stays: a TRUE
+    * row count and a sampled row width beat the planner's sizeInBytes
+    * estimate (checkpointed frames propagate the PRE-materialization
+    * estimate, which over-counts after a selective derivation and would
+    * leave a broadcastable dim on the shuffle path). Above them, no hint —
+    * Spark/AQE still auto-broadcast from runtime stats if they disagree,
+    * which is the safe direction.
     *
-    * Callers pass MATERIALIZED frames (the `count()` is then a cheap pass
-    * over resident blocks, not a recompute) and may supply `countHint`
-    * when the count is already known.
+    * Size is gated on BYTES as well as rows: `SizeEstimator` over a
+    * `head(64)` sample gives count × avg-row-width. The JVM-object
+    * estimate over-counts vs the Tungsten broadcast encoding, which errs
+    * toward not broadcasting — the recoverable direction. Callers pass
+    * MATERIALIZED frames (the `count()`/`head` are then cheap passes over
+    * resident blocks, not recomputes) and may supply `countHint` when the
+    * count is already known.
     */
   def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
-    val maxRows =
-      dim.sparkSession.conf.get(MaxBroadcastRowsKey, "2000000").toLong
+    val conf = dim.sparkSession.conf
+    val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong
+    val maxBytes =
+      conf.get(MaxBroadcastBytesKey, (256L * 1024 * 1024).toString).toLong
     val n = countHint.getOrElse(dim.count())
-    if (n <= maxRows) broadcast(dim) else dim
+    if (n > maxRows) dim
+    else {
+      val sample = dim.head(SampleRows)
+      val estBytes =
+        if (sample.isEmpty) 0L
+        else org.apache.spark.util.SizeEstimator.estimate(sample) /
+          sample.length * n
+      if (estBytes <= maxBytes) broadcast(dim) else dim
+    }
   }
 
   /** As-of join: for every left row, attach the latest right row with

@@ -205,14 +205,22 @@ object EventStream {
     * Returns the started query; the store at `storeDir` is parquet
     * `(id, component)`, the same artifact the batch incremental APIs
     * read, bootstrapped empty on first batch. Store replacement is
-    * write-to-temp + FileSystem rename, NOT overwrite-in-place: the
-    * updated plan READS the store it replaces, and in-place overwrite
-    * would both trip Spark's overwrite-while-reading guard (under
-    * materialize modes that don't truncate lineage, e.g. `persist`) and
-    * lose the store on a mid-write crash. Existence checks and the swap
-    * go through the Hadoop FileSystem of the store's own URI — a bare
-    * `java.io.File` would report false on every DFS path and silently
-    * reset the store each batch.
+    * write-to-temp + a RECOVERABLE rename sequence, NOT
+    * overwrite-in-place: the updated plan READS the store it replaces,
+    * and in-place overwrite would both trip Spark's
+    * overwrite-while-reading guard (under materialize modes that don't
+    * truncate lineage, e.g. `persist`) and lose the store on a mid-write
+    * crash. The sequence is: write `._next` fully; rename the live store
+    * aside to `._old`; promote `._next`; drop `._old` — so at every
+    * instant a complete copy of the labeling exists on disk, and
+    * [[recoverLabelStore]] (run at the head of each batch) promotes an
+    * orphaned `._next` / restores `._old` after a crash in any window.
+    * Re-folding the crashed batch into an already-updated store is safe:
+    * the CC merge is idempotent (already-merged edges contract to
+    * dropped self-loops). Existence checks and the swap go through the
+    * Hadoop FileSystem of the store's own URI — a bare `java.io.File`
+    * would report false on every DFS path and silently reset the store
+    * each batch.
     */
   def clusterMaintenance(
       edges: DataFrame, storeDir: String, checkpointDir: String)
@@ -224,6 +232,7 @@ object EventStream {
         val spark = batch.sparkSession
         val path = new org.apache.hadoop.fs.Path(storeDir)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverLabelStore(fs, storeDir)
         val idType = batch.schema("id_a").dataType
         val labels =
           if (fs.exists(path)) spark.read.parquet(storeDir)
@@ -240,12 +249,61 @@ object EventStream {
         // executes the full plan (reading the OLD store) before any
         // mutation of it
         updated.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(path, true)
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"rename $tmp -> $path failed")
+        swapLabelStore(fs, storeDir)
         ()
       }
       .start()
+  }
+
+  /** Crash recovery for the [[clusterMaintenance]] store swap; run before
+    * reading the store. Windows:
+    *  - store missing, complete `._next` present (crash between the
+    *    rename-aside and the promote): promote `._next` — it holds the
+    *    post-merge labeling, and re-folding the replayed batch is
+    *    idempotent;
+    *  - store missing, no usable `._next`, `._old` present (can only
+    *    happen if a partial `._next` was also lost): restore `._old`;
+    *  - stale `._next`/`._old` next to a live store (crash before the
+    *    swap finished cleanup): drop them.
+    * "Complete" = Spark's `_SUCCESS` marker is present; a directory
+    * without it is a torn write and is never promoted.
+    */
+  private[graft] def recoverLabelStore(
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val next = new org.apache.hadoop.fs.Path(storeDir + "._next")
+    val old = new org.apache.hadoop.fs.Path(storeDir + "._old")
+    val nextComplete = fs.exists(next) &&
+      fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
+    if (!fs.exists(path)) {
+      if (nextComplete) {
+        if (!fs.rename(next, path))
+          throw new java.io.IOException(s"recovery rename $next -> $path failed")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, path))
+          throw new java.io.IOException(s"recovery rename $old -> $path failed")
+      }
+    }
+    // anything left beside a live store is a torn or superseded artifact
+    if (fs.exists(path)) { fs.delete(old, true); () }
+  }
+
+  /** The swap step: `._next` (fully written by the caller) becomes the
+    * store, the previous store is renamed aside first and dropped last,
+    * so a complete labeling exists on disk at every instant.
+    */
+  private[graft] def swapLabelStore(
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val next = new org.apache.hadoop.fs.Path(storeDir + "._next")
+    val old = new org.apache.hadoop.fs.Path(storeDir + "._old")
+    fs.delete(old, true)
+    if (fs.exists(path) && !fs.rename(path, old))
+      throw new java.io.IOException(s"rename $path -> $old failed")
+    if (!fs.rename(next, path))
+      throw new java.io.IOException(s"rename $next -> $path failed")
+    fs.delete(old, true)
+    ()
   }
 
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

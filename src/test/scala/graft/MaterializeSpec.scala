@@ -71,6 +71,63 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("checkpointIterative never leaves a loop frame un-truncated under " +
+    "persist mode (dispatches to reliable when a dir exists, else local)") {
+    withMode(Some("persist")) {
+      // plain checkpoint under persist keeps the original plan (persist
+      // does not truncate lineage) — that is the documented single-shot
+      // behavior this guard exists to keep OUT of iterative loops
+      val plain = Materialize.checkpoint(frame())
+      assert(!plain.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+      plain.unpersist()
+      // no checkpoint dir anywhere → local fallback, truncated
+      val it = Materialize.checkpointIterative(frame())
+      assert(it.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+      assert(it.count() === 100)
+      // with the conf dir present → reliable, truncated AND durable
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-it").toString
+      spark.conf.set(Materialize.DirKey, dir)
+      val rel = Materialize.checkpointIterative(frame())
+      assert(rel.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+      assert(rel.count() === 100)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"expected reliable checkpoint files under $dir")
+    }
+  }
+
+  test("iterative operators stay correct and lineage-bounded under persist mode") {
+    val chain = (1 to 12).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString))
+      .toDF("task_id", "parent_id")
+    val expect = graft.ops.Closure
+      .transitiveClosure(chain, "task_id", "parent_id").count()
+    withMode(Some("persist")) {
+      val got = graft.ops.Closure
+        .transitiveClosure(chain, "task_id", "parent_id")
+      assert(got.count() === expect)
+    }
+  }
+
+  test("checkpoint dirs are scoped per session conf: two sessions with " +
+    "distinct dirs each get their own reliable artifacts") {
+    val sessA = spark.newSession()
+    val sessB = spark.newSession()
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    for ((sess, dir) <- Seq((sessA, dirA), (sessB, dirB))) {
+      sess.conf.set(Materialize.ModeKey, "reliable")
+      sess.conf.set(Materialize.DirKey, dir)
+      import sess.implicits._
+      val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      val out = Materialize.checkpoint(df)
+      assert(out.count() === 50)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"expected checkpoint files under $dir")
+    }
+  }
+
   test("an operator built on the seam honors the configured mode end-to-end") {
     // connectedComponents materializes through the seam; under reliable
     // mode its checkpoints land in the configured dir and results are

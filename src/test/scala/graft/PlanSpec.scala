@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("broadcastIfSmall gates on bytes, not just rows: a narrow dim " +
+    "broadcasts, a wide embedding dim of EQUAL row count does not") {
+    val n = 5000
+    val narrow = spark.range(n)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .transform(Materialize.checkpoint)
+    val wide = spark.range(n)
+      .select(col("id").as("k"),
+        array((0 until 100).map(i => (col("id") + i).cast("double")): _*).as("emb"))
+      .transform(Materialize.checkpoint)
+    val fact = spark.range(n * 10).select((col("id") % n).as("k"), col("id").as("p"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // both frames pass the ROW gate; only the byte gate separates them:
+    // ~5k × ~100 B (two longs) vs ~5k × ~900 B (100-double array)
+    spark.conf.set(ops.Joins.MaxBroadcastBytesKey, (2L * 1024 * 1024).toString)
+    try {
+      val slim = planOf(fact.join(ops.Joins.broadcastIfSmall(narrow), Seq("k")))
+      assert(slim.contains("BroadcastHashJoin"),
+        s"narrow dim under the byte cap must broadcast:\n$slim")
+      val fat = planOf(fact.join(ops.Joins.broadcastIfSmall(wide), Seq("k")))
+      assert(!fat.contains("BroadcastHashJoin"),
+        s"wide dim over the byte cap must NOT be force-broadcast:\n$fat")
+    } finally {
+      spark.conf.unset(ops.Joins.MaxBroadcastBytesKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bloom prefilter lands on the fact side before the join") {
     val fact = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))

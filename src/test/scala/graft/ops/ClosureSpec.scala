@@ -154,4 +154,55 @@ class ClosureSpec extends SparkSpec {
       .where($"task_id" === "11").select("breadcrumb").as[String].head()
     assert(bc === (1 to 11).map(i => s"n$i").mkString(" / "))
   }
+
+  test("depth-cap boundary is unified: all three closure variants agree " +
+    "at exactly maxDepth and maxDepth+1") {
+    val chain = (1 to 8).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString, s"n$i"))
+      .toDF("task_id", "parent_id", "name")
+    for (cap <- Seq(4, 5)) {
+      val iter = Closure.transitiveClosure(chain, "task_id", "parent_id",
+        maxDepth = cap).orderBy("descendant_id", "ancestor_id").collect().toSeq
+      val dbl = Closure.transitiveClosureDoubling(chain, "task_id", "parent_id",
+        maxDepth = cap).orderBy("descendant_id", "ancestor_id").collect().toSeq
+      val rec = Closure.transitiveClosureRecursive(chain, "task_id", "parent_id",
+        maxDepth = cap).orderBy("descendant_id", "ancestor_id").collect().toSeq
+      assert(iter == dbl, s"iterative vs doubling at cap $cap")
+      assert(iter == rec, s"iterative vs recursive at cap $cap")
+      // distance ≤ cap exactly: node 8 sees itself + cap ancestors
+      assert(iter.count(_.getString(0) == "8") == cap + 1)
+    }
+  }
+
+  test("depth-cap boundary is unified: all three breadcrumb variants agree " +
+    "at exactly maxDepth and maxDepth+1") {
+    val chain = (1 to 8).map(i =>
+      (i.toString, if (i == 1) null else (i - 1).toString, s"n$i"))
+      .toDF("task_id", "parent_id", "name")
+    for (cap <- Seq(4, 5)) {
+      val iter = Closure.breadcrumbs(chain, "task_id", "parent_id", "name",
+        maxDepth = cap).select("task_id", "breadcrumb").orderBy("task_id")
+        .collect().toSeq
+      val rec = Closure.breadcrumbsRecursive(chain, "task_id", "parent_id",
+        "name", maxDepth = cap).select("task_id", "breadcrumb")
+        .orderBy("task_id").collect().toSeq
+      val dbl = Closure.breadcrumbsDoubling(chain, "task_id", "parent_id",
+        "name", maxDepth = cap).select("task_id", "breadcrumb")
+        .orderBy("task_id").collect().toSeq
+      assert(iter == rec, s"walker vs recursive at cap $cap")
+      assert(iter == dbl, s"walker vs doubling at cap $cap")
+      // levels ≤ cap have paths; deeper nodes NULL
+      assert(iter.count(!_.isNullAt(1)) == cap)
+    }
+  }
+
+  test("doubling closure on cyclic input degrades to the iterative set " +
+    "with assumeForest = false") {
+    val iter = Closure.transitiveClosure(tree, "task_id", "parent_id",
+      maxDepth = 50).orderBy("descendant_id", "ancestor_id").collect().toSeq
+    val dbl = Closure.transitiveClosureDoubling(tree, "task_id", "parent_id",
+      maxDepth = 50, assumeForest = false)
+      .orderBy("descendant_id", "ancestor_id").collect().toSeq
+    assert(iter == dbl) // incl. the 7<->8 cycle pairs, deduplicated
+  }
 }

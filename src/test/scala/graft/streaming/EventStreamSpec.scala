@@ -273,4 +273,62 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed(11L) === 1L) // the cross-batch merge actually happened
     } finally q.stop()
   }
+
+  test("label store swap is recoverable from a crash in every window " +
+    "(no state where the store is lost)") {
+    import org.apache.hadoop.fs.Path
+    def freshStore(): (String, org.apache.hadoop.fs.FileSystem) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_store_swap").toString
+      val store = s"$base/labels"
+      (store, new Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    val v1 = Seq((1L, 1L), (2L, 1L))
+    val v2 = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    def write(rows: Seq[(Long, Long)], path: String): Unit =
+      rows.toDF("id", "component").coalesce(1).write.parquet(path)
+    def readStore(store: String): Set[(Long, Long)] =
+      spark.read.parquet(store).as[(Long, Long)].collect().toSet
+
+    // happy path: swap promotes ._next, drops the aside copy
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); write(v2, store + "._next")
+      EventStream.swapLabelStore(fs, store)
+      assert(readStore(store) === v2.toSet)
+      assert(!fs.exists(new Path(store + "._next")))
+      assert(!fs.exists(new Path(store + "._old")))
+    }
+    // crash between rename-aside and promote: no store, complete ._next →
+    // recovery promotes the newer labeling (refolding the batch is
+    // idempotent); the aside copy is dropped
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); write(v2, store + "._next")
+      assert(fs.rename(new Path(store), new Path(store + "._old")))
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v2.toSet)
+      assert(!fs.exists(new Path(store + "._old")))
+    }
+    // torn ._next (no _SUCCESS marker) must NEVER be promoted: the aside
+    // copy is restored instead
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); write(v2, store + "._next")
+      assert(fs.delete(new Path(store + "._next", "_SUCCESS"), false))
+      assert(fs.rename(new Path(store), new Path(store + "._old")))
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v1.toSet)
+    }
+    // crash after promote but before cleanup: live store + stale ._old →
+    // recovery keeps the store and drops the stale copy
+    locally {
+      val (store, fs) = freshStore()
+      write(v2, store); write(v1, store + "._old")
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v2.toSet)
+      assert(!fs.exists(new Path(store + "._old")))
+    }
+  }
 }
