@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * logical result on a given sf dir, N runs each after a warmup, on one
   * warm session. Usage:
   *   sbt "runMain graft.ABBench <sfDir> <case> [runs]"
-  * Cases: closure | breadcrumb | minhash
+  * Cases: closure | breadcrumb | minhash | kmeans (kmeans is not an
+  * A/B — it prints `Similarity.kmeansFitTrace`'s per-iteration seconds
+  * and centroid shift to convergence, the SCALE.md slope evidence for
+  * the iterated trainer; [runs] is the iteration cap, default 12).
   */
 object ABBench {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,26 @@ object ABBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (which == "kmeans") {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(spark, sfDir, "embeddings")
+      emb.cache()
+      val n = emb.count()
+      val iters = if (args.length > 2) args(2).toInt else 12
+      // warmup: one full round compiles the assignment/mean plans so the
+      // first timed iteration isn't charged for codegen + JIT
+      ops.Similarity.kmeansFit(emb.limit(256), "vec_id", "embedding", 4, 1)
+      val (_, trace) = ops.Similarity.kmeansFitTrace(
+        emb, "vec_id", "embedding", k = 8, iters = iters, tol = 1e-6)
+      trace.foreach(t => println(
+        f"KMEANS n=$n iter=${t.iter} time=${t.seconds}%.2f s " +
+          f"max_shift=${t.maxShift}%.2e"))
+      println(f"KMEANS n=$n converged_iters=${trace.length} " +
+        f"total=${trace.map(_.seconds).sum}%.2f s (tol=1e-6, cap=$iters)")
+      spark.stop()
+      return
+    }
 
     val tasks = reports.TaskTree.tasks(spark, sfDir)
     tasks.cache().count()

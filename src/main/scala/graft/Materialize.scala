@@ -47,15 +47,21 @@ object Materialize {
     */
   val DirKey = "spark.graft.materialize.dir"
 
-  // Last (context, conf value) pushed to SparkContext.setCheckpointDir.
-  // Keyed by the CONTEXT, not just the dir string: checkpoint dirs are
-  // per-SparkContext state, so after a stop + recreate (or with two
-  // sessions over distinct contexts) a cached bare string would claim the
-  // dir is set on a context that never saw it — every reliable checkpoint
-  // would then throw "Checkpoint directory has not been set". The context
-  // is held weakly so a stopped context can be collected.
+  // Last (context, conf value pushed, resulting getCheckpointDir) from
+  // this seam's SparkContext.setCheckpointDir call. Keyed by the CONTEXT,
+  // not just the dir string: checkpoint dirs are per-SparkContext state,
+  // so after a stop + recreate (or with two sessions over distinct
+  // contexts) a cached bare string would claim the dir is set on a
+  // context that never saw it — every reliable checkpoint would then
+  // throw "Checkpoint directory has not been set". The RESULTING dir is
+  // recorded too (setCheckpointDir appends a UUID subdirectory, so the
+  // pushed conf value never equals getCheckpointDir): it is how the seam
+  // tells "the context's current dir is the one I set" from "a caller
+  // set their own dir directly" — the latter always wins, even when
+  // DirKey changes afterwards. The context is held weakly so a stopped
+  // context can be collected.
   @volatile private var lastReliable
-      : Option[(java.lang.ref.WeakReference[org.apache.spark.SparkContext], String)] = None
+      : Option[(java.lang.ref.WeakReference[org.apache.spark.SparkContext], String, String)] = None
 
   /** Eagerly materialize `df` under the configured strategy and return
     * the materialized frame (lineage-truncated under `local`/`reliable`).
@@ -93,6 +99,18 @@ object Materialize {
       }
     })
 
+  /** Test hook: record the context's CURRENT checkpoint dir as seam-set
+    * (with a sentinel conf value no real DirKey equals), handing dir
+    * ownership back to the seam after a spec exercised the
+    * caller-setCheckpointDir-wins path — checkpoint dirs are
+    * per-context state shared by every suite in the JVM. Never called
+    * from production code.
+    */
+  private[graft] def adoptCurrentDirForTest(
+      sc: org.apache.spark.SparkContext): Unit =
+    lastReliable = sc.getCheckpointDir.map(d =>
+      (new java.lang.ref.WeakReference(sc), "", d))
+
   private def materialize(df: DataFrame, modeFor: org.apache.spark.sql.SparkSession => String): DataFrame = {
     val spark = df.sparkSession
     modeFor(spark) match {
@@ -107,15 +125,27 @@ object Materialize {
             // would issue one namenode round-trip per round and scatter
             // artifacts over dozens of directories. Gate on the CONTEXT's
             // own state too: a recreated context starts with no
-            // checkpoint dir regardless of what was pushed before, and a
-            // caller's later direct setCheckpointDir(...) wins (DirKey is
-            // the fallback; getCheckpointDir is a local getter, so the
-            // per-call cost is nil).
-            val pushedToThis =
-              lastReliable.collect { case (c, d) if c.get eq sc => d }
-            if (sc.getCheckpointDir.isEmpty || pushedToThis.exists(_ != dir)) {
+            // checkpoint dir regardless of what was pushed before. A
+            // caller's direct setCheckpointDir(...) ALWAYS wins — DirKey
+            // is the fallback — including when DirKey changes afterwards:
+            // the seam re-pushes only while the context's current dir is
+            // the one the seam itself last set. (Two sessions over one
+            // context with DIFFERENT DirKey values are genuinely
+            // conflicting config — checkpoint dirs are per-context state;
+            // each push then flips the dir, so configure one DirKey per
+            // context. getCheckpointDir is a local getter; per-call cost
+            // is nil.)
+            val current = sc.getCheckpointDir
+            val seamSet = lastReliable.collect {
+              case (c, pushed, result) if c.get eq sc => (pushed, result)
+            }
+            val seamOwnsCurrent =
+              current.isDefined && seamSet.exists(_._2 == current.get)
+            if (current.isEmpty ||
+                (seamOwnsCurrent && seamSet.exists(_._1 != dir))) {
               sc.setCheckpointDir(dir)
-              lastReliable = Some((new java.lang.ref.WeakReference(sc), dir))
+              lastReliable = Some((new java.lang.ref.WeakReference(sc), dir,
+                sc.getCheckpointDir.getOrElse(dir)))
             }
           case None if sc.getCheckpointDir.nonEmpty => ()
           case None => throw new IllegalStateException(

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Recall-vs-speed evidence for the approximate similarity operators
+  * (SCALE.md's "two-sided trade" methodology): measures recall@k of
+  * `lshTopK`/`ivfTopK` and pair-recall of `cosineNearDupPairs` against
+  * brute-force ground truth at several operating points, including the
+  * `numPlanesFor`-derived one, with wall time beside each number. Usage:
+  *   sbt "runMain graft.RecallBench <sfDir> [k] [threshold]"
+  *
+  * The ground-truth pair pass is a deliberate all-pairs cross join — the
+  * O(n²) baseline the bucketed operators exist to avoid; it runs here
+  * because evidence needs exact truth, and only at SFs where n² is
+  * feasible. Nothing in the library's operator surface calls it.
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val threshold = if (args.length > 2) args(2).toDouble else 0.4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    emb.cache()
+    val n = emb.count()
+    val law = Similarity.numPlanesFor(n)
+    val queries = emb.where(col("vec_id") < 64)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def forceCount(df: DataFrame): (DataFrame, Long, Double) = {
+      val c = df.cache()
+      val (cnt, sec) = timed(c.count())
+      (c, cnt, sec)
+    }
+
+    // ---- top-k recall: lshTopK / ivfTopK vs bruteForceTopK ----
+    val (truth, nTruth, truthSec) = forceCount(
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
+    println(f"RECALL n=$n law_planes=$law k=$k truth_pairs=$nTruth " +
+      f"bruteforce=$truthSec%.2f s")
+    val sqrtN = math.max(4, math.sqrt(n.toDouble).toInt)
+    val topkVariants: Seq[(String, () => DataFrame)] = Seq(
+      "lsh_p4" -> (() =>
+        Similarity.lshTopK(queries, emb, "vec_id", "embedding", k, 4)),
+      s"lsh_p$law" -> (() =>
+        Similarity.lshTopK(queries, emb, "vec_id", "embedding", k, law)),
+      "ivf_c4" -> (() =>
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k, 4)),
+      s"ivf_c$sqrtN" -> (() =>
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k, sqrtN)))
+    topkVariants.foreach { case (name, f) =>
+      val (df, _, sec) = forceCount(f())
+      val r = Similarity.recallVs(truth, df)
+      println(f"RECALL topk/$name: recall@$k=$r%.4f time=$sec%.2f s")
+      df.unpersist(); ()
+    }
+    truth.unpersist()
+
+    // ---- pair recall: cosineNearDupPairs vs exact threshold pairs ----
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("_n"))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("_va"), col("_n").as("_na"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("_vb"), col("_n").as("_nb"))
+    val (exact, nExact, exactSec) = forceCount(
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.dot(col("_va"), col("_vb")) /
+            (col("_na") * col("_nb")), 6).as("score"))
+        .where(col("score") >= threshold)
+        .select("id_a", "id_b"))
+    println(f"RECALL exact pairs (threshold=$threshold): n_pairs=$nExact " +
+      f"time=$exactSec%.2f s")
+    (Seq(4, 6, 8) :+ law).distinct.sorted.foreach { p =>
+      val (pairs, nPairs, sec) = forceCount(
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold, p)
+          .select("id_a", "id_b"))
+      val hits = exact.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+      val r = if (nExact == 0) 1.0 else hits.toDouble / nExact
+      println(f"RECALL pairs/p$p: recall=$r%.4f found=$nPairs time=$sec%.2f s")
+      pairs.unpersist(); ()
+    }
+    spark.stop()
+  }
+}

@@ -1093,14 +1093,30 @@ object SparkEntry {
     * repeated runs (bench rounds, A/Bs) time the incremental merge, the
     * operator actually being graded, instead of re-bootstrapping the
     * store each round. Both frames are deterministic, so memoization
-    * cannot change any result.
+    * cannot change any result. Entries for STOPPED sessions are purged on
+    * every access: the memoized frames reference their session, so a
+    * plain per-(session, dir) map would pin a stopped session's
+    * checkpointed frames for the JVM lifetime — harmless in the
+    * one-session-per-JVM harness paths, a leak in long-lived multi-session
+    * processes.
     */
-  private val incrementalFixtures =
+  private[graft] val incrementalFixtures =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Drop fixture entries whose session is stale. Production staleness is
+    * `sparkContext.isStopped` (below); the predicate is injectable so the
+    * eviction mechanism is testable without stopping the suite-shared
+    * context.
+    */
+  private[graft] def purgeFixtures(stale: SparkSession => Boolean): Unit = {
+    val it = incrementalFixtures.keySet.iterator()
+    while (it.hasNext) if (stale(it.next()._1)) it.remove()
+  }
+
   private def incrementalClusterFixture(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    purgeFixtures(_.sparkContext.isStopped)
     incrementalFixtures.computeIfAbsent((s, dir), { _ =>
       val pairs = Dedup.minhashCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text")
@@ -1111,6 +1127,7 @@ object SparkEntry {
         .transform(Materialize.checkpoint)
       (pairs, oldLabels)
     })
+  }
 
   private val tasksCte = TaskTree.tasksSql
   private val entriesCte = TaskTree.entriesSql

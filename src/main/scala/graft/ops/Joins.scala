@@ -26,7 +26,7 @@ object Joins {
     */
   val MaxBroadcastBytesKey = "spark.graft.broadcast.maxBytes"
 
-  private val SampleRows = 64
+  private val SampleRowsPerPartition = 8
 
   /** Broadcast `dim` only when it is actually broadcast-sized; identity
     * otherwise (the join then falls to AQE's shuffle-side strategies).
@@ -45,12 +45,16 @@ object Joins {
     * which is the safe direction.
     *
     * Size is gated on BYTES as well as rows: `SizeEstimator` over a
-    * `head(64)` sample gives count × avg-row-width. The JVM-object
-    * estimate over-counts vs the Tungsten broadcast encoding, which errs
-    * toward not broadcasting — the recoverable direction. Callers pass
-    * MATERIALIZED frames (the `count()`/`head` are then cheap passes over
-    * resident blocks, not recomputes) and may supply `countHint` when the
-    * count is already known.
+    * sample of rows taken from EVERY partition (a few per partition, not
+    * `head(n)` — head reads only the first partition, and for frames with
+    * variable-width columns sorted or clustered by size the head can
+    * undercount the true average width, the UNSAFE direction) gives
+    * count × avg-row-width. The JVM-object estimate over-counts vs the
+    * Tungsten broadcast encoding, which errs toward not broadcasting —
+    * the recoverable direction. Callers pass MATERIALIZED frames (the
+    * `count()`/sample are then cheap passes over resident blocks, not
+    * recomputes) and may supply `countHint` when the count is already
+    * known.
     */
   def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
     val conf = dim.sparkSession.conf
@@ -60,7 +64,8 @@ object Joins {
     val n = countHint.getOrElse(dim.count())
     if (n > maxRows) dim
     else {
-      val sample = dim.head(SampleRows)
+      val sample =
+        dim.rdd.mapPartitions(_.take(SampleRowsPerPartition)).collect()
       val estBytes =
         if (sample.isEmpty) 0L
         else org.apache.spark.util.SizeEstimator.estimate(sample) /

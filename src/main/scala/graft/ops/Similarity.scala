@@ -292,6 +292,68 @@ object Similarity {
     }
   }
 
+  /** One per-iteration observation from [[kmeansFitTrace]]: round number
+    * (1-based), wall seconds for the round, and the max absolute
+    * per-coordinate centroid shift vs the previous round (over cells
+    * present in both — a dropped empty cell does not register as shift).
+    */
+  final case class KmeansIter(iter: Int, seconds: Double, maxShift: Double)
+
+  /** [[kmeansFit]] with per-iteration observability and an optional
+    * convergence stop: identical arithmetic round for round (the fold
+    * just records wall time and centroid shift between rounds), so
+    * `kmeansFitTrace(...).model == kmeansFit(...)` — spec-pinned.
+    * Training stops early once the max centroid shift falls to `tol` or
+    * below (a zero shift always stops: an exact fixpoint cannot move
+    * again, so the model still equals the full-`iters` run); the trace's
+    * length IS the iterations-to-convergence evidence (SCALE.md records
+    * the sf1/sf10 rows). Per-round cost is one map-side corpus scan against
+    * broadcast-literal centroids plus the k×dim partial-sum shuffle —
+    * flat per round, which the per-iteration seconds make measurable.
+    */
+  def kmeansFitTrace(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4, tol: Double = 0.0)
+      : (Seq[(Long, Seq[Double])], Seq[KmeansIter]) = {
+    val seeds = seedCentroids(corpus, idCol, vecCol, k)
+    val trace = Seq.newBuilder[KmeansIter]
+    var cents = seeds
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < iters && shift > tol) {
+      it += 1
+      val t0 = System.nanoTime()
+      val next = meansOf(
+        corpus.select(col(vecCol), cellOf(col(vecCol), cents).as("_cell")),
+        vecCol)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val prev = cents.toMap
+      shift = next.flatMap { case (cid, cv) =>
+        prev.get(cid).map(pv => cv.zip(pv).map { case (a, b) => math.abs(a - b) }.max)
+      } match {
+        case Nil => 0.0
+        case ds => ds.max
+      }
+      trace += KmeansIter(it, sec, shift)
+      cents = next
+    }
+    (cents, trace.result())
+  }
+
+  /** recall@k of an approximate ANN result against ground truth: the
+    * fraction of truth (query_id, neighbor_id) pairs the approximate
+    * result recovered. Engine-side (one semi join + two counts) — works
+    * at any corpus size the truth itself can be computed at.
+    */
+  def recallVs(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select("query_id", "neighbor_id")
+    val total = t.count()
+    require(total > 0, "empty ground truth")
+    val hits = t.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    hits.toDouble / total
+  }
+
   /** One Lloyd refinement + full-corpus assignment, end-to-end in the
     * engine: seed cells from the first-k-by-id quantizer, refine each
     * cell's centroid to its decimal-exact mean, then assign every vector

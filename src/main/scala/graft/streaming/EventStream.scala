@@ -261,30 +261,50 @@ object EventStream {
     *    rename-aside and the promote): promote `._next` — it holds the
     *    post-merge labeling, and re-folding the replayed batch is
     *    idempotent;
-    *  - store missing, no usable `._next`, `._old` present (can only
-    *    happen if a partial `._next` was also lost): restore `._old`;
-    *  - stale `._next`/`._old` next to a live store (crash before the
-    *    swap finished cleanup): drop them.
+    *  - store missing, no complete `._next`, `._old` present (crash
+    *    mid-promote): restore `._old`;
+    *  - live store WITHOUT its `_SUCCESS` marker while swap artifacts
+    *    exist (a torn directory rename — possible on object stores where
+    *    rename is copy-then-delete, not atomic): the torn copy is
+    *    DISCARDED and the newest complete copy (`._next`, else `._old`)
+    *    restored. A live store with no swap artifacts beside it is
+    *    accepted as-is even without the marker (a caller-provided
+    *    bootstrap store, not a crash residue);
+    *  - stale `._next`/`._old` next to a complete live store (crash
+    *    before the swap finished cleanup): `._old` dropped (`._next` is
+    *    deleted by the next batch before rewriting).
     * "Complete" = Spark's `_SUCCESS` marker is present; a directory
-    * without it is a torn write and is never promoted.
+    * without it is a torn write and is never promoted. The swap protocol
+    * guarantees a complete copy exists in every crash window, so finding
+    * a torn live store with NO complete sibling is a protocol violation
+    * and throws rather than silently serving partial labels.
     */
   private[graft] def recoverLabelStore(
       fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val next = new org.apache.hadoop.fs.Path(storeDir + "._next")
     val old = new org.apache.hadoop.fs.Path(storeDir + "._old")
-    val nextComplete = fs.exists(next) &&
-      fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
-    if (!fs.exists(path)) {
-      if (nextComplete) {
-        if (!fs.rename(next, path))
-          throw new java.io.IOException(s"recovery rename $next -> $path failed")
-      } else if (fs.exists(old)) {
-        if (!fs.rename(old, path))
-          throw new java.io.IOException(s"recovery rename $old -> $path failed")
-      }
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def promote(src: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(path, true)
+      if (!fs.rename(src, path))
+        throw new java.io.IOException(s"recovery rename $src -> $path failed")
     }
-    // anything left beside a live store is a torn or superseded artifact
+    val liveTrusted = fs.exists(path) &&
+      (complete(path) || (!fs.exists(next) && !fs.exists(old)))
+    if (!liveTrusted) {
+      if (complete(next)) promote(next)
+      else if (complete(old)) promote(old)
+      else if (fs.exists(path) || fs.exists(next) || fs.exists(old))
+        throw new java.io.IOException(
+          s"label store $storeDir is torn (no _SUCCESS) and no complete " +
+            "._next/._old copy exists — swap protocol violated; refusing " +
+            "to serve partial labels or bootstrap empty over crash residue")
+      // else: nothing anywhere — first-batch bootstrap
+    }
+    // anything left beside a trusted live store is a superseded artifact
     if (fs.exists(path)) { fs.delete(old, true); () }
   }
 

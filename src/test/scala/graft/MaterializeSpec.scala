@@ -128,6 +128,36 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("a caller's direct setCheckpointDir wins over a later DirKey change") {
+    val sc = spark.sparkContext
+    withMode(Some("reliable")) {
+      val dirSeam = java.nio.file.Files.createTempDirectory("graft-ckpt-s1").toString
+      spark.conf.set(Materialize.DirKey, dirSeam)
+      assert(Materialize.checkpoint(frame()).count() === 100) // seam pushes
+      assert(sc.getCheckpointDir.exists(_.contains("graft-ckpt-s1")))
+      // caller takes over directly; then DirKey changes — the seam must
+      // NOT re-push over the caller's explicit choice
+      val dirUser = java.nio.file.Files.createTempDirectory("graft-ckpt-user").toString
+      sc.setCheckpointDir(dirUser)
+      val dirSeam2 = java.nio.file.Files.createTempDirectory("graft-ckpt-s2").toString
+      spark.conf.set(Materialize.DirKey, dirSeam2)
+      assert(Materialize.checkpoint(frame()).count() === 100)
+      // getCheckpointDir returns a file: URI with a UUID subdir appended
+      assert(sc.getCheckpointDir.exists(_.contains("graft-ckpt-user")),
+        s"seam overrode a direct setCheckpointDir: ${sc.getCheckpointDir}")
+      val userFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dirUser))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val seam2Files = java.nio.file.Files.walk(java.nio.file.Paths.get(dirSeam2))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(userFiles > 0, "checkpoint did not land in the caller's dir")
+      assert(seam2Files === 0, "checkpoint leaked into the overridden DirKey dir")
+      // hand dir ownership back to the seam — per-context state is shared
+      // by every suite in this JVM, and later DirKey-driven tests must
+      // keep working
+      Materialize.adoptCurrentDirForTest(sc)
+    }
+  }
+
   test("an operator built on the seam honors the configured mode end-to-end") {
     // connectedComponents materializes through the seam; under reliable
     // mode its checkpoints land in the configured dir and results are

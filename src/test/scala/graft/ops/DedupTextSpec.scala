@@ -185,6 +185,65 @@ class DedupTextSpec extends SparkSpec {
     assert(Similarity.numPlanesFor(2000000L) - Similarity.numPlanesFor(200000L) >= 3)
   }
 
+  test("kmeansFitTrace: same model as kmeansFit, converges under tol") {
+    // seeds are the first k vectors by id — put one in each true cluster
+    // so Lloyd's converges in a couple of rounds
+    val vecs = (Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f))) ++
+      (2 until 20).map { i =>
+        val m = 1f + (i % 5) * 0.1f
+        (i.toLong, if (i % 2 == 0) Seq(m, 0f, 0f) else Seq(0f, m, 0f))
+      }).toDF("vec_id", "embedding")
+    val plain = Similarity.kmeansFit(vecs, "vec_id", "embedding", 2, 3)
+    val (traced, trace) =
+      Similarity.kmeansFitTrace(vecs, "vec_id", "embedding", 2, 3, tol = 0.0)
+    assert(traced === plain, "trace must not change the arithmetic")
+    // may stop before 3 rounds only at an exact fixpoint (shift 0), where
+    // further rounds provably cannot change the model
+    assert(trace.length <= 3 && trace.nonEmpty)
+    if (trace.length < 3) assert(trace.last.maxShift === 0.0)
+    // axis-aligned clusters: assignment is stable after round 1, so the
+    // shift hits zero and a tolerance stops training early
+    val (_, early) =
+      Similarity.kmeansFitTrace(vecs, "vec_id", "embedding", 2, 10, tol = 1e-9)
+    assert(early.length <= 3, s"expected early convergence, got $early")
+    assert(early.last.maxShift <= 1e-9)
+  }
+
+  test("denser SRP points only DROP pairs: bucket bits are prefixes, so " +
+    "pairs@6 planes is a subset of pairs@4 planes") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p4 = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p6 = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p4.nonEmpty)
+    assert(p6.subsetOf(p4),
+      s"6-plane pairs not a subset: ${(p6 -- p4).take(5)}")
+  }
+
+  test("approximate ANN holds a recall floor at the law operating point " +
+    "(deterministic on the sf0.001 embeddings)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val n = emb.count()
+    val law = Similarity.numPlanesFor(n) // 500 vectors → 1 plane
+    val queries = emb.where(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", 5).cache()
+    val lshR = Similarity.recallVs(truth,
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, law))
+    val ivfR = Similarity.recallVs(truth,
+      Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5, 4))
+    // every input is deterministic (data, SRP sign patterns, seeds), so
+    // these are constants; the floors pin the measured values with slack
+    // — a regression below them means the operating-point law or the
+    // bucketing broke, not noise
+    assert(lshR >= 0.50, f"lshTopK recall@5 $lshR%.3f under floor")
+    assert(ivfR >= 0.50, f"ivfTopK recall@5 $ivfR%.3f under floor")
+    truth.unpersist(); emb.unpersist(); ()
+  }
+
   test("ivfTopK: same-cell neighbors ranked by cosine") {
     // centroids = first 2 vectors; 0/1-cluster and 2/3-cluster separate
     val vecs = Seq(

@@ -331,4 +331,61 @@ class EventStreamSpec extends SparkSpec {
       assert(!fs.exists(new Path(store + "._old")))
     }
   }
+
+  test("a torn LIVE store (non-atomic rename crash) is discarded for the " +
+    "newest complete copy, never trusted") {
+    import org.apache.hadoop.fs.Path
+    def freshStore(): (String, org.apache.hadoop.fs.FileSystem) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_store_torn").toString
+      val store = s"$base/labels"
+      (store, new Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    val v1 = Seq((1L, 1L), (2L, 1L))
+    val v2 = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    def write(rows: Seq[(Long, Long)], path: String): Unit =
+      rows.toDF("id", "component").coalesce(1).write.parquet(path)
+    def readStore(store: String): Set[(Long, Long)] =
+      spark.read.parquet(store).as[(Long, Long)].collect().toSet
+    def tear(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+      assert(fs.delete(new Path(dir, "_SUCCESS"), false))
+
+    // torn live + complete ._next (crash mid rename(path -> ._old) on an
+    // object store, after ._next was fully written): the post-merge
+    // ._next wins over the partial live copy
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); tear(fs, store); write(v2, store + "._next")
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v2.toSet)
+      assert(!fs.exists(new Path(store + "._next")))
+    }
+    // torn live + complete ._old only (crash mid rename(next -> path)):
+    // the aside copy is restored
+    locally {
+      val (store, fs) = freshStore()
+      write(v2, store); tear(fs, store); write(v1, store + "._old")
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v1.toSet)
+    }
+    // a live store with NO swap artifacts beside it is accepted as-is
+    // even without the marker — a caller-provided bootstrap store, not a
+    // crash residue
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); tear(fs, store)
+      EventStream.recoverLabelStore(fs, store)
+      assert(readStore(store) === v1.toSet)
+    }
+    // torn live + only torn artifacts: the swap protocol guarantees a
+    // complete copy in every window, so this is a violation — refuse to
+    // serve partial labels rather than silently accepting them
+    locally {
+      val (store, fs) = freshStore()
+      write(v1, store); tear(fs, store)
+      write(v2, store + "._old"); tear(fs, store + "._old")
+      intercept[java.io.IOException](EventStream.recoverLabelStore(fs, store))
+    }
+  }
 }
