@@ -76,23 +76,40 @@ object RecallBench {
       col("embedding").as("_va"), col("_n").as("_na"))
     val b = withNorm.select(col("vec_id").as("id_b"),
       col("embedding").as("_vb"), col("_n").as("_nb"))
+    // One exact pass at the base threshold, recall read at several
+    // thresholds above it: SRP collision probability is (1 - θ/π) per
+    // plane, so recall depends on the PAIR'S ANGLE — the curve across
+    // thresholds is the published evidence, not one point.
     val (exact, nExact, exactSec) = forceCount(
       a.crossJoin(b).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(Similarity.dot(col("_va"), col("_vb")) /
             (col("_na") * col("_nb")), 6).as("score"))
-        .where(col("score") >= threshold)
-        .select("id_a", "id_b"))
-    println(f"RECALL exact pairs (threshold=$threshold): n_pairs=$nExact " +
+        .where(col("score") >= threshold))
+    println(f"RECALL exact pairs (threshold>=$threshold): n_pairs=$nExact " +
       f"time=$exactSec%.2f s")
-    (Seq(4, 6, 8) :+ law).distinct.sorted.foreach { p =>
-      val (pairs, nPairs, sec) = forceCount(
-        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold, p)
-          .select("id_a", "id_b"))
-      val hits = exact.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
-      val r = if (nExact == 0) 1.0 else hits.toDouble / nExact
-      println(f"RECALL pairs/p$p: recall=$r%.4f found=$nPairs time=$sec%.2f s")
+    val thresholds = Seq(threshold, threshold + 0.1, threshold + 0.2)
+    def pairRecall(name: String, df: => DataFrame): Unit = {
+      val (pairs, _, sec) = forceCount(df)
+      thresholds.foreach { t =>
+        val te = exact.where(col("score") >= t)
+        val nT = te.count()
+        val hits = te.join(pairs.where(col("score") >= t),
+          Seq("id_a", "id_b"), "left_semi").count()
+        val r = if (nT == 0) 1.0 else hits.toDouble / nT
+        println(f"RECALL pairs/$name@t=$t%.1f: recall=$r%.4f " +
+          f"truth=$nT time=$sec%.2f s")
+      }
       pairs.unpersist(); ()
+    }
+    (Seq(4, 6, 8) :+ law).distinct.sorted.foreach { p =>
+      pairRecall(s"p$p",
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold, p))
+    }
+    Seq(2, 4, 8).foreach { l =>
+      pairRecall(s"banded_p${law}x$l",
+        Similarity.cosineNearDupPairsBanded(
+          emb, "vec_id", "embedding", threshold, law, l))
     }
     spark.stop()
   }

@@ -566,6 +566,17 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, numPlanes = 6)),
 
+    // --- the RECALL side of the SRP trade as a graded operator: band
+    // OR-ing (2 bands × 3 planes here — a static point the DuckDB twin
+    // replicates verbatim, like the 4/6-plane single-table points).
+    // Single-table SRP finds a threshold-0.4 pair with prob (1-θ/π)^p —
+    // measured 17% at p=4 (SCALE.md round 7); OR-ing bands is the
+    // published escape, so it must be graded code, not a footnote ---
+    "q_dedup_embed_banded" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsBanded(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        planesPerBand = 3, numBands = 2)),
+
     // --- incremental embedding ingest: batch (vec_id % 5 = 0) vs the
     // persisted SRP bucket table of the rest — pairs touching the batch,
     // corpus never re-hashed (embedding twin of q_dedup_incremental) ---
@@ -1888,6 +1899,25 @@ object SparkEntry {
         s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score " +
         "FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
+    },
+
+    // band OR-ing twin: 2 bands × 3 planes (band 1 hashes plane ids 3-5),
+    // candidates = UNION (distinct) of the per-band bucket joins
+    "q_dedup_embed_banded" -> {
+      def proj(v: String, h: Int) =
+        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+      def bucketExpr(first: Int, n: Int) = (0 until n).map(h =>
+        s"(CASE WHEN ${proj("embedding", first + h)} > 0 THEN ${1 << h} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      val cos = s"${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")}))"
+      s"WITH bucketed AS (SELECT vec_id, embedding, ${bucketExpr(0, 3)} AS bkt0, ${bucketExpr(3, 3)} AS bkt1 FROM embeddings), " +
+        "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb " +
+        "FROM bucketed a JOIN bucketed b ON a.bkt0 = b.bkt0 AND a.vec_id < b.vec_id " +
+        "UNION SELECT a.vec_id, b.vec_id, a.embedding, b.embedding " +
+        "FROM bucketed a JOIN bucketed b ON a.bkt1 = b.bkt1 AND a.vec_id < b.vec_id) " +
+        s"SELECT id_a, id_b, score FROM (SELECT id_a, id_b, round($cos, 6) AS score FROM cand) WHERE score >= 0.4"
     },
 
     "q_ivf_topk" -> {

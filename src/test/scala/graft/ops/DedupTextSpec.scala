@@ -222,6 +222,28 @@ class DedupTextSpec extends SparkSpec {
       s"6-plane pairs not a subset: ${(p6 -- p4).take(5)}")
   }
 
+  test("cosineNearDupPairsBanded: one band = the single-table pairs; " +
+    "more bands only ADD verified pairs (recall lifts, no false positives)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val single = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // band 0 hashes planes 0..2 — identical table to single-table p=3
+    val one = Similarity
+      .cosineNearDupPairsBanded(emb, "vec_id", "embedding", 0.4, 3, 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one === single)
+    val four = Similarity
+      .cosineNearDupPairsBanded(emb, "vec_id", "embedding", 0.4, 3, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(single.subsetOf(four), "banding lost a band-0 pair")
+    assert(four.size > single.size,
+      "OR-ing 3 more bands recovered no new pairs on this corpus")
+    assert(four.forall(_._3 >= 0.4), "unverified candidate leaked through")
+    emb.unpersist(); ()
+  }
+
   test("approximate ANN holds a recall floor at the law operating point " +
     "(deterministic on the sf0.001 embeddings)") {
     val emb = spark.read
