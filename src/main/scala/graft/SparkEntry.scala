@@ -235,15 +235,17 @@ object SparkEntry {
     // --- §2.6 recursion (native WITH RECURSIVE; the iterative
     // cycle-tolerant twin is exercised by ClosureSpec) ---
     "q_transitive_closure" -> ((s, dir) =>
-      // A/B-measured at sf0.1, idle machine, 3 runs each after warmup:
-      // recursive ~1.3 s vs iterative ~1.9 s (see SCALE.md). Unlike the
-      // breadcrumb shape (where per-level path concat makes UnionLoop's
-      // step re-execution expensive and iterative wins 2.4×), the closure
-      // step is a narrow two-column join — the iterative variant's
-      // per-level localCheckpoint jobs and anti-join dedup cost MORE than
-      // UnionLoop's re-executed step plan. Keep recursive here, iterative
-      // (cycle-tolerant) stays the API for possibly-cyclic inputs.
-      Closure.transitiveClosureRecursive(
+      // Ships the DOUBLING variant since round 7: the round-6 cap-pruned
+      // `_dist` rewrite flipped the closure A/B — ABBench min-of-3, idle,
+      // 2026-08-13: sf0.1 doubling 1.38s vs recursive 1.92s vs iterative
+      // 2.41s; sf1 3.00 vs 3.81 vs 3.66; sf10 9.18 vs 8.58 vs 14.59
+      // (a tie within this VM's noise two decades up, clear doubling win
+      // at the graded SF and one decade above — SCALE.md round 7).
+      // Recursive stays the engine-native API (and the reports' choice,
+      // where the closure is join input and the fact side dominates);
+      // iterative (cycle-tolerant) stays the API for possibly-cyclic
+      // inputs.
+      Closure.transitiveClosureDoubling(
         TaskTree.tasks(s, dir), "task_id", "parent_id")),
 
     "q_breadcrumb" -> ((s, dir) =>
