@@ -261,7 +261,7 @@ object Text {
     val tgtFreq = tfOf(target).groupBy("token").agg(sum("tf").as("tfreq"))
     val scalars = rawFreq
       .agg(sum("rfreq").as("_rt"), count(lit(1)).as("_v"))
-      .crossJoin(tgtFreq.select(sum("tfreq").as("_tt")))
+      .crossJoin(broadcast(tgtFreq.select(sum("tfreq").as("_tt"))))
     tf.join(vocabSide(rawFreq), Seq("token"))
       .join(broadcast(tgtFreq), Seq("token"), "left")
       .crossJoin(broadcast(scalars))
