@@ -244,6 +244,68 @@ class DedupTextSpec extends SparkSpec {
     emb.unpersist(); ()
   }
 
+  test("banded 8x7 holds a recall floor at the PRODUCTION operating point " +
+    "(t >= 0.9) on PLANTED true near-duplicates") {
+    // The synthetic corpus has no pairs above cos 0.9 (round-7 SCALE.md),
+    // so the production point was model-priced until round 8. This pins
+    // the MEASURED behavior: every 5th vector gets a twin at exactly
+    // cos 0.95 — v' = |v|(v_hat cos θ + g_hat sin θ) with g the
+    // orthogonalized md5 ±1 pattern (same construction as
+    // tools/gen_neardup.py, "plant:" namespace ≠ the SRP planes'), all
+    // deterministic, so the recall below is a constant of the code, not
+    // a sample: sf1 measured 0.9855 at 8×p7 (PlantedRecallBench,
+    // SCALE.md round 8); at cos 0.95 the SRP model gives per-plane
+    // c ≈ 0.899, c⁷ ≈ 0.47, 1−(1−c⁷)⁸ ≈ 0.994. Floor at 0.85 leaves
+    // slack for corpus/dim differences, none for a broken operator
+    // (single-table p7 measures ~0.45 — a banding regression to it
+    // fails the floor immediately).
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val targetCos = 0.95
+    def sign(vid: Long, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plant:$vid:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) >= '8') 1.0 else -1.0
+    }
+    val planted = base.zipWithIndex.collect { case ((vid, v), idx)
+        if idx % 5 == 0 =>
+      val vd = v.map(_.toDouble).toArray
+      val nv = math.sqrt(vd.map(x => x * x).sum)
+      val vh = vd.map(_ / nv)
+      val p = Array.tabulate(vd.length)(sign(vid, _))
+      val pv = p.zip(vh).map { case (a, b) => a * b }.sum
+      val g = p.zip(vh).map { case (a, b) => a - pv * b }
+      val ng = math.sqrt(g.map(x => x * x).sum)
+      val gh = g.map(_ / ng)
+      val s = math.sqrt(1 - targetCos * targetCos)
+      val v2 = vh.zip(gh).map { case (a, b) =>
+        (nv * (a * targetCos + b * s)).toFloat }
+      (vid, vid + 10000L, v2.toSeq)
+    }
+    val corpus = (base ++ planted.map(t => (t._2, t._3)))
+      .toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .cache()
+    val pairs = Similarity.cosineNearDupPairsBanded(
+      corpus, "vec_id", "embedding", 0.9, 7, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = planted.map(t => (t._1, t._2)).toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    assert(truth.size === 100)
+    assert(recall >= 0.85,
+      f"banded 8x7 recall at t>=0.9 on planted twins: $recall%.3f under " +
+        "the 0.85 floor (sf1 measured 0.9855; model ~0.99)")
+    // the verify step keeps false positives out: every emitted pair
+    // must clear the threshold against the stored floats
+    val scored = Similarity.cosineNearDupPairsBanded(
+      corpus, "vec_id", "embedding", 0.9, 7, 8)
+      .as[(Long, Long, Double)].collect()
+    assert(scored.forall(_._3 >= 0.9), "unverified candidate leaked through")
+    corpus.unpersist(); ()
+  }
+
   test("approximate ANN holds a recall floor at the law operating point " +
     "(deterministic on the sf0.001 embeddings)") {
     val emb = spark.read
