@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the streaming cluster-maintenance path (SCALE.md:
+  * the one operator family whose at-scale behavior was spec-sized only
+  * through round 7). Measures, per micro-batch of REAL near-dup edges
+  * (minhash candidate pairs over the given corpus), the wall time of the
+  * full `foreachBatch` fold — recovery check, store read, incremental CC
+  * merge, `._next` write, recoverable swap — and the store size after
+  * each batch. Two legs:
+  *
+  *  - **empty-start**: store bootstraps empty and grows with the edges
+  *    seen, the spec-sized shape at corpus scale;
+  *  - **bootstrapped**: the store starts at CORPUS size (every doc id
+  *    labeled, from `Dedup.exactGroups` components) and the same edge
+  *    batches fold into it — the production regime, where the design
+  *    claim (O(batch + touched components) merge work; the store is
+  *    relabeled in ONE map-side pass and rewritten, never re-clustered)
+  *    predicts per-batch time = flat merge term + O(|store|) write term,
+  *    NOT growth in batch count or accumulated edges.
+  *
+  * Usage: sbt "runMain graft.StreamScaleBench [sfDir] [numBatches]"
+  */
+object StreamScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val numBatches = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    // the real edge feed: the same pairs the batch dedup operator emits
+    val edges = ops.Dedup
+      .minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    println(s"STREAMSCALE corpus=$nDocs docs, edges=${edges.length} " +
+      s"minhash candidate pairs, batches=$numBatches")
+    // deterministic round-robin split — every batch carries both fresh
+    // components and bridges into earlier ones
+    val batches = (0 until numBatches).map(b =>
+      edges.zipWithIndex.collect { case (e, i) if i % numBatches == b => e })
+
+    def leg(name: String, bootstrap: Boolean): Unit = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_streamscale_$name").toString
+      val store = s"$base/labels"
+      if (bootstrap) {
+        // corpus-sized labeling: every doc id labeled with its exact-dup
+        // component (min doc_id per text digest)
+        val d = docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        d.join(d.groupBy("digest").agg(min("doc_id").as("component")),
+            Seq("digest"))
+          .select(col("doc_id").as("id"), col("component"))
+          .write.parquet(store)
+      }
+      val input = MemoryStream[streaming.EventStream.CandPair]
+      val q = streaming.EventStream.clusterMaintenance(
+        input.toDF(), store, s"$base/ckpt")
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b.map(e =>
+            streaming.EventStream.CandPair(e._1, e._2)): _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val storeRows = spark.read.parquet(store).count()
+          println(f"STREAMSCALE $name batch=$i edges=${b.length} " +
+            f"fold=$sec%.2f s store_rows=$storeRows")
+        }
+      } finally q.stop()
+    }
+
+    leg("empty-start", bootstrap = false)
+    leg("bootstrapped", bootstrap = true)
+    spark.stop()
+  }
+}
