@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Round-8 adjudicator for the `q_transitive_closure` variant ship:
   * times doubling vs recursive-CTE vs iterative under the GRADED
@@ -17,12 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     shuffle state matches what the graded row sees mid-suite;
   *   - variants then run as interleaved rounds and the per-variant MIN
   *     is reported (Bench's min-of-2 aggregation).
-  * Usage: sbt "runMain graft.ClosureGradedAB [sfDir] [rounds]"
+  * Usage: sbt "runMain graft.ClosureGradedAB [sfDir] [rounds] [case]"
+  *   case = closure (default) | breadcrumb — the breadcrumb ship rests
+  *   on the same dedicated-session A/B that misled the closure ship, so
+  *   it gets the same graded-conditions adjudication.
   */
 object ClosureGradedAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rounds = if (args.length > 1) args(1).toInt else 3
+    val which = if (args.length > 2) args(2) else "closure"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,13 +52,26 @@ object ClosureGradedAB {
     SparkEntry.queries.foreach { case (_, fn) => force(fn(spark, sfDir)) }
     println(f"CLOSUREAB suite warm pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "doubling" -> (() => ops.Closure.transitiveClosureDoubling(
-        reports.TaskTree.tasks(spark, sfDir), "task_id", "parent_id")),
-      "recursive" -> (() => ops.Closure.transitiveClosureRecursive(
-        reports.TaskTree.tasks(spark, sfDir), "task_id", "parent_id")),
-      "iterative" -> (() => ops.Closure.transitiveClosure(
-        reports.TaskTree.tasks(spark, sfDir), "task_id", "parent_id")))
+    def tasks() = reports.TaskTree.tasks(spark, sfDir)
+    val variants: Seq[(String, () => DataFrame)] = which match {
+      case "breadcrumb" => Seq(
+        "doubling" -> (() => ops.Closure.breadcrumbsDoubling(
+          tasks(), "task_id", "parent_id", "name")
+          .select(col("task_id"), col("breadcrumb"))),
+        "recursive" -> (() => ops.Closure.breadcrumbsRecursive(
+          tasks(), "task_id", "parent_id", "name")
+          .select(col("task_id"), col("breadcrumb"))),
+        "iterative" -> (() => ops.Closure.breadcrumbs(
+          tasks(), "task_id", "parent_id", "name")
+          .select(col("task_id"), col("breadcrumb"))))
+      case _ => Seq(
+        "doubling" -> (() => ops.Closure.transitiveClosureDoubling(
+          tasks(), "task_id", "parent_id")),
+        "recursive" -> (() => ops.Closure.transitiveClosureRecursive(
+          tasks(), "task_id", "parent_id")),
+        "iterative" -> (() => ops.Closure.transitiveClosure(
+          tasks(), "task_id", "parent_id")))
+    }
     val times = (1 to rounds).map { _ =>
       variants.map { case (name, f) =>
         val s0 = System.nanoTime()
@@ -63,7 +81,7 @@ object ClosureGradedAB {
     }
     variants.foreach { case (name, _) =>
       val ts = times.map(_(name))
-      println(f"CLOSUREAB $name: ${ts.map(t => f"$t%.3f").mkString("/")} s " +
+      println(f"CLOSUREAB $which/$name: ${ts.map(t => f"$t%.3f").mkString("/")} s " +
         f"min=${ts.min}%.3f s")
     }
     spark.stop()
