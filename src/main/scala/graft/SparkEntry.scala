@@ -615,6 +615,14 @@ object SparkEntry {
       Similarity.kmeansRefineAssign(
         t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // --- SemDeDup (Abbas et al. 2023): semantic dedup = the kmeans
+    // cells above + within-cell cosine pruning, keep-min-id. Grades the
+    // composed pipeline (quantize -> bucket-join prune -> anti-join)
+    // end-to-end against a full DuckDB replica of the same chain ---
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 4, 0.4)),
+
     // --- embedding normalization: unit-length vectors, map-side only.
     // The unit vector is serialized to a comma-joined DECIMAL(18,6) string
     // (fixed-point renders identically in Spark and DuckDB, unlike raw
@@ -1959,6 +1967,27 @@ object SparkEntry {
         s"a1 AS (SELECT v.vec_id, m.cid, round(${cos("v.embedding", "m.mv")}, 6) AS score, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
         "FROM embeddings v CROSS JOIN mc m) " +
         "SELECT vec_id, CAST(cid AS BIGINT) AS cell, score FROM a1 WHERE rn = 1"
+    },
+
+    "q_semdedup" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      // the q_kmeans_assign chain (seeds -> refined means -> assignment)
+      // feeding within-cell greedy-by-id pruning at cosine >= 0.4
+      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
+        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
+        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
+        s"a1 AS (SELECT v.vec_id, v.embedding, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN mc m), " +
+        "f AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1), " +
+        s"sh AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.4) " +
+        "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM f WHERE vec_id NOT IN (SELECT vec_id FROM sh)"
     },
 
     "q_embed_normalize" -> {

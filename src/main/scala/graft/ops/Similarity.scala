@@ -438,6 +438,52 @@ object Similarity {
       scored.getField("sc").as("score"))
   }
 
+  /** SemDeDup — semantic deduplication via k-means cells + within-cell
+    * cosine pruning (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the corpus with the one-step Lloyd
+    * quantizer ([[kmeansRefineAssign]]'s cells — seeds, decimal-exact
+    * means, argmax-cosine assignment, all oracle-graded already), then
+    * within each cell drop every vector that has a SMALLER-id neighbor
+    * at cosine >= `threshold`. Keep-min-id is the deterministic stand-in
+    * for the paper's keep-farthest-from-centroid (any per-group
+    * tie-broken priority yields the paper's semantics; min-id matches
+    * this engine's keeper conventions and makes the DuckDB twin exact).
+    * The greedy-by-id rule is closure-free: b is dropped when ANY a < b
+    * in its cell clears the threshold, whether or not a itself survives
+    * — one bucket self-join decides every row, no iteration.
+    *
+    * Output: `(id, cell)` survivors.
+    *
+    * Scale shape at 100 TB: cell assignment is a map-side projection
+    * against broadcast-literal centroids (zero corpus shuffle — the
+    * [[ivfTopK]] discipline); the pruning join is keyed by cell, so pair
+    * work is Σ|cell|² — bounded by growing k with the corpus exactly
+    * like the IVF quantizer (√n cells keeps in-cell pair work ~n·√n at
+    * fixed cell size), never all-pairs. The assigned frame is
+    * materialized once and feeds both join sides plus the anti-join.
+    */
+  def semDeDup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, threshold: Double = 0.4): DataFrame = {
+    val cents = kmeansFit(corpus, idCol, vecCol, k, iters = 1)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), cents).as("cell"), norm(col(vecCol)).as("_n"))
+      .transform(Materialize.checkpoint)
+    val a = assigned.select(col("cell"), col(idCol).as("_id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
+    val b = assigned.select(col("cell"), col(idCol).as("_id_b"),
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
+    val shadowed = a.join(b, Seq("cell"))
+      .where(col("_id_a") < col("_id_b"))
+      .where(round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+        >= threshold)
+      .select(col("_id_b").as(idCol)).distinct()
+    assigned
+      .join(shadowed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to same-bucket
     * vectors, then exact cosine + rank within candidates.
     */

@@ -371,6 +371,64 @@ class DedupTextSpec extends SparkSpec {
     assert(cells === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("semDeDup: within-cell greedy-by-id pruning — no two survivors in " +
+    "one cell clear the threshold; every dropped row is shadowed by a " +
+    "smaller in-cell id") {
+    // two direction-clusters with in-cluster near-dups: the keep-min-id
+    // rule must keep 0 and 1 and drop their tight neighbors, while the
+    // cross-cluster angles (cos ~ 0.18) never prune
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.95f, 0.05f)), (5L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(vecs, "vec_id", "embedding", k = 2,
+      threshold = 0.9).as[(Long, Long)].collect().toMap
+    // cells are {0,2,4} and {1,3,5} (pinned by the kmeansRefineAssign
+    // test above); in-cell cosines all exceed 0.9 → only the min ids live
+    assert(out === Map(0L -> 0L, 1L -> 1L))
+    // threshold above every in-cell cosine → nothing prunes, and the
+    // survivors carry the same cells kmeansRefineAssign assigns
+    val all = Similarity.semDeDup(vecs, "vec_id", "embedding", k = 2,
+      threshold = 1.1).as[(Long, Long)].collect().toMap
+    val cells = Similarity.kmeansRefineAssign(vecs, "vec_id", "embedding", k = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(all === cells)
+  }
+
+  test("semDeDup on the corpus: survivor set is exactly the complement of " +
+    "the shadowed set, verified pairwise on the driver") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val out = Similarity.semDeDup(emb, "vec_id", "embedding", 4, 0.4)
+      .as[(Long, Long)].collect().toMap
+    val cells = Similarity.kmeansRefineAssign(emb, "vec_id", "embedding", 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val vs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i)
+        bb += b(i) * b(i); i += 1 }
+      // the operator's rounding discipline (Spark round = HALF_UP)
+      BigDecimal(ab / (math.sqrt(aa) * math.sqrt(bb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = cells.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    byCell.foreach { case (cell, ids) =>
+      ids.foreach { b =>
+        val shadowed = ids.exists(a => a < b && cos(vs(a), vs(b)) >= 0.4)
+        val survived = out.contains(b)
+        assert(survived === !shadowed,
+          s"vec $b in cell $cell: survived=$survived shadowed=$shadowed")
+        if (survived) assert(out(b) === cell)
+      }
+    }
+    assert(out.size < cells.size, "threshold 0.4 pruned nothing")
+    emb.unpersist(); ()
+  }
+
   test("exactIncremental: in-batch dups collapse, seen digests drop") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val seen = corpus.select(md5($"text".cast("binary")).as("digest")).distinct()
