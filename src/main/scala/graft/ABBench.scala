@@ -70,6 +70,33 @@ object ABBench {
             ops.Dedup.minhashSignatureBuiltin(col("_sh"), 8).as("_sig"))),
           "native" -> (() => shingled.select(
             ops.Dedup.minhashSignature(col("_sh"), 8).as("_sig"))))
+      case "assign" =>
+        // isolate the two withCell strategies at a large k (the join
+        // path's regime) — semDeDup/kmeans cost attribution
+        val emb = Tables(spark, sfDir, "embeddings")
+        val n = emb.cache().count()
+        val sqrtN = math.max(4, math.sqrt(n.toDouble).toInt)
+        val cents = ops.Similarity.seedCentroidsFor(emb, "vec_id", "embedding", sqrtN)
+        Seq(
+          s"literal_k$sqrtN" -> (() =>
+            ops.Similarity.cellsByLiteral(emb, "vec_id", "embedding", cents)),
+          s"join_k$sqrtN" -> (() =>
+            ops.Similarity.cellsByJoin(emb, "vec_id", "embedding", cents)),
+          s"native_k$sqrtN" -> (() =>
+            ops.Similarity.withCell(emb, "vec_id", "embedding", cents)))
+      case "semdedup" =>
+        // the Σ|cell|² law: in-cell pair work at the graded k=4 vs the
+        // production √n cells — the semDeDup analog of numPlanesFor's
+        // plane-density evidence (more cells = smaller buckets = less
+        // pair work, with the same keep-min-id semantics per cell count)
+        val emb = Tables(spark, sfDir, "embeddings")
+        val n = emb.cache().count()
+        val sqrtN = math.max(4, math.sqrt(n.toDouble).toInt)
+        Seq(
+          "k4" -> (() =>
+            ops.Similarity.semDeDup(emb, "vec_id", "embedding", 4, 0.4)),
+          s"k$sqrtN" -> (() =>
+            ops.Similarity.semDeDup(emb, "vec_id", "embedding", sqrtN, 0.4)))
       case _ => Seq(
         "iterative" -> (() =>
           ops.Closure.breadcrumbs(tasks, "task_id", "parent_id", "name")),

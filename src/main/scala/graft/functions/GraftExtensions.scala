@@ -75,6 +75,15 @@ object GraftExtensions {
           "minhash_sig(shingles, numHashes): numHashes must be an integer literal")
       }),
     (
+      new FunctionIdentifier("vec_argmax_cell"),
+      new ExpressionInfo(classOf[VecArgmaxCell].getName, "vec_argmax_cell"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, m) => VecArgmaxCell(v, m)
+        case _ => throw new IllegalArgumentException(
+          "vec_argmax_cell(vec, centsMatrix): exactly two arguments, " +
+            "centsMatrix a foldable array<array<double>>")
+      }),
+    (
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

@@ -262,10 +262,12 @@ object Similarity {
     // (seedCentroids/cellOf): one definition for the tie-break/rounding
     // contract the oracle twins mirror.
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      cellOf(col(vecCol), cents).as("_cell"), norm(col(vecCol)).as("_qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      cellOf(col(vecCol), cents).as("_cell"), norm(col(vecCol)).as("_cn"))
+    val q = withCell(queries, idCol, vecCol, cents)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("_cell"), norm(col(vecCol)).as("_qn"))
+    val c = withCell(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        col("_cell"), norm(col(vecCol)).as("_cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     q.join(c, Seq("_cell"))
@@ -283,6 +285,10 @@ object Similarity {
     * the k-means trainer so both sides of the oracle gate see one seed
     * definition.
     */
+  private[graft] def seedCentroidsFor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Seq[Double])] = seedCentroids(corpus, idCol, vecCol, k)
+
   private def seedCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Long, Seq[Double])] =
@@ -304,6 +310,79 @@ object Similarity {
       val cvLit = array(cv.map(lit): _*)
       struct(round(cosine(v, cvLit), 9).as("s"), lit(-cid).as("nid"))
     }: _*)).getField("nid") * -1
+
+  /** Corpus `(id, vec)` → `(id, vec, _cell)`: max-cosine assignment
+    * against a centroid model via the native `vec_argmax_cell` codegen
+    * expression (graft.functions.VecArgmaxCell) — ONE generated loop
+    * over the k×dim matrix reference object, map-side, zero shuffle, at
+    * ANY cell count. The dense argmax index decodes to the centroid id
+    * through a folded literal array.
+    *
+    * Why an expression (measured at sf1, 20k vectors, k = 141 — SCALE.md
+    * round 8): [[cellsByLiteral]] (k inlined cosine branches) blows the
+    * codegen method limits past a few dozen centroids and drops the
+    * projection to interpreted evaluation (16.5 s); [[cellsByJoin]]
+    * (broadcast centroid table + primitive-packed argmax aggregation)
+    * pays the k-fold row multiply and a corpus shuffle (8 s); the native
+    * loop does the same arithmetic in ~0.5 s. Both alternatives are kept
+    * as the measured baselines and for the three-way equivalence spec —
+    * all three share the tie/rounding contract (round(cos, 9) DESC,
+    * ties → smaller cid, NaN ranks greatest).
+    */
+  private[graft] def withCell(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val ordered = cents.sortBy(_._1)
+    val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
+    val cidArr = array(ordered.map(c => lit(c._1)): _*)
+    corpus.select(col(idCol), col(vecCol),
+      element_at(cidArr,
+        call_function("vec_argmax_cell", col(vecCol), mat) + 1).as("_cell"))
+  }
+
+  private[graft] def cellsByLiteral(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), cents).as("_cell"))
+
+  private[graft] def cellsByJoin(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // (score, cell) packed into ONE long so the argmax is a plain
+    // max() over a PRIMITIVE buffer — a struct/array aggregation buffer
+    // would force sort-based aggregation of the k-fold row multiply
+    // (measured 6.7 s vs ~1 s at sf1/k=141 for exactly this reason):
+    // enc = round9(cos)·1e9 · 2^20 − denseIndex. max(enc) picks max
+    // score then MIN dense index; indices are assigned in ascending cid
+    // order, so min index = min cid — the literal path's tie contract.
+    val M = 1 << 20
+    require(cents.size < M, s"cell count ${cents.size} exceeds $M")
+    val ordered = cents.sortBy(_._1)
+    // centroid norms precomputed driver-side with the same left-to-right
+    // accumulation vec_dot uses, so the per-row cosine is ONE dot product
+    val centDf = ordered.zipWithIndex.map { case ((_, cv), i) =>
+      var s = 0.0; cv.foreach(x => s += x * x)
+      (i, cv, math.sqrt(s))
+    }.toDF("_ci", "_cv", "_cn")
+      .select(col("_ci"), col("_cv").cast("array<double>"), col("_cn"))
+    val cidArr = array(ordered.map(c => lit(c._1)): _*)
+    // k-row broadcast side: this cross join is the centroid-model
+    // attachment, the same broadcast-small-side class as the scalar
+    // attachments — never corpus × corpus
+    val enc = (round(
+      round(dot(col(vecCol), col("_cv")) / (col("_n") * col("_cn")), 9)
+        * 1e9, 0).cast("long") * M) - col("_ci")
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"))
+      .crossJoin(broadcast(centDf))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max(enc).as("_enc"))
+      .select(col(idCol), col(vecCol),
+        element_at(cidArr,
+          (pmod(-col("_enc"), lit(M.toLong)) + 1).cast("int")).as("_cell"))
+  }
 
   /** Per-cell mean centroids of an assigned corpus, engine-portable:
     * decimal(28,10) per-position sums (exact, order-independent — float
@@ -347,7 +426,7 @@ object Similarity {
     val seeds = seedCentroids(corpus, idCol, vecCol, k)
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       meansOf(
-        corpus.select(col(vecCol), cellOf(col(vecCol), cents).as("_cell")),
+        withCell(corpus, idCol, vecCol, cents).select(col(vecCol), col("_cell")),
         vecCol)
     }
   }
@@ -384,7 +463,7 @@ object Similarity {
       it += 1
       val t0 = System.nanoTime()
       val next = meansOf(
-        corpus.select(col(vecCol), cellOf(col(vecCol), cents).as("_cell")),
+        withCell(corpus, idCol, vecCol, cents).select(col(vecCol), col("_cell")),
         vecCol)
       val sec = (System.nanoTime() - t0) / 1e9
       val prev = cents.toMap
@@ -467,8 +546,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, threshold: Double = 0.4): DataFrame = {
     val cents = kmeansFit(corpus, idCol, vecCol, k, iters = 1)
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      cellOf(col(vecCol), cents).as("cell"), norm(col(vecCol)).as("_n"))
+    val assigned = withCell(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("_cell").as("cell"),
+        norm(col(vecCol)).as("_n"))
       .transform(Materialize.checkpoint)
     val a = assigned.select(col("cell"), col(idCol).as("_id_a"),
       col(vecCol).as("_va"), col("_n").as("_na"))

@@ -429,6 +429,28 @@ class DedupTextSpec extends SparkSpec {
     emb.unpersist(); ()
   }
 
+  test("cell assignment: the broadcast-join path (k > 32) matches the " +
+    "literal path exactly on the corpus — same cells, same tie-breaks") {
+    // the two strategies behind Similarity.withCell share a rounding/tie
+    // contract (round(cos,9) DESC, ties -> smaller cid); this pins it on
+    // real data with a 40-centroid model (the join path's regime)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(40)
+      .map { case (id, v) => (id, v.map(_.toDouble).toSeq) }.toSeq
+    val byLit = Similarity.cellsByLiteral(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+    val byJoin = Similarity.cellsByJoin(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+    val byNative = Similarity.withCell(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+    assert(byJoin === byLit)
+    assert(byNative === byLit)
+    assert(byLit.values.toSet.size > 1, "degenerate single-cell fixture")
+    emb.unpersist(); ()
+  }
+
   test("exactIncremental: in-batch dups collapse, seen digests drop") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val seen = corpus.select(md5($"text".cast("binary")).as("digest")).distinct()
