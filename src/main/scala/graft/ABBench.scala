@@ -70,6 +70,20 @@ object ABBench {
             ops.Dedup.minhashSignatureBuiltin(col("_sh"), 8).as("_sig"))),
           "native" -> (() => shingled.select(
             ops.Dedup.minhashSignature(col("_sh"), 8).as("_sig"))))
+      case "srp" =>
+        // SRP hashing cost in isolation: the single law table vs the
+        // banded production point's L×p plane-dot hash pass
+        import org.apache.spark.sql.functions.{col, explode, array, struct, lit}
+        val emb = Tables(spark, sfDir, "embeddings")
+        val n = emb.cache().count()
+        val law = ops.Similarity.numPlanesFor(n)
+        Seq(
+          s"single_p$law" -> (() => emb.select(col("vec_id"),
+            ops.Similarity.srpBucket(col("embedding"), law).as("_bkt"))),
+          s"banded_p${law}x8" -> (() => emb.select(col("vec_id"),
+            explode(array((0 until 8).map(b => struct(lit(b).as("_band"),
+              ops.Similarity.srpBucketBand(col("embedding"), b, law).as("_bkt"))): _*))
+              .as("_e"))))
       case "assign" =>
         // isolate the two withCell strategies at a large k (the join
         // path's regime) — semDeDup/kmeans cost attribution

@@ -75,6 +75,16 @@ object GraftExtensions {
           "minhash_sig(shingles, numHashes): numHashes must be an integer literal")
       }),
     (
+      new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[VecSrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(fp: Int, IntegerType), Literal(np: Int, IntegerType)) =>
+          VecSrpBucket(v, fp, np)
+        case _ => throw new IllegalArgumentException(
+          "srp_bucket(vec, firstPlane, numPlanes): plane args must be " +
+            "integer literals")
+      }),
+    (
       new FunctionIdentifier("vec_argmax_cell"),
       new ExpressionInfo(classOf[VecArgmaxCell].getName, "vec_argmax_cell"),
       (args: Seq[Expression]) => args match {

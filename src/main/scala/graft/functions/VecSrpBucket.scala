@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Sign-random-projection bucket id as ONE generated loop:
+  * `srp_bucket(vec, firstPlane, numPlanes)` → Int whose bit h is set
+  * when the projection of `vec` onto deterministic ±1 hyperplane
+  * `firstPlane + h` is positive. Plane patterns are the engine's
+  * canonical md5 derivation ([[VecSrpBucket.sign]] — the single source
+  * the DuckDB oracle twins replicate), materialized once per plan as a
+  * codegen reference object.
+  *
+  * Why native (the [[VecArgmaxCell]] lesson applied to hashing): the
+  * composed form — one `vec_dot(vec, slice(<4096-double literal>, ...))`
+  * per plane — blows the codegen method limits as planes stack up, and
+  * the projection drops to interpreted evaluation. Measured at sf1
+  * (20k vectors): the banded 8×7-plane hash pass alone cost 9.5-10 s
+  * composed vs ~0.5 s for a single 7-plane table — 56 dot products of
+  * dim 64 are microseconds of real work. This expression is the same
+  * arithmetic as a loop: any plane count, map-side, zero shuffle.
+  *
+  * Semantics — IDENTICAL to the composed form so every oracle-graded
+  * operating point is unchanged:
+  *  - projections accumulate left-to-right in double; a vector LONGER
+  *    than the 4096-element sign pattern produced a length-mismatch NULL
+  *    dot in the composed form → every bit 0; replicated (bucket 0).
+  *  - a NULL vector or any NULL element made every plane's `when(proj >
+  *    0, bit)` fall to `otherwise(0)` — bucket 0, NOT NULL. Replicated:
+  *    the expression is non-nullable and returns 0 there.
+  */
+case class VecSrpBucket(child: Expression, firstPlane: Int, numPlanes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "srp_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (numPlanes >= 1 && numPlanes <= 30 && firstPlane >= 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"srp_bucket: need 1 <= numPlanes <= 30 (bucket is an Int) and " +
+          s"firstPlane >= 0, got ($firstPlane, $numPlanes)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSrpBucket =
+    copy(child = newChild)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(numPlanes)(h =>
+      Array.tabulate(VecSrpBucket.maxDim)(i =>
+        VecSrpBucket.sign(firstPlane + h, i)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else VecSrpBucket.bucket(v.asInstanceOf[ArrayData], isFloat, signs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[][]")
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |int ${ev.value} = 0;
+        |if (!${childGen.isNull}) {
+        |  ${ev.value} = graft.functions.VecSrpBucket.bucket(
+        |    ${childGen.value}, $isFloat, $signsRef);
+        |}
+      """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+}
+
+object VecSrpBucket {
+
+  private[functions] val maxDim = 4096
+
+  /** The canonical ±1 hyperplane pattern: +1 iff the first hex digit of
+    * md5("plane:index") is >= '8' — engine-portable (the oracle twins
+    * compute `substr(md5(...), 1, 1) >= '8'`), no RNG state.
+    */
+  def sign(plane: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) >= '8') 1.0 else -1.0
+  }
+
+  /** Shared by eval and codegen. Left-to-right double accumulation per
+    * plane; NULL element or dim > pattern length → bucket 0 (the
+    * composed form's null-collapse semantics).
+    */
+  def bucket(x: ArrayData, isFloat: Boolean, signs: Array[Array[Double]]): Int = {
+    val n = x.numElements()
+    if (n > maxDim) return 0
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return 0
+      v(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var bucket = 0
+    var h = 0
+    while (h < signs.length) {
+      val s = signs(h)
+      var proj = 0.0
+      i = 0
+      while (i < n) { proj += v(i) * s(i); i += 1 }
+      if (proj > 0) bucket |= (1 << h)
+      h += 1
+    }
+    bucket
+  }
+}

@@ -64,20 +64,18 @@ object Similarity {
 
   /** Sign-random-projection bucket id: bit per hyperplane, hyperplane h =
     * deterministic ±1 pattern derived from md5(h || ':' || index) — fully
-    * engine-portable, no RNG state. The sign patterns are plan-time
-    * constants, precomputed on the driver and inlined as literal arrays:
-    * evaluating md5 per row × element would redo ~dim × planes digests of
-    * constants on every row of a 100 TB corpus.
+    * engine-portable, no RNG state (`VecSrpBucket.sign`, the single
+    * definition the DuckDB oracle twins replicate).
+    *
+    * Delegates to the native `srp_bucket` codegen expression
+    * (graft.functions.VecSrpBucket): the composed form — a
+    * `vec_dot(vec, slice(<4096-double literal>, ...))` per plane — blows
+    * the codegen method limits as planes stack up and drops the
+    * projection to INTERPRETED evaluation; measured at sf1, the banded
+    * 8×7-plane hash pass alone cost 9.5-10 s composed vs ~0.7 s native
+    * (SCALE.md round 8). Identical bits: same sign patterns, same
+    * left-to-right accumulation, same null-collapse-to-bucket-0.
     */
-  private def srpSign(plane: Int, i: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (hex.charAt(0) >= '8') 1.0 else -1.0 // same test as substr(md5,1,1) >= '8'
-  }
-
-  private val srpMaxDim = 4096
-
   def srpBucket(vec: Column, numPlanes: Int): Column =
     srpBucketRange(vec, 0, numPlanes)
 
@@ -87,16 +85,13 @@ object Similarity {
     * `srpBucket(v, p)` ≡ `srpBucketRange(v, 0, p)`: the single-table
     * operators and their oracle twins are unchanged.
     */
+  private[graft] def srpBucketBand(
+      vec: Column, band: Int, planesPerBand: Int): Column =
+    srpBucketRange(vec, band * planesPerBand, planesPerBand)
+
   private def srpBucketRange(
-      vec: Column, firstPlane: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { h =>
-      val signs =
-        lit((0 until srpMaxDim).map(srpSign(firstPlane + h, _)).toArray)
-      val proj = dot(vec, slice(signs, lit(1), size(vec)))
-      when(proj > 0, lit(1 << h)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+      vec: Column, firstPlane: Int, numPlanes: Int): Column =
+    call_function("srp_bucket", vec, lit(firstPlane), lit(numPlanes))
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: vectors sharing a
     * sign-random-projection bucket are compared exactly; pairs with cosine
