@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.debug.codegenStringSeq
+import org.apache.spark.sql.functions._
+
+/** Codegen-budget pins for the production operating points.
+  *
+  * Round 8 found the same scaling defect twice: a per-row expression whose
+  * SIZE grows with an operating-point parameter (k centroids, L×p planes),
+  * composed from literal stacks, silently blows the codegen method limits
+  * and drops the projection to interpreted evaluation — the "zero-shuffle
+  * map-side pass" became 10-20× slower than its own join alternative
+  * (SCALE.md round 8: k=141 argmax 16.5 s → 1.4 s; 8×7-band SRP hash
+  * 9.5-10 s → 1.5-1.7 s). The cure both times was a native expression
+  * carrying the parameter matrix as a codegen reference object.
+  *
+  * These tests pin the cure at the production sizes: the whole-stage
+  * generated code must (a) exist, (b) contain the native loop call — not
+  * a fallback projection around it — and (c) compile with every method
+  * under the 8000-byte HotSpot JIT threshold (Spark's own
+  * `spark.sql.codegen.hugeMethodLimit` default guards 65535; JIT refuses
+  * to compile methods past ~8000, which is where "compiled" quietly
+  * stops meaning "fast"). A regression back to composed literal stacks
+  * fails (b) or (c) immediately, at spec time, not at the next sf1 bench.
+  */
+class CodegenBudgetSpec extends SparkSpec {
+
+  private val jitMethodLimit = 8000
+
+  /** All whole-stage subtrees of the df's executed plan, compiled, with
+    * every max-method-size asserted under the JIT threshold. Returns the
+    * concatenated generated source for content assertions.
+    */
+  private def compiledCode(df: DataFrame, what: String): String = {
+    val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, s"$what: no whole-stage codegen subtree")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats.maxMethodCodeSize < jitMethodLimit,
+        s"$what: generated method of ${stats.maxMethodCodeSize} bytes " +
+          s"(>= $jitMethodLimit JIT limit) in subtree:\n$subtree")
+    }
+    subtrees.map(_._2).mkString("\n")
+  }
+
+  test("banded SRP hash at the 8-band production point is one JIT-sized " +
+    "generated loop per band, inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val law = 7 // the sf1 law planes; 8 bands is the production point
+    val hashed = emb.select(col("vec_id"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("_band"),
+        Similarity.srpBucketBand(col("embedding"), b, law).as("_bkt"))): _*))
+        .as("_e"))
+    val code = compiledCode(hashed, "banded srp hash")
+    assert(code.contains("VecSrpBucket.bucket"),
+      "banded hash projection is not on the native srp_bucket loop")
+  }
+
+  test("centroid argmax at k=141 (the sf1 sqrt-n production cell count) is " +
+    "one JIT-sized generated loop, inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val cents = Seq.tabulate(141) { cid =>
+      (cid.toLong, Seq.tabulate(dim)(i => math.sin(cid * dim + i)))
+    }
+    val assigned = Similarity.withCell(emb, "vec_id", "embedding", cents)
+    val code = compiledCode(assigned, "k=141 argmax")
+    assert(code.contains("VecArgmaxCell.argmax"),
+      "assignment projection is not on the native vec_argmax_cell loop")
+  }
+
+  test("the guard bites: the composed literal-branch argmax at k=141 " +
+    "violates the codegen budget (the regression this spec exists to catch)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val cents = Seq.tabulate(141) { cid =>
+      (cid.toLong, Seq.tabulate(dim)(i => math.sin(cid * dim + i)))
+    }
+    val composed = Similarity.cellsByLiteral(emb, "vec_id", "embedding", cents)
+    val violates =
+      try {
+        val subtrees =
+          codegenStringSeq(composed.queryExecution.executedPlan)
+        subtrees.isEmpty ||
+          subtrees.exists(_._3.maxMethodCodeSize >= jitMethodLimit)
+      } catch {
+        case _: Exception => true // Janino refuses outright: also a violation
+      }
+    assert(violates,
+      "composed k=141 argmax now fits the codegen budget — if Spark " +
+        "learned to split it, this guard and SCALE.md's rule need review")
+  }
+}
