@@ -34,15 +34,22 @@ object ABBench {
       emb.cache()
       val n = emb.count()
       val iters = if (args.length > 2) args(2).toInt else 12
+      // k defaults to the round-7 slope's k=8; pass "sqrt" for the
+      // production sqrt-n cell count (the IVF/semDeDup discipline, only
+      // trainable since the native vec_argmax_cell assignment)
+      val k = if (args.length > 3) {
+        if (args(3) == "sqrt") math.sqrt(n.toDouble).round.toInt
+        else args(3).toInt
+      } else 8
       // warmup: one full round compiles the assignment/mean plans so the
       // first timed iteration isn't charged for codegen + JIT
       ops.Similarity.kmeansFit(emb.limit(256), "vec_id", "embedding", 4, 1)
       val (_, trace) = ops.Similarity.kmeansFitTrace(
-        emb, "vec_id", "embedding", k = 8, iters = iters, tol = 1e-6)
+        emb, "vec_id", "embedding", k = k, iters = iters, tol = 1e-6)
       trace.foreach(t => println(
-        f"KMEANS n=$n iter=${t.iter} time=${t.seconds}%.2f s " +
+        f"KMEANS n=$n k=$k iter=${t.iter} time=${t.seconds}%.2f s " +
           f"max_shift=${t.maxShift}%.2e"))
-      println(f"KMEANS n=$n converged_iters=${trace.length} " +
+      println(f"KMEANS n=$n k=$k converged_iters=${trace.length} " +
         f"total=${trace.map(_.seconds).sum}%.2f s (tol=1e-6, cap=$iters)")
       spark.stop()
       return
