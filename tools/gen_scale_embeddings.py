@@ -3,10 +3,16 @@
 other tables are dead weight (gen_scale.py replicates the whole schema —
 60M lineitem rows nobody reads in a kmeans slope run).
 
-Same construction as gen_scale.py's embeddings arm: per-replica
+Same construction as gen_scale.py's embeddings arm — per-replica
 deterministic md5 sign-flip (identity for replica 0), norm-preserving,
 near-zero cross-replica cosine at any factor; vec_ids offset by
-stride = max(vec_id)+1 per replica.
+stride = max(vec_id)+1 per replica — but under a DIFFERENT salt
+("emb2:" vs gen_scale.py's "emb:"): when the source corpus was itself
+sign-flip scaled, reusing the same pattern family makes replica (k, j)
+and (j, k) compose to IDENTICAL vectors (s_k * s_j == s_j * s_k), which
+manufactures factor^2/2 exact-duplicate pairs per source vector instead
+of a clean 10x corpus. Independent salts keep every composed pattern
+distinct.
 
 Usage: python3 tools/gen_scale_embeddings.py [src_dir] [dst_dir] [factor]
 """
@@ -27,7 +33,7 @@ con.execute(f"CREATE TEMP TABLE ks AS SELECT unnest(range({FACTOR})) AS k")
 def sign_list(k, dim):
     signs = []
     for i in range(dim):
-        h = hashlib.md5(f"emb{k}:{i}".encode()).hexdigest()
+        h = hashlib.md5(f"emb2:{k}:{i}".encode()).hexdigest()
         signs.append(1.0 if h[0] >= "8" else -1.0)
     return "[" + ", ".join(str(s) for s in signs) + "]"
 
