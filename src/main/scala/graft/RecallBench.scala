@@ -9,12 +9,15 @@ import graft.ops.Similarity
   * `lshTopK`/`ivfTopK` and pair-recall of `cosineNearDupPairs` against
   * brute-force ground truth at several operating points, including the
   * `numPlanesFor`-derived one, with wall time beside each number. Usage:
-  *   sbt "runMain graft.RecallBench <sfDir> [k] [threshold]"
+  *   sbt "runMain graft.RecallBench <sfDir> [k] [threshold] [section]"
+  * where section = all (default) | topk | pairs.
   *
   * The ground-truth pair pass is a deliberate all-pairs cross join — the
   * O(n²) baseline the bucketed operators exist to avoid; it runs here
   * because evidence needs exact truth, and only at SFs where n² is
-  * feasible. Nothing in the library's operator surface calls it.
+  * feasible (`section=topk` skips it: top-k truth is 64 sampled queries
+  * × n, which stays measurable a decade above where n² stops being).
+  * Nothing in the library's operator surface calls it.
   */
 object RecallBench {
   def main(args: Array[String]): Unit = {
@@ -46,7 +49,12 @@ object RecallBench {
       (c, cnt, sec)
     }
 
+    val section = if (args.length > 3) args(3) else "all"
+    require(Seq("all", "topk", "pairs").contains(section),
+      s"section must be all|topk|pairs, got $section")
+
     // ---- top-k recall: lshTopK / ivfTopK vs bruteForceTopK ----
+    if (section != "pairs") {
     val (truth, nTruth, truthSec) = forceCount(
       Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
     println(f"RECALL n=$n law_planes=$law k=$k truth_pairs=$nTruth " +
@@ -68,7 +76,9 @@ object RecallBench {
       df.unpersist(); ()
     }
     truth.unpersist()
+    }
 
+    if (section != "topk") {
     // ---- pair recall: cosineNearDupPairs vs exact threshold pairs ----
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("_n"))
@@ -110,6 +120,7 @@ object RecallBench {
       pairRecall(s"banded_p${law}x$l",
         Similarity.cosineNearDupPairsBanded(
           emb, "vec_id", "embedding", threshold, law, l))
+    }
     }
     spark.stop()
   }
