@@ -146,10 +146,15 @@ object VecArgmaxCell {
       while (i < n) { dot += v(i) * c(i); i += 1 }
       val cos = dot / (nv * cnorms(j))
       // round(cos, 9) in exact 1e-9 units; NaN ranks greatest (Spark's
-      // double ordering), ties keep the first (smallest) index
+      // double ordering), ties keep the first (smallest) index.
+      // BigDecimal.valueOf (Double.toString semantics) — NOT the exact
+      // binary-expansion constructor — because that is what Spark's
+      // Round codegen uses; the two can HALF_UP differently at 9th-
+      // decimal halfway points, and the contract here is bit-identity
+      // with the literal round(cos, 9) path.
       val s9 =
         if (cos != cos) Long.MaxValue
-        else new java.math.BigDecimal(cos)
+        else java.math.BigDecimal.valueOf(cos)
           .setScale(9, java.math.RoundingMode.HALF_UP)
           .movePointRight(9).longValueExact()
       if (best < 0 || s9 > bestS9) { best = j; bestS9 = s9 }

@@ -34,7 +34,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with IEEE zero-norm semantics: a zero-norm side yields NaN
+    * (which the cell-assignment paths rank GREATEST), matching what the
+    * native JVM loop in vec_argmax_cell computes — NOT an ANSI
+    * divide-by-zero error. The `when` guard is lazy per row, so on the
+    * (universal) non-zero path the arithmetic is the same single divide
+    * as before, bit-identical to the DuckDB twins.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np === lit(0.0), lit(Double.NaN)).otherwise(dot(a, b) / np)
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self), ties broken by corpus id.
@@ -367,9 +377,18 @@ object Similarity {
     // k-row broadcast side: this cross join is the centroid-model
     // attachment, the same broadcast-small-side class as the scalar
     // attachments — never corpus × corpus
-    val enc = (round(
-      round(dot(col(vecCol), col("_cv")) / (col("_n") * col("_cn")), 9)
-        * 1e9, 0).cast("long") * M) - col("_ci")
+    val np = col("_n") * col("_cn")
+    // same zero-norm-→-NaN semantics as [[cosine]] (ANSI would throw)
+    val cos9 = round(
+      when(np === lit(0.0), lit(Double.NaN))
+        .otherwise(dot(col(vecCol), col("_cv")) / np), 9)
+    // NaN cosine (zero-norm vector or centroid) must rank GREATEST to
+    // match the literal/native paths' contract; under non-ANSI semantics
+    // NaN.cast(long) is 0, which would rank it mid-pack instead. Encode
+    // it above any representable score (|s9·1e9| ≤ 1e9 < MaxValue/M).
+    val s9 = when(isnan(cos9), lit(Long.MaxValue / M))
+      .otherwise(round(cos9 * 1e9, 0).cast("long"))
+    val enc = (s9 * M) - col("_ci")
     corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"))
       .crossJoin(broadcast(centDf))
       .groupBy(col(idCol), col(vecCol))

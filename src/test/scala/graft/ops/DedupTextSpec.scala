@@ -451,6 +451,43 @@ class DedupTextSpec extends SparkSpec {
     emb.unpersist(); ()
   }
 
+  test("cell assignment NaN contract: zero-norm vector or centroid ranks " +
+    "greatest on all three paths (literal, join, native)") {
+    // A zero-norm vector (cosine NaN vs every centroid) and a zero-norm
+    // centroid (cosine NaN vs every vector) exercise the NaN-ranks-
+    // greatest / ties-to-smaller-cid contract the three strategies claim
+    // to share — the real-data fixture above can never hit it. The join
+    // path in particular must encode NaN explicitly: a bare
+    // NaN.cast(long) is 0 under non-ANSI semantics and would rank it
+    // mid-pack.
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val centsNormal = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+    val centsWithZero = centsNormal :+ (30L, Seq(0.0, 0.0))
+    for (cents <- Seq(centsNormal, centsWithZero)) {
+      val byLit = Similarity.cellsByLiteral(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+      val byJoin = Similarity.cellsByJoin(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+      val byNative = Similarity.withCell(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+      assert(byJoin === byLit, s"join vs literal with cents=$cents")
+      assert(byNative === byLit, s"native vs literal with cents=$cents")
+    }
+    // and the contract itself, pinned concretely: zero VECTOR → all-NaN
+    // tie → smallest cid; zero CENTROID → NaN beats every real cosine
+    val normal = Similarity.withCell(emb, "vec_id", "embedding", centsNormal)
+      .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+    assert(normal === Map(1L -> 10L, 2L -> 20L, 3L -> 10L))
+    // zero CENTROID: NaN beats every real cosine for vectors 1 and 2 —
+    // but the zero VECTOR is NaN against ALL THREE, so its tie still
+    // resolves to the smallest cid
+    val withZero = Similarity.withCell(emb, "vec_id", "embedding", centsWithZero)
+      .select("vec_id", "_cell").as[(Long, Long)].collect().toMap
+    assert(withZero === Map(1L -> 30L, 2L -> 30L, 3L -> 10L))
+  }
+
   test("exactIncremental: in-batch dups collapse, seen digests drop") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val seen = corpus.select(md5($"text".cast("binary")).as("digest")).distinct()

@@ -7,16 +7,28 @@ Same construction as gen_scale.py's embeddings arm — per-replica
 deterministic md5 sign-flip (identity for replica 0), norm-preserving,
 near-zero cross-replica cosine at any factor; vec_ids offset by
 stride = max(vec_id)+1 per replica — but under a DIFFERENT salt
-("emb2:" vs gen_scale.py's "emb:"): when the source corpus was itself
-sign-flip scaled, reusing the same pattern family makes replica (k, j)
-and (j, k) compose to IDENTICAL vectors (s_k * s_j == s_j * s_k), which
+(generation-depth-derived, "emb2:" for a first-generation scale, vs
+gen_scale.py's "emb:"): when the source corpus was itself sign-flip
+scaled, reusing the same pattern family makes replica (k, j) and (j, k)
+compose to IDENTICAL vectors (s_k * s_j == s_j * s_k), which
 manufactures factor^2/2 exact-duplicate pairs per source vector instead
 of a clean 10x corpus. Independent salts keep every composed pattern
 distinct.
 
+The same trap recurs one level up if THIS tool is chained on its own
+output (sf1 -> sf10_emb -> sf100): a fixed "emb2:" salt would commute
+with itself. Guard: each run writes `_scale_meta.json` (generation
+depth) into dst, reads it back from src if present, and salts with
+`emb{depth+1}:` — so every generation gets a fresh, non-commuting
+pattern family automatically. Depth 1 (scaling an unscaled base corpus)
+keeps the exact "emb2:" patterns earlier rounds' corpora were built
+with.
+
 Usage: python3 tools/gen_scale_embeddings.py [src_dir] [dst_dir] [factor]
 """
 import hashlib
+import json
+import os
 import sys
 
 import duckdb
@@ -24,6 +36,15 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata/sf1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf10_emb"
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+src_meta = os.path.join(SRC, "_scale_meta.json")
+src_depth = 0
+if os.path.exists(src_meta):
+    with open(src_meta) as f:
+        src_depth = json.load(f)["scale_depth"]
+DEPTH = src_depth + 1
+SALT = f"emb{DEPTH + 1}"
+print(f"src scale_depth={src_depth} -> salt '{SALT}:'")
 
 con = duckdb.connect()
 con.execute("SET threads TO 16")
@@ -33,7 +54,7 @@ con.execute(f"CREATE TEMP TABLE ks AS SELECT unnest(range({FACTOR})) AS k")
 def sign_list(k, dim):
     signs = []
     for i in range(dim):
-        h = hashlib.md5(f"emb2:{k}:{i}".encode()).hexdigest()
+        h = hashlib.md5(f"{SALT}:{k}:{i}".encode()).hexdigest()
         signs.append(1.0 if h[0] >= "8" else -1.0)
     return "[" + ", ".join(str(s) for s in signs) + "]"
 
@@ -50,9 +71,10 @@ whens = ["WHEN k = 0 THEN embedding"] + [
     for k in range(1, FACTOR)
 ]
 
-import os
-
 os.makedirs(DST, exist_ok=True)
+with open(os.path.join(DST, "_scale_meta.json"), "w") as f:
+    json.dump({"scale_depth": DEPTH, "salt": SALT, "factor": FACTOR,
+               "src": SRC}, f)
 con.execute(f"""
     COPY (SELECT vec_id + k * {v_str} AS vec_id,
                  CASE {' '.join(whens)} END AS embedding,
