@@ -81,6 +81,16 @@ object PlantedRecallBench {
         Similarity.cosineNearDupPairsBanded(
           emb, "vec_id", "embedding", threshold, law, l))
     }
+    // the recall-SLA selector's pick for this (threshold, n) — measured
+    // so the SLA is a verified property, not just a model output
+    args.drop(2).headOption.map(_.toDouble).orElse(Some(0.95)).foreach { sla =>
+      val (p, l) = Similarity.bandsFor(threshold, sla, n)
+      println(f"PLANTED bandsFor(t=$threshold%.2f, sla=$sla%.2f, n=$n) " +
+        f"= (p=$p, L=$l), model=${Similarity.expectedBandedRecall(threshold, p, l)}%.4f")
+      measure(s"banded_sla_p${p}x$l",
+        Similarity.cosineNearDupPairsBanded(
+          emb, "vec_id", "embedding", threshold, sla, n))
+    }
     spark.stop()
   }
 }

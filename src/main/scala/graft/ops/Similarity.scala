@@ -182,6 +182,21 @@ object Similarity {
       .distinct()
   }
 
+  /** SLA-driven banded near-dup pairs: the caller states WHAT it needs —
+    * "pairs at cosine ≥ threshold, found with probability ≥ targetRecall,
+    * over a corpus of n" — and [[bandsFor]] picks the (planesPerBand,
+    * numBands) operating point from the validated S-curve chain. `n` is
+    * a parameter, not a `corpus.count()`, because the caller usually
+    * knows it (table stats, a prior stage) and an implicit count job
+    * per call would be a hidden corpus scan.
+    */
+  def cosineNearDupPairsBanded(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetRecall: Double, n: Long): DataFrame = {
+    val (p, l) = bandsFor(threshold, targetRecall, n)
+    cosineNearDupPairsBanded(corpus, idCol, vecCol, threshold, p, l)
+  }
+
   /** SRP plane count for a corpus of `n` vectors targeting ~`targetBucket`
     * vectors per bucket: ceil(log2(n / targetBucket)), floor 1. In-bucket
     * pair work is Σ k² over buckets, so the plane count MUST grow with the
@@ -197,6 +212,73 @@ object Similarity {
   def numPlanesFor(n: Long, targetBucket: Long = 256L): Int =
     math.max(1, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** Per-plane SRP collision probability of a pair at cosine `c`:
+    * 1 − θ/π (Charikar 2002, the sign-random-projection locality bound).
+    * Input is clamped to [-1, 1] so float-rounded cosines at the
+    * boundary don't NaN the acos.
+    */
+  def srpCollisionProb(cosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+
+  /** Expected recall of a pair AT cosine `threshold` under `numBands`
+    * bands of `planesPerBand` planes: 1 − (1 − c^p)^L, the minhash-style
+    * banding S-curve over SRP collisions. Because per-plane collision
+    * RISES with cosine, this is a FLOOR on the recall of any pair the
+    * operator is asked to find (they all sit at cosine ≥ threshold) —
+    * which is exactly how it validates against both planted
+    * measurements (SCALE.md round 8: sf1 8×p7 model 0.963 vs measured
+    * 0.9855; 220k 8×p10 model 0.852 vs measured 0.9417 — measured above
+    * the at-threshold floor in both, and within ~2 points of the chain
+    * evaluated at the planted-cosine mix).
+    */
+  def expectedBandedRecall(
+      threshold: Double, planesPerBand: Int, numBands: Int): Double = {
+    val cp = math.pow(srpCollisionProb(threshold), planesPerBand)
+    1.0 - math.pow(1.0 - cp, numBands)
+  }
+
+  /** Recall-SLA selector — the operational companion to [[numPlanesFor]]
+    * (bucket sizing) and `Dedup.rowsPerBandFor` (minhash banding):
+    * given the near-dup `threshold`, a `targetRecall` SLA, and the
+    * corpus size `n`, returns `(planesPerBand, numBands)` such that
+    * in-bucket pair work stays law-sized per band AND the S-curve model
+    * holds expected at-threshold recall ≥ the SLA.
+    *
+    * Derivation: planes come from the plane-density law (buckets of
+    * ~`targetBucket`, so Σk² pair work doesn't go superlinear as n
+    * grows); bands then buy the recall back —
+    * L = ⌈ln(1 − targetRecall) / ln(1 − c^p)⌉. This codifies the
+    * production rule the two planted measurements bracket (recall at
+    * FIXED L = 8 drifted 0.986 → 0.942 a decade up as the law moved
+    * p 7 → 10; a deployment pinning an SLA must GROW L with n):
+    * bandsFor(0.9, 0.95, 22k) = (7, 8) — precisely the sf1 measured
+    * point, which delivered 0.9855 — and bandsFor(0.9, 0.95, 220k)
+    * = (10, 13), growing the bands the decade demands.
+    *
+    * Cost is linear in L (hash rows emitted per vector, per-band
+    * bucketed joins), so an unreachable SLA must fail loudly rather
+    * than silently emitting a 100×-cost plan: `maxBands` caps the
+    * blow-up (loosen it deliberately, not by default).
+    */
+  def bandsFor(
+      threshold: Double, targetRecall: Double, n: Long,
+      targetBucket: Long = 256L, maxBands: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val p = numPlanesFor(n, targetBucket)
+    val cp = math.pow(srpCollisionProb(threshold), p)
+    val l = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-cp)).toInt)
+    require(l <= maxBands,
+      f"recall SLA $targetRecall at threshold $threshold over n=$n needs " +
+        f"$l bands (> maxBands $maxBands) at law planes p=$p: lower the " +
+        "SLA, raise targetBucket (fewer planes per band), or raise " +
+        "maxBands knowingly — cost is linear in bands")
+    (p, l)
+  }
 
   /** The SRP bucket table of a corpus: `(_id, _v, _bkt, _n)`, eagerly
     * materialized. Internal input to pair generation AND the persistent

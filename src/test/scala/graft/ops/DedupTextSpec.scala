@@ -244,25 +244,19 @@ class DedupTextSpec extends SparkSpec {
     emb.unpersist(); ()
   }
 
-  test("banded 8x7 holds a recall floor at the PRODUCTION operating point " +
-    "(t >= 0.9) on PLANTED true near-duplicates") {
-    // The synthetic corpus has no pairs above cos 0.9 (round-7 SCALE.md),
-    // so the production point was model-priced until round 8. This pins
-    // the MEASURED behavior: every 5th vector gets a twin at exactly
-    // cos 0.95 — v' = |v|(v_hat cos θ + g_hat sin θ) with g the
-    // orthogonalized md5 ±1 pattern (same construction as
-    // tools/gen_neardup.py, "plant:" namespace ≠ the SRP planes'), all
-    // deterministic, so the recall below is a constant of the code, not
-    // a sample: sf1 measured 0.9855 at 8×p7 (PlantedRecallBench,
-    // SCALE.md round 8); at cos 0.95 the SRP model gives per-plane
-    // c ≈ 0.899, c⁷ ≈ 0.47, 1−(1−c⁷)⁸ ≈ 0.994. Floor at 0.85 leaves
-    // slack for corpus/dim differences, none for a broken operator
-    // (single-table p7 measures ~0.45 — a banding regression to it
-    // fails the floor immediately).
+  /** Deterministic planted-near-dup fixture: the sf0.001 embeddings plus
+    * a twin at exactly cos `targetCos` for every 5th vector —
+    * v' = |v|(v_hat cos θ + g_hat sin θ) with g the orthogonalized md5
+    * ±1 pattern (same construction as tools/gen_neardup.py, "plant:"
+    * namespace ≠ the SRP planes'). Everything is deterministic, so
+    * recalls measured on it are constants of the code, not samples.
+    * Returns (corpus with twins, truth pair set).
+    */
+  private def plantedFixture(targetCos: Double)
+      : (org.apache.spark.sql.DataFrame, Set[(Long, Long)]) = {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
-    val targetCos = 0.95
     def sign(vid: Long, i: Int): Double = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"plant:$vid:$i".getBytes("UTF-8"))
@@ -287,11 +281,24 @@ class DedupTextSpec extends SparkSpec {
     val corpus = (base ++ planted.map(t => (t._2, t._3)))
       .toSeq.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>"))
-      .cache()
+    (corpus, planted.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("banded 8x7 holds a recall floor at the PRODUCTION operating point " +
+    "(t >= 0.9) on PLANTED true near-duplicates") {
+    // The synthetic corpus has no pairs above cos 0.9 (round-7 SCALE.md),
+    // so the production point was model-priced until round 8. This pins
+    // the MEASURED behavior: sf1 measured 0.9855 at 8×p7
+    // (PlantedRecallBench, SCALE.md round 8); at cos 0.95 the SRP model
+    // gives per-plane c ≈ 0.899, c⁷ ≈ 0.47, 1−(1−c⁷)⁸ ≈ 0.994. Floor at
+    // 0.85 leaves slack for corpus/dim differences, none for a broken
+    // operator (single-table p7 measures ~0.45 — a banding regression to
+    // it fails the floor immediately).
+    val (corpusDf, truth) = plantedFixture(0.95)
+    val corpus = corpusDf.cache()
     val pairs = Similarity.cosineNearDupPairsBanded(
       corpus, "vec_id", "embedding", 0.9, 7, 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val truth = planted.map(t => (t._1, t._2)).toSet
     val recall = truth.count(pairs.contains).toDouble / truth.size
     assert(truth.size === 100)
     assert(recall >= 0.85,
@@ -303,6 +310,63 @@ class DedupTextSpec extends SparkSpec {
       corpus, "vec_id", "embedding", 0.9, 7, 8)
       .as[(Long, Long, Double)].collect()
     assert(scored.forall(_._3 >= 0.9), "unverified candidate leaked through")
+    corpus.unpersist(); ()
+  }
+
+  test("bandsFor: the recall-SLA selector reproduces both planted-recall " +
+    "measurement points and the model floors them") {
+    // The selector codifies SCALE.md round 8's production rule: at the
+    // sf1 planted corpus (n = 22k) a 0.95 SLA at t = 0.9 picks EXACTLY
+    // the measured 8×p7 point (which delivered 0.9855); a decade up
+    // (n = 220k) the law moves planes 7 → 10, fixed L = 8 measured
+    // 0.9417 — UNDER the SLA — and the selector grows the bands instead.
+    assert(Similarity.bandsFor(0.9, 0.95, 22000L) === ((7, 8)))
+    val (p10, l10) = Similarity.bandsFor(0.9, 0.95, 220000L)
+    assert(p10 === 10)
+    assert(l10 === 13, s"expected 13 bands at the 220k decade, got $l10")
+    assert(Similarity.expectedBandedRecall(0.9, p10, l10) >= 0.95)
+    // at-threshold model is a FLOOR for both planted measurements
+    // (planted pairs sit at cos ∈ [0.90, 0.98] ≥ threshold):
+    assert(Similarity.expectedBandedRecall(0.9, 7, 8) <= 0.9855)
+    assert(Similarity.expectedBandedRecall(0.9, 7, 8) >= 0.95)
+    assert(Similarity.expectedBandedRecall(0.9, 10, 8) <= 0.9417)
+    // and within ~2 points of the measured chain at the planted-cos mix
+    // (220k single-table measured c¹⁰ = 0.3305):
+    val chain220k = 1.0 - math.pow(1.0 - 0.3305, 8)
+    assert(math.abs(chain220k - 0.9417) < 0.02,
+      f"S-curve chain $chain220k%.4f drifted from the 220k measurement")
+    // shape: recall falls in planes, rises in bands; the selector's L is
+    // monotone non-decreasing in n at a fixed SLA
+    assert(Similarity.expectedBandedRecall(0.9, 10, 8) <
+      Similarity.expectedBandedRecall(0.9, 7, 8))
+    assert(Similarity.expectedBandedRecall(0.9, 10, 13) >
+      Similarity.expectedBandedRecall(0.9, 10, 8))
+    assert(Similarity.bandsFor(0.9, 0.95, 2000L)._2 <=
+      Similarity.bandsFor(0.9, 0.95, 220000L)._2)
+    // an unreachable SLA fails loudly instead of emitting a 100×-cost plan
+    assertThrows[IllegalArgumentException] {
+      Similarity.bandsFor(0.5, 0.999, 220000L)
+    }
+  }
+
+  test("SLA-driven banded near-dup holds the asked-for recall on planted " +
+    "twins at a selector-chosen operating point") {
+    // End-to-end: state the SLA, let bandsFor pick (p, L), measure. At
+    // this fixture's n = 600 the law gives p = 2 and a 0.95 SLA needs
+    // L = 3; the model floor at the planted cos 0.95 is ~0.99. The 0.90
+    // floor is tighter than the 8×7 test's 0.85 because the selector
+    // point was CHOSEN for the SLA — recall under 0.95 here means the
+    // selector, not just the operator, broke.
+    val (corpusDf, truth) = plantedFixture(0.95)
+    val corpus = corpusDf.cache()
+    val n = corpus.count()
+    assert(Similarity.bandsFor(0.9, 0.95, n) === ((2, 3)))
+    val pairs = Similarity.cosineNearDupPairsBanded(
+      corpus, "vec_id", "embedding", 0.9, 0.95, n)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    assert(recall >= 0.90,
+      f"selector-chosen point recall $recall%.3f under floor (model ~0.99)")
     corpus.unpersist(); ()
   }
 
