@@ -606,6 +606,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- the artifact/probe split of the SAME operator: build persists
+    // the cell assignment bucketed by _cell (paid once per model
+    // refresh), probe joins it with zero corpus-side shuffle (PlanSpec
+    // pins the plan). Bit-identical to q_ivf_topk by construction, so
+    // the graded row shares its oracle ---
+    "q_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ivf_probe").toString
+      val cents = Similarity.ivfBuild(
+        emb, "vec_id", "embedding", 4, 8, wh, "ivf")
+      Similarity.ivfProbe(
+          emb.where(col("vec_id") < 8),
+          Similarity.ivfAssigned(s, wh, "ivf"),
+          "vec_id", "embedding", 5, cents)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- k-means training step for the IVF coarse quantizer: seed cells
     // (first-k-by-id, the IVF convention) → decimal-exact per-cell mean
     // refinement → full-corpus re-assignment against the refined
@@ -1223,6 +1241,21 @@ object SparkEntry {
       "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
       "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
       "WHERE a.doc_id < c.doc_id)"
+
+  private val ivfTopkOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+      s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+      "FROM embeddings v CROSS JOIN cents c), " +
+      "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 8), " +
+      s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
+      "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
+      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
@@ -1937,20 +1970,13 @@ object SparkEntry {
         s"SELECT id_a, id_b, score FROM (SELECT id_a, id_b, round($cos, 6) AS score FROM cand) WHERE score >= 0.4"
     },
 
-    "q_ivf_topk" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      def cos(a: String, b: String) =
-        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
-        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN cents c), " +
-        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 8), " +
-        s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
-        "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
-    },
+    "q_ivf_topk" -> ivfTopkOracleSql,
+
+    // the probe path is bit-identical to the inline path by construction
+    // (same assignment expression, same scoring arithmetic, same rank
+    // contract) — ONE oracle grades both, which is itself the claim:
+    // persisting the assignment must not change a single row
+    "q_ivf_probe" -> ivfTopkOracleSql,
 
     "q_kmeans_assign" -> {
       def dot(a: String, b: String) =

@@ -366,6 +366,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** The IVF artifact/probe split — the production shape of [[ivfTopK]].
+    * [[ivfTopK]] rebuilds the corpus cell assignment inline on every
+    * query; a deployment builds it ONCE per model refresh and amortizes
+    * it over every query batch until the next refresh. `ivfBuild`
+    * persists the assigned corpus `(id, vec, _cell, _vn)` through
+    * [[graft.sources.BucketedSink]] bucketed on `_cell` — the ONE
+    * hash-partitioning every probe joins on — and precomputes the vector
+    * norms so the probe pays neither the assignment nor the norm pass.
+    * Because the bucket spec rides the catalog, every later probe joins
+    * the corpus with ZERO corpus-side Exchange (PlanSpec pins it): the
+    * only shuffles left are the query side (batch-sized) and the
+    * per-query top-k window. At 100 TB that turns the dominant
+    * corpus shuffle into a once-per-refresh write cost.
+    *
+    * Returns the centroid model (the same driver-side artifact
+    * [[ivfTopK]] derives inline) — callers hand it to [[ivfProbe]], the
+    * same split as a k-means model: artifact on disk, model in hand.
+    */
+  def ivfBuild(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, numBuckets: Int, target: String, table: String,
+      tablePrefix: String = "ivf"): Seq[(Long, Seq[Double])] = {
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = withCell(corpus, idCol, vecCol, cents)
+      .withColumn("_vn", norm(col(vecCol)))
+    graft.sources
+      .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
+      .write(assigned, target, table, "parquet")
+    cents
+  }
+
+  /** Catalog-resolved read of an [[ivfBuild]] artifact — keeps the bucket
+    * spec visible to the planner (a bare-path read would silently drop it
+    * and reintroduce the corpus shuffle the artifact exists to remove).
+    */
+  def ivfAssigned(
+      spark: org.apache.spark.sql.SparkSession, target: String,
+      table: String, tablePrefix: String = "ivf"): DataFrame =
+    graft.sources.BucketedSink(1, Seq("_cell"), Nil, tablePrefix)
+      .read(spark, target, table)
+
+  /** Probe a persisted [[ivfBuild]] assignment: queries are assigned
+    * map-side against the centroid model (no corpus touch), then joined
+    * to the bucketed corpus on `_cell`. Bit-identical to [[ivfTopK]] on
+    * the same corpus — same assignment expression, same scoring
+    * arithmetic (`_vn` was computed by the same `norm` at build time),
+    * same rank contract — so the two paths share one oracle.
+    */
+  def ivfProbe(
+      queries: DataFrame, assigned: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val q = withCell(queries, idCol, vecCol, cents)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("_cell"), norm(col(vecCol)).as("_qn"))
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"), col("_cell"), col("_vn").as("_cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    q.join(c, Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Deterministic centroid seeds: the first `k` corpus vectors by id,
     * collected as a driver-side model artifact (Float widened exactly,
     * matching CAST(FLOAT AS DOUBLE)). Shared by the IVF quantizer and

@@ -83,7 +83,15 @@ class CodegenBudgetSpec extends SparkSpec {
         val subtrees =
           codegenStringSeq(composed.queryExecution.executedPlan)
         subtrees.isEmpty ||
-          subtrees.exists(_._3.maxMethodCodeSize >= jitMethodLimit)
+          subtrees.exists { t =>
+            val size = t._3.maxMethodCodeSize
+            // negative = ByteCodeStats.UNAVAILABLE: codegenStringSeq
+            // swallowed a Janino refusal (the generated method blew the
+            // 64KB bytecode hard limit outright) — the strongest form of
+            // the violation, and the mode this k×dim point actually hits
+            // since the zero-norm NaN guard widened each cosine branch
+            size >= jitMethodLimit || size < 0
+          }
       } catch {
         case _: Exception => true // Janino refuses outright: also a violation
       }

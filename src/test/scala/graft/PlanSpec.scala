@@ -184,6 +184,37 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial struct-min in:\n$plan")
   }
 
+  test("IVF probe: the persisted assignment reaches the join with ZERO " +
+    "corpus-side shuffle, and the result is bit-identical to the inline path") {
+    val wh = Files.createTempDirectory("graft_ivf_plan").toString
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = ops.Similarity.ivfBuild(emb, "vec_id", "embedding", 4, 8, wh, "ivf")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = ops.Similarity.ivfProbe(
+        emb.where(col("vec_id") < 8),
+        ops.Similarity.ivfAssigned(spark, wh, "ivf"),
+        "vec_id", "embedding", 5, cents)
+      val plan = planOf(probe)
+      // the only shuffles allowed: the (batch-sized) query side moving
+      // into the corpus's bucket partitioning, and the per-query top-k
+      // window — the corpus itself reaches the join pre-partitioned by
+      // the bucketed layout the build paid for once. An un-bucketed read
+      // would plan a third Exchange on the corpus branch.
+      assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+        s"corpus side must not shuffle before the probe join:\n$plan")
+      // amortizing the artifact must not change a single row vs inline
+      val inline = ops.Similarity.ivfTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS " + graft.sources
+        .BucketedSink(8, Seq("_cell"), Nil, "ivf").catalogName(wh, "ivf"))
+    }
+  }
+
   test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
