@@ -85,8 +85,56 @@ object StreamScaleBench {
       } finally q.stop()
     }
 
+    /** The round-9 leg: the SHARDED store (component-keyed shards,
+      * two-phase swap) under the same corpus-sized bootstrap and the
+      * same edge feed. The design claim is that per-batch cost drops
+      * the O(|store|) rewrite term: only shards whose components the
+      * batch touches are rewritten (reported per batch via shard-dir
+      * modification times), the rest stay byte-identical.
+      */
+    def shardedLeg(numShards: Int): Unit = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_streamscale_sharded").toString
+      val store = s"$base/labels"
+      val d = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("digest"))
+      val labels = d
+        .join(d.groupBy("digest").agg(min("doc_id").as("component")),
+          Seq("digest"))
+        .select(col("doc_id").as("id"), col("component"))
+      streaming.EventStream.shardLabelStore(labels, store, numShards)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def mtimes(): Map[Int, Long] = (0 until numShards).map { k =>
+        val p = new org.apache.hadoop.fs.Path(
+          streaming.EventStream.shardDir(store, k))
+        k -> (if (fs.exists(p)) fs.getFileStatus(p).getModificationTime
+              else -1L)
+      }.toMap
+      val input = MemoryStream[streaming.EventStream.CandPair]
+      val q = streaming.EventStream.clusterMaintenanceSharded(
+        input.toDF(), store, s"$base/ckpt", numShards)
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val before = mtimes()
+          input.addData(b.map(e =>
+            streaming.EventStream.CandPair(e._1, e._2)): _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rewritten = mtimes().count { case (k, t) => before(k) != t }
+          val rows = streaming.EventStream
+            .readShardedStore(spark, store, numShards).count()
+          println(f"STREAMSCALE sharded-bootstrapped batch=$i " +
+            f"edges=${b.length} fold=$sec%.2f s store_rows=$rows " +
+            f"rewritten_shards=$rewritten/$numShards")
+        }
+      } finally q.stop()
+    }
+
     leg("empty-start", bootstrap = false)
     leg("bootstrapped", bootstrap = true)
+    shardedLeg(16)
     spark.stop()
   }
 }

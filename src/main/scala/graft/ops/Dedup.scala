@@ -680,6 +680,30 @@ object Dedup {
     */
   def connectedComponentsIncremental(
       labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val (bcMerged, newRows) = incrementalMergeParts(labels, newEdges)
+    // ONE map-side pass over the store: touched components relabel,
+    // untouched rows stream through
+    val storeUpdated = labels
+      .join(bcMerged, labels("component") === col("_old"), "left")
+      .select(labels("id"),
+        coalesce(col("_new"), labels("component")).as("component"))
+    storeUpdated.unionByName(newRows)
+  }
+
+  /** The two batch-sized pieces of the incremental fold, shared by the
+    * whole-store path above and the SHARDED store fold
+    * ([[graft.streaming.EventStream.foldShardedBatch]]), which needs them
+    * separately: the merge map tells it WHICH component-keyed shards the
+    * batch touches, so it can rewrite only those.
+    *
+    * Returns `(mergeMap, newRows)`: `mergeMap` is the broadcast-hinted
+    * `(_old, _new)` component relabeling from clustering the QUOTIENT
+    * graph (nodes = current labels of batch endpoints, edges = the
+    * batch — checkpointed, batch-bounded); `newRows` are `(id,
+    * component)` rows for ids not yet in the store.
+    */
+  private[graft] def incrementalMergeParts(
+      labels: DataFrame, newEdges: DataFrame): (DataFrame, DataFrame) = {
     val e = newEdges.select(col("id_a"), col("id_b"))
       .transform(Materialize.checkpoint)
     val ids = e.select(col("id_a").as("id"))
@@ -700,18 +724,12 @@ object Dedup {
       .select(col("id").as("_old"), col("component").as("_new"))
       .transform(Materialize.checkpoint)
     val bcMerged = Joins.broadcastIfSmall(merged, Some(merged.count()))
-    // ONE map-side pass over the store: touched components relabel,
-    // untouched rows stream through
-    val storeUpdated = labels
-      .join(bcMerged, labels("component") === col("_old"), "left")
-      .select(labels("id"),
-        coalesce(col("_new"), labels("component")).as("component"))
     // brand-new ids enter with their own id as label unless the quotient
     // merged them into something
     val newRows = ids.join(labels, Seq("id"), "left_anti")
       .join(bcMerged, col("id") === col("_old"), "left")
       .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
-    storeUpdated.unionByName(newRows)
+    (bcMerged, newRows)
   }
 
   /** Alternating large-star / small-star CC (Kiveris et al., "Connected

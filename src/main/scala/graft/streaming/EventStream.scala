@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -325,6 +325,198 @@ object EventStream {
     fs.delete(old, true)
     ()
   }
+
+  // ------------------------------------------------------------------
+  // Sharded label store — removes [[clusterMaintenance]]'s one remaining
+  // store-size term. The unsharded fold's merge work is O(batch) but its
+  // STORE REWRITE is O(store): every batch rewrites the whole labeling.
+  // Keyed sharding by component (shard = component mod numShards; labels
+  // are canonical min-ids, so a component's rows always live in exactly
+  // one shard) turns the rewrite into O(touched shards): the merge map
+  // from the quotient clustering names exactly which components change,
+  // rows only ever move between shards the map already touches, and
+  // every untouched shard stays BYTE-IDENTICAL on disk (the spec pins
+  // this). At 100 TB the per-batch write cost becomes proportional to
+  // the batch's component footprint, not the corpus.
+  //
+  // Each shard is an independent parquet dir `s=<k>` under the store
+  // root, swapped with the SAME per-shard `._next`/`._old` torn-rename
+  // protocol as the unsharded store. Cross-shard atomicity comes from a
+  // two-phase commit: phase 1 writes every touched shard's `._next`
+  // (stale `._next`s are cleared first so a later marker can never
+  // promote leftovers); a `_swap_pending` marker at the root is the
+  // commit point; phase 2 swaps each touched shard and drops the
+  // marker. [[recoverShardedStore]] makes any crash window consistent:
+  // before the marker the old state is intact (complete `._next`s are
+  // ignored without a marker), after it every remaining complete
+  // `._next` is promoted — so readers never see a half-merged labeling.
+  // ------------------------------------------------------------------
+
+  private[graft] def shardDir(storeDir: String, shard: Int): String =
+    s"$storeDir/s=$shard"
+
+  private def shardOf(component: Column, numShards: Int): Column =
+    pmod(component.cast("long"), lit(numShards.toLong)).cast("int")
+
+  /** Bootstrap writer: shard an existing `(id, component)` labeling into
+    * the sharded layout (e.g. the output of a from-scratch
+    * [[graft.ops.Dedup.connectedComponents]] run, or a flat store being
+    * migrated). `partitionBy` writes one root `_SUCCESS`; each shard dir
+    * is then stamped with its OWN marker so per-shard recovery always
+    * trusts a live bootstrap shard — without it, a stale complete
+    * `._next` from a pre-commit-point crash would outrank the markerless
+    * live dir and be promoted without the `_swap_pending` marker's
+    * all-or-nothing guarantee.
+    */
+  def shardLabelStore(
+      labels: DataFrame, storeDir: String, numShards: Int): Unit = {
+    labels.select(col("id"), col("component"))
+      .withColumn("s", shardOf(col("component"), numShards))
+      .write.mode("overwrite").partitionBy("s").parquet(storeDir)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(labels.sparkSession.sparkContext.hadoopConfiguration)
+    (0 until numShards).foreach { k =>
+      val d = new org.apache.hadoop.fs.Path(shardDir(storeDir, k))
+      if (fs.exists(d))
+        fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+    }
+  }
+
+  /** Crash recovery for the sharded store: per-shard torn-rename
+    * recovery first, then the two-phase commit marker — if
+    * `_swap_pending` exists, a fold crashed between its commit point and
+    * cleanup, and every touched shard is guaranteed a complete `._next`
+    * (or an already-promoted live copy), so promoting the survivors
+    * completes the batch's swap exactly. Without the marker, complete
+    * `._next` residue (a crash before the commit point) is left for the
+    * next fold to clear — the live state is the consistent one.
+    */
+  private[graft] def recoverShardedStore(
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      numShards: Int): Unit = {
+    val dirs = (0 until numShards).map(shardDir(storeDir, _))
+    dirs.foreach(d => recoverLabelStore(fs, d))
+    val pending = new org.apache.hadoop.fs.Path(storeDir, "_swap_pending")
+    if (fs.exists(pending)) {
+      dirs.foreach { d =>
+        val next = new org.apache.hadoop.fs.Path(d + "._next")
+        if (fs.exists(next) && fs.exists(
+            new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
+          swapLabelStore(fs, d)
+      }
+      fs.delete(pending, false)
+      ()
+    }
+  }
+
+  /** Read the sharded store as one `(id, component)` labeling (recovery
+    * runs first, so a post-crash read sees a consistent state). */
+  def readShardedStore(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      numShards: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverShardedStore(fs, storeDir, numShards)
+    val existing = (0 until numShards).map(shardDir(storeDir, _))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    require(existing.nonEmpty, s"no shards under $storeDir — bootstrap " +
+      "with shardLabelStore or fold a first batch")
+    spark.read.parquet(existing: _*)
+  }
+
+  /** One micro-batch fold into the sharded store; returns the shard ids
+    * it rewrote (the untouched rest is bit-untouched on disk). The merge
+    * math is [[graft.ops.Dedup.incrementalMergeParts]] — identical to
+    * the unsharded fold — but only shards whose components appear in the
+    * merge map (either side) or receive new ids are read back, relabeled
+    * map-side against the broadcast map, and rewritten. The full store
+    * is still SCANNED once (batch ids can live in any shard — the
+    * labeling is component-keyed, not id-keyed), but a scan is a cheap
+    * parallel read of two columns; the O(store) WRITE is what sharding
+    * removes.
+    */
+  private[graft] def foldShardedBatch(
+      batch: DataFrame, storeDir: String, numShards: Int): Seq[Int] = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverShardedStore(fs, storeDir, numShards)
+    val existing = (0 until numShards).filter(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(shardDir(storeDir, k))))
+    val idType = batch.schema("id_a").dataType
+    val labels =
+      if (existing.nonEmpty)
+        spark.read.parquet(existing.map(shardDir(storeDir, _)): _*)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType),
+            org.apache.spark.sql.types.StructField("component", idType))))
+    val (bcMerged, newRowsRaw) =
+      graft.ops.Dedup.incrementalMergeParts(labels, batch)
+    // read twice below (touched-shard calc + the rewrite) — materialize
+    val newRows = newRowsRaw.transform(graft.Materialize.checkpoint)
+    val touched = bcMerged.select(col("_old").as("c"))
+      .unionByName(bcMerged.select(col("_new").as("c")))
+      .unionByName(newRows.select(col("component").as("c")))
+      .select(shardOf(col("c"), numShards).as("s")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val touchedExisting = touched.filter(existing.contains(_))
+      val touchedOld =
+        if (touchedExisting.nonEmpty)
+          spark.read.parquet(
+            touchedExisting.map(shardDir(storeDir, _)): _*)
+        else labels.limit(0)
+      // relabel is map-side against the broadcast merge map; a row can
+      // only move between shards the map already touches, so this union
+      // is the complete new content of every touched shard
+      val updated = touchedOld
+        .join(bcMerged, touchedOld("component") === col("_old"), "left")
+        .select(touchedOld("id"),
+          coalesce(col("_new"), touchedOld("component")).as("component"))
+        .unionByName(newRows)
+        .withColumn("_s", shardOf(col("component"), numShards))
+        .transform(graft.Materialize.checkpoint)
+      // clear ALL stale ._next residue (a pre-commit-point crash leaves
+      // some) so the marker below can never promote a stale copy
+      (0 until numShards).foreach(k => fs.delete(
+        new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next"), true))
+      // phase 1: every touched shard's replacement, fully written
+      touched.foreach { k =>
+        updated.where(col("_s") === k).drop("_s")
+          .write.mode("overwrite").parquet(shardDir(storeDir, k) + "._next")
+      }
+      // commit point
+      fs.mkdirs(root)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_swap_pending"), true)
+        .close()
+      // phase 2: per-shard recoverable swaps, then drop the marker
+      touched.foreach(k => swapLabelStore(fs, shardDir(storeDir, k)))
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_swap_pending"), false)
+      ()
+    }
+    touched
+  }
+
+  /** [[clusterMaintenance]] over the sharded store: same edge feed, same
+    * merge semantics (the spec pins equality with from-scratch CC), but
+    * per-batch write cost proportional to the batch's component
+    * footprint instead of the store.
+    */
+  def clusterMaintenanceSharded(
+      edges: DataFrame, storeDir: String, checkpointDir: String,
+      numShards: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldShardedBatch(batch, storeDir, numShards)
+        ()
+      }
+      .start()
 
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)

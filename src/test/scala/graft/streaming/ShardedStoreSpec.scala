@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The sharded label store: same merge semantics as the flat
+  * [[EventStream.clusterMaintenance]] store (pinned against from-scratch
+  * CC), but per-batch rewrite cost proportional to the batch's component
+  * footprint — untouched shards must stay BYTE-identical on disk — with
+  * cross-shard crash atomicity from the `_swap_pending` two-phase commit.
+  */
+class ShardedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 4
+
+  private def freshBase(): String = java.nio.file.Files
+    .createTempDirectory("graft_sharded_store").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (relative file name → md5) for every regular file under dir. */
+  private def fileDigests(dir: String): Map[String, String] = {
+    val base = Paths.get(dir)
+    if (!Files.exists(base)) Map.empty
+    else {
+      val it = Files.walk(base).iterator()
+      var out = Map.empty[String, String]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) {
+          val md = MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(p))
+          out += (base.relativize(p).toString ->
+            md.map("%02x".format(_)).mkString)
+        }
+      }
+      out
+    }
+  }
+
+  test("sharded maintenance converges to from-scratch CC, including a " +
+    "CROSS-SHARD component merge that physically moves rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshBase()
+    val store = s"$base/labels"
+    val input = MemoryStream[EventStream.CandPair]
+    val q = EventStream.clusterMaintenanceSharded(
+      input.toDF(), store, s"$base/ckpt", numShards = S)
+    try {
+      // batch 1: components 1 (shard 1) and 10 (shard 2)
+      input.addData(EventStream.CandPair(1L, 2L), EventStream.CandPair(10L, 11L))
+      q.processAllAvailable()
+      // batch 2: bridge 2-10 merges component 10 into 1 — rows must move
+      // from shard 2 to shard 1 — plus a fresh pair in shard 0
+      input.addData(EventStream.CandPair(2L, 10L), EventStream.CandPair(20L, 21L))
+      q.processAllAvailable()
+      val streamed = EventStream.readShardedStore(spark, store, S)
+        .as[(Long, Long)].collect().toMap
+      val scratch = graft.ops.Dedup.connectedComponents(
+        Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === scratch)
+      assert(streamed(11L) === 1L)
+      // the merged component's rows live in ONE shard: component 1's
+      val shard1 = spark.read.parquet(EventStream.shardDir(store, 1))
+        .as[(Long, Long)].collect().toMap
+      assert(shard1.keySet === Set(1L, 2L, 10L, 11L))
+      val shard2 = spark.read.parquet(EventStream.shardDir(store, 2))
+      assert(shard2.count() === 0, "losing shard must have shed its rows")
+    } finally q.stop()
+  }
+
+  test("a fold rewrites ONLY the touched shards; untouched shards are " +
+    "byte-identical on disk") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    // components 100..103 land in shards 0..3 (component mod 4)
+    val labels = Seq(
+      (100L, 100L), (300L, 100L), (101L, 101L), (301L, 101L),
+      (102L, 102L), (302L, 102L), (103L, 103L), (303L, 303L))
+      .toDF("id", "component")
+    EventStream.shardLabelStore(labels, store, S)
+    val before0 = fileDigests(EventStream.shardDir(store, 0))
+    val before3 = fileDigests(EventStream.shardDir(store, 3))
+    assert(before0.nonEmpty && before3.nonEmpty)
+    // one edge bridging components 101 (shard 1) and 102 (shard 2)
+    val touched = EventStream.foldShardedBatch(
+      Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
+    assert(touched === Seq(1, 2),
+      "merge map names exactly the shards of the merged components")
+    assert(fileDigests(EventStream.shardDir(store, 0)) === before0,
+      "shard 0 was rewritten by a fold that never touched it")
+    assert(fileDigests(EventStream.shardDir(store, 3)) === before3,
+      "shard 3 was rewritten by a fold that never touched it")
+    val after = EventStream.readShardedStore(spark, store, S)
+      .as[(Long, Long)].collect().toMap
+    assert(after === Map(
+      100L -> 100L, 300L -> 100L, 101L -> 101L, 301L -> 101L,
+      102L -> 101L, 302L -> 101L, 103L -> 103L, 303L -> 303L))
+  }
+
+  test("two-phase commit: the _swap_pending marker decides whether a " +
+    "complete ._next is promoted at recovery") {
+    def setup(): (String, org.apache.hadoop.fs.FileSystem) = {
+      val store = s"${freshBase()}/labels"
+      EventStream.shardLabelStore(
+        Seq((100L, 100L), (300L, 100L)).toDF("id", "component"), store, S)
+      (store, fsOf(store))
+    }
+    val v2 = Seq((100L, 100L), (300L, 100L), (500L, 100L))
+    // crash AFTER the commit point (marker present): recovery must
+    // complete the batch's swap by promoting the complete ._next
+    locally {
+      val (store, fs) = setup()
+      v2.toDF("id", "component").write
+        .parquet(EventStream.shardDir(store, 0) + "._next")
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      EventStream.recoverShardedStore(fs, store, S)
+      assert(spark.read.parquet(EventStream.shardDir(store, 0))
+        .as[(Long, Long)].collect().toSet === v2.toSet)
+      assert(!fs.exists(new Path(store, "_swap_pending")))
+      assert(!fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")))
+    }
+    // crash BEFORE the commit point (no marker): the live state is the
+    // consistent one — the stale ._next must NOT be promoted (the next
+    // fold clears and rewrites it)
+    locally {
+      val (store, fs) = setup()
+      v2.toDF("id", "component").write
+        .parquet(EventStream.shardDir(store, 0) + "._next")
+      EventStream.recoverShardedStore(fs, store, S)
+      assert(spark.read.parquet(EventStream.shardDir(store, 0))
+        .as[(Long, Long)].collect().toSet ===
+        Set((100L, 100L), (300L, 100L)))
+      assert(fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")),
+        "pre-commit-point residue is the next fold's to clear, not recovery's")
+    }
+  }
+
+  test("a fold folded into a crashed-and-recovered store equals the fold " +
+    "into a clean store (replay idempotence through the marker path)") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    EventStream.shardLabelStore(
+      Seq((101L, 101L), (301L, 101L), (102L, 102L), (302L, 102L))
+        .toDF("id", "component"), store, S)
+    // first fold merges 101/102; manufacture the post-commit-point crash
+    // by re-creating the marker AFTER the fold completed, then replaying
+    // the same batch (exactly what a restarted stream does)
+    EventStream.foldShardedBatch(
+      Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
+    fsOf(store).create(new Path(store, "_swap_pending"), true).close()
+    val replayTouched = EventStream.foldShardedBatch(
+      Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
+    assert(replayTouched.isEmpty,
+      "an already-applied merge contracts to self-loops: nothing to rewrite")
+    val after = EventStream.readShardedStore(spark, store, S)
+      .as[(Long, Long)].collect().toMap
+    assert(after === Map(
+      101L -> 101L, 301L -> 101L, 102L -> 101L, 302L -> 101L))
+  }
+}
