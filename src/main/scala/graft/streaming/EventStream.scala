@@ -483,11 +483,32 @@ object EventStream {
       // some) so the marker below can never promote a stale copy
       (0 until numShards).foreach(k => fs.delete(
         new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next"), true))
-      // phase 1: every touched shard's replacement, fully written
+      // phase 1: every touched shard's replacement in ONE partitionBy job
+      // (a write job per shard would pay fixed scheduling cost × touched —
+      // measured 2× the whole fold at sf1), then per-shard renames into
+      // `._next` position. The per-dir `_SUCCESS` is stamped AFTER each
+      // rename returns — marker-last, so a torn copy-then-delete rename
+      // leaves an incomplete dir that recovery refuses, same as a torn
+      // Spark write.
+      val staging = new org.apache.hadoop.fs.Path(storeDir + "._staging")
+      fs.delete(staging, true)
+      updated.write.mode("overwrite").partitionBy("_s")
+        .parquet(staging.toString)
       touched.foreach { k =>
-        updated.where(col("_s") === k).drop("_s")
-          .write.mode("overwrite").parquet(shardDir(storeDir, k) + "._next")
+        val src = new org.apache.hadoop.fs.Path(staging, s"_s=$k")
+        val dst = new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next")
+        if (fs.exists(src)) {
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"staging rename $src -> $dst failed")
+        } else
+          // a shard whose every component merged away this batch: its
+          // replacement is EMPTY — write it through Spark so the dir
+          // still carries a readable schema
+          updated.where(col("_s") === k).drop("_s")
+            .write.mode("overwrite").parquet(dst.toString)
+        fs.create(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"), true).close()
       }
+      fs.delete(staging, true)
       // commit point
       fs.mkdirs(root)
       fs.create(new org.apache.hadoop.fs.Path(root, "_swap_pending"), true)
