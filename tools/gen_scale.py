@@ -27,6 +27,8 @@ Replication is key-consistent and workload-preserving:
     replicas identical vectors);
   - region/nation stay fixed (TPC-H dimensions do not scale with SF).
 """
+import json
+import pathlib
 import string
 import sys
 
@@ -38,6 +40,26 @@ FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 MUTATION = sys.argv[4] if len(sys.argv) > 4 else "caesar"
 assert MUTATION in ("caesar", "suffix")
 assert MUTATION == "suffix" or FACTOR <= 26, "caesar collides beyond 26 replicas"
+
+# Generation depth: chaining this tool on its own output must not reuse a
+# mutation family whose per-replica patterns COMMUTE across generations —
+# caesar shifts compose additively (replica (j,k) of a chained run equals
+# any (j',k') with j+k = j'+k', i.e. ~FACTOR² manufactured exact-twin
+# groups per base doc: ENOSPC'd the round-9 sf10 dedup bench before it was
+# caught), and the md5 sign-flip patterns multiply commutatively the same
+# way (the gen_scale_embeddings.py bug fixed in round 9). Depth rides a
+# _scale_meta.json beside the parquet; absent (the driver's pristine
+# testdata) means depth 0.
+_meta = pathlib.Path(SRC) / "_scale_meta.json"
+SRC_DEPTH = json.loads(_meta.read_text())["depth"] if _meta.exists() else 0
+if MUTATION == "caesar" and SRC_DEPTH >= 1:
+    sys.exit(
+        f"{SRC} is already a generation-{SRC_DEPTH} scale-up: caesar shifts "
+        "compose additively across generations and manufacture exact-twin "
+        "replicas — rerun with mutation=suffix (sound when chained at "
+        "factor <= 10: appended digit strings decode uniquely)")
+assert MUTATION != "suffix" or SRC_DEPTH == 0 or FACTOR <= 10, \
+    "chained suffix replicas need factor <= 10 for unambiguous digit strings"
 
 con = duckdb.connect()
 con.execute("SET threads TO 16")
@@ -145,7 +167,14 @@ def sign_list(k, dim):
         return None  # identity — replica 0 is the original
     signs = []
     for i in range(dim):
-        h = hashlib.md5(f"emb{k}:{i}".encode()).hexdigest()
+        # depth-salted: a chained run multiplies a generation-g pattern
+        # into a generation-(g-1) one; same-family patterns commute
+        # ((j,k) == (k,j) — exact-duplicate vectors), independent families
+        # stay independent random signs at any depth. Depth 0 keeps the
+        # historical salt so regenerated first-decade corpora stay
+        # bit-compatible with every earlier round's evidence.
+        salt = f"emb{k}:{i}" if SRC_DEPTH == 0 else f"emb(d{SRC_DEPTH}){k}:{i}"
+        h = hashlib.md5(salt.encode()).hexdigest()
         signs.append(1.0 if h[0] >= "8" else -1.0)
     return "[" + ", ".join(str(s) for s in signs) + "]"
 
@@ -163,4 +192,7 @@ copy("embeddings", f"""
          label
   FROM read_parquet('{SRC}/embeddings.parquet'), ks""")
 
-print(f"done: {DST} at {FACTOR}x {SRC}")
+pathlib.Path(DST, "_scale_meta.json").write_text(
+    json.dumps({"depth": SRC_DEPTH + 1, "mutation": MUTATION,
+                "factor": FACTOR, "src": SRC}))
+print(f"done: {DST} at {FACTOR}x {SRC} (generation {SRC_DEPTH + 1})")
