@@ -295,6 +295,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Cross-document exact segment dedup (Lee et al. 2022 at fixed
+    // 10-token granularity): keep-first-occurrence, reassemble in order.
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", width = 10)),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -1600,6 +1605,19 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
+
+    "q_segment_dedup" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0), " +
+        "st AS (SELECT doc_id, ts, unnest(generate_series(0, n - 1, 10)) AS s FROM nz), " +
+        "segs AS (SELECT doc_id, s // 10 AS seg_id, array_to_string(ts[s + 1 : s + 10], ' ') AS seg FROM st), " +
+        "mk AS (SELECT doc_id, seg_id, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) = 1 AS keep FROM segs), " +
+        "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_id), '') AS text_dedup FROM mk GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup, " +
+        "coalesce(r.n_kept, 0) AS n_kept, coalesce(r.n_total, 0) AS n_total " +
+        "FROM documents d LEFT JOIN rb r USING (doc_id)"),
 
     "q_dedup_minhash" ->
       s"WITH $minhashPairsCtes SELECT id_a, id_b FROM pairs",

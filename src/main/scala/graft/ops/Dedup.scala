@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.
@@ -911,5 +912,75 @@ object Dedup {
           (col("_sza") + col("_szb") - col("_inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-document exact segment dedup — the ExactSubstr rule of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") at fixed segment granularity; CCNet (Wenzek et al. 2019)
+    * applies the same keep-first rule at paragraph granularity. Each
+    * document is cut into consecutive non-overlapping `width`-token
+    * segments (map-side: one `transform` over the token array — no
+    * shuffle to segmentize); a segment INSTANCE survives iff it is the
+    * corpus-first occurrence of its exact text (min (id, seg_id) —
+    * deterministic, engine-portable); survivors are reassembled in
+    * segment order. Documents whose every segment was shadowed — and
+    * token-empty documents — come back with empty text and zero counts
+    * via the final resurrection join, so the output is total over the
+    * input corpus.
+    *
+    * Scale shape — two shuffles, both smaller than the corpus:
+    * (1) segment instances groupBy (xxhash64(seg), seg) with a
+    * map-side-partial `min` — duplicate instances combine BEFORE the
+    * exchange, so the wire carries ~distinct classes, not all instances,
+    * and a boilerplate segment duplicated a million times arrives at its
+    * reducer as one pre-combined row per mapper instead of a million-row
+    * hot key (a window formulation would shuffle every instance, could
+    * not partial-agg, and concentrates exactly the most-duplicated —
+    * i.e. most interesting — segments; the hash prefix makes the agg key
+    * compare 8-byte integers first, and the full text stays in the key
+    * so a collision cannot merge two classes); (2) the keepers — one row
+    * per distinct segment, each knowing the (id, seg_id) where it
+    * survives — regroup by doc for ordered reassembly (per-doc state
+    * bounded by doc length). Totality costs no join: a map-side sentinel
+    * row per doc (null seg, carrying the doc's segment count) unions
+    * into shuffle 2, so fully-shadowed and token-empty docs still
+    * produce output rows. No self-join, no candidate explosion: every
+    * step is linear in corpus token count — the property that lets the
+    * rule run on a 100 TB corpus where a suffix-array ExactSubstr pass
+    * cannot.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 10): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val keepers = Text.spread(docs)
+      .select(col(idCol), Text.tokens(col(textCol)).as("_ts"))
+      .where(size(col("_ts")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("_ts")) - 1) / width).cast("int")),
+          i => concat_ws(" ", slice(col("_ts"), i * width + 1, lit(width))))))
+      .withColumnRenamed("pos", "seg_id")
+      .withColumnRenamed("col", "seg")
+      .groupBy(xxhash64(col("seg")).as("_h"), col("seg"))
+      .agg(min(struct(col(idCol), col("seg_id"))).as("_k"))
+      .select(col("_k")(idCol).as(idCol), col("_k")("seg_id").as("seg_id"),
+        col("seg"), lit(0L).as("n_total"))
+    val sentinels = docs
+      .select(col(idCol), size(Text.tokens(col(textCol))).as("_n"))
+      .select(col(idCol), lit(-1).as("seg_id"),
+        lit(null).cast("string").as("seg"),
+        when(col("_n") > 0, ((col("_n") - 1) / width).cast("long") + 1)
+          .otherwise(0L).as("n_total"))
+    keepers.union(sentinels)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("seg").isNotNull,
+              struct(col("seg_id"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("text_dedup"),
+        count(col("seg")).as("n_kept"),
+        max(col("n_total")).as("n_total"))
   }
 }

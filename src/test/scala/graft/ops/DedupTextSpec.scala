@@ -754,4 +754,48 @@ class DedupTextSpec extends SparkSpec {
     assert(Text.spread(starved).select("doc_id").as[Long].collect().sorted
       === docs.select("doc_id").as[Long].collect().sorted)
   }
+
+  test("segmentDedup: keep-first across and within docs, total output, ordered reassembly") {
+    val corpus = Seq(
+      (10L, "a b c d e f"),          // both segments are corpus-first
+      (20L, "a b c x y z"),          // seg 0 shadowed by doc 10
+      (30L, "d e f d e f"),          // both segments shadowed by doc 10
+      (40L, ""),                     // token-empty: resurrected, zero counts
+      (50L, "p q r p q r"),          // within-doc dup: seg 1 shadowed by seg 0
+      (60L, "t1  t2 t3 t4")          // trailing partial segment + odd whitespace
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", width = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // one row per input doc, including the empty one
+    assert(out.keySet === Set(10L, 20L, 30L, 40L, 50L, 60L))
+    assert(out(10L) === (("a b c d e f", 2L, 2L)))
+    assert(out(20L) === (("x y z", 1L, 2L)))          // first segment removed
+    assert(out(30L) === (("", 0L, 2L)))               // fully shadowed
+    assert(out(40L) === (("", 0L, 0L)))
+    assert(out(50L) === (("p q r", 1L, 2L)))          // within-doc keep-first
+    // trailing partial segment survives; whitespace normalizes to single
+    assert(out(60L) === (("t1 t2 t3 t4", 2L, 2L)))
+
+    // global uniqueness: every distinct segment text appears exactly once
+    // across all surviving documents
+    val keptSegs = out.values.toSeq.map(_._1).filter(_.nonEmpty)
+      .flatMap(_.split(" ").grouped(3).map(_.mkString(" ")))
+    assert(keptSegs.distinct.size === keptSegs.size)
+  }
+
+  test("segmentDedup: identity on an all-distinct corpus; width guard") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "v1 v2 v3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", width = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("w1 w2 w3 w4 w5", 3L, 3L)))
+    assert(out(2L) === (("v1 v2 v3", 2L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.segmentDedup(corpus, "doc_id", "text", width = 0))
+  }
 }
