@@ -51,7 +51,8 @@ assert MUTATION == "suffix" or FACTOR <= 26, "caesar collides beyond 26 replicas
 # _scale_meta.json beside the parquet; absent (the driver's pristine
 # testdata) means depth 0.
 _meta = pathlib.Path(SRC) / "_scale_meta.json"
-SRC_DEPTH = json.loads(_meta.read_text())["depth"] if _meta.exists() else 0
+SRC_META = json.loads(_meta.read_text()) if _meta.exists() else {}
+SRC_DEPTH = SRC_META.get("depth", 0)
 if MUTATION == "caesar" and SRC_DEPTH >= 1:
     sys.exit(
         f"{SRC} is already a generation-{SRC_DEPTH} scale-up: caesar shifts "
@@ -193,6 +194,6 @@ copy("embeddings", f"""
   FROM read_parquet('{SRC}/embeddings.parquet'), ks""")
 
 pathlib.Path(DST, "_scale_meta.json").write_text(
-    json.dumps({"depth": SRC_DEPTH + 1, "mutation": MUTATION,
+    json.dumps({**SRC_META, "depth": SRC_DEPTH + 1, "mutation": MUTATION,
                 "factor": FACTOR, "src": SRC}))
 print(f"done: {DST} at {FACTOR}x {SRC} (generation {SRC_DEPTH + 1})")

@@ -37,11 +37,18 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata/sf1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf10_emb"
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+# Depth is PER MUTATION FAMILY: this tool's sign-flip generations count
+# under "emb_scale_depth", independent of gen_scale.py's "depth" (its
+# caesar/suffix + 'emb:'-salted families). Cross-tool chaining is safe —
+# the salt families are disjoint strings, so their md5 patterns never
+# commute; only same-family chaining needs the escalating counter. The
+# legacy "scale_depth" key (early round-9 runs) is read for compatibility.
 src_meta = os.path.join(SRC, "_scale_meta.json")
-src_depth = 0
+SRC_META = {}
 if os.path.exists(src_meta):
     with open(src_meta) as f:
-        src_depth = json.load(f)["scale_depth"]
+        SRC_META = json.load(f)
+src_depth = SRC_META.get("emb_scale_depth", SRC_META.get("scale_depth", 0))
 DEPTH = src_depth + 1
 SALT = f"emb{DEPTH + 1}"
 print(f"src scale_depth={src_depth} -> salt '{SALT}:'")
@@ -73,8 +80,8 @@ whens = ["WHEN k = 0 THEN embedding"] + [
 
 os.makedirs(DST, exist_ok=True)
 with open(os.path.join(DST, "_scale_meta.json"), "w") as f:
-    json.dump({"scale_depth": DEPTH, "salt": SALT, "factor": FACTOR,
-               "src": SRC}, f)
+    json.dump({**SRC_META, "emb_scale_depth": DEPTH, "emb_salt": SALT,
+               "emb_factor": FACTOR, "emb_src": SRC}, f)
 con.execute(f"""
     COPY (SELECT vec_id + k * {v_str} AS vec_id,
                  CASE {' '.join(whens)} END AS embedding,
