@@ -50,8 +50,39 @@ object RecallBench {
     }
 
     val section = if (args.length > 3) args(3) else "all"
-    require(Seq("all", "topk", "pairs").contains(section),
-      s"section must be all|topk|pairs, got $section")
+    require(Seq("all", "topk", "pairs", "ivfsplit").contains(section),
+      s"section must be all|topk|pairs|ivfsplit, got $section")
+
+    // ---- IVF artifact/probe amortization: what "build once per model
+    // refresh" buys per query batch vs the inline path that re-assigns
+    // the corpus every time. Same √n cells; parity is exact row-set
+    // equality (both paths share one oracle by bit-identity).
+    if (section == "ivfsplit") {
+      val sqrtN = math.max(4, math.sqrt(n.toDouble).toInt)
+      val (inline, nInline, inlineSec) = forceCount(
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k, sqrtN))
+      println(f"IVFSPLIT inline ivf_c$sqrtN: rows=$nInline time=$inlineSec%.2f s")
+      val wh = java.nio.file.Files.createTempDirectory("graft_ivfsplit").toString
+      val (cents, buildSec) = timed(Similarity.ivfBuild(
+        emb, "vec_id", "embedding", sqrtN, 32, wh, "emb_cells"))
+      println(f"IVFSPLIT build (assign+bucketed write, once per refresh): " +
+        f"time=$buildSec%.2f s")
+      // probe from a FRESH catalog read: the artifact's bucket spec must
+      // carry the co-partitioning, not this session's memory of it
+      (1 to 3).foreach { i =>
+        val assigned = Similarity.ivfAssigned(spark, wh, "emb_cells")
+        val (probe, nProbe, probeSec) = forceCount(Similarity.ivfProbe(
+          queries, assigned, "vec_id", "embedding", k, cents))
+        val diff =
+          if (i == 1) inline.exceptAll(probe).count() + probe.exceptAll(inline).count()
+          else 0L
+        println(f"IVFSPLIT probe#$i: rows=$nProbe time=$probeSec%.2f s" +
+          (if (i == 1) f" parity_diff=$diff" else ""))
+        probe.unpersist(); ()
+      }
+      inline.unpersist()
+      spark.stop(); return
+    }
 
     // ---- top-k recall: lshTopK / ivfTopK vs bruteForceTopK ----
     if (section != "pairs") {

@@ -135,31 +135,59 @@ object VecArgmaxCell {
     i = 0
     while (i < n) { nv += v(i) * v(i); i += 1 }
     nv = math.sqrt(nv)
-    var best = -1
-    var bestS9 = 0L
+    // Phase A: raw cosines only. The comparison contract is on
+    // round(cos, 9) — but BigDecimal.valueOf (Double.toString semantics,
+    // what Spark's Round codegen uses and therefore what bit-identity
+    // with the literal path requires) costs ~100× a 64-element dot
+    // product, and running it per CELL made the k=469 production
+    // assignment 10× slower than its own arithmetic (measured at the
+    // 220k decade, round 9). Rounding is monotone in the real value, so
+    // the rounded argmax lies among the cells within one 1e-9 bucket of
+    // the raw max — find the raw max cheaply, then round only those.
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var firstNaN = -1
+    var rawMax = Double.NegativeInfinity
     var j = 0
-    while (j < cents.length) {
+    while (j < k) {
       val c = cents(j)
       if (c.length != n) return null
       var dot = 0.0
       i = 0
       while (i < n) { dot += v(i) * c(i); i += 1 }
-      val cos = dot / (nv * cnorms(j))
-      // round(cos, 9) in exact 1e-9 units; NaN ranks greatest (Spark's
-      // double ordering), ties keep the first (smallest) index.
-      // BigDecimal.valueOf (Double.toString semantics) — NOT the exact
-      // binary-expansion constructor — because that is what Spark's
-      // Round codegen uses; the two can HALF_UP differently at 9th-
-      // decimal halfway points, and the contract here is bit-identity
-      // with the literal round(cos, 9) path.
-      val s9 =
-        if (cos != cos) Long.MaxValue
-        else java.math.BigDecimal.valueOf(cos)
-          .setScale(9, java.math.RoundingMode.HALF_UP)
-          .movePointRight(9).longValueExact()
-      if (best < 0 || s9 > bestS9) { best = j; bestS9 = s9 }
+      val cj = dot / (nv * cnorms(j))
+      cos(j) = cj
+      if (cj != cj) { if (firstNaN < 0) firstNaN = j }
+      else if (cj > rawMax) rawMax = cj
       j += 1
     }
-    Integer.valueOf(best)
+    // NaN ranks greatest (Spark's double ordering in array_max); ties
+    // keep the first (smallest) index — so any NaN cell wins outright.
+    if (firstNaN >= 0) return Integer.valueOf(firstNaN)
+    // Phase B: exact decimal rounding, candidates only. Two doubles with
+    // equal round9 lie strictly within 1e-9 of each other; 1.5e-9 adds
+    // ulp margin. False positives just pay one extra round9 — the
+    // EQUALITY check below is the exact contract, the filter is only a
+    // guard against paying it k times.
+    val s9max = round9(rawMax)
+    j = 0
+    while (j < k) {
+      val cj = cos(j)
+      if (cj >= rawMax - 1.5e-9 && round9(cj) == s9max)
+        return Integer.valueOf(j)
+      j += 1
+    }
+    Integer.valueOf(-1) // unreachable: the rawMax cell always matches
   }
+
+  /** round(d, 9) in exact 1e-9 units — BigDecimal.valueOf
+    * (Double.toString semantics), NOT the exact binary-expansion
+    * constructor, because that is what Spark's Round codegen uses; the
+    * two can HALF_UP differently at 9th-decimal halfway points, and the
+    * contract here is bit-identity with the literal round(cos, 9) path.
+    */
+  private def round9(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .movePointRight(9).longValueExact()
 }
