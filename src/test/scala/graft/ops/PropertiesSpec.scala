@@ -267,6 +267,31 @@ object ClosureProps extends Properties("graft") {
       clean == refClean
     }
 
+  property("segmentDedup = reference keep-first on random duplicate-heavy corpora") =
+    forAll(for {
+      n <- Gen.choose(1, 10)
+      // tiny vocabulary + width 2 makes cross-doc segment collisions likely
+      docs <- Gen.listOfN(n, Gen.choose(0, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }) { docs =>
+      val w = 2
+      val out = Dedup.segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // reference: global keep-first over (doc_id, seg_id)-ordered segments
+      def segsOf(t: String): Seq[String] = {
+        val ts = t.split("\\s+").filter(_.nonEmpty).toSeq
+        ts.grouped(w).map(_.mkString(" ")).toSeq
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val ref = docs.map { case (id, t) =>
+        val segs = segsOf(t)
+        val kept = segs.filter(s => seen.add(s))
+        id -> ((kept.mkString(" "), kept.size.toLong, segs.size.toLong))
+      }.toMap
+      out == ref
+    }
+
   property("firstPerGroup picks the true minimum per group") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))) {
       rows =>
