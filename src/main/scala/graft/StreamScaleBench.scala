@@ -54,20 +54,23 @@ object StreamScaleBench {
     val batches = (0 until numBatches).map(b =>
       edges.zipWithIndex.collect { case (e, i) if i % numBatches == b => e })
 
+    /** Corpus-sized bootstrap labeling: every doc id labeled with its
+      * exact-dup component (min doc_id per text digest). ONE definition
+      * for the flat and sharded legs — the two must measure the same
+      * store or the comparison is meaningless. */
+    def bootstrapLabels() = {
+      val d = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("digest"))
+      d.join(d.groupBy("digest").agg(min("doc_id").as("component")),
+          Seq("digest"))
+        .select(col("doc_id").as("id"), col("component"))
+    }
+
     def leg(name: String, bootstrap: Boolean): Unit = {
       val base = java.nio.file.Files
         .createTempDirectory(s"graft_streamscale_$name").toString
       val store = s"$base/labels"
-      if (bootstrap) {
-        // corpus-sized labeling: every doc id labeled with its exact-dup
-        // component (min doc_id per text digest)
-        val d = docs.select(col("doc_id"),
-          md5(col("text").cast("binary")).as("digest"))
-        d.join(d.groupBy("digest").agg(min("doc_id").as("component")),
-            Seq("digest"))
-          .select(col("doc_id").as("id"), col("component"))
-          .write.parquet(store)
-      }
+      if (bootstrap) bootstrapLabels().write.parquet(store)
       val input = MemoryStream[streaming.EventStream.CandPair]
       val q = streaming.EventStream.clusterMaintenance(
         input.toDF(), store, s"$base/ckpt")
@@ -97,13 +100,7 @@ object StreamScaleBench {
       val base = java.nio.file.Files
         .createTempDirectory(s"graft_streamscale_$name").toString
       val store = s"$base/labels"
-      val d = docs.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("digest"))
-      val labels = d
-        .join(d.groupBy("digest").agg(min("doc_id").as("component")),
-          Seq("digest"))
-        .select(col("doc_id").as("id"), col("component"))
-      streaming.EventStream.shardLabelStore(labels, store, numShards)
+      streaming.EventStream.shardLabelStore(bootstrapLabels(), store, numShards)
       val fs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // (mtime, bytes) per shard: mtime flips when the swap replaces the
@@ -156,11 +153,15 @@ object StreamScaleBench {
     // the backlog is drained) — batch footprint ≪ shard count, so most
     // of the store is never rewritten
     // ~20 edges/batch against 256 shards: footprint ≈ 30 components →
-    // most shards untouched, rewrite bytes ∝ batch, not store
+    // most shards untouched, rewrite bytes ∝ batch, not store. The
+    // stride self-calibrates to the corpus's edge count (a fixed stride
+    // would silently produce empty batches past it, or off-target batch
+    // sizes on other SFs).
+    val trickleStride = math.max(numBatches, edges.length / 20)
     shardedLeg("sharded-trickle", 256,
       (0 until numBatches).map(b =>
         edges.zipWithIndex.collect {
-          case (e, i) if i % 370 == b => e }))
+          case (e, i) if i % trickleStride == b => e }))
     spark.stop()
   }
 }

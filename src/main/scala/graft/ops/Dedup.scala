@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.

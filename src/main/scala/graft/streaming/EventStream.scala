@@ -342,14 +342,15 @@ object EventStream {
   // Each shard is an independent parquet dir `s=<k>` under the store
   // root, swapped with the SAME per-shard `._next`/`._old` torn-rename
   // protocol as the unsharded store. Cross-shard atomicity comes from a
-  // two-phase commit: phase 1 writes every touched shard's `._next`
-  // (stale `._next`s are cleared first so a later marker can never
-  // promote leftovers); a `_swap_pending` marker at the root is the
-  // commit point; phase 2 swaps each touched shard and drops the
-  // marker. [[recoverShardedStore]] makes any crash window consistent:
-  // before the marker the old state is intact (complete `._next`s are
-  // ignored without a marker), after it every remaining complete
-  // `._next` is promoted — so readers never see a half-merged labeling.
+  // two-phase commit: phase 1 writes every touched shard's `._next`;
+  // a `_swap_pending` marker at the root is the commit point; phase 2
+  // swaps each touched shard and drops the marker.
+  // [[recoverShardedStore]] makes any crash window consistent: before
+  // the marker the old state is intact (ALL `._next` residue is
+  // discarded, never promoted — even a complete one on a shard with no
+  // live dir is phase-1 residue of an uncommitted batch), after it
+  // every residue shard is driven to its new content — so readers
+  // never see a half-merged labeling.
   // ------------------------------------------------------------------
 
   private[graft] def shardDir(storeDir: String, shard: Int): String =
@@ -382,29 +383,94 @@ object EventStream {
     }
   }
 
-  /** Crash recovery for the sharded store: per-shard torn-rename
-    * recovery first, then the two-phase commit marker — if
-    * `_swap_pending` exists, a fold crashed between its commit point and
-    * cleanup, and every touched shard is guaranteed a complete `._next`
-    * (or an already-promoted live copy), so promoting the survivors
-    * completes the batch's swap exactly. Without the marker, complete
-    * `._next` residue (a crash before the commit point) is left for the
-    * next fold to clear — the live state is the consistent one.
+  /** One `listStatus` of the store root → which shards have a live dir,
+    * `._next` residue, `._old` residue, and whether the commit marker is
+    * present. Every recovery/fold decision derives from this single
+    * listing: per-shard existence probes would cost O(numShards)
+    * metadata RPCs per micro-batch on an object store — a fixed per-
+    * batch term proportional to shard count, exactly the shape sharding
+    * exists to remove. Per-dir `_SUCCESS` checks still happen, but only
+    * on shards the listing shows carry residue.
+    */
+  private[graft] case class ShardListing(
+      live: Set[Int], next: Set[Int], old: Set[Int], marker: Boolean)
+
+  private val ShardName = """s=(\d+)(\._next|\._old)?""".r
+
+  private[graft] def listShards(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): ShardListing = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(root)) return ShardListing(Set(), Set(), Set(), false)
+    var live = Set.empty[Int]; var next = Set.empty[Int]
+    var old = Set.empty[Int]; var marker = false
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case "_swap_pending" => marker = true
+        case ShardName(k, suffix) => suffix match {
+          case "._next" => next += k.toInt
+          case "._old" => old += k.toInt
+          case _ => live += k.toInt
+        }
+        case _ => ()
+      }
+    }
+    ShardListing(live, next, old, marker)
+  }
+
+  /** Crash recovery for the sharded store, driven by the commit marker.
+    *
+    * WITHOUT `_swap_pending`: no swap ever started, so the live state is
+    * the consistent one and every `._next` is phase-1 residue — DISCARD
+    * it, never promote. (The flat-store rule "complete ._next with no
+    * live dir = mid-swap, promote" is wrong for sharded phase-1 residue:
+    * a crash after writing a brand-new shard's `._next` but before the
+    * marker would otherwise resurrect half a batch — conflicting
+    * duplicate labels across shards.) `._old` residue then goes through
+    * the flat per-shard recovery, which also clears it.
+    *
+    * WITH the marker: phase 1 completed in full, so the batch is
+    * committed and every residue shard must end at its NEW content.
+    * Three cases, disambiguated without epochs because
+    * [[swapLabelStore]]'s step order (clear `._old` → archive live →
+    * promote `._next` → drop `._old`) makes them mutually exclusive:
+    *  - live complete AND `._old` AND `._next` present → the promote
+    *    copy finished and the crash tore the rename's DELETE side
+    *    (copy-then-delete semantics); live IS the new content — drop
+    *    both residues. (Pre-swap state never has `._old`: the previous
+    *    batch's swap dropped it.)
+    *  - `._next` complete (live absent, torn, or pre-swap) → run the
+    *    swap; [[swapLabelStore]] handles each sub-window.
+    *  - anything else (torn `._next` whose `_SUCCESS` was already
+    *    deleted, stray `._old`) → flat per-shard recovery; a leftover
+    *    incomplete `._next` is deleted by the next no-marker pass.
     */
   private[graft] def recoverShardedStore(
       fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
       numShards: Int): Unit = {
-    val dirs = (0 until numShards).map(shardDir(storeDir, _))
-    dirs.foreach(d => recoverLabelStore(fs, d))
-    val pending = new org.apache.hadoop.fs.Path(storeDir, "_swap_pending")
-    if (fs.exists(pending)) {
-      dirs.foreach { d =>
-        val next = new org.apache.hadoop.fs.Path(d + "._next")
-        if (fs.exists(next) && fs.exists(
-            new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
-          swapLabelStore(fs, d)
+    val l = listShards(fs, storeDir)
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!l.marker) {
+      l.next.foreach { k =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next"),
+          true)
       }
-      fs.delete(pending, false)
+      l.old.foreach(k => recoverLabelStore(fs, shardDir(storeDir, k)))
+    } else {
+      (l.next ++ l.old).foreach { k =>
+        val d = shardDir(storeDir, k)
+        val live = new org.apache.hadoop.fs.Path(d)
+        val next = new org.apache.hadoop.fs.Path(d + "._next")
+        val old = new org.apache.hadoop.fs.Path(d + "._old")
+        if (complete(live) && fs.exists(old) && fs.exists(next)) {
+          fs.delete(next, true); fs.delete(old, true)
+        } else if (complete(next)) swapLabelStore(fs, d)
+        else recoverLabelStore(fs, d)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir, "_swap_pending"),
+        false)
       ()
     }
   }
@@ -417,8 +483,8 @@ object EventStream {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverShardedStore(fs, storeDir, numShards)
-    val existing = (0 until numShards).map(shardDir(storeDir, _))
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val existing = listShards(fs, storeDir).live.toSeq.sorted
+      .map(shardDir(storeDir, _))
     require(existing.nonEmpty, s"no shards under $storeDir — bootstrap " +
       "with shardLabelStore or fold a first batch")
     spark.read.parquet(existing: _*)
@@ -441,8 +507,7 @@ object EventStream {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverShardedStore(fs, storeDir, numShards)
-    val existing = (0 until numShards).filter(k =>
-      fs.exists(new org.apache.hadoop.fs.Path(shardDir(storeDir, k))))
+    val existing = listShards(fs, storeDir).live.toSeq.sorted
     val idType = batch.schema("id_a").dataType
     val labels =
       if (existing.nonEmpty)
@@ -457,7 +522,15 @@ object EventStream {
       graft.ops.Dedup.incrementalMergeParts(labels, batch)
     // read twice below (touched-shard calc + the rewrite) — materialize
     val newRows = newRowsRaw.transform(graft.Materialize.checkpoint)
-    val touched = bcMerged.select(col("_old").as("c"))
+    // Touched = shards that LOSE rows (store components the merge map
+    // renames — semi-joined against the store, because an _old can be a
+    // brand-new id whose component never had store rows and whose shard
+    // must NOT be rewritten) ∪ shards that GAIN rows (every _new target
+    // gains at least its loser's relabeled rows or a newRow; every
+    // newRow lands in its component's shard).
+    val touched = labels
+      .join(bcMerged, labels("component") === col("_old"), "left_semi")
+      .select(col("component").as("c"))
       .unionByName(bcMerged.select(col("_new").as("c")))
       .unionByName(newRows.select(col("component").as("c")))
       .select(shardOf(col("c"), numShards).as("s")).distinct()
@@ -479,9 +552,11 @@ object EventStream {
         .unionByName(newRows)
         .withColumn("_s", shardOf(col("component"), numShards))
         .transform(graft.Materialize.checkpoint)
-      // clear ALL stale ._next residue (a pre-commit-point crash leaves
-      // some) so the marker below can never promote a stale copy
-      (0 until numShards).foreach(k => fs.delete(
+      // recovery above consumed or discarded every ._next, so the marker
+      // can never promote a stale copy; clear the touched destinations
+      // anyway (rename refuses an existing target) — bounded by the
+      // batch footprint, not the shard count
+      touched.foreach(k => fs.delete(
         new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next"), true))
       // phase 1: every touched shard's replacement in ONE partitionBy job
       // (a write job per shard would pay fixed scheduling cost × touched —

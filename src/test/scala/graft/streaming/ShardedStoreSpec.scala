@@ -103,6 +103,20 @@ class ShardedStoreSpec extends SparkSpec {
     assert(after === Map(
       100L -> 100L, 300L -> 100L, 101L -> 101L, 301L -> 101L,
       102L -> 101L, 302L -> 101L, 103L -> 103L, 303L -> 303L))
+    // a BRAND-NEW id joining an existing component: the merge map pairs
+    // the new id's self-component with the winner, but no store row ever
+    // carried the new id as a component — its shard (here 2: 502 mod 4)
+    // must not be rewritten; only the winner's shard is
+    val before2 = fileDigests(EventStream.shardDir(store, 2))
+    val touched2 = EventStream.foldShardedBatch(
+      Seq((502L, 300L)).toDF("id_a", "id_b"), store, S)
+    assert(touched2 === Seq(0),
+      "a new id's self-component shard is not store-touched")
+    assert(fileDigests(EventStream.shardDir(store, 2)) === before2,
+      "shard of a new id's never-stored self-component was rewritten")
+    val after2 = EventStream.readShardedStore(spark, store, S)
+      .as[(Long, Long)].collect().toMap
+    assert(after2(502L) === 100L && after2(300L) === 100L)
   }
 
   test("two-phase commit: the _swap_pending marker decides whether a " +
@@ -128,8 +142,9 @@ class ShardedStoreSpec extends SparkSpec {
       assert(!fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")))
     }
     // crash BEFORE the commit point (no marker): the live state is the
-    // consistent one — the stale ._next must NOT be promoted (the next
-    // fold clears and rewrites it)
+    // consistent one — the stale ._next must be DISCARDED, never
+    // promoted (leaving it around would let a LATER batch's marker
+    // promote a stale copy)
     locally {
       val (store, fs) = setup()
       v2.toDF("id", "component").write
@@ -138,8 +153,51 @@ class ShardedStoreSpec extends SparkSpec {
       assert(spark.read.parquet(EventStream.shardDir(store, 0))
         .as[(Long, Long)].collect().toSet ===
         Set((100L, 100L), (300L, 100L)))
-      assert(fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")),
-        "pre-commit-point residue is the next fold's to clear, not recovery's")
+      assert(!fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")),
+        "pre-commit-point residue must be discarded at recovery")
+    }
+    // pre-commit-point crash on a BRAND-NEW shard (phase 1 wrote the
+    // first-ever `._next` for a shard with no live dir, then died before
+    // the marker): the uncommitted half-batch must NOT surface — the
+    // flat-store rule "complete ._next with no live = mid-swap, promote"
+    // would resurrect half a merge here
+    locally {
+      val (store, fs) = setup()
+      val newShard = EventStream.shardDir(store, 3)
+      Seq((700L, 3L)).toDF("id", "component").write
+        .parquet(newShard + "._next")
+      EventStream.recoverShardedStore(fs, store, S)
+      assert(!fs.exists(new Path(newShard)),
+        "uncommitted phase-1 residue on a new shard must not be promoted")
+      assert(!fs.exists(new Path(newShard + "._next")))
+      // and an INCOMPLETE ._next (torn phase-1 write) must not wedge
+      Seq((700L, 3L)).toDF("id", "component").write
+        .parquet(newShard + "._next")
+      fs.delete(new Path(newShard + "._next/_SUCCESS"), false)
+      EventStream.recoverShardedStore(fs, store, S)
+      assert(!fs.exists(new Path(newShard + "._next")))
+    }
+    // post-commit-point crash in the torn-DELETE window of a shard's
+    // promote rename (copy finished — live is complete — but the rename
+    // died before removing `._next`, with `._old` still parked): live IS
+    // the new content; recovery must keep it and drop both residues, not
+    // re-swap the half-deleted ._next over it
+    locally {
+      val (store, fs) = setup()
+      val d = EventStream.shardDir(store, 0)
+      // manufacture: ._old = archived previous content, live = new
+      // content (complete), ._next = the not-yet-deleted source copy
+      if (!fs.rename(new Path(d), new Path(d + "._old")))
+        fail(s"setup rename failed for $d")
+      v2.toDF("id", "component").write.parquet(d)
+      v2.toDF("id", "component").write.parquet(d + "._next")
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      EventStream.recoverShardedStore(fs, store, S)
+      assert(spark.read.parquet(d)
+        .as[(Long, Long)].collect().toSet === v2.toSet)
+      assert(!fs.exists(new Path(d + "._next")))
+      assert(!fs.exists(new Path(d + "._old")))
+      assert(!fs.exists(new Path(store, "_swap_pending")))
     }
   }
 

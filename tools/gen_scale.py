@@ -27,6 +27,7 @@ Replication is key-consistent and workload-preserving:
     replicas identical vectors);
   - region/nation stay fixed (TPC-H dimensions do not scale with SF).
 """
+import os
 import json
 import pathlib
 import string
@@ -59,6 +60,17 @@ if MUTATION == "caesar" and SRC_DEPTH >= 1:
         "compose additively across generations and manufacture exact-twin "
         "replicas — rerun with mutation=suffix (sound when chained at "
         "factor <= 10: appended digit strings decode uniquely)")
+# Missing meta only proves pristine provenance for the driver's own
+# testdata; a pre-meta-era scale-up (or any corpus of unknown lineage)
+# would read as depth 0 and silently re-enable the caesar chain.
+if (MUTATION == "caesar" and not _meta.exists()
+        and not SRC.rstrip("/").startswith("/root/testdata/")
+        and not os.environ.get("GEN_SCALE_TRUST_PRISTINE")):
+    sys.exit(
+        f"{SRC} has no _scale_meta.json and is not the driver's pristine "
+        "testdata — provenance unknown, so caesar chaining cannot be ruled "
+        "out. Use mutation=suffix, or rerun with "
+        "GEN_SCALE_TRUST_PRISTINE=1 if the corpus is known unscaled.")
 assert MUTATION != "suffix" or SRC_DEPTH == 0 or FACTOR <= 10, \
     "chained suffix replicas need factor <= 10 for unambiguous digit strings"
 
