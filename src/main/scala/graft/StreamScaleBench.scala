@@ -133,7 +133,7 @@ object StreamScaleBench {
             case (k, s) if before(k)._1 != s._1 => s._2 }.sum
           val totalBytes = after.values.map(_._2).sum
           val rows = streaming.EventStream
-            .readShardedStore(spark, store, numShards).count()
+            .readShardedStore(spark, store).count()
           println(f"STREAMSCALE $name batch=$i " +
             f"edges=${b.length} fold=$sec%.2f s store_rows=$rows " +
             f"rewritten_shards=$rewritten/$numShards " +

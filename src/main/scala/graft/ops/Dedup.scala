@@ -120,6 +120,22 @@ object Dedup {
     * batch joins its own bands against the store instead of re-banding the
     * corpus.
     */
+  /** One (band, key) struct per band from a minhash signature — the ONE
+    * definition of the LSH band key, shared by [[bandTable]] and the
+    * streaming `minhashCandidateStream`: the streaming state-store keys
+    * and the persisted batch band table must be the same expression or
+    * incremental candidates silently miss pairs.
+    */
+  private[graft] def bandExplode(
+      sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val numBands = numHashes / rowsPerBand
+    explode(array((0 until numBands).map { b =>
+      struct(lit(b).as("bno"),
+        concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+          .as("bkey"))
+    }: _*))
+  }
+
   def bandTable(
       shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
@@ -129,12 +145,8 @@ object Dedup {
     // tokenization once per seed.
     shingled
       .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
-      .select(col("_id"), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
-            .as("key"))
-      }: _*)).as("_band"))
-      .select(col("_id"), col("_band.band").as("_bno"), col("_band.key").as("_bkey"))
+      .select(col("_id"), bandExplode(col("_sig"), numHashes, rowsPerBand).as("_band"))
+      .select(col("_id"), col("_band.bno").as("_bno"), col("_band.bkey").as("_bkey"))
       // Materialized once so consumers (self-join sides, store writes)
       // don't recompute the signatures (the dominant cost).
       .transform(Materialize.checkpoint)
@@ -680,7 +692,7 @@ object Dedup {
     */
   def connectedComponentsIncremental(
       labels: DataFrame, newEdges: DataFrame): DataFrame = {
-    val (bcMerged, newRows) = incrementalMergeParts(labels, newEdges)
+    val (bcMerged, newRows, _) = incrementalMergeParts(labels, newEdges)
     // ONE map-side pass over the store: touched components relabel,
     // untouched rows stream through
     val storeUpdated = labels
@@ -703,14 +715,22 @@ object Dedup {
     * component)` rows for ids not yet in the store.
     */
   private[graft] def incrementalMergeParts(
-      labels: DataFrame, newEdges: DataFrame): (DataFrame, DataFrame) = {
+      labels: DataFrame, newEdges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = newEdges.select(col("id_a"), col("id_b"))
       .transform(Materialize.checkpoint)
     val ids = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id"))).distinct()
       .transform(Materialize.checkpoint)
+    // batch endpoint → its store row if any. Materialized: this join is
+    // the fold's ONE store scan, and both the label coalesce and the
+    // store-component set below derive from it — recomputing it would
+    // scan the store twice per batch.
+    val endpointRaw = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), col("component"))
+      .transform(Materialize.checkpoint)
     // batch endpoint → its current label (own id when not yet labeled)
-    val endpointLbl = ids.join(labels, Seq("id"), "left")
+    val endpointLbl = endpointRaw
       .select(col("id"), coalesce(col("component"), col("id")).as("_lbl"))
     val la = endpointLbl.select(col("id").as("id_a"), col("_lbl").as("_la"))
     val lb = endpointLbl.select(col("id").as("id_b"), col("_lbl").as("_lb"))
@@ -726,10 +746,16 @@ object Dedup {
     val bcMerged = Joins.broadcastIfSmall(merged, Some(merged.count()))
     // brand-new ids enter with their own id as label unless the quotient
     // merged them into something
-    val newRows = ids.join(labels, Seq("id"), "left_anti")
+    val newRows = endpointRaw.where(col("component").isNull).select(col("id"))
       .join(bcMerged, col("id") === col("_old"), "left")
       .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
-    (bcMerged, newRows)
+    // distinct components the batch's endpoints ALREADY HAVE in the
+    // store — batch-sized, and exactly the set a sharded fold needs to
+    // know which shards LOSE rows (an _old that is a brand-new id's
+    // self-label has no store rows and must not count)
+    val storeComps = endpointRaw.where(col("component").isNotNull)
+      .select(col("component").as("c")).distinct()
+    (bcMerged, newRows, storeComps)
   }
 
   /** Alternating large-star / small-star CC (Kiveris et al., "Connected

@@ -157,17 +157,16 @@ object EventStream {
       docs: Dataset[DocIn], shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
-    val numBands = numHashes / rowsPerBand
     val banded = docs.toDF()
       .select(col("doc_id"),
         graft.ops.Dedup.minhashSignature(
           graft.ops.Text.shingles(col("text"), shingleSize), numHashes)
           .as("_sig"))
-      .select(col("doc_id"), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("bno"),
-          concat_ws("|", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
-            .as("bkey"))
-      }: _*)).as("_b"))
+      // the band key is Dedup.bandExplode — ONE definition with the batch
+      // band table, so state-store keys can never drift from it
+      .select(col("doc_id"),
+        graft.ops.Dedup.bandExplode(col("_sig"), numHashes, rowsPerBand)
+          .as("_b"))
       .select(col("doc_id"), col("_b.bno").as("bno"), col("_b.bkey").as("bkey"))
       .as[BandRow]
     banded
@@ -249,6 +248,10 @@ object EventStream {
         // executes the full plan (reading the OLD store) before any
         // mutation of it
         updated.write.mode("overwrite").parquet(tmp.toString)
+        // re-stamp with a manifest: the bare Spark marker cannot prove
+        // completeness once the dir has been RENAMED by the swap (see
+        // stampSuccess — object-store renames can copy _SUCCESS first)
+        stampSuccess(fs, tmp)
         swapLabelStore(fs, storeDir)
         ()
       }
@@ -273,20 +276,93 @@ object EventStream {
     *  - stale `._next`/`._old` next to a complete live store (crash
     *    before the swap finished cleanup): `._old` dropped (`._next` is
     *    deleted by the next batch before rewriting).
-    * "Complete" = Spark's `_SUCCESS` marker is present; a directory
-    * without it is a torn write and is never promoted. The swap protocol
-    * guarantees a complete copy exists in every crash window, so finding
-    * a torn live store with NO complete sibling is a protocol violation
-    * and throws rather than silently serving partial labels.
+    */
+
+  /** Stamp `dir/_SUCCESS` with a MANIFEST: one line per data file
+    * currently in the dir (underscore-prefixed names excluded), plus an
+    * optional leading `batch=<token>` line. Two jobs in one marker:
+    *  - completeness that survives arbitrary rename copy order — a torn
+    *    copy that materialized `_SUCCESS` before the data files fails
+    *    [[dirComplete]]'s manifest check (an S3-style rename copies keys
+    *    in listing order, and `_SUCCESS` < `part-*`);
+    *  - the batch token travels WITH the directory through renames, so
+    *    sharded recovery can tell "this live dir IS the promoted
+    *    `._next`" from "this live dir is the old content whose archive
+    *    rename tore" — two states that are otherwise byte-identical in
+    *    dir layout.
+    */
+  private[graft] def stampSuccess(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      batchToken: Option[String] = None): Unit = {
+    val files = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+    val body = (batchToken.map(t => s"batch=$t").toSeq ++ files)
+      .mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true)
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Read the `batch=` token from a dir's `_SUCCESS`, if any. */
+  private[graft] def batchTokenOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(marker)) None
+    else readSuccess(fs, marker).collectFirst {
+      case l if l.startsWith("batch=") => l.stripPrefix("batch=")
+    }
+  }
+
+  private def readSuccess(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(marker)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** `_SUCCESS` present and, when it carries a manifest, every listed
+    * data file present. An EMPTY marker (Spark's own commit, a dir that
+    * was never renamed) is trusted bare — Spark's commit protocol is
+    * already marker-last on a non-renamed dir.
+    */
+  private[graft] def dirComplete(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(dir) || !fs.exists(marker)) return false
+    val listed = readSuccess(fs, marker).filterNot(_.startsWith("batch="))
+    listed.isEmpty ||
+      listed.forall(f => fs.exists(new org.apache.hadoop.fs.Path(dir, f)))
+  }
+
+  /** Crash recovery invariant notes:
+    * "Complete" = the `_SUCCESS` marker is present AND, when the marker
+    * carries a manifest (see [[stampSuccess]]), every listed data file
+    * exists. The manifest matters on object stores whose rename copies
+    * keys in LISTING order: `_SUCCESS` sorts before `part-*`, so a torn
+    * copy can materialize the marker with zero data files behind it —
+    * a bare marker check would trust the hollow directory. Spark's own
+    * empty `_SUCCESS` (a dir freshly written by a committed Spark job,
+    * never renamed) is trusted as before. The swap protocol guarantees
+    * a complete copy exists in every crash window, so finding a torn
+    * live store with NO complete sibling is a protocol violation and
+    * throws rather than silently serving partial labels.
     */
   private[graft] def recoverLabelStore(
       fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val next = new org.apache.hadoop.fs.Path(storeDir + "._next")
     val old = new org.apache.hadoop.fs.Path(storeDir + "._old")
-    def complete(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def complete(p: org.apache.hadoop.fs.Path): Boolean = dirComplete(fs, p)
     def promote(src: org.apache.hadoop.fs.Path): Unit = {
       fs.delete(path, true)
       if (!fs.rename(src, path))
@@ -378,8 +454,7 @@ object EventStream {
       .getFileSystem(labels.sparkSession.sparkContext.hadoopConfiguration)
     (0 until numShards).foreach { k =>
       val d = new org.apache.hadoop.fs.Path(shardDir(storeDir, k))
-      if (fs.exists(d))
-        fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+      if (fs.exists(d)) stampSuccess(fs, d)
     }
   }
 
@@ -431,23 +506,22 @@ object EventStream {
     *
     * WITH the marker: phase 1 completed in full, so the batch is
     * committed and every residue shard must end at its NEW content.
-    * Three cases, disambiguated without epochs because
-    * [[swapLabelStore]]'s step order (clear `._old` → archive live →
-    * promote `._next` → drop `._old`) makes them mutually exclusive:
-    *  - live complete AND `._old` AND `._next` present → the promote
-    *    copy finished and the crash tore the rename's DELETE side
-    *    (copy-then-delete semantics); live IS the new content — drop
-    *    both residues. (Pre-swap state never has `._old`: the previous
-    *    batch's swap dropped it.)
-    *  - `._next` complete (live absent, torn, or pre-swap) → run the
-    *    swap; [[swapLabelStore]] handles each sub-window.
-    *  - anything else (torn `._next` whose `_SUCCESS` was already
-    *    deleted, stray `._old`) → flat per-shard recovery; a leftover
-    *    incomplete `._next` is deleted by the next no-marker pass.
+    * The one genuinely ambiguous dir LAYOUT — live complete, `._old`
+    * present, `._next` present — arises from two opposite windows:
+    * the promote rename's torn DELETE side (live IS the new content;
+    * drop the residues) and the ARCHIVE rename's torn delete side
+    * (live is still the OLD content; the swap must run). Layout cannot
+    * tell them apart, so the batch TOKEN does: phase 1 stamps every
+    * `._next`'s manifest with the batch's token, and the token travels
+    * with the directory through the promote rename — live carrying the
+    * SAME token as `._next` proves the promote copy finished. Any
+    * other residue state: complete `._next` → run the swap
+    * ([[swapLabelStore]] handles each sub-window); else flat per-shard
+    * recovery, with leftover incomplete `._next` deleted by the next
+    * no-marker pass.
     */
   private[graft] def recoverShardedStore(
-      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
-      numShards: Int): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Unit = {
     val l = listShards(fs, storeDir)
     def complete(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
@@ -464,7 +538,10 @@ object EventStream {
         val live = new org.apache.hadoop.fs.Path(d)
         val next = new org.apache.hadoop.fs.Path(d + "._next")
         val old = new org.apache.hadoop.fs.Path(d + "._old")
-        if (complete(live) && fs.exists(old) && fs.exists(next)) {
+        val promoteFinished = complete(live) && fs.exists(old) &&
+          fs.exists(next) && batchTokenOf(fs, live).exists(t =>
+            batchTokenOf(fs, next).contains(t))
+        if (promoteFinished) {
           fs.delete(next, true); fs.delete(old, true)
         } else if (complete(next)) swapLabelStore(fs, d)
         else recoverLabelStore(fs, d)
@@ -478,11 +555,10 @@ object EventStream {
   /** Read the sharded store as one `(id, component)` labeling (recovery
     * runs first, so a post-crash read sees a consistent state). */
   def readShardedStore(
-      spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      numShards: Int): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverShardedStore(fs, storeDir, numShards)
+    recoverShardedStore(fs, storeDir)
     val existing = listShards(fs, storeDir).live.toSeq.sorted
       .map(shardDir(storeDir, _))
     require(existing.nonEmpty, s"no shards under $storeDir — bootstrap " +
@@ -506,7 +582,7 @@ object EventStream {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverShardedStore(fs, storeDir, numShards)
+    recoverShardedStore(fs, storeDir)
     val existing = listShards(fs, storeDir).live.toSeq.sorted
     val idType = batch.schema("id_a").dataType
     val labels =
@@ -518,19 +594,19 @@ object EventStream {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id", idType),
             org.apache.spark.sql.types.StructField("component", idType))))
-    val (bcMerged, newRowsRaw) =
+    val (bcMerged, newRowsRaw, storeComps) =
       graft.ops.Dedup.incrementalMergeParts(labels, batch)
     // read twice below (touched-shard calc + the rewrite) — materialize
     val newRows = newRowsRaw.transform(graft.Materialize.checkpoint)
-    // Touched = shards that LOSE rows (store components the merge map
-    // renames — semi-joined against the store, because an _old can be a
-    // brand-new id whose component never had store rows and whose shard
-    // must NOT be rewritten) ∪ shards that GAIN rows (every _new target
-    // gains at least its loser's relabeled rows or a newRow; every
-    // newRow lands in its component's shard).
-    val touched = labels
-      .join(bcMerged, labels("component") === col("_old"), "left_semi")
-      .select(col("component").as("c"))
+    // Touched = shards that LOSE rows (merge-map _olds restricted to
+    // components the batch's endpoints actually HAVE in the store —
+    // storeComps is batch-sized, derived from the fold's one store scan;
+    // an _old that is a brand-new id's self-label has no store rows and
+    // its shard must NOT be rewritten) ∪ shards that GAIN rows (every
+    // _new target gains at least its loser's relabeled rows or a newRow;
+    // every newRow lands in its component's shard).
+    val touched = storeComps
+      .join(bcMerged, storeComps("c") === col("_old"), "left_semi")
       .unionByName(bcMerged.select(col("_new").as("c")))
       .unionByName(newRows.select(col("component").as("c")))
       .select(shardOf(col("c"), numShards).as("s")).distinct()
@@ -569,6 +645,14 @@ object EventStream {
       fs.delete(staging, true)
       updated.write.mode("overwrite").partitionBy("_s")
         .parquet(staging.toString)
+      // the batch token: stamped into every ._next manifest so recovery
+      // can prove "this live dir IS this batch's promoted ._next"
+      val batchToken = java.util.UUID.randomUUID().toString
+      // first batch into a fresh store: the rename targets live under
+      // the root — HDFS/S3A rename does NOT create missing parents (the
+      // local-FS fallback does, which is why only a real DFS would see
+      // the failure)
+      fs.mkdirs(root)
       touched.foreach { k =>
         val src = new org.apache.hadoop.fs.Path(staging, s"_s=$k")
         val dst = new org.apache.hadoop.fs.Path(shardDir(storeDir, k) + "._next")
@@ -581,7 +665,7 @@ object EventStream {
           // still carries a readable schema
           updated.where(col("_s") === k).drop("_s")
             .write.mode("overwrite").parquet(dst.toString)
-        fs.create(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"), true).close()
+        stampSuccess(fs, dst, Some(batchToken))
       }
       fs.delete(staging, true)
       // commit point

@@ -60,7 +60,7 @@ class ShardedStoreSpec extends SparkSpec {
       // from shard 2 to shard 1 — plus a fresh pair in shard 0
       input.addData(EventStream.CandPair(2L, 10L), EventStream.CandPair(20L, 21L))
       q.processAllAvailable()
-      val streamed = EventStream.readShardedStore(spark, store, S)
+      val streamed = EventStream.readShardedStore(spark, store)
         .as[(Long, Long)].collect().toMap
       val scratch = graft.ops.Dedup.connectedComponents(
         Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L)).toDF("id_a", "id_b"))
@@ -98,7 +98,7 @@ class ShardedStoreSpec extends SparkSpec {
       "shard 0 was rewritten by a fold that never touched it")
     assert(fileDigests(EventStream.shardDir(store, 3)) === before3,
       "shard 3 was rewritten by a fold that never touched it")
-    val after = EventStream.readShardedStore(spark, store, S)
+    val after = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after === Map(
       100L -> 100L, 300L -> 100L, 101L -> 101L, 301L -> 101L,
@@ -114,7 +114,7 @@ class ShardedStoreSpec extends SparkSpec {
       "a new id's self-component shard is not store-touched")
     assert(fileDigests(EventStream.shardDir(store, 2)) === before2,
       "shard of a new id's never-stored self-component was rewritten")
-    val after2 = EventStream.readShardedStore(spark, store, S)
+    val after2 = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after2(502L) === 100L && after2(300L) === 100L)
   }
@@ -135,7 +135,7 @@ class ShardedStoreSpec extends SparkSpec {
       v2.toDF("id", "component").write
         .parquet(EventStream.shardDir(store, 0) + "._next")
       fs.create(new Path(store, "_swap_pending"), true).close()
-      EventStream.recoverShardedStore(fs, store, S)
+      EventStream.recoverShardedStore(fs, store)
       assert(spark.read.parquet(EventStream.shardDir(store, 0))
         .as[(Long, Long)].collect().toSet === v2.toSet)
       assert(!fs.exists(new Path(store, "_swap_pending")))
@@ -149,7 +149,7 @@ class ShardedStoreSpec extends SparkSpec {
       val (store, fs) = setup()
       v2.toDF("id", "component").write
         .parquet(EventStream.shardDir(store, 0) + "._next")
-      EventStream.recoverShardedStore(fs, store, S)
+      EventStream.recoverShardedStore(fs, store)
       assert(spark.read.parquet(EventStream.shardDir(store, 0))
         .as[(Long, Long)].collect().toSet ===
         Set((100L, 100L), (300L, 100L)))
@@ -166,7 +166,7 @@ class ShardedStoreSpec extends SparkSpec {
       val newShard = EventStream.shardDir(store, 3)
       Seq((700L, 3L)).toDF("id", "component").write
         .parquet(newShard + "._next")
-      EventStream.recoverShardedStore(fs, store, S)
+      EventStream.recoverShardedStore(fs, store)
       assert(!fs.exists(new Path(newShard)),
         "uncommitted phase-1 residue on a new shard must not be promoted")
       assert(!fs.exists(new Path(newShard + "._next")))
@@ -174,30 +174,76 @@ class ShardedStoreSpec extends SparkSpec {
       Seq((700L, 3L)).toDF("id", "component").write
         .parquet(newShard + "._next")
       fs.delete(new Path(newShard + "._next/_SUCCESS"), false)
-      EventStream.recoverShardedStore(fs, store, S)
+      EventStream.recoverShardedStore(fs, store)
       assert(!fs.exists(new Path(newShard + "._next")))
     }
     // post-commit-point crash in the torn-DELETE window of a shard's
-    // promote rename (copy finished — live is complete — but the rename
-    // died before removing `._next`, with `._old` still parked): live IS
-    // the new content; recovery must keep it and drop both residues, not
-    // re-swap the half-deleted ._next over it
+    // promote rename (copy finished — live is complete AND carries the
+    // batch token, because the token file traveled with the promoted
+    // dir — but the rename died before removing `._next`, with `._old`
+    // still parked): live IS the new content; recovery must keep it and
+    // drop both residues, not re-swap the half-deleted ._next over it
     locally {
       val (store, fs) = setup()
       val d = EventStream.shardDir(store, 0)
-      // manufacture: ._old = archived previous content, live = new
-      // content (complete), ._next = the not-yet-deleted source copy
       if (!fs.rename(new Path(d), new Path(d + "._old")))
         fail(s"setup rename failed for $d")
       v2.toDF("id", "component").write.parquet(d)
+      EventStream.stampSuccess(fs, new Path(d), Some("tok-b1"))
       v2.toDF("id", "component").write.parquet(d + "._next")
+      EventStream.stampSuccess(fs, new Path(d + "._next"), Some("tok-b1"))
       fs.create(new Path(store, "_swap_pending"), true).close()
-      EventStream.recoverShardedStore(fs, store, S)
-      assert(spark.read.parquet(d)
-        .as[(Long, Long)].collect().toSet === v2.toSet)
+      val liveBefore = fileDigests(d)
+      EventStream.recoverShardedStore(fs, store)
+      assert(fileDigests(d) === liveBefore,
+        "promote-finished live content must be kept byte-identical")
       assert(!fs.exists(new Path(d + "._next")))
       assert(!fs.exists(new Path(d + "._old")))
       assert(!fs.exists(new Path(store, "_swap_pending")))
+    }
+    // post-commit-point crash in the torn-delete window of the ARCHIVE
+    // rename: live is still the OLD content (complete — the archive
+    // rename copied it to ._old but died before deleting the source),
+    // ._next holds the committed new content with a DIFFERENT token.
+    // Byte-layout is identical to the promote-finished window above;
+    // only the token tells them apart — recovery must run the swap, not
+    // keep the stale live
+    locally {
+      val (store, fs) = setup()
+      val d = EventStream.shardDir(store, 0)
+      // live keeps the bootstrap content; manufacture the partial
+      // archive copy and the committed ._next
+      fs.mkdirs(new Path(d + "._old"))
+      v2.toDF("id", "component").write.parquet(d + "._next")
+      EventStream.stampSuccess(fs, new Path(d + "._next"), Some("tok-b2"))
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      EventStream.recoverShardedStore(fs, store)
+      assert(spark.read.parquet(d)
+        .as[(Long, Long)].collect().toSet === v2.toSet,
+        "stale live must be replaced by the committed ._next")
+      assert(!fs.exists(new Path(d + "._next")))
+      assert(!fs.exists(new Path(d + "._old")))
+      assert(!fs.exists(new Path(store, "_swap_pending")))
+    }
+    // a marker-first torn COPY (object stores copy keys in listing
+    // order: `_SUCCESS` < `part-*`): a live dir holding only the marker
+    // and none of its manifest's data files must NOT be trusted — the
+    // complete ._next beside it is the real content
+    locally {
+      val (store, fs) = setup()
+      val d = EventStream.shardDir(store, 0)
+      // hollow live: keep _SUCCESS (with manifest), delete data files
+      EventStream.stampSuccess(fs, new Path(d))
+      fs.listStatus(new Path(d)).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_"))
+        .foreach(p => fs.delete(p, false))
+      v2.toDF("id", "component").write.parquet(d + "._next")
+      EventStream.stampSuccess(fs, new Path(d + "._next"), Some("tok-b3"))
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      EventStream.recoverShardedStore(fs, store)
+      assert(spark.read.parquet(d)
+        .as[(Long, Long)].collect().toSet === v2.toSet,
+        "a hollow marker-only live dir must not outrank the complete ._next")
     }
   }
 
@@ -218,7 +264,7 @@ class ShardedStoreSpec extends SparkSpec {
       Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
     assert(replayTouched.isEmpty,
       "an already-applied merge contracts to self-loops: nothing to rewrite")
-    val after = EventStream.readShardedStore(spark, store, S)
+    val after = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after === Map(
       101L -> 101L, 301L -> 101L, 102L -> 101L, 302L -> 101L))
