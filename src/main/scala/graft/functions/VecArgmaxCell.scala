@@ -57,8 +57,18 @@ case class VecArgmaxCell(left: Expression, right: Expression)
       case ArrayType(ArrayType(DoubleType, _), _) => right.foldable
       case _ => false
     }
-    if (vecOk && matOk) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (vecOk && matOk) {
+      // reject a NULL/empty matrix HERE, not lazily: interpreted eval
+      // null-short-circuits before the matrix is ever forced (silent
+      // per-row NULLs), codegen forces it at codegen time (a crash mid-
+      // planning) — the documented contract is one plan-time failure,
+      // identical in both execution modes
+      if (right.eval() == null ||
+          right.eval().asInstanceOf[ArrayData].numElements() == 0)
+        TypeCheckResult.TypeCheckFailure(
+          "vec_argmax_cell: centroid matrix literal is null or empty")
+      else TypeCheckResult.TypeCheckSuccess
+    } else TypeCheckResult.TypeCheckFailure(
       "vec_argmax_cell expects (array<float|double>, foldable " +
         s"array<array<double>>), got (${left.dataType.simpleString}, " +
         s"${right.dataType.simpleString}${if (right.foldable) "" else ", non-foldable"})")

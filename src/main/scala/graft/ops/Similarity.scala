@@ -41,9 +41,21 @@ object Similarity {
     * (universal) non-zero path the arithmetic is the same single divide
     * as before, bit-identical to the DuckDB twins.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val np = norm(a) * norm(b)
-    when(np === lit(0.0), lit(Double.NaN)).otherwise(dot(a, b) / np)
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(dot(a, b), norm(a), norm(b))
+
+  /** [[cosine]] with the norms precomputed by the caller — the operator
+    * pipelines carry `_n` columns so norms are computed once per vector,
+    * not once per pair. ONE definition of the zero-norm guard for every
+    * scoring site: an unguarded `d / (na * nb)` throws DIVIDE_BY_ZERO
+    * under Spark 4's default ANSI mode the moment a zero-norm vector
+    * (e.g. a failed-embedding placeholder) reaches it, and under
+    * non-ANSI silently yields null-ranked-last instead of the documented
+    * NaN-ranks-greatest.
+    */
+  private def cosineFromNorms(d: Column, na: Column, nb: Column): Column = {
+    val np = na * nb
+    when(np === lit(0.0), lit(Double.NaN)).otherwise(d / np)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -63,7 +75,7 @@ object Similarity {
       norm(col(vecCol)).as("_cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
@@ -128,7 +140,7 @@ object Similarity {
     a.join(b, Seq("_bkt"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+        round(cosineFromNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")), 6)
           .as("score"))
       .where(col("score") >= threshold)
   }
@@ -166,7 +178,7 @@ object Similarity {
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         norm(col(vecCol)).as("_n"),
         posexplode(array((0 until numBands).map(b =>
-          srpBucketRange(col(vecCol), b * planesPerBand, planesPerBand))
+          srpBucketBand(col(vecCol), b, planesPerBand))
           : _*)).as(Seq("_band", "_bkt")))
       .transform(Materialize.checkpoint)
     val a = banded.select(col("_band"), col("_bkt"), col("_id").as("id_a"),
@@ -176,7 +188,7 @@ object Similarity {
     a.join(b, Seq("_band", "_bkt"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+        round(cosineFromNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")), 6)
           .as("score"))
       .where(col("score") >= threshold)
       .distinct()
@@ -317,8 +329,17 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("_va"), col("_na"),
         col("_vb"), col("_nb"))
-    val stored = storedBuckets.select(col("_bkt"), col("_id").as("_sid"),
-      col("_v").as("_vb"), col("_n").as("_nb"))
+    // A RETRIED ingest can present ids that already sit in the store; the
+    // batch's copy is authoritative, and keeping the stored copy too
+    // would emit the (x, y) pair twice (once new×new, once new×stored) —
+    // breaking the full-run-pair-set equivalence. Anti-join, not
+    // distinct: distinct would also have to dedup value columns and
+    // costs a full-output shuffle; the anti-join is one bucket-key pass.
+    val batchIds = nb.select(col("_id"))
+    val stored = storedBuckets
+      .join(batchIds, storedBuckets("_id") === batchIds("_id"), "left_anti")
+      .select(col("_bkt"), col("_id").as("_sid"),
+        col("_v").as("_vb"), col("_n").as("_nb"))
     val newStored = a.join(stored, Seq("_bkt"))
       .where(col("id_a") =!= col("_sid"))
       .select(least(col("id_a"), col("_sid")).as("id_a"),
@@ -326,7 +347,7 @@ object Similarity {
         col("_va"), col("_na"), col("_vb"), col("_nb"))
     newNew.unionByName(newStored)
       .select(col("id_a"), col("id_b"),
-        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+        round(cosineFromNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")), 6)
           .as("score"))
       .where(col("score") >= threshold)
   }
@@ -360,7 +381,7 @@ object Similarity {
     q.join(c, Seq("_cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
@@ -427,7 +448,7 @@ object Similarity {
     q.join(c, Seq("_cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
@@ -453,17 +474,33 @@ object Similarity {
         case f: Float => f.toDouble
         case d: Double => d
         case n: java.lang.Number => n.doubleValue
+        case null => throw new IllegalArgumentException(
+          s"centroid seed vector id=${r.getLong(0)} contains a null " +
+            "element — filter or repair embeddings before seeding " +
+            "centroids (assignment paths tolerate null elements as " +
+            "NULL rows; a seed cannot)")
       }.toSeq)).toSeq
 
   /** Max-cosine cell assignment against a driver-side centroid set
     * (model artifact, inlined as literals — a pure map-side projection,
     * no join, no shuffle of the corpus; ties → smaller centroid id).
+    * A vector with a NULL element assigns to NULL — without the guard,
+    * every per-centroid score is null, struct ordering treats the all-
+    * null scores as ties, and the max silently falls through to the
+    * SMALLEST centroid id as if it were a real assignment; the native
+    * `vec_argmax_cell` and `cellsByJoin` paths return NULL for that row,
+    * and the three-way contract requires one answer.
     */
-  private def cellOf(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    array_max(array(cents.map { case (cid, cv) =>
-      val cvLit = array(cv.map(lit): _*)
-      struct(round(cosine(v, cvLit), 9).as("s"), lit(-cid).as("nid"))
-    }: _*)).getField("nid") * -1
+  private def cellOf(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    when(exists(v, e => e.isNull) || size(v) =!= lit(dim),
+        lit(null).cast("long"))
+      .otherwise(
+        array_max(array(cents.map { case (cid, cv) =>
+          val cvLit = array(cv.map(lit): _*)
+          struct(round(cosine(v, cvLit), 9).as("s"), lit(-cid).as("nid"))
+        }: _*)).getField("nid") * -1)
+  }
 
   /** Corpus `(id, vec)` → `(id, vec, _cell)`: max-cosine assignment
     * against a centroid model via the native `vec_argmax_cell` codegen
@@ -719,7 +756,7 @@ object Similarity {
       col(vecCol).as("_vb"), col("_n").as("_nb"))
     val shadowed = a.join(b, Seq("cell"))
       .where(col("_id_a") < col("_id_b"))
-      .where(round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+      .where(round(cosineFromNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")), 6)
         >= threshold)
       .select(col("_id_b").as(idCol)).distinct()
     assigned
@@ -742,7 +779,7 @@ object Similarity {
     val scored = q.join(c, Seq("_bkt"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored

@@ -77,7 +77,23 @@ class CodegenBudgetSpec extends SparkSpec {
     val cents = Seq.tabulate(141) { cid =>
       (cid.toLong, Seq.tabulate(dim)(i => math.sin(cid * dim + i)))
     }
-    val composed = Similarity.cellsByLiteral(emb, "vec_id", "embedding", cents)
+    // the RAW unwrapped literal stack — the exact shape whose silent
+    // codegen failure round 8 caught. cellsByLiteral itself now wraps
+    // this in a null-element CASE WHEN (the round-9 three-way-contract
+    // fix), and the wrapper changes the codegen fate: Spark splits the
+    // CASE branches into JIT-sized methods, so the WRAPPED stack
+    // compiles — and runs ~8× slower than the native loop (measured at
+    // sf1/k=141: 4.3-7.7 s vs 0.5-1.5 s native; the unwrapped stack's
+    // interpreted fallback was 15-16 s). The budget guard pins the
+    // unwrapped shape; the wrapped path's cost is the native
+    // expression's continued reason to exist.
+    import org.apache.spark.sql.functions._
+    val composed = emb.select(col("vec_id"),
+      array_max(array(cents.map { case (cid, cv) =>
+        val cvLit = array(cv.map(lit): _*)
+        struct(round(Similarity.cosine(col("embedding"), cvLit), 9).as("s"),
+          lit(-cid).as("nid"))
+      }: _*)).getField("nid") * -1)
     val violates =
       try {
         val subtrees =
