@@ -1236,7 +1236,7 @@ object SparkEntry {
     */
   private val minhashPairsCtes =
     s"toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks WHERE len(ts) > 0), " +
       "sig AS (SELECT doc_id, [" +
       (0 until 8).map(seed =>
         s"list_min(list_transform(shingles, x -> md5('$seed:' || x)))")
@@ -1453,9 +1453,9 @@ object SparkEntry {
         "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
         "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
         "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
-        "q AS (SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) + " +
+        "q AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0.0 ELSE round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) + " +
         "(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) + " +
-        s"least(CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) AS quality FROM documents), " +
+        s"least(CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) END AS quality FROM documents), " +
         "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
         "k AS (SELECT cluster, doc_id AS keeper FROM (SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1) " +
         "SELECT cl.doc_id, cl.cluster, cl.quality, cl.doc_id = k.keeper AS keep " +
@@ -1724,7 +1724,7 @@ object SparkEntry {
       s"WITH b AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len, " +
         s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
         s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop FROM documents) " +
-        "SELECT doc_id, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b"),
+        "SELECT doc_id, CASE WHEN text IS NULL THEN 0.0 ELSE round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) END AS quality FROM b"),
 
     "q_bigram_freq" -> (
       "SELECT bigram, CAST(count(*) AS BIGINT) AS freq FROM (" +
@@ -1746,7 +1746,7 @@ object SparkEntry {
         s"CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha, " +
         s"CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop, " +
         s"CAST(len($docTokens) AS INT) AS n_tokens FROM documents), " +
-        "q AS (SELECT doc_id, text, lang, n_tokens, round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) AS quality FROM b), " +
+        "q AS (SELECT doc_id, text, lang, n_tokens, CASE WHEN text IS NULL THEN 0.0 ELSE round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) END AS quality FROM b), " +
         "f AS (SELECT doc_id, n_tokens, quality, md5(text) AS digest FROM q WHERE lang = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 500) " +
         "SELECT doc_id, n_tokens, quality FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn FROM f) WHERE rn = 1"),
 

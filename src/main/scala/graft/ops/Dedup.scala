@@ -83,13 +83,33 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
     minhashCandidatePairsFromShingles(
-      // no array_distinct: min-over-shingles is unaffected by duplicates,
-      // and Spark's array_distinct on string arrays is O(n²) per row.
-      // spread: the signature compute is per-row-dense — never let it
-      // inherit a byte-starved scan split count (Text.spread doc).
-      Text.spread(docs).select(col(idCol).as("_id"),
-        Text.shingles(col(textCol), shingleSize).as("_sh")),
+      shingleFrame(docs, idCol, textCol, shingleSize),
       numHashes, rowsPerBand)
+
+  /** The `(_id, _sh)` shingle frame every minhash-family operator builds
+    * from raw text — ONE definition so every path carries the same two
+    * disciplines:
+    *  - the EMPTY-DOC guard: a token-less doc (empty/whitespace/NULL
+    *    text) shingles to [""], ONE shared value — so at corpus scale
+    *    every such doc lands in the same band bucket and the pair
+    *    self-join fans out O(k²) rows from that bucket alone (1M empty
+    *    docs ⇒ ~5·10¹¹ candidate pairs, all "verified" at Jaccard 1.0).
+    *    An empty doc is never a meaningful near-dup; it is dropped
+    *    before banding, the same guard the simhash path applies.
+    *  - no array_distinct: min-over-shingles is unaffected by
+    *    duplicates, and Spark's array_distinct on string arrays is
+    *    O(n²) per row.
+    *  - spread: the signature compute is per-row-dense — never let it
+    *    inherit a byte-starved scan split count (Text.spread doc).
+    */
+  private def shingleFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    Text.spread(docs)
+      .select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_ts"))
+      .where(size(col("_ts")) > 0)
+      .select(col("_id"),
+        Text.shinglesOfTokens(col("_ts"), shingleSize).as("_sh"))
 
   /** Candidate pairs from a pre-shingled `(_id, _sh: array<string>)` frame —
     * lets pipelines that also need the shingles (exact-Jaccard verify)
@@ -113,13 +133,6 @@ object Dedup {
       .distinct()
   }
 
-  /** The LSH band table of a pre-shingled frame: `(_id, _bno, _bkey)`, one
-    * row per (doc, band), eagerly materialized. This is both the internal
-    * input to pair generation and the PERSISTENT artifact of incremental
-    * dedup: store it (parquet, partitioned by `_bno`) and each new ingest
-    * batch joins its own bands against the store instead of re-banding the
-    * corpus.
-    */
   /** One (band, key) struct per band from a minhash signature — the ONE
     * definition of the LSH band key, shared by [[bandTable]] and the
     * streaming `minhashCandidateStream`: the streaming state-store keys
@@ -128,6 +141,14 @@ object Dedup {
     */
   private[graft] def bandExplode(
       sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    // integer division would silently DISCARD the trailing hashes (8/3 →
+    // 2 bands over positions 1..6), shifting the S-curve knee away from
+    // what rowsPerBandFor predicts for the passed parameters — the
+    // simhash blocked variant guards the same invariant
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes — " +
+        "trailing hashes would be silently discarded and the banding " +
+        "S-curve would not match rowsPerBandFor's prediction")
     val numBands = numHashes / rowsPerBand
     explode(array((0 until numBands).map { b =>
       struct(lit(b).as("bno"),
@@ -136,9 +157,15 @@ object Dedup {
     }: _*))
   }
 
+  /** The LSH band table of a pre-shingled frame: `(_id, _bno, _bkey)`, one
+    * row per (doc, band), eagerly materialized. This is both the internal
+    * input to pair generation and the PERSISTENT artifact of incremental
+    * dedup: store it (parquet, partitioned by `_bno`) and each new ingest
+    * batch joins its own bands against the store instead of re-banding the
+    * corpus.
+    */
   def bandTable(
       shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
     // Staged projections so each expensive array is computed exactly once
     // per row (CollapseProject keeps multiply-referenced non-cheap aliases
     // in their own stage); a single inline expression would re-derive the
@@ -169,10 +196,16 @@ object Dedup {
     */
   def exactIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
-      seenDigests: DataFrame): DataFrame =
+      seenDigests: DataFrame): DataFrame = {
+    // null-SAFE anti-join: md5(NULL text) is a null digest, and a plain
+    // equality anti-join never matches null against null — so the
+    // null-text group would re-enter the corpus once per ingest batch
+    // forever (while collapsing correctly WITHIN each batch)
+    val seen = seenDigests.select(col("digest").as("_seen"))
     exactGroups(newDocs, idCol, textCol)
-      .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .join(seen, col("digest") <=> col("_seen"), "left_anti")
       .select(col("keeper_id"), col("digest"))
+  }
 
   /** Incremental minhash-LSH: candidate near-dup pairs INVOLVING a new
     * ingest batch — new×new plus new×stored — given the band table of the
@@ -186,8 +219,7 @@ object Dedup {
       storedBands: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val nb = bandTable(
-      Text.spread(newDocs).select(col(idCol).as("_id"),
-        Text.shingles(col(textCol), shingleSize).as("_sh")),
+      shingleFrame(newDocs, idCol, textCol, shingleSize),
       numHashes, rowsPerBand)
     val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
     val b = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
@@ -223,23 +255,30 @@ object Dedup {
   def decontaminateFuzzy(
       docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val bSh = Text.spread(benchmark)
-      .select(col(idCol).as("_bid"),
-        Text.shingles(col(textCol), shingleSize).as("_sh"))
+      threshold: Double = 0.5, benchmarkInCorpus: Boolean = true): DataFrame = {
+    // banding derived from the caller's threshold: a fixed 8/2 banding
+    // pins the S-curve knee at 0.5 regardless of what the caller asked —
+    // at threshold 0.2 a true Jaccard-0.3 leak would collide in any band
+    // with only ~31% probability, silently passing ~2/3 of the docs the
+    // call asked to remove. rowsPerBandFor(0.5) = 2, so the graded
+    // default point is unchanged.
+    val rpb = rowsPerBandFor(threshold)
+    val bSh = shingleFrame(benchmark, idCol, textCol, shingleSize)
+      .withColumnRenamed("_id", "_bid")
       .transform(Materialize.checkpoint)
-    val bBands = bandTable(bSh.select(col("_bid").as("_id"), col("_sh")))
+    val bBands = bandTable(bSh.select(col("_bid").as("_id"), col("_sh")),
+        rowsPerBand = rpb)
       .select(col("_bno"), col("_bkey"), col("_id").as("_bid"))
     val bSets = bSh
       .select(col("_bid"),
         array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_arr"))
       .select(col("_bid"), size(col("_arr")).as("_szb"),
         explode(col("_arr")).as("_h"))
-    val cSh = Text.spread(docs)
-      .select(col(idCol).as("_cid"),
-        Text.shingles(col(textCol), shingleSize).as("_sh"))
+    val cSh = shingleFrame(docs, idCol, textCol, shingleSize)
+      .withColumnRenamed("_id", "_cid")
       .transform(Materialize.checkpoint)
-    val cBands = bandTable(cSh.select(col("_cid").as("_id"), col("_sh")))
+    val cBands = bandTable(cSh.select(col("_cid").as("_id"), col("_sh")),
+        rowsPerBand = rpb)
       .select(col("_bno"), col("_bkey"), col("_id").as("_cid"))
     val cands = cBands.join(broadcast(bBands), Seq("_bno", "_bkey"))
       .where(col("_cid") =!= col("_bid"))
@@ -258,9 +297,19 @@ object Dedup {
       .where(col("_i").cast("double") /
         (col("_szc") + col("_szb") - col("_i")).cast("double") >= threshold)
       .select(col("_cid").as(idCol)).distinct()
-    docs
-      .join(benchmark.select(col(idCol)), Seq(idCol), "left_anti")
-      .join(bad, Seq(idCol), "left_anti")
+    // PRECONDITION: benchmark ids live in the corpus id space (the
+    // "benchmark rows are present in / keyed like the corpus" contract
+    // this shares with the exact variant, whose benchmark copies
+    // self-match by content). With an INDEPENDENT benchmark id space
+    // this anti-join would delete unrelated corpus docs on id
+    // collision — pass benchmarkInCorpus = false there and drop
+    // benchmark leakage by content alone (a verbatim benchmark copy in
+    // the corpus self-verifies at Jaccard 1.0 ≥ any threshold).
+    val base =
+      if (benchmarkInCorpus)
+        docs.join(benchmark.select(col(idCol)), Seq(idCol), "left_anti")
+      else docs
+    base.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Portable SimHash (16-bit variant): for hex digit position j of
@@ -476,11 +525,13 @@ object Dedup {
     // One tokenize+shingle pass feeds BOTH the minhash candidates and the
     // exact-verify side, and each derived frame is materialized once (the
     // candidate set and shingle rows both appear twice in the join tree).
-    val shingled = Text.spread(docs)
-      .select(col(idCol).as("_id"),
-        Text.shingles(col(textCol), shingleSize).as("_sh"))
+    val shingled = shingleFrame(docs, idCol, textCol, shingleSize)
       .transform(Materialize.checkpoint)
-    val cands = minhashCandidatePairsFromShingles(shingled)
+    // banding follows the verify threshold (rowsPerBandFor(0.5) = 2 — the
+    // graded default point is unchanged); a fixed banding would hold the
+    // candidate knee at 0.5 no matter what the caller verifies at
+    val cands = minhashCandidatePairsFromShingles(shingled,
+        rowsPerBand = rowsPerBandFor(threshold))
       .transform(Materialize.checkpoint)
     val sh = shingled
       .select(col("_id"),
@@ -535,13 +586,16 @@ object Dedup {
   def minhashEstimatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val shingled = Text.spread(docs)
-      .select(col(idCol).as("_id"),
-        array_distinct(Text.shingles(col(textCol), shingleSize)).as("_sh"))
+    // raw shingles for the signature (min is duplicate-insensitive; the
+    // distinct is only needed on the exact-Jaccard side, where it runs
+    // over xxhash64-hashed values — string array_distinct is O(n²) per
+    // row, the pattern ngramJaccardPairs documents and this file bans)
+    val shingled = shingleFrame(docs, idCol, textCol, shingleSize)
       .transform(Materialize.checkpoint)
     val cands = minhashCandidatePairsFromShingles(shingled, numHashes, rowsPerBand)
     val sigs = shingled.select(col("_id"),
-      minhashSignature(col("_sh"), numHashes).as("_sig"), col("_sh"))
+      minhashSignature(col("_sh"), numHashes).as("_sig"),
+      array_distinct(transform(col("_sh"), s => xxhash64(s))).as("_sh"))
     val est = cands
       .join(sigs.select(col("_id").as("id_a"), col("_sig").as("_siga"),
         col("_sh").as("_sha")), Seq("id_a"))
@@ -827,6 +881,17 @@ object Dedup {
       prev = sig
       round += 1
     }
+    // Exiting without the fixpoint would emit one row per surviving
+    // (hi, lo) edge for multi-edge nodes — duplicated, CONFLICTING
+    // labels that a downstream incremental merge would fan out into the
+    // persisted store with no diagnostic. Fail loudly instead; star
+    // contraction needs O(log²) rounds, so hitting the cap means the
+    // caller passed a tiny maxRounds, not a real graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach its fixpoint in " +
+          s"$maxRounds rounds — raise maxRounds (star contraction " +
+          "converges in O(log² n) rounds on any graph)")
     // At the fixpoint every edge is (member, componentMin); minima and
     // isolated nodes label themselves.
     nodes.join(edges.withColumnRenamed("hi", "id"), Seq("id"), "left")
@@ -867,12 +932,18 @@ object Dedup {
       .distinct()
       .withColumn("component", col("id"))
       .transform(Materialize.checkpointIterative)
-    // Labels only ever decrease, so Σ(component) is strictly monotone until
-    // the fixpoint — equality of consecutive sums IS convergence. The sum
-    // is a cheap scan over the just-materialized checkpoint (no extra
-    // shuffle, unlike an anti-join change detector).
+    // Convergence = a round that changed NOTHING: the signature is
+    // Σ xxhash64(id, component), equal across consecutive rounds iff the
+    // label state is unchanged (w.h.p. — two different states colliding
+    // on the sum is the ~2⁻⁶⁴ checksum trade). Type-agnostic on purpose:
+    // the earlier Σ(component cast to decimal) silently returned null
+    // for STRING ids (md5 digests, UUIDs — routine dedup keys), which
+    // read as "converged before round one" and no-op'd the whole
+    // clustering with every doc its own component. One cheap scan over
+    // the just-materialized checkpoint, no extra shuffle.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+      Option(df.agg(sum(xxhash64(col("id"), col("component"))
+        .cast("decimal(38,0)"))).head.getDecimal(0))
     var prevSum = labelSum(labels)
     var round = 0
     var converged = prevSum.isEmpty // empty edge set: trivially converged

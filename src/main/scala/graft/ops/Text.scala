@@ -39,8 +39,27 @@ object Text {
     * shuffled on the 100 TB path.
     */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Probe ONLY shuffle-free (scan-shaped) plans. For a plan with
+    // exchanges, `df.rdd` under AQE finalizes the physical plan by
+    // EXECUTING every non-result query stage — the upstream joins/aggs
+    // would run once to read a partition count, then again at action
+    // time. Shuffle-bearing frames don't need the probe anyway: their
+    // exchanges already redistribute to the session's shuffle
+    // parallelism. (A broadcast-join-over-starved-scan stays starved and
+    // unprobed — the lesser cost next to double execution.)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val shuffles = df.queryExecution.optimizedPlan.collectFirst {
+      case _: logical.Join => ()
+      case _: logical.Aggregate => ()
+      case _: logical.Window => ()
+      case _: logical.Sort => ()
+      case _: logical.Deduplicate => ()
+    }
+    if (shuffles.isDefined) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 
   /** Whitespace tokenization. `filter(..., _ <> '')` guards leading/trailing
@@ -148,7 +167,12 @@ object Text {
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
     val stop = langScore(text, Seq("the", "a", "of", "and", "to")).cast("double")
     val stopScore = least(stop / lit(5.0), lit(1.0))
-    round((lenScore + alphaRatio + stopScore) / lit(3.0), 6)
+    // NULL text scores 0.0 explicitly: least() SKIPS nulls, so a null
+    // len/stop signal silently becomes the 1.0 cap and a null-text doc
+    // would score 0.666667 — outranking real sub-0.67 text as a
+    // keepBestPerCluster representative
+    when(text.isNull, lit(0.0))
+      .otherwise(round((lenScore + alphaRatio + stopScore) / lit(3.0), 6))
   }
 
   /** TF-IDF per (doc, token) with sklearn-style smoothing:

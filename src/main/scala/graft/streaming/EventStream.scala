@@ -159,9 +159,16 @@ object EventStream {
     import docs.sparkSession.implicits._
     val banded = docs.toDF()
       .select(col("doc_id"),
+        graft.ops.Text.tokens(col("text")).as("_ts"))
+      // token-less docs are dropped before banding — the batch path's
+      // empty-doc guard (all such docs share ONE shingle value, a
+      // guaranteed hot state key); stream and batch must agree or the
+      // equivalence contract breaks on empty input
+      .where(size(col("_ts")) > 0)
+      .select(col("doc_id"),
         graft.ops.Dedup.minhashSignature(
-          graft.ops.Text.shingles(col("text"), shingleSize), numHashes)
-          .as("_sig"))
+          graft.ops.Text.shinglesOfTokens(col("_ts"), shingleSize),
+          numHashes).as("_sig"))
       // the band key is Dedup.bandExplode — ONE definition with the batch
       // band table, so state-store keys can never drift from it
       .select(col("doc_id"),

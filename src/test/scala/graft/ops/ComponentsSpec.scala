@@ -20,6 +20,23 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents merges STRING-id graphs (md5/UUID dedup keys)") {
+    // the round-9 regression this pins: label propagation's convergence
+    // checksum was Σ(component cast to decimal), which is null for
+    // string ids — "converged" before round one, every doc its own
+    // component, no error. The checksum is type-agnostic now; a chain
+    // (diameter > 1) would expose any premature-convergence variant.
+    val pairs = Seq(
+      ("bbb", "aaa"), ("bbb", "ccc"), ("ccc", "ddd"),
+      ("zz1", "zz2")
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(out === Map(
+      "aaa" -> "aaa", "bbb" -> "aaa", "ccc" -> "aaa", "ddd" -> "aaa",
+      "zz1" -> "zz1", "zz2" -> "zz1"))
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2)") {
     val chain = (0 until 15).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
