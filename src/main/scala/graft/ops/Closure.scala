@@ -205,6 +205,11 @@ object Closure {
          |  FROM th JOIN $view n ON th.ancestor_id = n.id
          |  WHERE n.parent IS NOT NULL AND th.lvl < $maxDepth
          |) SELECT descendant_id, ancestor_id FROM th""".stripMargin)
+    // views resolve during analysis (spark.sql above), so the returned
+    // plan no longer needs the catalog entry — dropping it immediately
+    // keeps a per-job caller from accumulating one pinned checkpointed
+    // frame per call for the session's lifetime
+    nodes.sparkSession.catalog.dropTempView(view)
     out
   }
 
@@ -244,6 +249,9 @@ object Closure {
          |  FROM $view c JOIN bc p ON c.parent = p.id
          |  WHERE p.lvl < $maxDepth
          |) SELECT id, path FROM bc""".stripMargin)
+    // resolved during analysis above — drop so per-job callers don't
+    // accumulate pinned checkpointed frames in the session catalog
+    nodes.sparkSession.catalog.dropTempView(view)
     nodes.join(
       done.select(col("id").as(idCol), col("path"),
         concat_ws(" / ", col("path")).as("breadcrumb")),
@@ -349,8 +357,12 @@ object Closure {
     // materialized frames.
     val levels = scala.collection.mutable.ArrayBuffer(roots.transform(Materialize.checkpointIterative))
     var level = levels.last
+    // ONE isEmpty job per frontier: the loop guard and the append both
+    // consume the same boolean (isEmpty launches a job each time it is
+    // called, and scheduling latency dominates at dimension scale)
+    var levelEmpty = level.isEmpty
     var depth = 1
-    while (depth < maxDepth && !level.isEmpty) {
+    while (depth < maxDepth && !levelEmpty) {
       val next = base
         .join(level.withColumnRenamed("_b_id", "_l_id"),
           base("_b_parent") === col("_l_id"))
@@ -358,7 +370,8 @@ object Closure {
           concat(col("path"), array(col("_b_name"))).as("path"))
         .transform(Materialize.checkpointIterative)
       level = next
-      if (!next.isEmpty) levels += next
+      levelEmpty = next.isEmpty
+      if (!levelEmpty) levels += next
       depth += 1
     }
     val done = levels.reduce(_ unionByName _)

@@ -40,16 +40,33 @@ object FileSink extends Sink {
     }
   }
 
-  /** Rename part-files to `{table}.{file_id}.{ext}` and drop the tmp dir. */
+  /** Rename part-files to `{table}.{file_id}.{ext}` and drop the tmp dir.
+    * Stale `{table}.*.{ext}` files beyond the new part count are deleted
+    * FIRST: Spark's overwrite mode only clears the `_tmp` dir, so a
+    * rewrite that shrinks from 10 parts to 2 would otherwise leave
+    * `t.00002..t.00009` from the previous run for `read`'s glob to mix
+    * into the new data. (`Files.list` streams are closed explicitly —
+    * each holds an open directory descriptor.)
+    */
   private def layout(tmp: Path, outDir: Path, table: String, ext: String): Unit = {
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    def listed[A](dir: Path)(f: Iterator[Path] => A): A = {
+      val st = Files.list(dir)
+      try f(st.iterator().asScala) finally st.close()
+    }
+    val stalePattern = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(table) + "\\.\\d+\\." +
+        java.util.regex.Pattern.quote(ext))
+    listed(outDir)(_.filter(p =>
+        stalePattern.matcher(p.getFileName.toString).matches())
+      .toSeq).foreach(Files.delete)
+    val parts = listed(tmp)(_.filter(
+        _.getFileName.toString.startsWith("part-")).toSeq)
+      .sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, outDir.resolve(f"$table.$i%05d.$ext"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    Files.list(tmp).iterator().asScala.foreach(Files.delete)
+    listed(tmp)(_.toSeq).foreach(Files.delete)
     Files.delete(tmp)
   }
 

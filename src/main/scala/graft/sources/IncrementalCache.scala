@@ -34,10 +34,25 @@ object IncrementalCache {
       spark.read.parquet(path).schema
       spark.read.schema(schema).parquet(path)
     } catch {
-      case _: Throwable =>
+      // ONLY missing/unreadable-store shapes read as "empty cache" — a
+      // blanket catch turned credential/permission failures (and fatal
+      // JVM errors) into a silent full refetch of years of history from
+      // the rate-limited API on every run
+      case e: Exception if isMissingOrCorrupt(e) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  private def isMissingOrCorrupt(e: Throwable): Boolean = {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage))
+      .mkString(" | ")
+    msgs.contains("PATH_NOT_FOUND") ||
+      msgs.contains("FileNotFoundException") ||
+      msgs.contains("UNABLE_TO_INFER_SCHEMA") ||
+      msgs.contains("CANNOT_READ_FILE_FOOTER") ||
+      msgs.contains("Could not read footer")
+  }
 
   /** Hot/cold split on a date column: dates within `thresholdDays` of
     * `today` are "hot" (always refetched — late edits arrive for recent
@@ -50,7 +65,11 @@ object IncrementalCache {
       thresholdDays: Int = 7): (DataFrame, DataFrame) = {
     val cutoff = lit(today.minusDays(thresholdDays).toString).cast("date")
     val d = col(dateCol).cast("date")
-    (requested.where(d >= cutoff), requested.where(d < cutoff))
+    // NULL/uncastable dates go HOT: both comparisons are null for them,
+    // so a plain two-predicate split dropped such rows from BOTH sides —
+    // never refetched, never served. Refetching is the conservative side.
+    (requested.where(d >= cutoff || d.isNull),
+      requested.where(d < cutoff))
   }
 
   /** Keys in `requested` with no cache entry — the fetch list

@@ -163,6 +163,10 @@ object Multimodal {
     * stub) rows fan out.
     */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    // validate on the DRIVER: everyMs = 0 would throw "step cannot be 0"
+    // inside an executor task (opaque stage failure), and a negative
+    // step would silently sample zero frames from every video
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -91,6 +91,7 @@ object TimeCampClient {
     */
   def periodBatches(from: java.time.LocalDate, to: java.time.LocalDate,
       months: Int = 6): Seq[(String, String)] = {
+    require(months > 0, s"months must be positive, got $months")
     val out = Seq.newBuilder[(String, String)]
     var current = from
     while (!current.isAfter(to)) {

@@ -80,4 +80,19 @@ class FileSinkSpec extends SparkSpec {
       FileSink.write(df, "/tmp/x", "t", "xml")
     }
   }
+
+  test("rewrite that SHRINKS the part count leaves no stale files for read to mix in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_shrink").toString
+    // first write: many parts
+    FileSink.write((1 to 100).toDF("v").repartition(8), dir, "t", "csv")
+    // second write of the same table: fewer rows, ONE part — Spark's
+    // overwrite only clears the _tmp dir, so without the stale-file
+    // sweep t.00001..t.00007.csv would survive and read() would return
+    // the old rows unioned with the new
+    FileSink.write(Seq(1001, 1002).toDF("v").coalesce(1), dir, "t", "csv")
+    val back = FileSink.read(spark, dir, "t", "csv")
+      .select(org.apache.spark.sql.functions.col("v").cast("int")).as[Int].collect().sorted
+    assert(back.toSeq === Seq(1001, 1002),
+      s"stale part files leaked into the rewrite: ${back.toSeq}")
+  }
 }
