@@ -15,8 +15,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * per-partition heap merge, the same contract as `min(struct(...))` for
   * k = 1 (`Transforms.firstPerGroup`).
   *
-  * Buffer is a sorted Vector capped at k (k is small by contract); merge
-  * is a linear merge of two sorted buffers.
+  * Buffer is a sorted Vector capped at k (k is small by contract).
+  * `reduce` is an O(k) bounded insertion with an O(1) reject of rows
+  * that cannot make the cut (the overwhelmingly common case on the map
+  * side at corpus scale); `merge` is a linear merge of two sorted
+  * buffers.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -27,12 +30,35 @@ class TopKAggregator(k: Int)
   override def zero: Seq[(Double, Long)] = Vector.empty
 
   override def reduce(
-      b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    merge(b, Vector(a))
+      b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    // O(1) reject when the buffer is full and `a` can't beat the worst
+    // kept row; otherwise a single O(k) ordered insertion — the previous
+    // (b ++ Vector(a)).sorted was an O(k log k) allocation-heavy re-sort
+    // PER INPUT ROW, on the map-side path this class exists for
+    if (b.size >= k && ord.gteq(a, b.last)) b
+    else {
+      val i = b.indexWhere(e => ord.gt(e, a)) match {
+        case -1 => b.size
+        case n => n
+      }
+      val inserted = (b.take(i) :+ a) ++ b.drop(i)
+      if (inserted.size > k) inserted.take(k) else inserted
+    }
+  }
 
   override def merge(
-      b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (b1 ++ b2).sorted(ord).take(k)
+      b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    // linear merge of two sorted buffers, capped at k
+    val out = Vector.newBuilder[(Double, Long)]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < b1.size || j < b2.size)) {
+      val takeLeft = j >= b2.size ||
+        (i < b1.size && ord.lteq(b1(i), b2(j)))
+      if (takeLeft) { out += b1(i); i += 1 } else { out += b2(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
 

@@ -62,9 +62,11 @@ case class VecArgmaxCell(left: Expression, right: Expression)
       // null-short-circuits before the matrix is ever forced (silent
       // per-row NULLs), codegen forces it at codegen time (a crash mid-
       // planning) — the documented contract is one plan-time failure,
-      // identical in both execution modes
-      if (right.eval() == null ||
-          right.eval().asInstanceOf[ArrayData].numElements() == 0)
+      // identical in both execution modes. Evaluated ONCE: each eval is
+      // an interpreted walk over the k×dim literal tree, and analysis
+      // may call this check on several passes.
+      val m = right.eval()
+      if (m == null || m.asInstanceOf[ArrayData].numElements() == 0)
         TypeCheckResult.TypeCheckFailure(
           "vec_argmax_cell: centroid matrix literal is null or empty")
       else TypeCheckResult.TypeCheckSuccess

@@ -94,10 +94,13 @@ object VecSrpBucket {
     * compute `substr(md5(...), 1, 1) >= '8'`), no RNG state.
     */
   def sign(plane: Int, i: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (hex.charAt(0) >= '8') 1.0 else -1.0
+    // first hex digit >= '8' ⟺ top bit of digest byte 0 — same bits,
+    // none of the 32-char hex formatting (the signs matrix is
+    // numPlanes × 4096 entries, and interpreted eval rebuilds it per
+    // deserialized expression instance)
+    val d0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$i".getBytes("UTF-8"))(0)
+    if ((d0 & 0x80) != 0) 1.0 else -1.0
   }
 
   /** Shared by eval and codegen. Left-to-right double accumulation per

@@ -98,7 +98,12 @@ object Joins {
     val leftCols = left.columns.toSeq
     val payload = struct(rightPayload.map(right(_)) :+
       rightTieBreak.as("_tie"): _*)
-    val r = right.select(
+    // A NULL right timestamp sorts nulls-first and its payload would be
+    // carried forward into EVERY left row of its key ("matches
+    // everything"); the as-of contract for an unknowable timestamp is
+    // "matches nothing" — drop such rows. (A NULL left timestamp sorts
+    // before all surviving right rows and correctly yields NULL payload.)
+    val r = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"), lit(0).as("_side"),
         rightTieBreak.as("_tie"), payload.as("_rp")) ++
@@ -135,20 +140,27 @@ object Joins {
   def rangeJoinBucketed(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, windowMs: Long): DataFrame = {
-    val lMs = unix_micros(col(leftTs).cast("timestamp")) / 1000L
-    val rMs = unix_micros(col(rightTs).cast("timestamp")) / 1000L
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    // Comparisons run at MICROSECOND precision — Spark (and DuckDB)
+    // timestamps carry µs, and an earlier ms truncation admitted pairs
+    // whose true delta was sub-millisecond-negative (b 0.5ms BEFORE a
+    // truncates to the same ms and passes >=). Band arithmetic is exact
+    // integer floor-division via pmod: a double divide of e15-scale
+    // micros is not exact at band boundaries.
+    val windowUs = windowMs * 1000L
+    def bandOf(us: Column): Column =
+      ((us - pmod(us, lit(windowUs))) / lit(windowUs)).cast("long")
     val l = left
-      .withColumn("_lms", lMs.cast("long"))
+      .withColumn("_lus", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("_band", explode(array(
-        floor(col("_lms") / windowMs).cast("long"),
-        (floor(col("_lms") / windowMs) + 1).cast("long"))))
+        bandOf(col("_lus")), bandOf(col("_lus")) + 1)))
     val r = right
-      .withColumn("_rms", rMs.cast("long"))
-      .withColumn("_band", floor(col("_rms") / windowMs).cast("long"))
+      .withColumn("_rus", unix_micros(col(rightTs).cast("timestamp")))
+      .withColumn("_band", bandOf(col("_rus")))
     l.join(r, keys :+ "_band")
-      .where(col("_rms") >= col("_lms") &&
-        col("_rms") < col("_lms") + windowMs)
-      .drop("_band", "_lms", "_rms")
+      .where(col("_rus") >= col("_lus") &&
+        col("_rus") < col("_lus") + windowUs)
+      .drop("_band", "_lus", "_rus")
   }
 
   /** Bloom-prefiltered fact ⋈ dim join: the dim side's join keys are
@@ -191,6 +203,8 @@ object Joins {
       if (sketch == null) fact.where(lit(false)) // empty dim → empty join
       else fact.where(
         call_function("might_contain", lit(sketch), xxhash64(col(factKey))))
-    pre.join(dim, col(factKey) === col(dimKey))
+    // qualified references: with factKey == dimKey (or the name present
+    // on both sides) bare col() is AMBIGUOUS_REFERENCE at analysis
+    pre.join(dim, pre(factKey) === dim(dimKey))
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row-level transforms from the reference pipeline, each a pure
@@ -24,6 +23,9 @@ object Transforms {
   def decodeMap(
       df: DataFrame, keyCol: String, mapping: Seq[(String, String)],
       outCol: String, default: String): DataFrame = {
+    require(mapping.map(_._1).distinct.size == mapping.size,
+      "decodeMap: duplicate mapping keys would fan out every matching " +
+        s"fact row — ${mapping.map(_._1).diff(mapping.map(_._1).distinct).distinct.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     val dim = mapping.toDF("_dm_key", "_dm_value")
@@ -66,7 +68,11 @@ object Transforms {
     * (`dlt_fetch_timecamp.py:151-162`).
     */
   def dateSequence(from: Column, to: Column): Column =
-    explode(sequence(from, to, expr("interval 1 day")))
+    // a reversed span (to < from) must expand to ZERO rows like the
+    // reference's Python range — Spark's sequence() THROWS on inverted
+    // boundaries, so one corrupt row would kill a 100 TB run
+    explode(when(from <= to, sequence(from, to, expr("interval 1 day")))
+      .otherwise(array().cast("array<date>")))
 
   /** JSON-serialize an array column to a string, NULL when empty/NULL —
     * the `tags` transform (`dlt_fetch_timecamp.py:494-500`).
@@ -104,12 +110,6 @@ object Transforms {
   def stripIdPrefixStr(s: String): String =
     if (s == null) null else s.replaceFirst("^[ug]", "")
 
-  /** Dedup by primary key with a deterministic survivor (lowest by
-    * `orderCols`) — `primary_key=` + replace disposition
-    * (`dlt_fetch_timecamp.py:458`, `:509-511`). `dropDuplicates` picks an
-    * arbitrary row; at scale (and for oracle comparison) the survivor must
-    * be deterministic, so this is a window-rank pick.
-    */
   /** Skew-safe equi-join by key salting: the left side scatters each hot
     * key across `salt` sub-keys, the right side is replicated `salt` ways,
     * and the join runs on (key, salt) — a hot key's rows land on `salt`
@@ -122,6 +122,9 @@ object Transforms {
   def saltedJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       salt: Int): DataFrame = {
+    // salt = 0 would build an EMPTY replication array: explode drops
+    // every right row and the join silently returns nothing
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val sl = left.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val sr = right.withColumn("_salt",
@@ -129,6 +132,12 @@ object Transforms {
     sl.join(sr, keys :+ "_salt").drop("_salt")
   }
 
+  /** Dedup by primary key with a deterministic survivor (lowest by
+    * `orderCols`) — `primary_key=` + replace disposition
+    * (`dlt_fetch_timecamp.py:458`, `:509-511`). `dropDuplicates` picks an
+    * arbitrary row; at scale (and for oracle comparison) the survivor
+    * must be deterministic: delegates to the min-struct [[firstPerGroup]].
+    */
   def dedupByPk(df: DataFrame, pk: Seq[String], orderCols: Seq[Column]): DataFrame =
     firstPerGroup(df, pk, orderCols)
 }

@@ -47,6 +47,40 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq === Seq(101L))
   }
 
+  test("asofJoin: NULL timestamps — right NULL matches nothing, left NULL gets NULL") {
+    // a NULL right ts sorts nulls-first and (pre-fix) its payload was
+    // carried into EVERY left row of its key
+    val left = Seq(
+      (1L, 10L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, None: Option[java.sql.Timestamp])
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, None: Option[java.sql.Timestamp], 5.0),
+      (101L, 10L, Some(ts("2024-01-01 09:00:00")), 7.0)
+    ).toDF("rid", "user_id", "ts", "v")
+    val out = Joins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("rid", "v"), col("rid"))
+      .select("event_id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(101L), "real left row must match the real right row")
+    assert(out(2L) === None, "a NULL-ts left row has no at-or-before match")
+  }
+
+  test("rangeJoinBucketed discriminates at MICROSECOND precision") {
+    // b 500µs BEFORE a: a millisecond truncation put both in the same ms
+    // and emitted the pair despite rts < ts
+    val base = "2024-01-01 10:00:00"
+    val left = Seq((1L, 1L, java.sql.Timestamp.valueOf(s"$base.0005")))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf(s"$base.0001")), // 400µs before
+      (11L, 1L, java.sql.Timestamp.valueOf(s"$base.0009"))  // 400µs after
+    ).toDF("rid", "k", "rts")
+    val out = Joins.rangeJoinBucketed(left, right, Seq("k"), "ts", "rts", 1000L)
+      .select("rid").as[Long].collect().toSet
+    assert(out === Set(11L),
+      s"sub-ms-before row must be excluded, sub-ms-after included: $out")
+  }
+
   test("rangeJoinBucketed equals the naive inequality join") {
     val left = (0 until 50).map(i =>
       (i.toLong, (i % 5).toLong, ts(f"2024-01-01 10:${i % 60}%02d:00")))
