@@ -66,7 +66,7 @@ object PipelineMain {
       from: String = "yesterday", to: String = "yesterday",
       output: String = "./timecamp_data", format: String = "csv",
       datasets: Seq[String] = Seq("entries"), transportKey: String = "stub",
-      sink: String = "file")
+      sink: String = "file", formatSet: Boolean = false)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -74,7 +74,7 @@ object PipelineMain {
       case "--from" :: v :: t => loop(t, c.copy(from = v))
       case "--to" :: v :: t => loop(t, c.copy(to = v))
       case "--output" :: v :: t => loop(t, c.copy(output = v))
-      case "--format" :: v :: t => loop(t, c.copy(format = v))
+      case "--format" :: v :: t => loop(t, c.copy(format = v, formatSet = true))
       case "--datasets" :: v :: t =>
         loop(t, c.copy(datasets = v.split(",").map(_.trim.toLowerCase)
           .filter(_.nonEmpty).toSeq))
@@ -98,7 +98,7 @@ object PipelineMain {
       val from = java.time.LocalDate.parse(params("from"))
       val rows = (0 until 5).map { i =>
         val d = from.plusDays(i)
-        s"""{"id": ${100 + i}, "user_id": "u${i % 2 + 1}", "task_id": "t${i % 3 + 1}",
+        s"""{"id": ${100 + i}, "user_id": "${i % 2 + 1}", "task_id": "t${i % 3 + 1}",
            | "date": "$d", "duration": ${600 * (i + 1)},
            | "tags": ${if (i % 2 == 0) s"""["tag$i","x"]""" else "[]"}}""".stripMargin
       }
@@ -112,8 +112,15 @@ object PipelineMain {
       TimeCampClient.Response(200,
         """[{"user_id": "1", "email": "a@example.com", "display_name": "Ann"},
           |{"user_id": "2", "email": "b@example.com", "display_name": "Bob"}]""".stripMargin)
-    case "/settings" =>
-      TimeCampClient.Response(200, """[{"user_id": "2", "disabled_user": "1"}]""")
+    case u if u.startsWith("/user/") && u.endsWith("/setting") =>
+      // reference shape: GET user/{id,id,...}/setting?name[]=disabled_user
+      // (common/api.py:193-198); only user 2 carries the disabled flag
+      val ids = u.stripPrefix("/user/").stripSuffix("/setting")
+        .split(",").toSet
+      val rows =
+        if (ids.contains("2")) Seq("""{"user_id": "2", "disabled_user": "1"}""")
+        else Seq.empty
+      TimeCampClient.Response(200, rows.mkString("[", ",", "]"))
     case "/people_picker" =>
       TimeCampClient.Response(200,
         """{"groups": {"g1": {"group_id": "g1", "parent_id": "0", "name": "Org"},
@@ -191,7 +198,12 @@ object PipelineMain {
       StructField("tags", ArrayType(StringType))))
     val df = spark.createDataFrame(rows.asJava, schema)
       .withColumn("tags", Transforms.arrayToJsonOrNull(col("tags")))
-    Transforms.dedupByPk(df, Seq("id"), Seq(col("date")))
+    // rows WITHOUT an id bypass the PK dedup: groupBy treats NULL as one
+    // key, so two distinct id-less entries would collapse to a single
+    // survivor — silent data loss for a malformed-but-real API row
+    Transforms.dedupByPk(df.where(col("id").isNotNull),
+        Seq("id"), Seq(col("date")))
+      .unionByName(df.where(col("id").isNull))
   }
 
   def buildTasks(spark: SparkSession,
@@ -224,10 +236,14 @@ object PipelineMain {
       StructField("user_id", StringType), StructField("email", StringType),
       StructField("display_name", StringType)))
     val usersDf = spark.createDataFrame(users.asJava, userSchema)
-    // bulk settings lookup, 50/request; '1' → disabled; missing → enabled
-    val settings = jsonArray(get("/settings",
-      Map("name" -> "disabled_user")).body)
-      .map(n => Row(textOf(n, "user_id"), textOf(n, "disabled_user")))
+    // bulk settings lookup — the reference's GET user/{id,...}/setting
+    // (common/api.py:193-198), 50 ids per request; '1' → disabled;
+    // missing → enabled
+    val userIds = users.map(_.getString(0)).filter(_ != null)
+    val settings = TimeCampClient.batched(userIds, 50).flatMap { chunk =>
+      jsonArray(get(s"/user/${chunk.mkString(",")}/setting",
+        Map("name[]" -> "disabled_user")).body)
+    }.map(n => Row(textOf(n, "user_id"), textOf(n, "disabled_user")))
     val settingsDf = spark.createDataFrame(settings.asJava, StructType(Seq(
       StructField("user_id", StringType),
       StructField("disabled_user", StringType))))
@@ -237,15 +253,20 @@ object PipelineMain {
     // people_picker → group tree + membership; primary group enrichment
     val pp = mapper.readTree(get("/people_picker",
       Map("context" -> "admin")).body)
-    val groups = pp.get("groups").properties().asScala.map(_.getValue).map(n =>
-      Row(textOf(n, "group_id"), textOf(n, "parent_id"), textOf(n, "name"))).toSeq
+    // a body without "groups"/"users" (account with none, or an
+    // error-shaped-but-parseable response) must read as empty, not NPE
+    def objValues(node: com.fasterxml.jackson.databind.JsonNode) =
+      Option(node).map(_.properties().asScala.map(_.getValue).toSeq)
+        .getOrElse(Seq.empty)
+    val groups = objValues(pp.get("groups")).map(n =>
+      Row(textOf(n, "group_id"), textOf(n, "parent_id"), textOf(n, "name")))
     val groupsDf = spark.createDataFrame(groups.asJava, StructType(Seq(
       StructField("group_id", StringType), StructField("parent_id", StringType),
       StructField("group_nm", StringType))))
       .withColumn("parent_id", Transforms.normalizeParent(col("parent_id")))
-    val membership = pp.get("users").properties().asScala.map(_.getValue).map(n =>
+    val membership = objValues(pp.get("users")).map(n =>
       Row(Transforms.stripIdPrefixStr(textOf(n, "user_id")),
-        textOf(n, "group_id"))).toSeq
+        textOf(n, "group_id")))
     val memberDf = spark.createDataFrame(membership.asJava, StructType(Seq(
       StructField("user_id", StringType), StructField("_gk", StringType))))
     val withGroup = enabled.join(broadcast(memberDf), Seq("user_id"), "left")
@@ -324,6 +345,9 @@ object PipelineMain {
           s"unsupported format: ${c.format}")
         (FileSink, c.format)
       case BigQuerySink.Format =>
+        require(!c.formatSet,
+          s"--format does not apply to --sink ${BigQuerySink.Format} " +
+            "(the connector fixes its own format)")
         (sinkOverride.getOrElse(BigQuerySink()), BigQuerySink.Format)
       case "bucketed" =>
         // bucketed warehouse layout: each table hash-bucketed on its
@@ -339,6 +363,9 @@ object PipelineMain {
               .write(df, target, table, format)
           }
         }
+        require(!c.formatSet,
+          "--format does not apply to --sink bucketed (parquet is the " +
+            "bucketed layout's format)")
         (perTable, "parquet")
       case other =>
         throw new IllegalArgumentException(
@@ -350,11 +377,19 @@ object PipelineMain {
     val to = TimeCampClient.parseDateFlexible(c.to).toString
 
     // activities are shared between computer_activities and
-    // application_names (the reference preloads them once, `:447-454`)
+    // application_names (the reference preloads them once, `:447-454`),
+    // and their user fan-out is the ENABLED user list derived from the
+    // users endpoint (`:440-445`) — a hardcoded id list would silently
+    // drop every other user's activities on a real transport
+    lazy val activeUserIds = buildUsers(spark, transport)
+      .where(col("is_enabled")).select("user_id")
+      .collect().map(_.getString(0)).toSeq.sorted
     lazy val activities = buildActivities(spark, transport, from, to,
-      userIds = Seq("1", "2")).cache()
+      userIds = activeUserIds).cache()
+    val usesActivities = c.datasets
+      .exists(d => d == "computer_activities" || d == "application_names")
 
-    c.datasets.map { ds =>
+    val out = c.datasets.map { ds =>
       val df = ds match {
         case "entries" => buildEntries(spark, transport, from, to)
         case "tasks" => buildTasks(spark, transport)
@@ -363,9 +398,18 @@ object PipelineMain {
         case "application_names" =>
           buildApplicationNames(spark, transport, activities)
       }
-      sink.write(df, c.output, ds, sinkFormat)
-      ds -> df.count()
+      // cache around write+count: without it the full transform chain
+      // (dedup groupBys, breadcrumb closure, enrichment joins) executes
+      // twice per dataset — once for the write, once for the count
+      val shared = ds == "computer_activities"
+      val work = if (shared) df else df.cache()
+      sink.write(work, c.output, ds, sinkFormat)
+      val n = work.count()
+      if (!shared) work.unpersist()
+      ds -> n
     }.toMap
+    if (usesActivities) { activities.unpersist(); () }
+    out
   }
 
   def main(args: Array[String]): Unit = {

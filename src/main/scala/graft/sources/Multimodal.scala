@@ -130,6 +130,9 @@ object Multimodal {
     * updated in lockstep) is the production shape.
     */
   def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    // maxSide <= 0 would compute scale 0.0, clamp every dimension to 1
+    // and truncate every payload to one byte — garbage with no error
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
     val spark = media.sparkSession
     val schema = StructType(mediaSchema.fields :+
       StructField("resized_w", IntegerType, nullable = true) :+

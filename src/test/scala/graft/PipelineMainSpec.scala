@@ -34,7 +34,10 @@ class PipelineMainSpec extends SparkSpec {
     assert(counts("entries") === 5)
     assert(counts("tasks") === 3)
     assert(counts("users") === 2)
-    assert(counts("computer_activities") === 6) // 2 users × 3 dates
+    // 1 ENABLED user × 3 dates: the activity fan-out follows the users
+    // endpoint's is_enabled flags (reference :440-445) — stub user 2 is
+    // disabled, so its activities are not fetched
+    assert(counts("computer_activities") === 3)
 
     val entries = graft.sources.FileSink.read(spark, out, "entries", "jsonl")
     // tags: JSON string or absent-when-empty (reference yields NULL)
