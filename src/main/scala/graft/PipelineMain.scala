@@ -113,12 +113,16 @@ object PipelineMain {
         """[{"user_id": "1", "email": "a@example.com", "display_name": "Ann"},
           |{"user_id": "2", "email": "b@example.com", "display_name": "Bob"}]""".stripMargin)
     case u if u.startsWith("/user/") && u.endsWith("/setting") =>
-      // reference shape: GET user/{id,id,...}/setting?name[]=disabled_user
-      // (common/api.py:193-198); only user 2 carries the disabled flag
+      // reference wire shape: GET user/{id,...}/setting?name[]=...
+      // returns the LIST format — entries with camelCase `userId` plus
+      // `name`/`value` (common/api.py:218-222); only user 2 carries the
+      // disabled flag. (The dict format — object keyed by user_id —
+      // is exercised directly in PipelineMainSpec.)
       val ids = u.stripPrefix("/user/").stripSuffix("/setting")
         .split(",").toSet
       val rows =
-        if (ids.contains("2")) Seq("""{"user_id": "2", "disabled_user": "1"}""")
+        if (ids.contains("2"))
+          Seq("""{"userId": 2, "name": "disabled_user", "value": "1"}""")
         else Seq.empty
       TimeCampClient.Response(200, rows.mkString("[", ",", "]"))
     case "/people_picker" =>
@@ -172,6 +176,38 @@ object PipelineMain {
 
   private def longOf(n: JsonNode, k: String): java.lang.Long =
     Option(n.get(k)).filterNot(_.isNull).map(v => java.lang.Long.valueOf(v.asLong())).orNull
+
+  /** Parse one `user/{ids}/setting` response into `(user_id, value)`
+    * pairs for `settingName`, handling BOTH reference wire shapes
+    * (common/api.py:200-222): the dict format — an object keyed by
+    * user_id whose values are lists of `{name, value}` entries — and
+    * the list format — a flat array of `{userId, name, value}` entries
+    * (note the camelCase `userId` key in the list shape). A user with
+    * no matching entry maps to null (reads as enabled downstream).
+    */
+  private[graft] def parseUserSettings(
+      body: String, batch: Seq[String],
+      settingName: String): Seq[(String, String)] = {
+    val root = mapper.readTree(body)
+    def valueIn(entries: Seq[JsonNode]): String =
+      entries.collectFirst {
+        case e if textOf(e, "name") == settingName => textOf(e, "value")
+      }.orNull
+    if (root == null) batch.map(_ -> null)
+    else if (root.isObject)
+      batch.map { uid =>
+        val entries = Option(root.get(uid)).filter(_.isArray)
+          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        uid -> valueIn(entries)
+      }
+    else {
+      val all =
+        if (root.isArray) root.elements().asScala.toSeq else Seq.empty
+      batch.map { uid =>
+        uid -> valueIn(all.filter(e => textOf(e, "userId") == uid))
+      }
+    }
+  }
 
   // ------------------------------------------------------------ datasets
 
@@ -241,9 +277,11 @@ object PipelineMain {
     // missing → enabled
     val userIds = users.map(_.getString(0)).filter(_ != null)
     val settings = TimeCampClient.batched(userIds, 50).flatMap { chunk =>
-      jsonArray(get(s"/user/${chunk.mkString(",")}/setting",
-        Map("name[]" -> "disabled_user")).body)
-    }.map(n => Row(textOf(n, "user_id"), textOf(n, "disabled_user")))
+      parseUserSettings(
+        get(s"/user/${chunk.mkString(",")}/setting",
+          Map("name[]" -> "disabled_user")).body,
+        chunk, "disabled_user")
+    }.collect { case (uid, v) if v != null => Row(uid, v) }
     val settingsDf = spark.createDataFrame(settings.asJava, StructType(Seq(
       StructField("user_id", StringType),
       StructField("disabled_user", StringType))))
@@ -381,7 +419,12 @@ object PipelineMain {
     // and their user fan-out is the ENABLED user list derived from the
     // users endpoint (`:440-445`) — a hardcoded id list would silently
     // drop every other user's activities on a real transport
-    lazy val activeUserIds = buildUsers(spark, transport)
+    // one users build per run: the frame feeds both the 'users' dataset
+    // and the enabled-user fan-out — a second buildUsers would re-fetch
+    // /users, the batched /user/{ids}/setting calls, and /people_picker
+    // from the rate-limited API and re-run the whole enrichment chain
+    lazy val usersFrame = buildUsers(spark, transport)
+    lazy val activeUserIds = usersFrame
       .where(col("is_enabled")).select("user_id")
       .collect().map(_.getString(0)).toSeq.sorted
     lazy val activities = buildActivities(spark, transport, from, to,
@@ -393,7 +436,7 @@ object PipelineMain {
       val df = ds match {
         case "entries" => buildEntries(spark, transport, from, to)
         case "tasks" => buildTasks(spark, transport)
-        case "users" => buildUsers(spark, transport)
+        case "users" => usersFrame
         case "computer_activities" => activities
         case "application_names" =>
           buildApplicationNames(spark, transport, activities)

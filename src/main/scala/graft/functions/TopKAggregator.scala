@@ -24,6 +24,10 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // k <= 0 would make reduce's full-buffer fast path call b.last on an
+  // empty buffer (b.size >= k holds vacuously) and throw mid-job
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
   private val ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
 

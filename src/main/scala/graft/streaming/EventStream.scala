@@ -545,7 +545,16 @@ object EventStream {
         val live = new org.apache.hadoop.fs.Path(d)
         val next = new org.apache.hadoop.fs.Path(d + "._next")
         val old = new org.apache.hadoop.fs.Path(d + "._old")
-        val promoteFinished = complete(live) && fs.exists(old) &&
+        // The live dir must pass the MANIFEST check, not a bare
+        // _SUCCESS-existence check: in the torn promote-rename copy
+        // window an S3-style rename copies `_SUCCESS` (carrying the
+        // batch token) before the data files, so a hollow live dir can
+        // hold a matching token while `._next` is still the only
+        // complete copy. A bare check here would delete `._next` AND
+        // `._old` — losing the shard. `._next` itself only needs the
+        // token (phase 1 stamps it marker-LAST, and the marker proves
+        // phase 1 completed for that shard).
+        val promoteFinished = dirComplete(fs, live) && fs.exists(old) &&
           fs.exists(next) && batchTokenOf(fs, live).exists(t =>
             batchTokenOf(fs, next).contains(t))
         if (promoteFinished) {

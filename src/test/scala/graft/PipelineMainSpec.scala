@@ -137,4 +137,29 @@ class PipelineMainSpec extends SparkSpec {
     } finally Seq(entriesCat, tasksCat).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("user settings parser handles both reference wire shapes") {
+    // LIST format (common/api.py:218-222): flat entries with camelCase
+    // userId — numeric or string — matched per requested id
+    val list =
+      """[{"userId": 2, "name": "disabled_user", "value": "1"},
+        | {"userId": 3, "name": "other_setting", "value": "x"}]""".stripMargin
+    assert(PipelineMain.parseUserSettings(list, Seq("1", "2", "3"),
+      "disabled_user") === Seq("1" -> null, "2" -> "1", "3" -> null))
+    // DICT format (common/api.py:203-216): object keyed by user_id,
+    // values are lists of {name, value}
+    val dict =
+      """{"2": [{"name": "disabled_user", "value": "1"},
+        |       {"name": "other_setting", "value": "y"}],
+        | "3": [{"name": "other_setting", "value": "z"}]}""".stripMargin
+    assert(PipelineMain.parseUserSettings(dict, Seq("1", "2", "3"),
+      "disabled_user") === Seq("1" -> null, "2" -> "1", "3" -> null))
+    // degenerate bodies read as all-enabled, never throw
+    assert(PipelineMain.parseUserSettings("null", Seq("1"), "disabled_user")
+      === Seq("1" -> null))
+    assert(PipelineMain.parseUserSettings("{}", Seq("1"), "disabled_user")
+      === Seq("1" -> null))
+    assert(PipelineMain.parseUserSettings("[]", Seq("1"), "disabled_user")
+      === Seq("1" -> null))
+  }
 }

@@ -46,4 +46,11 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(plan.contains("partial_topkaggregator") ||
       plan.toLowerCase.contains("partial"), s"expected partial agg in:\n$plan")
   }
+
+  test("k <= 0 is rejected at construction, not at b.last mid-job") {
+    val e = intercept[IllegalArgumentException](new TopKAggregator(0))
+    assert(e.getMessage.contains("k >= 1"))
+    intercept[IllegalArgumentException](new TopKAggregator(-3))
+    ()
+  }
 }

@@ -245,6 +245,37 @@ class ShardedStoreSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet === v2.toSet,
         "a hollow marker-only live dir must not outrank the complete ._next")
     }
+    // the marker-first torn copy of the PROMOTE rename itself: the
+    // copy materialized `_SUCCESS` — carrying the batch TOKEN — before
+    // any data file, with `._old` still parked and `._next` (same
+    // token) the only complete copy. Byte-layout satisfies every bare
+    // promote-finished test (marker present, old present, next present,
+    // tokens match); only the manifest check can tell the live dir is
+    // hollow. Recovery must run the swap, NOT delete `._next`+`._old`
+    // (which would lose the shard permanently).
+    locally {
+      val (store, fs) = setup()
+      val d = EventStream.shardDir(store, 0)
+      if (!fs.rename(new Path(d), new Path(d + "._old")))
+        fail(s"setup rename failed for $d")
+      // hollow live: stamp the manifest+token over real data files,
+      // then delete the data files (the torn-copy window)
+      v2.toDF("id", "component").write.parquet(d)
+      EventStream.stampSuccess(fs, new Path(d), Some("tok-b4"))
+      fs.listStatus(new Path(d)).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_"))
+        .foreach(p => fs.delete(p, false))
+      v2.toDF("id", "component").write.parquet(d + "._next")
+      EventStream.stampSuccess(fs, new Path(d + "._next"), Some("tok-b4"))
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      EventStream.recoverShardedStore(fs, store)
+      assert(spark.read.parquet(d)
+        .as[(Long, Long)].collect().toSet === v2.toSet,
+        "a hollow token-matching live dir with ._old parked must be " +
+          "replaced by the complete ._next, not trusted as promoted")
+      assert(!fs.exists(new Path(d + "._next")))
+      assert(!fs.exists(new Path(d + "._old")))
+    }
   }
 
   test("a fold folded into a crashed-and-recovered store equals the fold " +
