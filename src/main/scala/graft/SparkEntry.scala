@@ -581,15 +581,20 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, numPlanes = 6)),
 
     // --- the RECALL side of the SRP trade as a graded operator: band
-    // OR-ing (2 bands × 3 planes here — a static point the DuckDB twin
-    // replicates verbatim, like the 4/6-plane single-table points).
-    // Single-table SRP finds a threshold-0.4 pair with prob (1-θ/π)^p —
-    // measured 17% at p=4 (SCALE.md round 7); OR-ing bands is the
-    // published escape, so it must be graded code, not a footnote ---
-    "q_dedup_embed_banded" -> ((s, dir) =>
+    // OR-ing at the LAW operating point — (planesPerBand, numBands)
+    // chosen by the bandsFor selector from (threshold 0.4, recall SLA
+    // 0.95, n = corpus count), NOT a pinned constant. The DuckDB twin
+    // derives the same (p, L) from the same formulas over count(*), so
+    // the gate exercises the parameters production would run: the old
+    // static 2×3 point cost a measured 569 s at sf10 (SCALE.md) purely
+    // because its 8 buckets stopped growing with n; this row's bucket
+    // count is law-sized at every SF the driver grades ---
+    "q_dedup_embed_banded" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       Similarity.cosineNearDupPairsBanded(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
-        planesPerBand = 3, numBands = 2)),
+        emb, "vec_id", "embedding", 0.4,
+        targetRecall = 0.95, n = emb.count())
+    }),
 
     // --- incremental embedding ingest: batch (vec_id % 5 = 0) vs the
     // persisted SRP bucket table of the rest — pairs touching the batch,
@@ -641,10 +646,16 @@ object SparkEntry {
     // --- SemDeDup (Abbas et al. 2023): semantic dedup = the kmeans
     // cells above + within-cell cosine pruning, keep-min-id. Grades the
     // composed pipeline (quantize -> bucket-join prune -> anti-join)
-    // end-to-end against a full DuckDB replica of the same chain ---
-    "q_semdedup" -> ((s, dir) =>
-      Similarity.semDeDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 4, 0.4)),
+    // end-to-end against a full DuckDB replica of the same chain.
+    // k = ⌈√n⌉ — the √n-cell law that bounds within-cell pair work at
+    // ~n·√n — derived from count(*) on BOTH sides (the old pinned k=4
+    // made the graded row an n²/4 all-pairs plan: measured 33× growth
+    // sf0.1→sf1, SCALE.md). Seeds stay first-k-by-id ---
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.semDeDup(emb, "vec_id", "embedding", k, 0.4)
+    }),
 
     // --- embedding normalization: unit-length vectors, map-side only.
     // The unit vector is serialized to a comma-joined DECIMAL(18,6) string
@@ -1969,23 +1980,35 @@ object SparkEntry {
         "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
     },
 
-    // band OR-ing twin: 2 bands × 3 planes (band 1 hashes plane ids 3-5),
-    // candidates = UNION (distinct) of the per-band bucket joins
+    // band OR-ing twin at the LAW point: (p, L) derived IN SQL from
+    // count(*) with the bandsFor selector's formulas (plane-density law
+    // p = max(1, ceil(log2(n/256))), then L bands to buy the 0.95
+    // recall SLA back: L = ceil(ln(0.05)/ln(1 - c^p)) at the threshold's
+    // per-plane collision c = 1 - acos(0.4)/pi). Band b hashes global
+    // plane ids b*p .. b*p+p-1 (bit j = plane b*p+j), the same
+    // md5('plane:index') sign convention as the native srp_bucket.
+    // Candidates = DISTINCT union over bands via a (band, bucket) join
     "q_dedup_embed_banded" -> {
-      def proj(v: String, h: Int) =
-        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
-      def bucketExpr(first: Int, n: Int) = (0 until n).map(h =>
-        s"(CASE WHEN ${proj("embedding", first + h)} > 0 THEN ${1 << h} ELSE 0 END)")
-        .mkString(" + ")
       def dot(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      val cos = s"${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")}))"
-      s"WITH bucketed AS (SELECT vec_id, embedding, ${bucketExpr(0, 3)} AS bkt0, ${bucketExpr(3, 3)} AS bkt1 FROM embeddings), " +
-        "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb " +
-        "FROM bucketed a JOIN bucketed b ON a.bkt0 = b.bkt0 AND a.vec_id < b.vec_id " +
-        "UNION SELECT a.vec_id, b.vec_id, a.embedding, b.embedding " +
-        "FROM bucketed a JOIN bucketed b ON a.bkt1 = b.bkt1 AND a.vec_id < b.vec_id) " +
-        s"SELECT id_a, id_b, score FROM (SELECT id_a, id_b, round($cos, 6) AS score FROM cand) WHERE score >= 0.4"
+      val cos = s"${dot("ea.embedding", "eb.embedding")} / (sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
+      "WITH nn AS (SELECT count(*) AS n FROM embeddings), " +
+        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0)) AS INT)) AS p FROM nn), " +
+        "ll AS (SELECT p, greatest(1, CAST(ceil(ln(1.0 - 0.95) / ln(1.0 - power(1.0 - acos(0.4) / pi(), p))) AS INT)) AS nb FROM pp), " +
+        "hp AS (SELECT band, j, band * (SELECT p FROM ll) + j AS h " +
+        "FROM (SELECT unnest(generate_series(0, (SELECT nb FROM ll) - 1)) AS band), " +
+        "(SELECT unnest(generate_series(0, (SELECT p FROM ll) - 1)) AS j)), " +
+        "proj AS (SELECT e.vec_id, hp.band, hp.j, " +
+        "list_reduce(list_transform(generate_series(0, len(e.embedding) - 1), " +
+        "i -> CAST(e.embedding[i + 1] AS DOUBLE) * (CASE WHEN substr(md5(CAST(hp.h AS VARCHAR) || ':' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), " +
+        "(a, b) -> a + b) AS s FROM embeddings e CROSS JOIN hp), " +
+        "bucketed AS (SELECT vec_id, band, SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bkt " +
+        "FROM proj GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM bucketed a JOIN bucketed b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
+        s"SELECT id_a, id_b, score FROM (SELECT c.id_a, c.id_b, round($cos, 6) AS score " +
+        "FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
+        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE score >= 0.4"
     },
 
     "q_ivf_topk" -> ivfTopkOracleSql,
@@ -2019,8 +2042,14 @@ object SparkEntry {
       def cos(a: String, b: String) =
         s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
       // the q_kmeans_assign chain (seeds -> refined means -> assignment)
-      // feeding within-cell greedy-by-id pruning at cosine >= 0.4
-      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+      // feeding within-cell greedy-by-id pruning at cosine >= 0.4.
+      // k = ceil(sqrt(count(*))) — the same law the Spark side computes
+      // (sqrt is IEEE-exact-rounded, so both engines agree on the
+      // integer); seeds = first-k-by-id exactly as before
+      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _rn FROM embeddings) " +
+        "WHERE _rn <= (SELECT k FROM kk)), " +
         s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
         "FROM embeddings v CROSS JOIN cents c), " +
         "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +

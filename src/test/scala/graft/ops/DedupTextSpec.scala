@@ -347,6 +347,14 @@ class DedupTextSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Similarity.bandsFor(0.5, 0.999, 220000L)
     }
+    // the GRADED row's operating points (q_dedup_embed_banded derives
+    // (p, L) from count(*) at t = 0.4, SLA 0.95; the DuckDB twin
+    // replicates the same formulas in SQL): pin the integers the two
+    // engines must agree on at the driver's grading corpora — n = 500
+    // (sf0.01) and n = 2000 (sf0.1). A float-boundary drift between
+    // Scala's ln-ratio ceil and DuckDB's would show here first.
+    assert(Similarity.bandsFor(0.4, 0.95, 500L) === ((1, 4)))
+    assert(Similarity.bandsFor(0.4, 0.95, 2000L) === ((3, 11)))
   }
 
   test("SLA-driven banded near-dup holds the asked-for recall on planted " +
