@@ -81,6 +81,21 @@ object RecallBench {
         probe.unpersist(); ()
       }
       inline.unpersist()
+      // ---- multi-probe recall curve: the nprobe lever measured against
+      // brute-force truth, amortized-probe times alongside — the
+      // evidence behind probesFor's geometric model ----
+      val (truth, nTruth, truthSec) = forceCount(
+        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
+      println(f"IVFPROBE truth: pairs=$nTruth bruteforce=$truthSec%.2f s")
+      Seq(1, 2, 4, 8).foreach { np =>
+        val assigned = Similarity.ivfAssigned(spark, wh, "emb_cells")
+        val (probe, _, probeSec) = forceCount(Similarity.ivfProbe(
+          queries, assigned, "vec_id", "embedding", k, cents, nprobe = np))
+        val r = Similarity.recallVs(truth, probe)
+        println(f"IVFPROBE nprobe=$np: recall@$k=$r%.4f time=$probeSec%.2f s")
+        probe.unpersist(); ()
+      }
+      truth.unpersist()
       spark.stop(); return
     }
 

@@ -634,6 +634,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- multi-probe IVF: the nprobe recall lever as graded code —
+    // queries probe their 2 nearest cells (vec_top_cells, the native
+    // top-p generalization of vec_argmax_cell; probesFor sizes nprobe
+    // to a recall SLA in production), corpus rows stay in their one
+    // cell, so the fan-out is query-batch-sized and the corpus never
+    // re-shuffles (PlanSpec pins the probe plan at nprobe = 2) ---
+    "q_ivf_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5,
+        nCentroids = 4, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- k-means training step for the IVF coarse quantizer: seed cells
     // (first-k-by-id, the IVF convention) → decimal-exact per-cell mean
     // refinement → full-corpus re-assignment against the refined
@@ -1258,7 +1272,12 @@ object SparkEntry {
       "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
       "WHERE a.doc_id < c.doc_id)"
 
-  private val ivfTopkOracleSql: String = {
+  /** IVF twin, parameterized on the QUERY-side probe width: corpus
+    * vectors live in their rn = 1 cell; queries probe their `nprobe`
+    * nearest cells (rn <= nprobe — the same round(cos, 9) DESC, cid ASC
+    * contract `vec_top_cells` implements natively).
+    */
+  private def ivfOracleSql(nprobe: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cos(a: String, b: String) =
@@ -1267,11 +1286,13 @@ object SparkEntry {
       s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
       "FROM embeddings v CROSS JOIN cents c), " +
       "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
-      "q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 8), " +
+      s"q AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM asg WHERE rn <= $nprobe AND vec_id < 8), " +
       s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
       "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
       "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
   }
+
+  private val ivfTopkOracleSql: String = ivfOracleSql(1)
 
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
@@ -2018,6 +2039,9 @@ object SparkEntry {
     // contract) — ONE oracle grades both, which is itself the claim:
     // persisting the assignment must not change a single row
     "q_ivf_probe" -> ivfTopkOracleSql,
+
+    // query-side rn <= 2 is the only delta vs the single-probe twin
+    "q_ivf_multiprobe" -> ivfOracleSql(2),
 
     "q_kmeans_assign" -> {
       def dot(a: String, b: String) =

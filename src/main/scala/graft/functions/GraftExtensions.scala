@@ -94,6 +94,15 @@ object GraftExtensions {
             "centsMatrix a foldable array<array<double>>")
       }),
     (
+      new FunctionIdentifier("vec_top_cells"),
+      new ExpressionInfo(classOf[VecTopCells].getName, "vec_top_cells"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, m, Literal(p: Int, IntegerType)) => VecTopCells(v, m, p)
+        case _ => throw new IllegalArgumentException(
+          "vec_top_cells(vec, centsMatrix, p): p must be an integer " +
+            "literal, centsMatrix a foldable array<array<double>>")
+      }),
+    (
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

@@ -198,7 +198,7 @@ object VecArgmaxCell {
     * two can HALF_UP differently at 9th-decimal halfway points, and the
     * contract here is bit-identity with the literal round(cos, 9) path.
     */
-  private def round9(d: Double): Long =
+  private[functions] def round9(d: Double): Long =
     java.math.BigDecimal.valueOf(d)
       .setScale(9, java.math.RoundingMode.HALF_UP)
       .movePointRight(9).longValueExact()

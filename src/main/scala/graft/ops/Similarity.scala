@@ -292,6 +292,58 @@ object Similarity {
     (p, l)
   }
 
+  /** Recall-SLA selector for IVF multi-probe — [[bandsFor]]'s exact gap
+    * closed for the cell-probed ANN family: given a `targetRecall` SLA
+    * and the corpus size `n`, returns the `nprobe` to hand
+    * [[ivfProbe]]/[[ivfTopK]].
+    *
+    * Model — POWER-LAW miss decay, calibrated on the measured curve:
+    * miss(nprobe) ≈ miss(1) · nprobe^(−β). A geometric model (each
+    * extra cell recovering the same fraction of residual misses) was
+    * REJECTED against measurement: at the 220k decade / √n cells the
+    * RecallBench ivfsplit leg measured misses 0.0141 → 0.0078 → 0.0047
+    * → 0.0031 across nprobe 1/2/4/8 — β ≈ 0.73, i.e. late cells recover
+    * much less than the first, exactly the tail a geometric model
+    * inflates (it predicted 0.9998 at nprobe = 2; measured 0.9922).
+    * Solving miss(1)·np^(−β) ≤ 1 − target:
+    * nprobe = ⌈(miss₁ / (1 − target))^(1/β)⌉, with
+    * miss₁ = 1 − `singleProbeRecall` (default the recorded 220k
+    * single-probe measurement, 0.9828 — the lower of the two recorded
+    * runs) and β = `missDecay` (default 0.7, just under the measured
+    * 0.73 so the selector errs CONSERVATIVE — it buys probes, never
+    * banks on tail recovery the curve doesn't deliver).
+    *
+    * Probe cost is linear in nprobe (query fan-out rows and in-cell
+    * score work), so an SLA that needs more than `maxProbes` cells
+    * fails loudly — same discipline as [[bandsFor]]'s band cap; under
+    * this law a 0.999 SLA genuinely costs ~59 probes, and the selector
+    * says so instead of quietly under-probing. nprobe is also capped at
+    * the law cell count ⌈√n⌉ (probing every cell IS brute force).
+    */
+  def probesFor(
+      targetRecall: Double, n: Long,
+      singleProbeRecall: Double = 0.9828, missDecay: Double = 0.7,
+      maxProbes: Int = 16): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(singleProbeRecall > 0.0 && singleProbeRecall < 1.0,
+      s"singleProbeRecall must be in (0, 1), got $singleProbeRecall")
+    require(missDecay > 0.0, s"missDecay must be > 0, got $missDecay")
+    val cells = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val miss1 = 1.0 - singleProbeRecall
+    val targetMiss = 1.0 - targetRecall
+    val np =
+      if (targetMiss >= miss1) 1
+      else math.ceil(math.pow(miss1 / targetMiss, 1.0 / missDecay)).toInt
+    val capped = math.min(np, cells)
+    require(capped <= maxProbes,
+      f"recall SLA $targetRecall over n=$n needs $capped probes " +
+        f"(> maxProbes $maxProbes) at measured single-probe recall " +
+        f"$singleProbeRecall, miss decay $missDecay: lower the SLA or " +
+        "raise maxProbes knowingly — probe cost is linear in nprobe")
+    capped
+  }
+
   /** The SRP bucket table of a corpus: `(_id, _v, _bkt, _n)`, eagerly
     * materialized. Internal input to pair generation AND the persistent
     * artifact of INCREMENTAL embedding dedup — store it (parquet,
@@ -362,15 +414,19 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, nCentroids: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nCentroids: Int = 4,
+      nprobe: Int = 1): DataFrame = {
     // Centroids live on the driver (an IVF coarse quantizer is a model
     // artifact, not data) and are inlined as literals — cell assignment is
     // then a pure map-side projection, no join, no shuffle of the corpus.
     // Seed extraction and the argmax expression are shared with kmeansFit
     // (seedCentroids/cellOf): one definition for the tie-break/rounding
-    // contract the oracle twins mirror.
+    // contract the oracle twins mirror. Multi-probe (nprobe > 1) fans out
+    // QUERY rows to their nprobe nearest cells — the corpus side stays
+    // one row per vector in its own cell, so the recall lever costs
+    // query-batch-sized work, never a corpus pass.
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val q = withCell(queries, idCol, vecCol, cents)
+    val q = withCells(queries, idCol, vecCol, cents, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         col("_cell"), norm(col(vecCol)).as("_qn"))
     val c = withCell(corpus, idCol, vecCol, cents)
@@ -430,15 +486,21 @@ object Similarity {
 
   /** Probe a persisted [[ivfBuild]] assignment: queries are assigned
     * map-side against the centroid model (no corpus touch), then joined
-    * to the bucketed corpus on `_cell`. Bit-identical to [[ivfTopK]] on
-    * the same corpus — same assignment expression, same scoring
-    * arithmetic (`_vn` was computed by the same `norm` at build time),
-    * same rank contract — so the two paths share one oracle.
+    * to the bucketed corpus on `_cell`. At `nprobe = 1` this is
+    * bit-identical to [[ivfTopK]] on the same corpus — same assignment
+    * expression (`vec_top_cells(..., 1)(0) ≡ vec_argmax_cell`, spec-
+    * pinned), same scoring arithmetic (`_vn` was computed by the same
+    * `norm` at build time), same rank contract — so the two paths share
+    * one oracle. `nprobe > 1` probes the query's nprobe nearest cells
+    * (the standard IVF recall lever; size it with [[probesFor]]): the
+    * fan-out multiplies QUERY rows only, the bucketed corpus still
+    * reaches the join with zero Exchange (PlanSpec pins it at nprobe 2).
     */
   def ivfProbe(
       queries: DataFrame, assigned: DataFrame, idCol: String,
-      vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val q = withCell(queries, idCol, vecCol, cents)
+      vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])],
+      nprobe: Int = 1): DataFrame = {
+    val q = withCells(queries, idCol, vecCol, cents, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         col("_cell"), norm(col(vecCol)).as("_qn"))
     val c = assigned.select(col(idCol).as("neighbor_id"),
@@ -529,6 +591,37 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol),
       element_at(cidArr,
         call_function("vec_argmax_cell", col(vecCol), mat) + 1).as("_cell"))
+  }
+
+  /** Query `(id, vec)` → `(id, vec, _cell)` with ONE ROW PER PROBED
+    * CELL: the multi-probe generalization of [[withCell]], built on the
+    * native `vec_top_cells` loop (same contract, element 0 ≡ argmax).
+    * At `nprobe = 1` the output is row-for-row [[withCell]] minus the
+    * NULL-cell rows (`explode` drops them; every consumer joins on
+    * `_cell`, where a NULL never matches — spec-pinned equivalence).
+    * Intended for QUERY sides: the fan-out is nprobe × |queries| rows.
+    * Corpus sides keep [[withCell]] — a corpus vector lives in exactly
+    * one cell.
+    */
+  private[graft] def withCells(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (nprobe == 1) {
+      // single-probe stays on the argmax expression — same generated
+      // loop as the pre-multi-probe operator; the NULL-cell filter only
+      // drops rows a downstream `_cell` join would drop anyway
+      withCell(corpus, idCol, vecCol, cents)
+        .where(col("_cell").isNotNull)
+    } else {
+      val ordered = cents.sortBy(_._1)
+      val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
+      val cidArr = array(ordered.map(c => lit(c._1)): _*)
+      corpus.select(col(idCol), col(vecCol),
+        explode(transform(
+          call_function("vec_top_cells", col(vecCol), mat, lit(nprobe)),
+          i => element_at(cidArr, i + 1))).as("_cell"))
+    }
   }
 
   private[graft] def cellsByLiteral(

@@ -208,6 +208,17 @@ class PlanSpec extends SparkSpec {
       val inline = ops.Similarity.ivfTopK(
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
       assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty)
+      // multi-probe fans out QUERY rows only: the corpus branch still
+      // reaches the join pre-partitioned — same Exchange budget at
+      // nprobe = 2 (a corpus-side fan-out would add a third Exchange
+      // AND multiply corpus rows; this pins both away)
+      val probe2 = ops.Similarity.ivfProbe(
+        emb.where(col("vec_id") < 8),
+        ops.Similarity.ivfAssigned(spark, wh, "ivf"),
+        "vec_id", "embedding", 5, cents, nprobe = 2)
+      val plan2 = planOf(probe2)
+      assert(plan2.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+        s"corpus side must not shuffle at nprobe=2:\n$plan2")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS " + graft.sources
