@@ -94,6 +94,15 @@ object GraftExtensions {
             "centsMatrix a foldable array<array<double>>")
       }),
     (
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, merges) => BpeEncode(text, merges)
+        case _ => throw new IllegalArgumentException(
+          "bpe_encode(text, merges): merges must be a foldable " +
+            "array<string> of 'left right' merge lines")
+      }),
+    (
       new FunctionIdentifier("vec_top_cells"),
       new ExpressionInfo(classOf[VecTopCells].getName, "vec_top_cells"),
       (args: Seq[Expression]) => args match {

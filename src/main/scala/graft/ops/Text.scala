@@ -73,9 +73,33 @@ object Text {
 
   /** BPE-ish subword-boundary token count: runs of word chars OR single
     * non-word-non-space chars — the standard pre-tokenizer regex shape.
+    * A cheap upper-structure approximation; for budgets denominated in a
+    * REAL tokenizer's tokens use [[bpeTokenCount]] with the deployment's
+    * merges table.
     */
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Byte-level BPE subword tokens (the public GPT-2 scheme) via the
+    * native `bpe_encode` expression: pre-tokenizer regex → bytes→unicode
+    * alphabet → rank-ordered merge loop over `merges` ("left right"
+    * lines in file order, the published merges.txt format — pass the
+    * deployment tokenizer's table). Map-side, codegen, zero shuffle —
+    * the merges table ships once per plan as a reference object, like a
+    * centroid model. Golden-pinned against an independent Python
+    * implementation (tools/bpe_reference.py).
+    */
+  def bpeTokens(text: Column, merges: Seq[String]): Column =
+    call_function("bpe_encode", text, array(merges.map(lit): _*))
+
+  /** Count of [[bpeTokens]] — the token-budget denominator the mixture/
+    * packing/chunking operators should consume when "tokens" means a
+    * real tokenizer's tokens: whitespace counts understate subword
+    * counts by the fertility factor, so a whitespace-denominated budget
+    * silently over-fills real-token bins.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[String]): Column =
+    size(bpeTokens(text, merges))
 
   /** Word n-gram shingles as an array column (for MinHash/Jaccard dedup).
     *

@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the native byte-level BPE applier against GOLDEN vectors
+  * computed by the independent Python reference implementation
+  * (tools/bpe_reference.py — run it to regenerate; every expected
+  * value below is pasted from its output). Ġ (U+0120) is the
+  * byte-alphabet image of the space byte, as in the published GPT-2
+  * merges format.
+  */
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val G = "Ġ" // Ġ
+  private val merges = Seq(
+    "#version: spec-fixture",
+    "h e", "l l", "he ll", "hell o",
+    s"$G w", s"${G}w o", s"${G}wo r", s"${G}wor ld",
+    "l d", s"${G}wor l", "1 2", "12 3")
+
+  private def run(texts: Seq[String], codegen: Boolean): Seq[Option[Seq[String]]] = {
+    val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try {
+      texts.zipWithIndex.toDF("t", "i").orderBy("i")
+        .select(graft.ops.Text.bpeTokens(col("t"), merges).as("toks"))
+        .collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getSeq[String](0).toSeq))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("golden vectors from the independent reference implementation, " +
+    "both execution modes") {
+    val cases = Seq(
+      // multi-step merges incl. the space marker chain
+      "hello world" -> Seq("hello", s"${G}world"),
+      // double space: the pre-tokenizer emits a bare space token
+      "hello  world" -> Seq("hello", G, s"${G}world"),
+      // case sensitivity, punctuation split, digit merges
+      "Hello, world! 123" ->
+        Seq("H", "e", "ll", "o", ",", s"${G}world", "!", G, "123"),
+      // merge stops when no adjacent pair is in the table
+      "hell" -> Seq("hell"),
+      // empty text -> empty array, not null
+      "" -> Seq.empty[String],
+      // multi-byte UTF-8 rides the byte alphabet (é = C3 A9, ü = C3 BC)
+      "café ü" ->
+        Seq("c", "a", "f", "Ã", "©", G, "Ã", "¼"))
+    Seq(true, false).foreach { cg =>
+      assert(run(cases.map(_._1), cg) === cases.map(c => Some(c._2)),
+        s"codegen=$cg")
+    }
+  }
+
+  test("null text yields NULL; rank priority beats line order") {
+    Seq(true, false).foreach { cg =>
+      assert(run(Seq(null), cg) === Seq(None), s"codegen=$cg")
+    }
+    // 'l l' (rank 1) outranks 'e l' (rank 2) at the shared 'l': hello
+    // must merge ll first, leaving 'e' unpaired
+    val toks = Seq("hello").toDF("t")
+      .select(graft.ops.Text.bpeTokens(col("t"),
+        Seq("l l", "e l", "o o")).as("x"))
+      .head.getSeq[String](0)
+    assert(toks === Seq("h", "e", "ll", "o"))
+  }
+
+  test("bpeTokenCount denominates the packing budget: fertility > 1 vs " +
+    "whitespace counts on real documents") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val counts = docs.select(
+      sum(graft.ops.Text.tokenCount(col("text"))).as("ws"),
+      sum(graft.ops.Text.bpeTokenCount(col("text"), merges)).as("bpe"))
+      .head
+    val (ws, bpe) = (counts.getLong(0), counts.getLong(1))
+    // with a tiny merges table almost nothing fuses, so subword counts
+    // strictly exceed whitespace counts — the fertility factor a
+    // whitespace-denominated budget silently ignores
+    assert(bpe > ws, s"expected subword fertility > 1, got ws=$ws bpe=$bpe")
+    // and the counts drop into the q_pack_sequences window shape
+    // unchanged (budget operators are Column-parametric)
+    val packed = docs.select(col("doc_id"),
+      graft.ops.Text.bpeTokenCount(col("text"), merges).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(floor((col("_cum") - col("n_tokens")) / 2048).as("bin"))
+    assert(packed.agg(max("bin")).head.getLong(0) >= 0)
+  }
+
+  test("non-foldable merges rejected at analysis") {
+    val df = Seq(("x", Seq("a b"))).toDF("t", "m")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("bpe_encode", col("t"), col("m"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable"))
+  }
+}

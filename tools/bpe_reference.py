@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Independent reference implementation of byte-level BPE (the public
+GPT-2 scheme: pre-tokenizer regex -> bytes_to_unicode alphabet ->
+rank-ordered merge loop over a merges table).
+
+Purpose: generate GOLDEN token vectors that pin the Scala
+`bpe_encode` Catalyst expression (graft.functions.BpeEncode) in
+BpeEncodeSpec. This file is the independent implementation the spec's
+fixtures were computed with -- run it to regenerate them:
+
+    python3 tools/bpe_reference.py
+
+It prints the (merges, text) -> tokens cases used by the spec as
+Scala-ish literals.
+"""
+import json
+import regex  # the GPT-2 pattern needs \p{L}/\p{N}; stdlib `re` lacks them
+
+PRE = regex.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+
+def bytes_to_unicode():
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(2 ** 8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2 ** 8 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+B2U = bytes_to_unicode()
+
+
+def get_pairs(word):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def bpe_word(word, ranks):
+    word = tuple(word)
+    while len(word) > 1:
+        pairs = get_pairs(word)
+        best = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if best not in ranks:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = tuple(out)
+    return list(word)
+
+
+def encode(text, merge_lines):
+    ranks = {}
+    for i, line in enumerate(l.strip() for l in merge_lines):
+        if line and not line.startswith("#") and " " in line:
+            pair = tuple(line.split(" ", 1))
+            if pair not in ranks:
+                ranks[pair] = i
+    tokens = []
+    for m in PRE.findall(text):
+        mapped = [B2U[b] for b in m.encode("utf-8")]
+        tokens.extend(bpe_word(mapped, ranks))
+    return tokens
+
+
+if __name__ == "__main__":
+    # the spec's fixed merges table: enough structure to exercise rank
+    # priority, multi-step merges, the G-space marker, and digits
+    MERGES = [
+        "#version: spec-fixture",
+        "h e",          # rank 0
+        "l l",          # rank 1
+        "he ll",        # rank 2
+        "hell o",       # rank 3
+        "Ġ w",     # rank 4: 'Ġ w' -- space marker merges
+        "Ġw o",    # rank 5
+        "Ġwo r",   # rank 6
+        "Ġwor ld", # rank 7 (needs 'l d' first -- absent, so dead)
+        "l d",          # rank 8
+        "Ġwor l",  # rank 9
+        "1 2",          # rank 10
+        "12 3",         # rank 11
+    ]
+    CASES = [
+        "hello world",
+        "hello  world",      # double space: 'Ġ' token survives alone
+        "Hello, world! 123", # punctuation + digits + case sensitivity
+        "hell",
+        "",
+        "café ü",  # multi-byte UTF-8 through the byte alphabet
+    ]
+    for text in CASES:
+        toks = encode(text, MERGES)
+        print(f"{json.dumps(text)} -> {json.dumps(toks, ensure_ascii=False)}")
