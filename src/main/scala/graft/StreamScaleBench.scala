@@ -158,10 +158,37 @@ object StreamScaleBench {
     // would silently produce empty batches past it, or off-target batch
     // sizes on other SFs).
     val trickleStride = math.max(numBatches, edges.length / 20)
-    shardedLeg("sharded-trickle", 256,
-      (0 until numBatches).map(b =>
-        edges.zipWithIndex.collect {
-          case (e, i) if i % trickleStride == b => e }))
+    val trickleBatches = (0 until numBatches).map(b =>
+      edges.zipWithIndex.collect {
+        case (e, i) if i % trickleStride == b => e })
+    shardedLeg("sharded-trickle", 256, trickleBatches)
+    // the SELECTOR-CHOSEN second operating point on the same trickle
+    // feed. Two legs, one per constraint:
+    //  - size-only (batchComponents = 0): a fixture-scaled 64 KiB target
+    //    picks ~7 shards — the MEASURED failure mode the footprint term
+    //    exists for (a ~35-component batch touches every one of 7
+    //    shards → 100% bytes/batch, worse than 256 shards' 14-17%);
+    //  - footprint-aware: C ≈ 2× edges/batch at the default 0.15
+    //    rewrite fraction picks the couple-hundred-shard regime and the
+    //    rewrite percentage should land at ≤ ~15%.
+    val probeDir = java.nio.file.Files
+      .createTempDirectory("graft_streamscale_probe").toString
+    bootstrapLabels().write.parquet(s"$probeDir/labels")
+    val storeBytes = new org.apache.hadoop.fs.Path(s"$probeDir/labels")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(s"$probeDir/labels"))
+      .getLength
+    val sizeOnly = streaming.EventStream.shardsFor(
+      storeBytes, targetShardBytes = 64L << 10)
+    println(s"STREAMSCALE shardsFor(storeBytes=$storeBytes, target=64KiB, " +
+      s"C=0) = $sizeOnly shards (size-only: the measured failure mode)")
+    shardedLeg(s"sharded-trickle-sizeonly$sizeOnly", sizeOnly, trickleBatches)
+    val batchC = 2L * trickleBatches.headOption.map(_.length.toLong).getOrElse(20L)
+    val selShards = streaming.EventStream.shardsFor(
+      storeBytes, targetShardBytes = 64L << 10, batchComponents = batchC)
+    println(s"STREAMSCALE shardsFor(storeBytes=$storeBytes, target=64KiB, " +
+      s"C=$batchC) = $selShards shards (footprint-aware)")
+    shardedLeg(s"sharded-trickle-sel$selShards", selShards, trickleBatches)
     spark.stop()
   }
 }

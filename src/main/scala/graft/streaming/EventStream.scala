@@ -436,6 +436,72 @@ object EventStream {
   // never see a half-merged labeling.
   // ------------------------------------------------------------------
 
+  /** Store-size-driven shard-count selector — the sharding companion to
+    * `Similarity.bandsFor`/`probesFor` (state WHAT you need, the
+    * selector picks the operating point): given the labeling's on-disk
+    * `storeBytes`, returns the shard count that keeps each shard near
+    * `targetShardBytes`.
+    *
+    * The trade both ends of the dial lose: FEWER shards → each touched
+    * shard rewrite carries more bystander bytes (the measured 16-shard
+    * point at ~925-edge batches rewrote 100% of store bytes/batch — at
+    * that batch size the footprint covers every shard and sharding can
+    * only tie); MORE shards → per-batch fixed costs grow (a rename +
+    * manifest stamp + recovery probe per touched shard, an O(numShards)
+    * listing per fold) and shards shrink into the DFS small-file
+    * regime. Holding shard size AT a fixed target as the store grows is
+    * what makes the trickle measurement transfer: rewrite bytes/batch ≈
+    * touched × targetShardBytes ≈ the batch's component footprint,
+    * independent of store size (the 256-shard sf1 trickle point
+    * measured 14–17% of store bytes/batch; StreamScaleBench's selector
+    * leg measures a second count on the same feed).
+    *
+    * Store size alone is NOT sufficient — the selector's second
+    * constraint is the BATCH FOOTPRINT, and it is measured, not
+    * theoretical: at the sf1 trickle feed (~35 components/batch) a
+    * store-size-only pick of 7 shards measured **100% of store bytes
+    * rewritten per batch** (every shard touched — the mod-hash spreads
+    * 35 components across 7 shards with near-certain full coverage)
+    * where 256 shards measured 14–17%. A shard is untouched with
+    * probability (1 − 1/N)^C ≈ e^(−C/N), so holding the rewritten
+    * fraction at ≤ f needs N ≥ C / f. `batchComponents` (C, ≈ 2× the
+    * edges of a typical batch) turns that on; the default
+    * `maxRewriteFraction` 0.15 reproduces the measured 256-shard
+    * operating point from its own feed (⌈35 / 0.15⌉ = 234).
+    *
+    * Default target 128 MiB — parquet/DFS file-sizing discipline (the
+    * same figure as `spark.sql.files.maxPartitionBytes`), so one shard
+    * rewrite is one well-sized file job. `maxShards` caps the listing/
+    * fixed-cost growth loudly. NOTE: the shard key is `component mod
+    * numShards`, so changing the count on an EXISTING store is a one-off
+    * re-shard (`shardLabelStore` on a read of the old store), not a
+    * config flip — size it from the projected store, not the bootstrap
+    * batch.
+    */
+  def shardsFor(
+      storeBytes: Long, targetShardBytes: Long = 128L << 20,
+      batchComponents: Long = 0L, maxRewriteFraction: Double = 0.15,
+      maxShards: Int = 4096): Int = {
+    require(storeBytes >= 0, s"storeBytes must be >= 0, got $storeBytes")
+    require(targetShardBytes > 0,
+      s"targetShardBytes must be > 0, got $targetShardBytes")
+    require(maxRewriteFraction > 0.0 && maxRewriteFraction <= 1.0,
+      s"maxRewriteFraction must be in (0, 1], got $maxRewriteFraction")
+    val bySize = math.ceil(storeBytes.toDouble / targetShardBytes.toDouble)
+    val byFootprint =
+      math.ceil(batchComponents.toDouble / maxRewriteFraction)
+    val n = math.max(1.0, math.max(bySize, byFootprint))
+    val want = if (n > Int.MaxValue) Int.MaxValue else n.toInt
+    require(want <= maxShards,
+      s"$storeBytes store bytes at $targetShardBytes/shard with " +
+        s"$batchComponents components/batch at rewrite fraction " +
+        s"$maxRewriteFraction need $want shards (> maxShards $maxShards): " +
+        "raise targetShardBytes / maxRewriteFraction or raise maxShards " +
+        "knowingly — every fold pays an O(numShards) listing and " +
+        "per-touched-shard rename/stamp fixed costs")
+    want
+  }
+
   private[graft] def shardDir(storeDir: String, shard: Int): String =
     s"$storeDir/s=$shard"
 

@@ -300,4 +300,41 @@ class ShardedStoreSpec extends SparkSpec {
     assert(after === Map(
       101L -> 101L, 301L -> 101L, 102L -> 101L, 302L -> 101L))
   }
+
+  test("shardsFor: the store-size selector holds shard size at target " +
+    "and fails loudly past the fixed-cost cap") {
+    // arithmetic: ceil(store/target), floor 1
+    assert(EventStream.shardsFor(0L) === 1)
+    assert(EventStream.shardsFor(1L) === 1)
+    assert(EventStream.shardsFor(128L << 20) === 1)
+    assert(EventStream.shardsFor((128L << 20) + 1) === 2)
+    assert(EventStream.shardsFor(10L * (128L << 20)) === 10)
+    // the measured sf1 trickle point: a ~1 MiB fixture store at a
+    // 4 KiB fixture target selects the couple-hundred-shard regime the
+    // 256-shard measurement (14-17% bytes/batch) sits in
+    assert(EventStream.shardsFor(1L << 20, targetShardBytes = 4L << 10)
+      === 256)
+    // the footprint constraint reproduces that regime from the FEED:
+    // ~35 components/batch at the default 0.15 rewrite fraction needs
+    // 234 shards even when the store-size term alone would pick 7 —
+    // the exact operating point StreamScaleBench measured at 100%
+    // bytes/batch for size-only vs 14-17% at ~256
+    assert(EventStream.shardsFor(417465L, targetShardBytes = 64L << 10,
+      batchComponents = 35L) === 234)
+    assert(EventStream.shardsFor(417465L, targetShardBytes = 64L << 10)
+      === 7)
+    // monotone in store size at fixed target — shard SIZE, not shard
+    // count, is the conserved quantity as the store grows
+    assert(EventStream.shardsFor(100L << 30) >
+      EventStream.shardsFor(10L << 30))
+    // a store that would need more than maxShards at the asked target
+    // is a loud failure (every fold pays O(numShards) listing), not a
+    // silently enormous layout
+    assertThrows[IllegalArgumentException] {
+      EventStream.shardsFor(1L << 40, targetShardBytes = 1L << 20)
+    }
+    assertThrows[IllegalArgumentException] {
+      EventStream.shardsFor(-1L)
+    }
+  }
 }
