@@ -717,12 +717,150 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 4): Seq[(Long, Seq[Double])] = {
     val seeds = seedCentroids(corpus, idCol, vecCol, k)
+    kmeansFitFrom(corpus, idCol, vecCol, seeds, iters)
+  }
+
+  /** [[kmeansFit]] from CALLER-SUPPLIED seeds — the Lloyd rounds are
+    * identical (`kmeansFit` == `kmeansFitFrom(seedCentroids(...))` by
+    * construction); pass [[kmeansParallelSeeds]] when seed QUALITY
+    * matters more than the first-k-by-id determinism convention the
+    * oracle-graded rows pin (both seedings are deterministic; they pin
+    * different things — the graded rows stay on first-k because the
+    * DuckDB twin reproduces it in one ORDER BY/LIMIT).
+    */
+  def kmeansFitFrom(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      seeds: Seq[(Long, Seq[Double])], iters: Int = 4): Seq[(Long, Seq[Double])] =
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       meansOf(
         withCell(corpus, idCol, vecCol, cents).select(col(vecCol), col("_cell")),
         vecCol)
     }
+
+  /** Cosine k-means inertia of a centroid model over a corpus:
+    * Σ (1 − cos(x, nearest center)) — the quality number seeding
+    * strategies compare on. One map-side pass (argmax cell + one dot
+    * against the assigned centroid), one global sum; zero-norm/NULL
+    * vectors are excluded (they have no meaningful angle to any
+    * center).
+    */
+  def inertia(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): Double = {
+    val ordered = cents.sortBy(_._1)
+    val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
+    corpus
+      .select((lit(1.0) - cosine(col(vecCol),
+        element_at(mat,
+          call_function("vec_argmax_cell", col(vecCol), mat) + 1))).as("_d"))
+      .where(col("_d").isNotNull && !isnan(col("_d")))
+      .agg(coalesce(sum("_d"), lit(0.0))).head.getDouble(0)
   }
+
+  /** k-means‖ seeding (Bahmani et al. 2012, "Scalable k-means++",
+    * PVLDB 5(7) — the distributed kmeans++ replacement): instead of k
+    * sequential corpus passes (kmeans++) or quality-arbitrary first-k
+    * ids, oversample candidates in `rounds` parallel passes — each
+    * point joins the candidate set independently with probability
+    * min(1, ℓ·d²(x, C)/φ) where φ = Σ d² — then reduce the ~ℓ·rounds
+    * candidates to k centers driver-side by weighted greedy
+    * farthest-first (weights = corpus points nearest each candidate).
+    *
+    * Deterministic BY CONSTRUCTION, unlike the paper's coin flips: the
+    * per-point draw is the engine's seeded md5-prefix filter (the same
+    * device as mixture sampling — reproducible across runs and
+    * engines), the first center is the min-id vector, and the
+    * reduction breaks ties by id. Cosine dissimilarity d² = 1 − cos.
+    *
+    * Scale shape: each round is one map-side pass (argmax against ≤
+    * |C| broadcast-literal centers + one dot) plus one scalar agg for
+    * φ; the candidate set (≈ ℓ·rounds + 1, default ≈ 2k·rounds) is the
+    * only thing collected. Same discipline as every model artifact
+    * here: corpus never shuffles for seeding.
+    */
+  def kmeansParallelSeeds(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 4, oversample: Double = 0.0): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l = if (oversample > 0) oversample else 2.0 * k
+    val clean = corpus
+      .where(col(vecCol).isNotNull && !exists(col(vecCol), e => e.isNull))
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_n"))
+      .where(col("_n") > 0)
+    // first center: min-id (deterministic; a seed, not a sample)
+    val first = clean.orderBy(col("_id")).limit(1)
+      .select(col("_id"), col("_v")).collect()
+      .map(r => (r.getLong(0), toDoubleSeq(r.get(1)))).toSeq
+    var cands = first
+    (1 to rounds).foreach { r =>
+      val ordered = cands.sortBy(_._1)
+      val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
+      val scored = clean.select(col("_id"), col("_v"),
+        (lit(1.0) - cosine(col("_v"),
+          element_at(mat,
+            call_function("vec_argmax_cell", col("_v"), mat) + 1))).as("_d2"))
+        .where(!isnan(col("_d2")) && col("_d2") > 0)
+      val phi = scored.agg(coalesce(sum("_d2"), lit(0.0))).head.getDouble(0)
+      if (phi > 0) {
+        val p = least(lit(1.0), lit(l) * col("_d2") / lit(phi))
+        val drawn = scored
+          .where(substring(md5(concat(lit(s"kpp:$r:"),
+            col("_id").cast("string"))), 1, 8) <
+            format_string("%08x", floor(p * 4294967296d).cast("long")))
+          .select(col("_id"), col("_v")).collect()
+          .map(rr => (rr.getLong(0), toDoubleSeq(rr.get(1)))).toSeq
+        val known = cands.map(_._1).toSet
+        cands = cands ++ drawn.filterNot(c => known(c._1))
+      }
+    }
+    // pad degenerate draws (tiny corpora, all-identical vectors) from
+    // the first-k convention so the contract "returns k centers when the
+    // corpus has k distinct ids" holds
+    if (cands.size < k) {
+      val known = cands.map(_._1).toSet
+      cands = cands ++ seedCentroids(corpus, idCol, vecCol,
+        k + cands.size).filterNot(c => known(c._1))
+    }
+    if (cands.size <= k) return cands.sortBy(_._1).take(k)
+    // weights: corpus points nearest each candidate (one map-side pass)
+    val ordered = cands.sortBy(_._1)
+    val weights = withCell(
+      clean.select(col("_id"), col("_v")), "_id", "_v", ordered)
+      .groupBy("_cell").count().collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+    // weighted greedy farthest-first reduction, ties by id: start at the
+    // heaviest candidate, then repeatedly take argmax weight·d²(c, chosen)
+    def cosTo(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    val start = ordered.maxBy(c => (weights.getOrElse(c._1, 0L), -c._1))
+    val chosen = scala.collection.mutable.ArrayBuffer(start)
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      ordered.filterNot(_._1 == start._1): _*)
+    while (chosen.size < k && remaining.nonEmpty) {
+      val next = remaining.maxBy { c =>
+        val d2 = 1.0 - chosen.map(ch => cosTo(c._2, ch._2)).max
+        (weights.getOrElse(c._1, 0L).toDouble * d2, -c._1.toDouble)
+      }
+      chosen += next
+      remaining -= next
+    }
+    chosen.sortBy(_._1).toSeq
+  }
+
+  private def toDoubleSeq(v: Any): Seq[Double] =
+    v.asInstanceOf[scala.collection.Seq[Any]].map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: java.lang.Number => n.doubleValue
+      case null => 0.0
+    }.toSeq
 
   /** One per-iteration observation from [[kmeansFitTrace]]: round number
     * (1-based), wall seconds for the round, and the max absolute

@@ -468,6 +468,49 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L)) // only the same-cell vector, not cluster 2
   }
 
+  test("kmeansParallelSeeds: deterministic, returns k centers, and beats " +
+    "first-k-by-id seeding on a fixture built to defeat first-k") {
+    // three tight direction-clusters; ids 0..9 ALL in cluster A, so the
+    // first-3-by-id convention seeds three near-identical centers (two
+    // immediately lose every point and drop out — Lloyd cannot recover
+    // a center for B or C), while k-means|| oversamples by d² and must
+    // land seeds in B and C
+    val base = Seq(
+      Seq(1.0f, 0.0f, 0.0f), // A
+      Seq(0.0f, 1.0f, 0.0f), // B
+      Seq(0.0f, 0.0f, 1.0f)) // C
+    val vecs = ((0 until 10).map { i => // ids 0-9: all cluster A
+      (i.toLong, Seq(1.0f, 0.01f * i, 0.005f * i))
+    } ++ (10 until 40).map { i => // ids 10-39: B and C interleaved
+      val c = base(1 + i % 2)
+      (i.toLong, c.zipWithIndex.map { case (x, j) =>
+        x + 0.01f * ((i + j) % 3) })
+    }).toDF("vec_id", "embedding")
+    vecs.cache(); vecs.count()
+    val k = 3
+    val firstK = Similarity.seedCentroidsFor(vecs, "vec_id", "embedding", k)
+    val par = Similarity.kmeansParallelSeeds(vecs, "vec_id", "embedding", k)
+    assert(par.size === k)
+    // deterministic: the md5-prefix draws and greedy reduction have no
+    // RNG state — a second call is identical
+    assert(par === Similarity.kmeansParallelSeeds(vecs, "vec_id", "embedding", k))
+    // same Lloyd rounds from both seedings; quality = cosine inertia
+    val fitFirst = Similarity.kmeansFitFrom(vecs, "vec_id", "embedding", firstK, 2)
+    val fitPar = Similarity.kmeansFitFrom(vecs, "vec_id", "embedding", par, 2)
+    val iFirst = Similarity.inertia(vecs, "vec_id", "embedding", fitFirst)
+    val iPar = Similarity.inertia(vecs, "vec_id", "embedding", fitPar)
+    assert(iPar <= iFirst,
+      f"k-means|| seeding must not lose to first-k: $iPar%.4f vs $iFirst%.4f")
+    // on THIS fixture the gap is structural, not noise: first-k cannot
+    // cover B/C, so parallel seeding wins by a wide margin
+    assert(iPar < 0.5 * iFirst,
+      f"expected a structural win on the adversarial fixture: " +
+        f"$iPar%.4f vs $iFirst%.4f")
+    // kmeansFit is unchanged: it IS kmeansFitFrom(first-k seeds)
+    assert(Similarity.kmeansFit(vecs, "vec_id", "embedding", k, 2) === fitFirst)
+    vecs.unpersist(); ()
+  }
+
   test("decontaminateFuzzy drops the benchmark and its verified near-dups, " +
     "keeps sub-threshold and unrelated docs") {
     // benchmark = doc 1; doc 2 is its exact dup (J=1.0 → dropped); doc 3
