@@ -565,9 +565,16 @@ object SparkEntry {
     }),
 
     // --- dedup: embedding-cosine near-dup pairs (LSH-blocked) ---
-    "q_dedup_embed" -> ((s, dir) =>
+    // law planes from count(*) on both sides (round 10: the pinned
+    // 4-plane point cost a measured 220 s at sf10 — 16 fixed buckets
+    // over 200k vectors — where the law's 10 planes cost ~6 s for the
+    // same operator; the dense row below keeps a static density point)
+    "q_dedup_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+        emb, "vec_id", "embedding", 0.4,
+        numPlanes = Similarity.numPlanesFor(emb.count()))
+    }),
 
     // --- the same operator at a DENSER law-side operating point. The
     // plane-density law trades recall for bucket density (numPlanesFor
@@ -608,11 +615,15 @@ object SparkEntry {
         stored, 0.4)
     }),
 
-    // --- similarity: IVF cell-probed ANN ---
+    // --- similarity: IVF cell-probed ANN at the √n law cell count
+    // (round 10: was pinned 4 cells — candidate work per query is
+    // n/cells, so a fixed cell count is a linear-per-query scan a
+    // decade up; ⌈√n⌉ holds expected cell size at √n) ---
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       Similarity.ivfTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5, k)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -623,10 +634,11 @@ object SparkEntry {
     // the graded row shares its oracle ---
     "q_ivf_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       val wh = java.nio.file.Files
         .createTempDirectory("graft_ivf_probe").toString
       val cents = Similarity.ivfBuild(
-        emb, "vec_id", "embedding", 4, 8, wh, "ivf")
+        emb, "vec_id", "embedding", k, 8, wh, "ivf")
       Similarity.ivfProbe(
           emb.where(col("vec_id") < 8),
           Similarity.ivfAssigned(s, wh, "ivf"),
@@ -642,9 +654,10 @@ object SparkEntry {
     // re-shuffles (PlanSpec pins the probe plan at nprobe = 2) ---
     "q_ivf_multiprobe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       Similarity.ivfTopK(
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5,
-        nCentroids = 4, nprobe = 2)
+        nCentroids = k, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -652,10 +665,21 @@ object SparkEntry {
     // (first-k-by-id, the IVF convention) → decimal-exact per-cell mean
     // refinement → full-corpus re-assignment against the refined
     // centroids. Grades the Lloyd step end-to-end: seeds, means, and
-    // argmax-cosine assignment must all agree bit-exactly ---
-    "q_kmeans_assign" -> ((s, dir) =>
-      Similarity.kmeansRefineAssign(
-        t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // argmax-cosine assignment must all agree. k = ⌈√n⌉ from round 10 —
+    // the law cell count, derived from count(*) on both sides like
+    // q_semdedup (k = 4 was the same degenerate pinned point). The
+    // graded projection is (vec_id, cell): per-row SCORES against
+    // 6dp-rounded means are not bit-portable across engines (the
+    // decimal→double cast differs at the last ulp and a one-microunit
+    // mean flip moves a cosine ~1e-7 — first hit at law k), while the
+    // assignment absorbs ulp noise unless two cells sit within 1e-9;
+    // the score stays in the API and is spec-pinned Spark-side ---
+    "q_kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.kmeansRefineAssign(emb, "vec_id", "embedding", k)
+        .select(col("vec_id"), col("cell"))
+    }),
 
     // --- SemDeDup (Abbas et al. 2023): semantic dedup = the kmeans
     // cells above + within-cell cosine pruning, keep-min-id. Grades the
@@ -1282,7 +1306,11 @@ object SparkEntry {
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cos(a: String, b: String) =
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+    // k = ceil(sqrt(count(*))) law cells, derived like the Spark side
+    "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+      "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+      "WHERE _srn <= (SELECT k FROM kk)), " +
       s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
       "FROM embeddings v CROSS JOIN cents c), " +
       "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
@@ -1970,19 +1998,27 @@ object SparkEntry {
         "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
     },
 
+    // law-plane twin: p = max(1, ceil(log2(count(*)/256))) derived IN
+    // SQL (the numPlanesFor formula), bucket bits built data-driven via
+    // a (plane j) cross join — same md5 sign convention
     "q_dedup_embed" -> {
-      def proj(v: String, h: Int) =
-        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
-      val bucketExpr = (0 until 4).map(h =>
-        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
-        .mkString(" + ")
       def dot(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      val cos = s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
-      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
-        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score " +
+      val cos = s"${dot("ea.embedding", "eb.embedding")} / (sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
+      "WITH nn AS (SELECT count(*) AS n FROM embeddings), " +
+        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0)) AS INT)) AS p FROM nn), " +
+        "hp AS (SELECT unnest(generate_series(0, (SELECT p FROM pp) - 1)) AS j), " +
+        "proj AS (SELECT e.vec_id, hp.j, " +
+        "list_reduce(list_transform(generate_series(0, len(e.embedding) - 1), " +
+        "i -> CAST(e.embedding[i + 1] AS DOUBLE) * (CASE WHEN substr(md5(CAST(hp.j AS VARCHAR) || ':' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), " +
+        "(a, b) -> a + b) AS s FROM embeddings e CROSS JOIN hp), " +
+        "bucketed AS (SELECT vec_id, SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bkt " +
+        "FROM proj GROUP BY 1), " +
+        "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
         "FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
-        "SELECT id_a, id_b, score FROM p WHERE score >= 0.4"
+        s"SELECT id_a, id_b, score FROM (SELECT c.id_a, c.id_b, round($cos, 6) AS score " +
+        "FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
+        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE score >= 0.4"
     },
 
     // identical twin at the denser 6-plane operating point
@@ -2048,16 +2084,22 @@ object SparkEntry {
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
       def cos(a: String, b: String) =
         s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4), " +
+      // k = ceil(sqrt(count(*))) seeds, like q_semdedup's chain
+      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+        "WHERE _srn <= (SELECT k FROM kk)), " +
         s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
         "FROM embeddings v CROSS JOIN cents c), " +
         "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
         "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
         "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
         "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
-        s"a1 AS (SELECT v.vec_id, m.cid, round(${cos("v.embedding", "m.mv")}, 6) AS score, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
+        // graded projection = (vec_id, cell): mean-derived scores are
+        // not bit-portable across engines (see the Spark-side note)
+        s"a1 AS (SELECT v.vec_id, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
         "FROM embeddings v CROSS JOIN mc m) " +
-        "SELECT vec_id, CAST(cid AS BIGINT) AS cell, score FROM a1 WHERE rn = 1"
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1"
     },
 
     "q_semdedup" -> {

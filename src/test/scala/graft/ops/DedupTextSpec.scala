@@ -539,6 +539,22 @@ class DedupTextSpec extends SparkSpec {
     val cells = Similarity.kmeansRefineAssign(vecs, "vec_id", "embedding", k = 2)
       .select("vec_id", "cell").as[(Long, Long)].collect().toMap
     assert(cells === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
+    // the score column (Spark-side diagnostic — deliberately NOT in the
+    // graded projection, mean-derived cosines are not cross-engine
+    // bit-portable): equals the cosine to the assigned refined
+    // centroid, recomputed independently here
+    val means = Map(0L -> Seq(0.95, 0.05), 1L -> Seq(0.05, 0.95))
+    val raw = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cosd(a: Seq[Double], b: Seq[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(ab / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Similarity.kmeansRefineAssign(vecs, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double)].collect().foreach { case (id, cell, score) =>
+        assert(score === cosd(raw(id).map(_.toDouble), means(cell)),
+          s"vec $id score drifted from the independent recomputation")
+      }
   }
 
   test("semDeDup: within-cell greedy-by-id pruning — no two survivors in " +
