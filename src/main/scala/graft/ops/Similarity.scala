@@ -803,7 +803,11 @@ object Similarity {
       .select(col("_id"), col("_v")).collect()
       .map(r => (r.getLong(0), toDoubleSeq(r.get(1)))).toSeq
     var cands = first
-    (1 to rounds).foreach { r =>
+    // a corpus with no usable vectors (all NULL/zero-norm) has no first
+    // center; skip the sampling rounds — an empty candidate matrix
+    // would fail vec_argmax_cell's analysis — and fall through to the
+    // first-k pad, which is the only meaningful answer there
+    (1 to (if (first.isEmpty) 0 else rounds)).foreach { r =>
       val ordered = cands.sortBy(_._1)
       val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
       val scored = clean.select(col("_id"), col("_v"),

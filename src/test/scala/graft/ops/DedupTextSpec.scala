@@ -511,6 +511,17 @@ class DedupTextSpec extends SparkSpec {
     vecs.unpersist(); ()
   }
 
+  test("kmeansParallelSeeds: a corpus with no usable vectors (all " +
+    "zero-norm) falls back to first-k seeds instead of crashing the " +
+    "sampling round on an empty candidate matrix") {
+    val degenerate = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansParallelSeeds(degenerate, "vec_id", "embedding", 2)
+    assert(seeds === Similarity.seedCentroidsFor(
+      degenerate, "vec_id", "embedding", 2))
+  }
+
   test("decontaminateFuzzy drops the benchmark and its verified near-dups, " +
     "keeps sub-threshold and unrelated docs") {
     // benchmark = doc 1; doc 2 is its exact dup (J=1.0 → dropped); doc 3
