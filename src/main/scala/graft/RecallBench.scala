@@ -83,7 +83,7 @@ object RecallBench {
       inline.unpersist()
       // ---- multi-probe recall curve: the nprobe lever measured against
       // brute-force truth, amortized-probe times alongside — the
-      // evidence behind probesFor's geometric model ----
+      // evidence behind probesFor's power-law miss-decay model ----
       val (truth, nTruth, truthSec) = forceCount(
         Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
       println(f"IVFPROBE truth: pairs=$nTruth bruteforce=$truthSec%.2f s")

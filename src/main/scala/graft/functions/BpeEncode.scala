@@ -110,10 +110,15 @@ object BpeEncode {
   }
 
   /** The GPT-2 pre-tokenizer. `\p{L}`/`\p{N}` are Unicode classes in
-    * Java regex exactly as in the published Python pattern.
+    * Java regex exactly as in the published Python pattern;
+    * UNICODE_CHARACTER_CLASS makes `\s` Unicode-aware too (Python's
+    * `regex` module is Unicode-native) — without it NBSP/thin-space/
+    * ideographic space, ubiquitous in scraped web text, fall into the
+    * punctuation branch and form merge scopes the reference never does.
     */
   private val preTokenizer = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** The standard bytes→unicode table: bytes that are printable latin-1
     * (minus space-ish controls) map to themselves; the rest take

@@ -818,9 +818,16 @@ object Similarity {
       val phi = scored.agg(coalesce(sum("_d2"), lit(0.0))).head.getDouble(0)
       if (phi > 0) {
         val p = least(lit(1.0), lit(l) * col("_d2") / lit(phi))
+        // p ≥ 1 keeps the point explicitly — same guard as
+        // Text.mixtureSample: floor(1.0·2^32) renders as 9 hex digits
+        // and only ~1/16 of 8-char md5 prefixes compare below it, so
+        // without this clause a far outlier with saturated probability
+        // is MISSED ~77% of the time across 4 rounds — the exact
+        // degenerate seeding k-means‖ exists to fix
         val drawn = scored
-          .where(substring(md5(concat(lit(s"kpp:$r:"),
-            col("_id").cast("string"))), 1, 8) <
+          .where(lit(l) * col("_d2") >= lit(phi) ||
+            substring(md5(concat(lit(s"kpp:$r:"),
+              col("_id").cast("string"))), 1, 8) <
             format_string("%08x", floor(p * 4294967296d).cast("long")))
           .select(col("_id"), col("_v")).collect()
           .map(rr => (rr.getLong(0), toDoubleSeq(rr.get(1)))).toSeq

@@ -47,7 +47,15 @@ class BpeEncodeSpec extends SparkSpec {
       "" -> Seq.empty[String],
       // multi-byte UTF-8 rides the byte alphabet (é = C3 A9, ü = C3 BC)
       "café ü" ->
-        Seq("c", "a", "f", "Ã", "©", G, "Ã", "¼"))
+        Seq("c", "a", "f", "Ã", "©", G, "Ã", "¼"),
+      // Unicode whitespace (NBSP, thin space, ideographic space) takes
+      // the \s branch exactly as in the Python `regex` reference — the
+      // pre-tokenizer must compile with UNICODE_CHARACTER_CLASS or
+      // these fall into the punctuation branch and form different
+      // merge scopes (0xA0 -> ł = U+0142, 0x80 -> Ģ, 0x89 -> ī)
+      "a !" -> Seq("a", "Â", "ł", "!"),
+      "a b" -> Seq("a", "â", "Ģ", "ī", "b"),
+      "　hello" -> Seq("ã", "Ģ", "Ģ", "hello"))
     Seq(true, false).foreach { cg =>
       assert(run(cases.map(_._1), cg) === cases.map(c => Some(c._2)),
         s"codegen=$cg")
@@ -89,6 +97,26 @@ class BpeEncodeSpec extends SparkSpec {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .select(floor((col("_cum") - col("n_tokens")) / 2048).as("bin"))
     assert(packed.agg(max("bin")).head.getLong(0) >= 0)
+  }
+
+  test("NBSP never shares a merge scope with adjacent punctuation: " +
+    "an ASCII-only \\s would pre-tokenize \"\\u00a0!\" as one token " +
+    "and fuse it") {
+    // golden from tools/bpe_reference.py with merges ["Â ł", "Âł !"]:
+    // the reference keeps "!" a separate pre-token, so the second
+    // merge is dead and the output is ["a", "Âł", "!"] — an ASCII \s
+    // groups "\u00a0!" together and produces ["a", "Âł!"] instead
+    Seq(true, false).foreach { cg =>
+      val mode = if (cg) "CODEGEN_ONLY" else "NO_CODEGEN"
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val toks = Seq("a\u00a0!").toDF("t")
+          .select(graft.ops.Text.bpeTokens(col("t"),
+            Seq("Â ł", "Âł !")).as("x"))
+          .head.getSeq[String](0)
+        assert(toks === Seq("a", "Âł", "!"), s"codegen=$cg")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("non-foldable merges rejected at analysis") {

@@ -522,6 +522,24 @@ class DedupTextSpec extends SparkSpec {
       degenerate, "vec_id", "embedding", 2))
   }
 
+  test("kmeansParallelSeeds: a far outlier whose keep-probability " +
+    "saturates at 1.0 is ALWAYS drawn (md5-prefix draw keeps p>=1 " +
+    "explicitly, as in mixtureSample)") {
+    // ids 0-29: one tight direction-cluster; id 30: orthogonal outlier
+    // with d² ≈ 1 ≈ φ so p = min(1, 2k·d²/φ) saturates. id 30 is chosen
+    // so md5("kpp:r:30") starts with a non-'0' hex digit for ALL four
+    // rounds (c4/4f/6a/e9) — without the explicit p>=1 keep-clause the
+    // lexicographic compare against the 9-digit "100000000" rejects it
+    // every round and the one point the oversampling exists to find is
+    // seeded from first-k instead
+    val vecs = ((0 until 30).map { i =>
+      (i.toLong, Seq(1.0f, 0.0001f * i))
+    } :+ (30L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val par = Similarity.kmeansParallelSeeds(vecs, "vec_id", "embedding", 2)
+    assert(par.map(_._1).contains(30L),
+      s"saturated-probability outlier must be a seed, got ids ${par.map(_._1)}")
+  }
+
   test("decontaminateFuzzy drops the benchmark and its verified near-dups, " +
     "keeps sub-threshold and unrelated docs") {
     // benchmark = doc 1; doc 2 is its exact dup (J=1.0 → dropped); doc 3

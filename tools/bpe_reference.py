@@ -100,6 +100,9 @@ if __name__ == "__main__":
         "hell",
         "",
         "café ü",  # multi-byte UTF-8 through the byte alphabet
+        "a !",   # NBSP: Unicode \s, must NOT join the punct branch
+        "a b",   # thin space
+        "　hello",  # ideographic space
     ]
     for text in CASES:
         toks = encode(text, MERGES)
