@@ -58,18 +58,18 @@ case class VecArgmaxCell(left: Expression, right: Expression)
       case _ => false
     }
     if (vecOk && matOk) {
-      // reject a NULL/empty matrix HERE, not lazily: interpreted eval
-      // null-short-circuits before the matrix is ever forced (silent
-      // per-row NULLs), codegen forces it at codegen time (a crash mid-
-      // planning) — the documented contract is one plan-time failure,
-      // identical in both execution modes. Evaluated ONCE: each eval is
-      // an interpreted walk over the k×dim literal tree, and analysis
-      // may call this check on several passes.
-      val m = right.eval()
-      if (m == null || m.asInstanceOf[ArrayData].numElements() == 0)
-        TypeCheckResult.TypeCheckFailure(
-          "vec_argmax_cell: centroid matrix literal is null or empty")
-      else TypeCheckResult.TypeCheckSuccess
+      // reject a NULL/empty/null-row matrix HERE, not lazily:
+      // interpreted eval null-short-circuits before the matrix is ever
+      // forced (silent per-row NULLs), codegen forces it at codegen
+      // time (a crash mid-planning) — the documented contract is one
+      // plan-time failure, identical in both execution modes. Forcing
+      // the MEMOIZED `cents` (not a bare right.eval()) means the k×dim
+      // interpreted literal walk runs once per expression instance even
+      // when analysis re-checks across passes.
+      try { cents; TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
     } else TypeCheckResult.TypeCheckFailure(
       "vec_argmax_cell expects (array<float|double>, foldable " +
         s"array<array<double>>), got (${left.dataType.simpleString}, " +

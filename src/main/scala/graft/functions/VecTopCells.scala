@@ -53,11 +53,11 @@ case class VecTopCells(left: Expression, right: Expression, p: Int)
     if (p < 1)
       TypeCheckResult.TypeCheckFailure(s"vec_top_cells: need p >= 1, got $p")
     else if (vecOk && matOk) {
-      val m = right.eval()
-      if (m == null || m.asInstanceOf[ArrayData].numElements() == 0)
-        TypeCheckResult.TypeCheckFailure(
-          "vec_top_cells: centroid matrix literal is null or empty")
-      else TypeCheckResult.TypeCheckSuccess
+      // memoized plan-time matrix validation — see VecArgmaxCell
+      try { cents; TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
     } else TypeCheckResult.TypeCheckFailure(
       "vec_top_cells expects (array<float|double>, foldable " +
         s"array<array<double>>, int literal), got (${left.dataType.simpleString}, " +
