@@ -105,6 +105,43 @@ object ABBench {
             ops.Similarity.cellsByJoin(emb, "vec_id", "embedding", cents)),
           s"native_k$sqrtN" -> (() =>
             ops.Similarity.withCell(emb, "vec_id", "embedding", cents)))
+      case "bpe" =>
+        // BPE at the production operating point: the golden fixture is
+        // 13 merges, a deployed merges.txt is ~50k. Three things scale
+        // with vocabulary: the plan-side merges literal (the A/B's
+        // third leg times the rejected CreateArray-of-50k-lits shape
+        // against the single-Literal shape bpeTokens ships), the
+        // per-JVM Table.ranks hash build, and the per-row merge loop
+        // (more ranks -> deeper merge chains per pre-token).
+        import org.apache.spark.sql.functions.{array, col, lit, size => fsize, call_function}
+        val docs = Tables(spark, sfDir, "documents")
+        docs.cache().count()
+        val G = "Ġ"
+        val fixture = Seq("h e", "l l", "he ll", "hell o",
+          s"$G w", s"${G}w o", s"${G}wo r", s"${G}wor ld",
+          "l d", s"${G}wor l", "1 2", "12 3")
+        // deterministic production-sized vocabulary: wave-generated
+        // pairs over the lowercase (and space-marked) alphabet — early
+        // waves are 2-3 char fusions that actually fire on English-ish
+        // text, later waves pad rank depth the way a real table's long
+        // tail does
+        val letters = ('a' to 'z').map(_.toString)
+        val big = scala.collection.mutable.ArrayBuffer.empty[String]
+        var lefts: Seq[String] = letters ++ letters.map(G + _)
+        while (big.size < 50000) {
+          val wave = for (l <- lefts; r <- letters) yield s"$l $r"
+          wave.take(50000 - big.size).foreach(big += _)
+          lefts = (for (l <- lefts; r <- letters) yield l + r).take(120)
+        }
+        val bigSeq = big.toSeq
+        Seq(
+          "fixture13" -> (() => docs.select(
+            ops.Text.bpeTokenCount(col("text"), fixture).as("n"))),
+          "vocab50k_literal" -> (() => docs.select(
+            ops.Text.bpeTokenCount(col("text"), bigSeq).as("n"))),
+          "vocab50k_createarray" -> (() => docs.select(
+            fsize(call_function("bpe_encode", col("text"),
+              array(bigSeq.map(lit): _*))).as("n"))))
       case "semdedup" =>
         // the Σ|cell|² law: in-cell pair work at the graded k=4 vs the
         // production √n cells — the semDeDup analog of numPlanesFor's

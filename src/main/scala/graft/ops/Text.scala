@@ -90,7 +90,12 @@ object Text {
     * implementation (tools/bpe_reference.py).
     */
   def bpeTokens(text: Column, merges: Seq[String]): Column =
-    call_function("bpe_encode", text, array(merges.map(lit): _*))
+    // ONE array literal, not array(lit, lit, ...): a production merges
+    // table is ~50k lines and a CreateArray with 50k Literal children
+    // is a 50k-node expression tree every analyzer pass re-traverses
+    // (and every foldable eval re-walks); typedlit collapses it to a
+    // single Literal node whose eval is O(1)
+    call_function("bpe_encode", text, typedlit(merges))
 
   /** Count of [[bpeTokens]] — the token-budget denominator the mixture/
     * packing/chunking operators should consume when "tokens" means a
