@@ -619,7 +619,16 @@ object EventStream {
         // complete copy. A bare check here would delete `._next` AND
         // `._old` — losing the shard. `._next` itself only needs the
         // token (phase 1 stamps it marker-LAST, and the marker proves
-        // phase 1 completed for that shard).
+        // phase 1 completed for that shard). The bare `._next` test
+        // below is safe under ARBITRARY torn-delete ordering too, but
+        // only because this promote-finished branch is checked FIRST:
+        // a hollow ._next whose marker survived its data files can only
+        // come from a promote rename's torn DELETE phase, and that
+        // rename's copy phase completed — so the live dir is complete
+        // and token-matching, and this branch intercepts before the
+        // swap path could promote the husk (whose swapLabelStore would
+        // first drop the parked ._old). Reordering these branches
+        // breaks that argument.
         val promoteFinished = dirComplete(fs, live) && fs.exists(old) &&
           fs.exists(next) && batchTokenOf(fs, live).exists(t =>
             batchTokenOf(fs, next).contains(t))

@@ -276,6 +276,37 @@ class ShardedStoreSpec extends SparkSpec {
       assert(!fs.exists(new Path(d + "._next")))
       assert(!fs.exists(new Path(d + "._old")))
     }
+    // the REVERSE torn-delete of the promote rename: copy finished
+    // (live complete, token traveled), but the delete phase removed
+    // ._next's DATA files before its marker — ._next is now a husk
+    // whose bare _SUCCESS check reads true. Only the branch ORDER saves
+    // the shard: promote-finished (live manifest + token match) must
+    // intercept BEFORE the complete-._next swap path, whose
+    // swapLabelStore would first drop the parked ._old and then
+    // promote the husk over the complete live copy.
+    locally {
+      val (store, fs) = setup()
+      val d = EventStream.shardDir(store, 0)
+      if (!fs.rename(new Path(d), new Path(d + "._old")))
+        fail(s"setup rename failed for $d")
+      v2.toDF("id", "component").write.parquet(d)
+      EventStream.stampSuccess(fs, new Path(d), Some("tok-b5"))
+      // husk ._next: marker (with manifest + token) but no data files
+      v2.toDF("id", "component").write.parquet(d + "._next")
+      EventStream.stampSuccess(fs, new Path(d + "._next"), Some("tok-b5"))
+      fs.listStatus(new Path(d + "._next")).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_"))
+        .foreach(p => fs.delete(p, false))
+      fs.create(new Path(store, "_swap_pending"), true).close()
+      val liveBefore = fileDigests(d)
+      EventStream.recoverShardedStore(fs, store)
+      assert(fileDigests(d) === liveBefore,
+        "complete live must be kept byte-identical; the husk ._next " +
+          "must never be promoted over it")
+      assert(!fs.exists(new Path(d + "._next")))
+      assert(!fs.exists(new Path(d + "._old")))
+      assert(!fs.exists(new Path(store, "_swap_pending")))
+    }
   }
 
   test("a fold folded into a crashed-and-recovered store equals the fold " +
