@@ -862,13 +862,19 @@ object Dedup {
     }
 
     // Fixpoint = edge multiset unchanged across a full round, detected by
-    // a (count, Σhi, Σlo, Σhash) signature in ONE aggregate over the
-    // just-checkpointed set (an exact except-based check would cost two
-    // more shuffles per round; a 4-field signature collision is vanishing
-    // and any miss would surface in the oracle gate).
+    // a (count, Σhash(hi), Σhash(lo), Σhash(hi,lo)) signature in ONE
+    // aggregate over the just-checkpointed set (an exact except-based
+    // check would cost two more shuffles per round; a 4-field signature
+    // collision is vanishing and any miss would surface in the oracle
+    // gate). Type-agnostic through xxhash64 like labelPropagation's
+    // checksum: the earlier Σ(hi cast to decimal) THREW under ANSI on
+    // STRING ids — the star pass is the fallback labelProp hands long
+    // chains to, so string-keyed corpora lost exactly the path that
+    // exists to save them.
     def signature(e: DataFrame): Seq[Any] =
-      e.agg(count(lit(1)), sum(col("hi").cast("decimal(38,0)")),
-        sum(col("lo").cast("decimal(38,0)")),
+      e.agg(count(lit(1)),
+        sum(xxhash64(col("hi")).cast("decimal(38,0)")),
+        sum(xxhash64(col("lo")).cast("decimal(38,0)")),
         sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")))
         .head().toSeq
     var prev = signature(edges)

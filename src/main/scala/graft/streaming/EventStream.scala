@@ -413,7 +413,7 @@ object EventStream {
   // Sharded label store — removes [[clusterMaintenance]]'s one remaining
   // store-size term. The unsharded fold's merge work is O(batch) but its
   // STORE REWRITE is O(store): every batch rewrites the whole labeling.
-  // Keyed sharding by component (shard = component mod numShards; labels
+  // Keyed sharding by component (shard = xxhash64(component) mod numShards; labels
   // are canonical min-ids, so a component's rows always live in exactly
   // one shard) turns the rewrite into O(touched shards): the merge map
   // from the quotient clustering names exactly which components change,
@@ -506,7 +506,13 @@ object EventStream {
     s"$storeDir/s=$shard"
 
   private def shardOf(component: Column, numShards: Int): Column =
-    pmod(component.cast("long"), lit(numShards.toLong)).cast("int")
+    // hash, not cast-to-long-and-mod: labels are id-typed and ids can
+    // be STRINGS (connectedComponents is type-agnostic since the
+    // string-checksum fix) — an ANSI cast of "doc_x1" throws mid-fold,
+    // a legacy cast nulls the shard. xxhash64 is deterministic and
+    // type-agnostic; the invariant that matters (a component maps to
+    // exactly ONE shard, every batch, every fold) is hash-stable
+    pmod(xxhash64(component), lit(numShards.toLong)).cast("int")
 
   /** Bootstrap writer: shard an existing `(id, component)` labeling into
     * the sharded layout (e.g. the output of a from-scratch

@@ -540,6 +540,16 @@ class DedupTextSpec extends SparkSpec {
       s"saturated-probability outlier must be a seed, got ids ${par.map(_._1)}")
   }
 
+  test("connectedComponentsStar on STRING ids: the convergence signature " +
+    "must be type-agnostic (incrementalMergeParts runs the star pass " +
+    "directly on every streaming quotient graph)") {
+    val labels = graft.ops.Dedup.connectedComponentsStar(
+      Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("decontaminateFuzzy drops the benchmark and its verified near-dups, " +
     "keeps sub-threshold and unrelated docs") {
     // benchmark = doc 1; doc 2 is its exact dup (J=1.0 → dropped); doc 3

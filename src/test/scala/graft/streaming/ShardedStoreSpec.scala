@@ -53,11 +53,13 @@ class ShardedStoreSpec extends SparkSpec {
     val q = EventStream.clusterMaintenanceSharded(
       input.toDF(), store, s"$base/ckpt", numShards = S)
     try {
-      // batch 1: components 1 (shard 1) and 10 (shard 2)
+      // batch 1: components 1 (shard xxhash64(1) mod 4 = 2) and
+      // 10 (shard 1)
       input.addData(EventStream.CandPair(1L, 2L), EventStream.CandPair(10L, 11L))
       q.processAllAvailable()
       // batch 2: bridge 2-10 merges component 10 into 1 — rows must move
-      // from shard 2 to shard 1 — plus a fresh pair in shard 0
+      // from shard 1 to shard 2 — plus a fresh pair (component 20,
+      // shard 0)
       input.addData(EventStream.CandPair(2L, 10L), EventStream.CandPair(20L, 21L))
       q.processAllAvailable()
       val streamed = EventStream.readShardedStore(spark, store)
@@ -68,11 +70,11 @@ class ShardedStoreSpec extends SparkSpec {
       assert(streamed === scratch)
       assert(streamed(11L) === 1L)
       // the merged component's rows live in ONE shard: component 1's
-      val shard1 = spark.read.parquet(EventStream.shardDir(store, 1))
+      val winnerShard = spark.read.parquet(EventStream.shardDir(store, 2))
         .as[(Long, Long)].collect().toMap
-      assert(shard1.keySet === Set(1L, 2L, 10L, 11L))
-      val shard2 = spark.read.parquet(EventStream.shardDir(store, 2))
-      assert(shard2.count() === 0, "losing shard must have shed its rows")
+      assert(winnerShard.keySet === Set(1L, 2L, 10L, 11L))
+      val loserShard = spark.read.parquet(EventStream.shardDir(store, 1))
+      assert(loserShard.count() === 0, "losing shard must have shed its rows")
     } finally q.stop()
   }
 
@@ -80,24 +82,25 @@ class ShardedStoreSpec extends SparkSpec {
     "byte-identical on disk") {
     val base = freshBase()
     val store = s"$base/labels"
-    // components 100..103 land in shards 0..3 (component mod 4)
+    // components 100/101/102/103 land in shards 0/3/2/1
+    // (xxhash64(component) mod 4)
     val labels = Seq(
       (100L, 100L), (300L, 100L), (101L, 101L), (301L, 101L),
       (102L, 102L), (302L, 102L), (103L, 103L), (303L, 303L))
       .toDF("id", "component")
     EventStream.shardLabelStore(labels, store, S)
     val before0 = fileDigests(EventStream.shardDir(store, 0))
-    val before3 = fileDigests(EventStream.shardDir(store, 3))
-    assert(before0.nonEmpty && before3.nonEmpty)
-    // one edge bridging components 101 (shard 1) and 102 (shard 2)
+    val before1 = fileDigests(EventStream.shardDir(store, 1))
+    assert(before0.nonEmpty && before1.nonEmpty)
+    // one edge bridging components 101 (shard 3) and 102 (shard 2)
     val touched = EventStream.foldShardedBatch(
       Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
-    assert(touched === Seq(1, 2),
+    assert(touched === Seq(2, 3),
       "merge map names exactly the shards of the merged components")
     assert(fileDigests(EventStream.shardDir(store, 0)) === before0,
       "shard 0 was rewritten by a fold that never touched it")
-    assert(fileDigests(EventStream.shardDir(store, 3)) === before3,
-      "shard 3 was rewritten by a fold that never touched it")
+    assert(fileDigests(EventStream.shardDir(store, 1)) === before1,
+      "shard 1 was rewritten by a fold that never touched it")
     val after = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after === Map(
@@ -105,18 +108,43 @@ class ShardedStoreSpec extends SparkSpec {
       102L -> 101L, 302L -> 101L, 103L -> 103L, 303L -> 303L))
     // a BRAND-NEW id joining an existing component: the merge map pairs
     // the new id's self-component with the winner, but no store row ever
-    // carried the new id as a component — its shard (here 2: 502 mod 4)
-    // must not be rewritten; only the winner's shard is
-    val before2 = fileDigests(EventStream.shardDir(store, 2))
+    // carried the new id as a component — its shard (here 1:
+    // xxhash64(502) mod 4) must not be rewritten; only the winner's
+    // shard (100 -> 0) is
+    val beforeSelf = fileDigests(EventStream.shardDir(store, 1))
     val touched2 = EventStream.foldShardedBatch(
       Seq((502L, 300L)).toDF("id_a", "id_b"), store, S)
     assert(touched2 === Seq(0),
       "a new id's self-component shard is not store-touched")
-    assert(fileDigests(EventStream.shardDir(store, 2)) === before2,
+    assert(fileDigests(EventStream.shardDir(store, 1)) === beforeSelf,
       "shard of a new id's never-stored self-component was rewritten")
     val after2 = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after2(502L) === 100L && after2(300L) === 100L)
+  }
+
+  test("STRING-keyed labelings shard, fold, and stay footprint-bounded — " +
+    "the shard key is a hash, not a cast (an ANSI cast of 'doc_x1' " +
+    "would throw mid-fold)") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    // comps "a" -> shard 0, "c" -> shard 2, "doc_x1" -> shard 3
+    // (xxhash64 mod 4)
+    EventStream.shardLabelStore(Seq(
+      ("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"),
+      ("doc_x1", "doc_x1")).toDF("id", "component"), store, S)
+    val beforeBystander = fileDigests(EventStream.shardDir(store, 3))
+    assert(beforeBystander.nonEmpty)
+    val touched = EventStream.foldShardedBatch(
+      Seq(("b", "c")).toDF("id_a", "id_b"), store, S)
+    assert(touched === Seq(0, 2),
+      "the merged string components' shards, nothing else")
+    assert(fileDigests(EventStream.shardDir(store, 3)) === beforeBystander,
+      "untouched string-keyed shard must stay byte-identical")
+    val after = EventStream.readShardedStore(spark, store)
+      .as[(String, String)].collect().toMap
+    assert(after === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "doc_x1" -> "doc_x1"))
   }
 
   test("two-phase commit: the _swap_pending marker decides whether a " +
