@@ -521,6 +521,14 @@ object Similarity {
     * matching CAST(FLOAT AS DOUBLE)). Shared by the IVF quantizer and
     * the k-means trainer so both sides of the oracle gate see one seed
     * definition.
+    *
+    * Vector ids are NUMERIC by contract across the whole ANN/k-means
+    * family — the centroid artifact is `Seq[(Long, Seq[Double])]` and
+    * cell ids ARE centroid row ids (unlike the dedup family, which is
+    * id-type-agnostic because doc ids are routinely strings). A
+    * string-keyed embedding corpus should join a dense numeric alias
+    * before seeding; under ANSI the cast below fails loudly rather
+    * than mislabeling.
     */
   private[graft] def seedCentroidsFor(
       corpus: DataFrame, idCol: String, vecCol: String,

@@ -509,10 +509,15 @@ object EventStream {
     // hash, not cast-to-long-and-mod: labels are id-typed and ids can
     // be STRINGS (connectedComponents is type-agnostic since the
     // string-checksum fix) — an ANSI cast of "doc_x1" throws mid-fold,
-    // a legacy cast nulls the shard. xxhash64 is deterministic and
-    // type-agnostic; the invariant that matters (a component maps to
-    // exactly ONE shard, every batch, every fold) is hash-stable
-    pmod(xxhash64(component), lit(numShards.toLong)).cast("int")
+    // a legacy cast nulls the shard. The hash goes through a STRING
+    // normalization first because xxhash64 is width-sensitive (int 5
+    // and long 5 hash differently, where the old cast("long") was
+    // width-stable): a long-bootstrapped store folded with int-typed
+    // batches must not split a component across two shards. CAST AS
+    // STRING is total on every id type, so the invariant that matters
+    // (a component maps to exactly ONE shard, every batch, every fold)
+    // holds across both id types and integer widths
+    pmod(xxhash64(component.cast("string")), lit(numShards.toLong)).cast("int")
 
   /** Bootstrap writer: shard an existing `(id, component)` labeling into
     * the sharded layout (e.g. the output of a from-scratch

@@ -53,27 +53,27 @@ class ShardedStoreSpec extends SparkSpec {
     val q = EventStream.clusterMaintenanceSharded(
       input.toDF(), store, s"$base/ckpt", numShards = S)
     try {
-      // batch 1: components 1 (shard xxhash64(1) mod 4 = 2) and
-      // 10 (shard 1)
-      input.addData(EventStream.CandPair(1L, 2L), EventStream.CandPair(10L, 11L))
+      // shard = xxhash64(cast(component as string)) mod 4:
+      // component 1 -> shard 0, component 6 -> shard 3, 20 -> shard 2
+      // batch 1: components 1 and 6
+      input.addData(EventStream.CandPair(1L, 2L), EventStream.CandPair(6L, 11L))
       q.processAllAvailable()
-      // batch 2: bridge 2-10 merges component 10 into 1 — rows must move
-      // from shard 1 to shard 2 — plus a fresh pair (component 20,
-      // shard 0)
-      input.addData(EventStream.CandPair(2L, 10L), EventStream.CandPair(20L, 21L))
+      // batch 2: bridge 2-6 merges component 6 into 1 — rows must move
+      // from shard 3 to shard 0 — plus a fresh pair (component 20)
+      input.addData(EventStream.CandPair(2L, 6L), EventStream.CandPair(20L, 21L))
       q.processAllAvailable()
       val streamed = EventStream.readShardedStore(spark, store)
         .as[(Long, Long)].collect().toMap
       val scratch = graft.ops.Dedup.connectedComponents(
-        Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L)).toDF("id_a", "id_b"))
+        Seq((1L, 2L), (6L, 11L), (2L, 6L), (20L, 21L)).toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
       assert(streamed === scratch)
       assert(streamed(11L) === 1L)
       // the merged component's rows live in ONE shard: component 1's
-      val winnerShard = spark.read.parquet(EventStream.shardDir(store, 2))
+      val winnerShard = spark.read.parquet(EventStream.shardDir(store, 0))
         .as[(Long, Long)].collect().toMap
-      assert(winnerShard.keySet === Set(1L, 2L, 10L, 11L))
-      val loserShard = spark.read.parquet(EventStream.shardDir(store, 1))
+      assert(winnerShard.keySet === Set(1L, 2L, 6L, 11L))
+      val loserShard = spark.read.parquet(EventStream.shardDir(store, 3))
       assert(loserShard.count() === 0, "losing shard must have shed its rows")
     } finally q.stop()
   }
@@ -82,41 +82,41 @@ class ShardedStoreSpec extends SparkSpec {
     "byte-identical on disk") {
     val base = freshBase()
     val store = s"$base/labels"
-    // components 100/101/102/103 land in shards 0/3/2/1
-    // (xxhash64(component) mod 4)
+    // shard = xxhash64(cast(component as string)) mod 4:
+    // components 100/101/200/700 land in shards 2/0/3/1 — all four
     val labels = Seq(
       (100L, 100L), (300L, 100L), (101L, 101L), (301L, 101L),
-      (102L, 102L), (302L, 102L), (103L, 103L), (303L, 303L))
+      (200L, 200L), (302L, 200L), (700L, 700L))
       .toDF("id", "component")
     EventStream.shardLabelStore(labels, store, S)
-    val before0 = fileDigests(EventStream.shardDir(store, 0))
     val before1 = fileDigests(EventStream.shardDir(store, 1))
-    assert(before0.nonEmpty && before1.nonEmpty)
-    // one edge bridging components 101 (shard 3) and 102 (shard 2)
+    val before2 = fileDigests(EventStream.shardDir(store, 2))
+    assert(before1.nonEmpty && before2.nonEmpty)
+    // one edge bridging components 101 (shard 0) and 200 (shard 3)
     val touched = EventStream.foldShardedBatch(
       Seq((301L, 302L)).toDF("id_a", "id_b"), store, S)
-    assert(touched === Seq(2, 3),
+    assert(touched === Seq(0, 3),
       "merge map names exactly the shards of the merged components")
-    assert(fileDigests(EventStream.shardDir(store, 0)) === before0,
-      "shard 0 was rewritten by a fold that never touched it")
     assert(fileDigests(EventStream.shardDir(store, 1)) === before1,
       "shard 1 was rewritten by a fold that never touched it")
+    assert(fileDigests(EventStream.shardDir(store, 2)) === before2,
+      "shard 2 was rewritten by a fold that never touched it")
     val after = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
     assert(after === Map(
       100L -> 100L, 300L -> 100L, 101L -> 101L, 301L -> 101L,
-      102L -> 101L, 302L -> 101L, 103L -> 103L, 303L -> 303L))
+      200L -> 101L, 302L -> 101L, 700L -> 700L))
     // a BRAND-NEW id joining an existing component: the merge map pairs
     // the new id's self-component with the winner, but no store row ever
-    // carried the new id as a component — its shard (here 1:
-    // xxhash64(502) mod 4) must not be rewritten; only the winner's
-    // shard (100 -> 0) is
-    val beforeSelf = fileDigests(EventStream.shardDir(store, 1))
+    // carried the new id as a component — its shard (here 0:
+    // xxhash64("502") mod 4) must not be rewritten; only the winner's
+    // shard (100 -> 2) is
+    val beforeSelf = fileDigests(EventStream.shardDir(store, 0))
     val touched2 = EventStream.foldShardedBatch(
       Seq((502L, 300L)).toDF("id_a", "id_b"), store, S)
-    assert(touched2 === Seq(0),
+    assert(touched2 === Seq(2),
       "a new id's self-component shard is not store-touched")
-    assert(fileDigests(EventStream.shardDir(store, 1)) === beforeSelf,
+    assert(fileDigests(EventStream.shardDir(store, 0)) === beforeSelf,
       "shard of a new id's never-stored self-component was rewritten")
     val after2 = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
@@ -161,13 +161,13 @@ class ShardedStoreSpec extends SparkSpec {
     locally {
       val (store, fs) = setup()
       v2.toDF("id", "component").write
-        .parquet(EventStream.shardDir(store, 0) + "._next")
+        .parquet(EventStream.shardDir(store, 2) + "._next")
       fs.create(new Path(store, "_swap_pending"), true).close()
       EventStream.recoverShardedStore(fs, store)
-      assert(spark.read.parquet(EventStream.shardDir(store, 0))
+      assert(spark.read.parquet(EventStream.shardDir(store, 2))
         .as[(Long, Long)].collect().toSet === v2.toSet)
       assert(!fs.exists(new Path(store, "_swap_pending")))
-      assert(!fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")))
+      assert(!fs.exists(new Path(EventStream.shardDir(store, 2) + "._next")))
     }
     // crash BEFORE the commit point (no marker): the live state is the
     // consistent one — the stale ._next must be DISCARDED, never
@@ -176,12 +176,12 @@ class ShardedStoreSpec extends SparkSpec {
     locally {
       val (store, fs) = setup()
       v2.toDF("id", "component").write
-        .parquet(EventStream.shardDir(store, 0) + "._next")
+        .parquet(EventStream.shardDir(store, 2) + "._next")
       EventStream.recoverShardedStore(fs, store)
-      assert(spark.read.parquet(EventStream.shardDir(store, 0))
+      assert(spark.read.parquet(EventStream.shardDir(store, 2))
         .as[(Long, Long)].collect().toSet ===
         Set((100L, 100L), (300L, 100L)))
-      assert(!fs.exists(new Path(EventStream.shardDir(store, 0) + "._next")),
+      assert(!fs.exists(new Path(EventStream.shardDir(store, 2) + "._next")),
         "pre-commit-point residue must be discarded at recovery")
     }
     // pre-commit-point crash on a BRAND-NEW shard (phase 1 wrote the
@@ -213,7 +213,7 @@ class ShardedStoreSpec extends SparkSpec {
     // drop both residues, not re-swap the half-deleted ._next over it
     locally {
       val (store, fs) = setup()
-      val d = EventStream.shardDir(store, 0)
+      val d = EventStream.shardDir(store, 2)
       if (!fs.rename(new Path(d), new Path(d + "._old")))
         fail(s"setup rename failed for $d")
       v2.toDF("id", "component").write.parquet(d)
@@ -238,7 +238,7 @@ class ShardedStoreSpec extends SparkSpec {
     // keep the stale live
     locally {
       val (store, fs) = setup()
-      val d = EventStream.shardDir(store, 0)
+      val d = EventStream.shardDir(store, 2)
       // live keeps the bootstrap content; manufacture the partial
       // archive copy and the committed ._next
       fs.mkdirs(new Path(d + "._old"))
@@ -259,7 +259,7 @@ class ShardedStoreSpec extends SparkSpec {
     // complete ._next beside it is the real content
     locally {
       val (store, fs) = setup()
-      val d = EventStream.shardDir(store, 0)
+      val d = EventStream.shardDir(store, 2)
       // hollow live: keep _SUCCESS (with manifest), delete data files
       EventStream.stampSuccess(fs, new Path(d))
       fs.listStatus(new Path(d)).map(_.getPath)
@@ -283,7 +283,7 @@ class ShardedStoreSpec extends SparkSpec {
     // (which would lose the shard permanently).
     locally {
       val (store, fs) = setup()
-      val d = EventStream.shardDir(store, 0)
+      val d = EventStream.shardDir(store, 2)
       if (!fs.rename(new Path(d), new Path(d + "._old")))
         fail(s"setup rename failed for $d")
       // hollow live: stamp the manifest+token over real data files,
@@ -314,7 +314,7 @@ class ShardedStoreSpec extends SparkSpec {
     // promote the husk over the complete live copy.
     locally {
       val (store, fs) = setup()
-      val d = EventStream.shardDir(store, 0)
+      val d = EventStream.shardDir(store, 2)
       if (!fs.rename(new Path(d), new Path(d + "._old")))
         fail(s"setup rename failed for $d")
       v2.toDF("id", "component").write.parquet(d)
