@@ -52,8 +52,19 @@ case class BpeEncode(left: Expression, right: Expression)
       case ArrayType(StringType, _) => right.foldable
       case _ => false
     }
-    if (textOk && mergesOk) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (textOk && mergesOk) {
+      // force the memoized table at plan time: a NULL merges literal
+      // (a merges file that failed to load) must fail HERE, not emit
+      // NULL for every row and silently mis-denominate every
+      // token-budget operator downstream — the same
+      // model-artifact-fails-at-plan-time contract as vec_argmax_cell.
+      // An EMPTY (non-null) merges array stays legal: tokenizing with
+      // zero merges is the pure byte alphabet.
+      try { table; TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       "bpe_encode expects (string, foldable array<string> of 'left right' " +
         s"merge lines), got (${left.dataType.simpleString}, " +
         s"${right.dataType.simpleString}${if (right.foldable) "" else ", non-foldable"})")
@@ -65,8 +76,14 @@ case class BpeEncode(left: Expression, right: Expression)
 
   @transient private lazy val table: BpeEncode.Table = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    val lines = if (arr == null) Array.empty[String]
-    else Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+    require(arr != null,
+      "bpe_encode: merges table literal is NULL — a merges file that " +
+        "failed to load must not silently tokenize everything to NULL")
+    val lines = Array.tabulate(arr.numElements()) { i =>
+      val l = arr.getUTF8String(i)
+      require(l != null, s"bpe_encode: null merges line $i")
+      l.toString
+    }
     BpeEncode.Table(lines)
   }
 

@@ -86,16 +86,8 @@ case class VecArgmaxCell(left: Expression, right: Expression)
   // the model artifact: evaluated ONCE from the foldable child, shipped
   // to executors inside the (serialized) expression / as a codegen
   // reference object
-  @transient private lazy val cents: Array[Array[Double]] = {
-    val arr = right.eval().asInstanceOf[ArrayData]
-    require(arr != null && arr.numElements() > 0,
-      "vec_argmax_cell: empty or null centroid matrix")
-    Array.tabulate(arr.numElements()) { j =>
-      val c = arr.getArray(j)
-      require(c != null, s"vec_argmax_cell: null centroid row $j")
-      c.toDoubleArray()
-    }
-  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    VecArgmaxCell.parseCents(right.eval(), prettyName)
 
   @transient private lazy val cnorms: Array[Double] =
     cents.map { c =>
@@ -126,6 +118,34 @@ case class VecArgmaxCell(left: Expression, right: Expression)
 }
 
 object VecArgmaxCell {
+
+  /** Parse + validate the foldable centroid-matrix literal — shared by
+    * vec_argmax_cell and vec_top_cells so the plan-time contract ("the
+    * matrix must be non-null, non-empty, with non-null rows AND
+    * elements — violations fail at plan time") lives in exactly one
+    * place. The per-ELEMENT check matters: ArrayData.toDoubleArray
+    * unboxes a null element to 0.0, which would silently corrupt a
+    * centroid (every row then scores against the wrong vector) instead
+    * of failing the plan.
+    */
+  private[functions] def parseCents(
+      evaluated: Any, name: String): Array[Array[Double]] = {
+    val arr = evaluated.asInstanceOf[ArrayData]
+    require(arr != null && arr.numElements() > 0,
+      s"$name: empty or null centroid matrix")
+    Array.tabulate(arr.numElements()) { j =>
+      val c = arr.getArray(j)
+      require(c != null, s"$name: null centroid row $j")
+      var i = 0
+      while (i < c.numElements()) {
+        require(!c.isNullAt(i),
+          s"$name: null element $i in centroid row $j — repair the " +
+            "model artifact (a null would silently read as 0.0)")
+        i += 1
+      }
+      c.toDoubleArray()
+    }
+  }
 
   /** Shared by eval and codegen (one hand-tuned loop beats two copies;
     * the JIT inlines it — the per-row work is k×dim multiplies, and the

@@ -71,16 +71,10 @@ case class VecTopCells(left: Expression, right: Expression, p: Int)
   private def isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  @transient private lazy val cents: Array[Array[Double]] = {
-    val arr = right.eval().asInstanceOf[ArrayData]
-    require(arr != null && arr.numElements() > 0,
-      "vec_top_cells: empty or null centroid matrix")
-    Array.tabulate(arr.numElements()) { j =>
-      val c = arr.getArray(j)
-      require(c != null, s"vec_top_cells: null centroid row $j")
-      c.toDoubleArray()
-    }
-  }
+  // parse + validation shared with vec_argmax_cell — one place owns the
+  // plan-time matrix contract (incl. the null-ELEMENT check; see there)
+  @transient private lazy val cents: Array[Array[Double]] =
+    VecArgmaxCell.parseCents(right.eval(), prettyName)
 
   @transient private lazy val cnorms: Array[Double] =
     cents.map { c =>

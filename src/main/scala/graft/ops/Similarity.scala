@@ -282,8 +282,15 @@ object Similarity {
       s"targetRecall must be in (0, 1), got $targetRecall")
     val p = numPlanesFor(n, targetBucket)
     val cp = math.pow(srpCollisionProb(threshold), p)
+    // ln(1 − x), NOT log1p(−x): the DuckDB oracle twin computes this
+    // band count in SQL as ceil(ln(1.0 − r) / ln(1.0 − c^p)) and has no
+    // log1p — both engines must walk the SAME float route (identical
+    // 1−x double first, then ln) or their ceils can straddle an integer
+    // at an ungraded corpus size and a selector-derivation parity gap
+    // would masquerade as an operator defect. log1p's extra accuracy
+    // near 0 is irrelevant here (1 − r and 1 − c^p are far from 1).
     val l = math.max(1,
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-cp)).toInt)
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - cp)).toInt)
     require(l <= maxBands,
       f"recall SLA $targetRecall at threshold $threshold over n=$n needs " +
         f"$l bands (> maxBands $maxBands) at law planes p=$p: lower the " +
@@ -823,7 +830,17 @@ object Similarity {
           element_at(mat,
             call_function("vec_argmax_cell", col("_v"), mat) + 1))).as("_d2"))
         .where(!isnan(col("_d2")) && col("_d2") > 0)
-      val phi = scored.agg(coalesce(sum("_d2"), lit(0.0))).head.getDouble(0)
+      // φ summed EXACTLY in 1e-9 units (decimal, associative) — a plain
+      // double sum is partial-merge-order dependent, so the draw cutoff
+      // floor(p·2³²) could flip at ulp boundaries between local[4] and
+      // a 1000-executor run, breaking the documented determinism. Same
+      // discipline as meansOf's micro-unit accumulation; d² ∈ [0, 2] so
+      // units fit comfortably in decimal(38,0).
+      val phiUnits = scored
+        .agg(coalesce(sum(round(col("_d2") * 1e9, 0).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
+      val phi = phiUnits.doubleValue / 1e9
       if (phi > 0) {
         val p = least(lit(1.0), lit(l) * col("_d2") / lit(phi))
         // p ≥ 1 keeps the point explicitly — same guard as
@@ -843,13 +860,34 @@ object Similarity {
         cands = cands ++ drawn.filterNot(c => known(c._1))
       }
     }
-    // pad degenerate draws (tiny corpora, all-identical vectors) from
-    // the first-k convention so the contract "returns k centers when the
-    // corpus has k distinct ids" holds
+    // pad degenerate draws (tiny corpora, all-identical vectors) so the
+    // contract "returns k centers when the corpus has k distinct ids"
+    // holds. Preference order: USABLE vectors first (the `clean` frame —
+    // padding from the raw corpus would re-admit exactly what clean
+    // excluded: a null-element embedding among the first k ids throws
+    // in seedCentroids even when enough usable vectors exist, and a
+    // zero-norm pad seed's NaN cosines capture every point in the
+    // weights pass); raw corpus only when clean is exhausted (the
+    // all-degenerate case, where first-k of raw IS the contract),
+    // skipping null-element vectors which can never be a seed.
     if (cands.size < k) {
       val known = cands.map(_._1).toSet
-      cands = cands ++ seedCentroids(corpus, idCol, vecCol,
-        k + cands.size).filterNot(c => known(c._1))
+      val fromClean = clean.orderBy(col("_id")).limit(k + cands.size)
+        .select(col("_id"), col("_v")).collect()
+        .map(r => (r.getLong(0), toDoubleSeq(r.get(1)))).toSeq
+        .filterNot(c => known(c._1))
+      cands = (cands ++ fromClean).take(k)
+    }
+    if (cands.size < k) {
+      val known = cands.map(_._1).toSet
+      val fromRaw = corpus
+        .where(col(vecCol).isNotNull && !exists(col(vecCol), e => e.isNull))
+        .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+        .orderBy(col("_id")).limit(k + cands.size)
+        .collect()
+        .map(r => (r.getLong(0), toDoubleSeq(r.get(1)))).toSeq
+        .filterNot(c => known(c._1))
+      cands = (cands ++ fromRaw).take(k)
     }
     if (cands.size <= k) return cands.sortBy(_._1).take(k)
     // weights: corpus points nearest each candidate (one map-side pass)

@@ -505,6 +505,62 @@ object EventStream {
   private[graft] def shardDir(storeDir: String, shard: Int): String =
     s"$storeDir/s=$shard"
 
+  /** The shard-placement scheme this code writes. Bump when [[shardOf]]
+    * changes: rows are findable only under the scheme that placed them.
+    */
+  private[graft] val ShardLayout = "xxhash64-utf8-mod"
+
+  /** Enforce that folds only ever run against a store whose rows were
+    * PLACED by this code's scheme and shard count — a `_layout` marker
+    * at the store root records both at bootstrap. Without the guard,
+    * changing the hash scheme (or silently passing a different
+    * numShards to a later fold) makes the fold compute touched shards
+    * that do not contain the components' rows: the merge "succeeds"
+    * and the store permanently holds conflicting labels with no error.
+    * A store with live shards but NO marker predates the marker or was
+    * written by foreign code — refuse and ask for a re-shard rather
+    * than guess.
+    */
+  private[graft] def checkOrStampLayout(
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      numShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, "_layout")
+    val expected = s"shard=$ShardLayout numShards=$numShards"
+    if (fs.exists(p)) {
+      val actual = readSuccess(fs, p).mkString("\n")
+      if (actual != expected)
+        throw new java.io.IOException(
+          s"sharded store $storeDir layout mismatch: store was placed " +
+            s"with '$actual', this fold would place with '$expected' — " +
+            "rows would land in (and be looked for in) the wrong " +
+            "shards. Re-shard via readShardedStore + shardLabelStore " +
+            "with the new parameters.")
+    } else if (listShards(fs, storeDir).live.nonEmpty) {
+      throw new java.io.IOException(
+        s"sharded store $storeDir has live shards but no _layout " +
+          "marker — it predates the layout marker or was written by a " +
+          "different scheme; its placement cannot be trusted for " +
+          "folds. Re-shard via readShardedStore + shardLabelStore.")
+    } else {
+      stampLayout(fs, storeDir, numShards)
+    }
+  }
+
+  /** Unconditional stamp — for the bootstrap writer, which has just
+    * (over)written the shards itself and therefore IS the placement
+    * authority. Everything else goes through [[checkOrStampLayout]].
+    */
+  private def stampLayout(
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      numShards: Int): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(storeDir))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(storeDir, "_layout"), true)
+    out.write(s"shard=$ShardLayout numShards=$numShards"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   private def shardOf(component: Column, numShards: Int): Column =
     // hash, not cast-to-long-and-mod: labels are id-typed and ids can
     // be STRINGS (connectedComponents is type-agnostic since the
@@ -540,6 +596,9 @@ object EventStream {
       val d = new org.apache.hadoop.fs.Path(shardDir(storeDir, k))
       if (fs.exists(d)) stampSuccess(fs, d)
     }
+    // the bootstrap just placed every row itself — stamp unconditionally
+    // (overwrite wiped any previous marker with the previous store)
+    stampLayout(fs, storeDir, numShards)
   }
 
   /** One `listStatus` of the store root → which shards have a live dir,
@@ -685,6 +744,10 @@ object EventStream {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverShardedStore(fs, storeDir)
+    // placement guard BEFORE any merge math: folding with a different
+    // scheme or shard count than the one that placed the store's rows
+    // would silently write conflicting labels
+    checkOrStampLayout(fs, storeDir, numShards)
     val existing = listShards(fs, storeDir).live.toSeq.sorted
     val idType = batch.schema("id_a").dataType
     val labels =

@@ -126,4 +126,19 @@ class BpeEncodeSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("foldable"))
   }
+
+  test("NULL merges literal fails at analysis (a merges file that " +
+    "failed to load must not silently tokenize everything to NULL); " +
+    "an EMPTY merges table is legal and yields the pure byte alphabet") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t")
+        .select(call_function("bpe_encode", col("t"),
+          expr("CAST(NULL AS ARRAY<STRING>)"))).collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+    val toks = Seq("hi").toDF("t")
+      .select(graft.ops.Text.bpeTokens(col("t"), Seq.empty).as("x"))
+      .head.getSeq[String](0)
+    assert(toks === Seq("h", "i"))
+  }
 }

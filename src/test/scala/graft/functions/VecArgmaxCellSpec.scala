@@ -62,6 +62,16 @@ class VecArgmaxCellSpec extends SparkSpec {
     assert(out === Seq(Some(0), None, None))
   }
 
+  test("a null ELEMENT inside a centroid row fails at analysis — " +
+    "toDoubleArray would silently unbox it to 0.0") {
+    val df = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("vec_argmax_cell", col("v"),
+        expr("array(array(1.0D, CAST(NULL AS DOUBLE)))"))).collect()
+    }
+    assert(e.getMessage.contains("null element"))
+  }
+
   test("non-foldable matrix is rejected at analysis") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(Seq(1.0, 0.0))))
       .toDF("v", "m")

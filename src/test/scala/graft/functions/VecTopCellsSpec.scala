@@ -84,6 +84,15 @@ class VecTopCellsSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("p >= 1"))
+    // null ELEMENT in a centroid row: plan-time failure via the parse
+    // shared with vec_argmax_cell, never a silent 0.0 coercion
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("v")
+        .select(call_function("vec_top_cells", col("v"),
+          expr("array(array(1.0D, CAST(NULL AS DOUBLE)))"), lit(1)))
+        .collect()
+    }
+    assert(e2.getMessage.contains("null element"))
   }
 
   test("rounding boundary: cosines equal at 9 decimals order by index " +

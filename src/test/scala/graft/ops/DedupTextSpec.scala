@@ -511,6 +511,23 @@ class DedupTextSpec extends SparkSpec {
     vecs.unpersist(); ()
   }
 
+  test("kmeansParallelSeeds: the degenerate-draw pad prefers USABLE " +
+    "vectors — a null-element embedding among the first k ids must " +
+    "not abort seeding when enough clean vectors exist") {
+    // id 0 carries a null element (a failed embedding); ids 1-3 are
+    // clean. Padding from the RAW corpus would throw in seedCentroids
+    // on id 0; the pad must draw from the clean frame instead.
+    val vecs = Seq(
+      (0L, "bad"), (1L, "ok"), (2L, "ok"), (3L, "ok")).toDF("vec_id", "kind")
+      .selectExpr("vec_id",
+        "CASE WHEN kind = 'bad' THEN array(1.0D, CAST(NULL AS DOUBLE)) " +
+          "ELSE array(CAST(vec_id AS DOUBLE), 1.0D) END AS embedding")
+    val seeds = Similarity.kmeansParallelSeeds(vecs, "vec_id", "embedding", 3)
+    assert(seeds.size === 3)
+    assert(!seeds.map(_._1).contains(0L),
+      "a null-element vector can never be a seed")
+  }
+
   test("kmeansParallelSeeds: a corpus with no usable vectors (all " +
     "zero-norm) falls back to first-k seeds instead of crashing the " +
     "sampling round on an empty candidate matrix") {

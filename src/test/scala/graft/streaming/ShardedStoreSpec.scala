@@ -147,6 +147,36 @@ class ShardedStoreSpec extends SparkSpec {
       "doc_x1" -> "doc_x1"))
   }
 
+  test("the _layout marker refuses folds whose placement would not " +
+    "match the store's: different numShards, or a legacy store with " +
+    "no marker at all") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    EventStream.shardLabelStore(
+      Seq((100L, 100L), (300L, 100L)).toDF("id", "component"), store, S)
+    // numShards drift: same scheme, different count — every placement
+    // differs, the fold must refuse rather than scatter components
+    val eDrift = intercept[java.io.IOException] {
+      EventStream.foldShardedBatch(
+        Seq((300L, 500L)).toDF("id_a", "id_b"), store, S * 2)
+    }
+    assert(eDrift.getMessage.contains("layout mismatch"))
+    // legacy/foreign store: live shards but no marker — placement
+    // cannot be trusted, refuse with the re-shard instruction
+    fsOf(store).delete(new Path(store, "_layout"), false)
+    val eLegacy = intercept[java.io.IOException] {
+      EventStream.foldShardedBatch(
+        Seq((300L, 500L)).toDF("id_a", "id_b"), store, S)
+    }
+    assert(eLegacy.getMessage.contains("no _layout"))
+    // a matching fold still works after re-stamping via bootstrap
+    EventStream.shardLabelStore(
+      EventStream.readShardedStore(spark, store), store + "2", S)
+    val touched = EventStream.foldShardedBatch(
+      Seq((300L, 500L)).toDF("id_a", "id_b"), store + "2", S)
+    assert(touched.nonEmpty)
+  }
+
   test("two-phase commit: the _swap_pending marker decides whether a " +
     "complete ._next is promoted at recovery") {
     def setup(): (String, org.apache.hadoop.fs.FileSystem) = {
