@@ -472,11 +472,13 @@ object EventStream {
     * Default target 128 MiB — parquet/DFS file-sizing discipline (the
     * same figure as `spark.sql.files.maxPartitionBytes`), so one shard
     * rewrite is one well-sized file job. `maxShards` caps the listing/
-    * fixed-cost growth loudly. NOTE: the shard key is `component mod
-    * numShards`, so changing the count on an EXISTING store is a one-off
-    * re-shard (`shardLabelStore` on a read of the old store), not a
-    * config flip — size it from the projected store, not the bootstrap
-    * batch.
+    * fixed-cost growth loudly. NOTE: the shard key is
+    * `xxhash64(cast(component as string)) mod numShards`, so changing
+    * the count on an EXISTING store is a one-off re-shard
+    * (`shardLabelStore` on a read of the old store), not a config
+    * flip — the store's `_layout` marker enforces this (folds refuse a
+    * mismatched count or scheme) — size it from the projected store,
+    * not the bootstrap batch.
     */
   def shardsFor(
       storeBytes: Long, targetShardBytes: Long = 128L << 20,
