@@ -771,7 +771,17 @@ object Dedup {
   private[graft] def incrementalMergeParts(
       labels: DataFrame, newEdges: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
+    // a NULL endpoint carries no merge information (it joins nothing in
+    // the quotient), but left in, the null ID itself flows into newRows
+    // as a (null, null) row: the sharded fold's touched-shard collect
+    // NPEs on the null shard key — one producer-glitch edge becomes a
+    // poison pill the stream retries forever — and the whole-store path
+    // writes the garbage row into the labeling. Drop such edges here,
+    // the entry shared by both paths (the batch CC operators already
+    // drop them: null fails every comparison in the star's hi/lo
+    // canonicalization).
     val e = newEdges.select(col("id_a"), col("id_b"))
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
       .transform(Materialize.checkpoint)
     val ids = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id"))).distinct()

@@ -147,6 +147,25 @@ class ShardedStoreSpec extends SparkSpec {
       "doc_x1" -> "doc_x1"))
   }
 
+  test("a NULL edge endpoint (producer glitch) is dropped, not a " +
+    "poison pill: the fold must neither NPE on the null shard key nor " +
+    "write a (null, null) row") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    EventStream.shardLabelStore(
+      Seq((100L, 100L), (300L, 100L)).toDF("id", "component"), store, S)
+    val touched = EventStream.foldShardedBatch(
+      Seq((Some(300L), Some(500L)), (None, Some(700L)),
+        (Some(900L), None))
+        .toDF("id_a", "id_b"), store, S)
+    assert(touched.nonEmpty)
+    val after = EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap
+    // the null-endpoint edges contributed nothing: 700/900 do NOT enter
+    // the store (their only edge was information-free), 500 merged in
+    assert(after === Map(100L -> 100L, 300L -> 100L, 500L -> 100L))
+  }
+
   test("the _layout marker refuses folds whose placement would not " +
     "match the store's: different numShards, or a legacy store with " +
     "no marker at all") {
