@@ -771,20 +771,24 @@ object Dedup {
   private[graft] def incrementalMergeParts(
       labels: DataFrame, newEdges: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    // a NULL endpoint carries no merge information (it joins nothing in
-    // the quotient), but left in, the null ID itself flows into newRows
-    // as a (null, null) row: the sharded fold's touched-shard collect
-    // NPEs on the null shard key — one producer-glitch edge becomes a
-    // poison pill the stream retries forever — and the whole-store path
-    // writes the garbage row into the labeling. Drop such edges here,
-    // the entry shared by both paths (the batch CC operators already
-    // drop them: null fails every comparison in the star's hi/lo
-    // canonicalization).
-    val e = newEdges.select(col("id_a"), col("id_b"))
-      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+    // The shared CC null contract (see labelPropagation): a NULL
+    // endpoint is not an id and carries no merge information — but left
+    // in, it flows into newRows as a (null, null) row whose null shard
+    // key NPEs the sharded fold's touched-shard collect, turning one
+    // producer-glitch edge into a poison pill the stream retries
+    // forever (the whole-store path writes the garbage row instead).
+    // Edges for the quotient keep only fully-non-null pairs; the
+    // OBSERVED id set keeps every non-null endpoint, so a half-null
+    // edge's good endpoint still enters the labeling (self-labeled),
+    // exactly as the batch formulations keep it.
+    // one materialization of the (often expensive) upstream pair
+    // derivation; both the edge filter and the id explode read it
+    val eRaw = newEdges.select(col("id_a"), col("id_b"))
       .transform(Materialize.checkpoint)
-    val ids = e.select(col("id_a").as("id"))
-      .unionByName(e.select(col("id_b").as("id"))).distinct()
+    val e = eRaw.where(col("id_a").isNotNull && col("id_b").isNotNull)
+    val ids = eRaw
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .where(col("id").isNotNull).distinct()
       .transform(Materialize.checkpoint)
     // batch endpoint → its store row if any. Materialized: this join is
     // the fold's ONE store scan, and both the label coalesce and the
@@ -842,8 +846,11 @@ object Dedup {
       .distinct()
       .transform(Materialize.checkpointIterative)
     // Node set remembered up front: star contraction erases isolated
-    // structure, but every input node must appear in the output.
+    // structure, but every NON-NULL input node must appear in the
+    // output (the shared CC null contract: null is not an id — without
+    // the filter a half-null pair leaks a (null, null) row).
     val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .where(col("id").isNotNull)
       .distinct()
       .transform(Materialize.checkpoint)
 
@@ -934,14 +941,28 @@ object Dedup {
     // The pair input is materialized FIRST: it appears in both union
     // branches below, and without the checkpoint Spark would re-execute
     // the (often expensive — minhash/verify chains) pair derivation twice.
-    val p = pairs.select(col("id_a"), col("id_b")).transform(Materialize.checkpoint)
-    // Symmetrized edges PLUS a self-loop per node: one join+agg then gives
-    // min over {self} ∪ neighbors — no second join against the previous
-    // labels. Materialized once; every round reuses it.
+    // The shared null contract of every CC formulation: a NULL id never
+    // appears in the output (it is not an id), a NON-NULL id always
+    // does — self-labeled when its only pair had a corrupt partner.
+    // Without the edge filter this path emits a spurious (null, label)
+    // row (the null id forms its own group and adopts its non-null
+    // neighbor's label); without the separate node set a half-null
+    // pair's good endpoint would vanish where the star pass keeps it.
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+      .transform(Materialize.checkpoint)
+    val allIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("a"))
+      .where(col("a").isNotNull).distinct()
+    // Symmetrized edges PLUS a self-loop per node (from the UNFILTERED
+    // non-null endpoint set, so degenerate-pair survivors stay): one
+    // join+agg then gives min over {self} ∪ neighbors — no second join
+    // against the previous labels. Materialized once; every round
+    // reuses it.
     val sym = p.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
     val edges = sym
-      .unionByName(sym.select(col("a"), col("a").as("b")).distinct())
+      .unionByName(allIds.select(col("a"), col("a").as("b")))
       .distinct()
       .transform(Materialize.checkpoint)
     var labels = edges.select(col("a").as("id"))

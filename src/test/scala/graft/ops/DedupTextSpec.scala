@@ -557,6 +557,25 @@ class DedupTextSpec extends SparkSpec {
       s"saturated-probability outlier must be a seed, got ids ${par.map(_._1)}")
   }
 
+  test("the shared CC null contract holds in EVERY formulation: a null " +
+    "id never appears in the output, a half-null pair's good endpoint " +
+    "is kept as a self-labeled singleton") {
+    // pre-fix disagreement: label-prop emitted (null, 2) — the null id
+    // formed its own group and adopted its neighbor's label — while the
+    // star pass emitted (null, null); both leaked a null row
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(2L)),
+      (Some(3L), None), (None: Option[Long], None: Option[Long]))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    Seq(
+      graft.ops.Dedup.connectedComponentsLabelProp(pairs),
+      graft.ops.Dedup.connectedComponentsStar(pairs),
+      graft.ops.Dedup.connectedComponents(pairs)).foreach { cc =>
+      assert(cc.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toMap === expected)
+    }
+  }
+
   test("connectedComponentsStar on STRING ids: the convergence signature " +
     "must be type-agnostic (incrementalMergeParts runs the star pass " +
     "directly on every streaming quotient graph)") {

@@ -161,9 +161,11 @@ class ShardedStoreSpec extends SparkSpec {
     assert(touched.nonEmpty)
     val after = EventStream.readShardedStore(spark, store)
       .as[(Long, Long)].collect().toMap
-    // the null-endpoint edges contributed nothing: 700/900 do NOT enter
-    // the store (their only edge was information-free), 500 merged in
-    assert(after === Map(100L -> 100L, 300L -> 100L, 500L -> 100L))
+    // null endpoints contribute no MERGES, but observed good endpoints
+    // still enter (self-labeled) — the shared CC null contract; no
+    // (null, null) row is ever written
+    assert(after === Map(100L -> 100L, 300L -> 100L, 500L -> 100L,
+      700L -> 700L, 900L -> 900L))
   }
 
   test("the _layout marker refuses folds whose placement would not " +
