@@ -771,24 +771,19 @@ object Dedup {
   private[graft] def incrementalMergeParts(
       labels: DataFrame, newEdges: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    // The shared CC null contract (see labelPropagation): a NULL
-    // endpoint is not an id and carries no merge information — but left
-    // in, it flows into newRows as a (null, null) row whose null shard
-    // key NPEs the sharded fold's touched-shard collect, turning one
-    // producer-glitch edge into a poison pill the stream retries
+    // The shared CC null contract ([[rawPairFrame]] and friends): a
+    // NULL endpoint is not an id and carries no merge information — but
+    // left in, it flows into newRows as a (null, null) row whose null
+    // shard key NPEs the sharded fold's touched-shard collect, turning
+    // one producer-glitch edge into a poison pill the stream retries
     // forever (the whole-store path writes the garbage row instead).
     // Edges for the quotient keep only fully-non-null pairs; the
     // OBSERVED id set keeps every non-null endpoint, so a half-null
     // edge's good endpoint still enters the labeling (self-labeled),
     // exactly as the batch formulations keep it.
-    // one materialization of the (often expensive) upstream pair
-    // derivation; both the edge filter and the id explode read it
-    val eRaw = newEdges.select(col("id_a"), col("id_b"))
-      .transform(Materialize.checkpoint)
-    val e = eRaw.where(col("id_a").isNotNull && col("id_b").isNotNull)
-    val ids = eRaw
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .where(col("id").isNotNull).distinct()
+    val eRaw = rawPairFrame(newEdges)
+    val e = nonNullPairs(eRaw)
+    val ids = nonNullEndpoints(eRaw)
       .transform(Materialize.checkpoint)
     // batch endpoint → its store row if any. Materialized: this join is
     // the fold's ONE store scan, and both the label coalesce and the
@@ -826,6 +821,27 @@ object Dedup {
     (bcMerged, newRows, storeComps)
   }
 
+  /** THE shared CC null contract, in one place for every formulation
+    * (label-prop, star, incremental): a NULL id never appears in a
+    * labeling (null is not an id), a NON-NULL id always does —
+    * self-labeled when its only pair had a corrupt partner. Callers
+    * first materialize the raw pair frame ONCE ([[rawPairFrame]]), then
+    * derive both the merge-edge set ([[nonNullPairs]]) and the
+    * observed-id set ([[nonNullEndpoints]]) from that checkpoint, so
+    * the (often expensive — minhash/verify chains) upstream pair
+    * derivation executes exactly once however many views a formulation
+    * needs.
+    */
+  private def rawPairFrame(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a"), col("id_b")).transform(Materialize.checkpoint)
+
+  private def nonNullPairs(raw: DataFrame): DataFrame =
+    raw.where(col("id_a").isNotNull && col("id_b").isNotNull)
+
+  private def nonNullEndpoints(raw: DataFrame): DataFrame =
+    raw.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .where(col("id").isNotNull).distinct()
+
   /** Alternating large-star / small-star CC (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"): each phase is one groupBy-min
     * plus one join on the EDGE set, and the edge set contracts toward
@@ -837,9 +853,15 @@ object Dedup {
     */
   def connectedComponentsStar(
       pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // Canonical (hi > lo) directed edges, self-loops dropped. Materialized:
-    // the pair derivation upstream (minhash/verify chains) must not re-run.
-    var edges = pairs
+    // One materialization of the upstream pair derivation; both the
+    // canonical edge set and the node set read it (previously `nodes`
+    // re-ran the caller's pair lineage after `edges` had already
+    // materialized — twice the dominant cost for a direct caller with
+    // an expensive candidate chain).
+    val raw = rawPairFrame(pairs)
+    // Canonical (hi > lo) directed edges, self-loops dropped (a null
+    // endpoint fails =!= and drops here — the shared CC null contract).
+    var edges = raw
       .where(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
@@ -849,9 +871,7 @@ object Dedup {
     // structure, but every NON-NULL input node must appear in the
     // output (the shared CC null contract: null is not an id — without
     // the filter a half-null pair leaks a (null, null) row).
-    val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .where(col("id").isNotNull)
-      .distinct()
+    val nodes = nonNullEndpoints(raw)
       .transform(Materialize.checkpoint)
 
     // large-star: every node u connects its STRICTLY LARGER neighbors to
@@ -938,22 +958,16 @@ object Dedup {
     */
   private[ops] def labelPropagation(
       pairs: DataFrame, maxRounds: Int): (DataFrame, Boolean, DataFrame) = {
-    // The pair input is materialized FIRST: it appears in both union
-    // branches below, and without the checkpoint Spark would re-execute
-    // the (often expensive — minhash/verify chains) pair derivation twice.
-    // The shared null contract of every CC formulation: a NULL id never
-    // appears in the output (it is not an id), a NON-NULL id always
-    // does — self-labeled when its only pair had a corrupt partner.
-    // Without the edge filter this path emits a spurious (null, label)
-    // row (the null id forms its own group and adopts its non-null
-    // neighbor's label); without the separate node set a half-null
-    // pair's good endpoint would vanish where the star pass keeps it.
-    val p = pairs.select(col("id_a"), col("id_b"))
-      .where(col("id_a").isNotNull && col("id_b").isNotNull)
-      .transform(Materialize.checkpoint)
-    val allIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("a"))
-      .where(col("a").isNotNull).distinct()
+    // One materialization of the (often expensive — minhash/verify
+    // chains) pair derivation; the edge filter, the self-loop node set,
+    // and the returned pair frame all read it. Null handling is the
+    // shared CC contract ([[rawPairFrame]] and friends): without the
+    // edge filter this path emits a spurious (null, label) row — the
+    // null id forms its own group and adopts its non-null neighbor's
+    // label — and without the separate node set a half-null pair's good
+    // endpoint would vanish where the star pass keeps it.
+    val raw = rawPairFrame(pairs)
+    val p = nonNullPairs(raw)
     // Symmetrized edges PLUS a self-loop per node (from the UNFILTERED
     // non-null endpoint set, so degenerate-pair survivors stay): one
     // join+agg then gives min over {self} ∪ neighbors — no second join
@@ -962,7 +976,8 @@ object Dedup {
     val sym = p.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
     val edges = sym
-      .unionByName(allIds.select(col("a"), col("a").as("b")))
+      .unionByName(nonNullEndpoints(raw)
+        .select(col("id").as("a"), col("id").as("b")))
       .distinct()
       .transform(Materialize.checkpoint)
     var labels = edges.select(col("a").as("id"))
