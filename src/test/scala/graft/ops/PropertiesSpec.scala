@@ -130,6 +130,47 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  /** Pairs with producer glitches: ~1 in 5 endpoints NULL, self-pairs
+    * allowed. */
+  private val glitchyPairsGen: Gen[Seq[(Option[Long], Option[Long])]] = for {
+    n <- Gen.choose(1, 20)
+    pairs <- Gen.listOfN(n, Gen.zip(
+      Gen.frequency(4 -> Gen.choose(0L, 10L).map(Option(_)),
+        1 -> Gen.const(None: Option[Long])),
+      Gen.frequency(4 -> Gen.choose(0L, 10L).map(Option(_)),
+        1 -> Gen.const(None: Option[Long]))))
+  } yield pairs
+
+  property("the shared CC null contract on random glitchy graphs: every " +
+    "formulation = union-find over valid edges, half-null survivors " +
+    "self-labeled, no null rows") =
+    forAll(glitchyPairsGen) { pairs =>
+      val df = pairs.toDF("id_a", "id_b")
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.collect { case (Some(a), Some(b)) => (a, b) }.foreach {
+        case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2).flatten).toSet
+      val ref = nodes.map { n =>
+        n -> nodes.filter(m => find(m) == find(n)).min
+      }.toMap
+      Seq(
+        Dedup.connectedComponents(df),
+        Dedup.connectedComponentsLabelProp(df),
+        Dedup.connectedComponentsStar(df)).forall { cc =>
+        cc.collect().map { r =>
+          !r.isNullAt(0) && !r.isNullAt(1) || sys.error("null row leaked")
+          (r.getLong(0), r.getLong(1))
+        }.toMap == ref
+      }
+    }
+
   property("incremental CC merge = from-scratch CC for ANY old/new edge split") =
     forAll(pairsGen, Gen.choose(0L, 12L)) { (pairs, splitId) =>
       pairs.isEmpty || {
