@@ -193,6 +193,29 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("incremental merge of GLITCHY batches = from-scratch CC over " +
+    "the combined glitchy input (the null contract composes across the " +
+    "store boundary)") =
+    forAll(glitchyPairsGen, Gen.choose(0L, 10L)) { (pairs, splitId) =>
+      val (oldE, newE) = pairs.partition {
+        case (Some(a), Some(b)) => a < splitId && b < splitId
+        case _ => false // glitchy edges always arrive in the NEW batch
+      }
+      newE.isEmpty || {
+        val labels = Dedup.connectedComponents(
+          if (oldE.isEmpty)
+            Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+          else oldE.collect { case (Some(a), Some(b)) => (a, b) }
+            .toDF("id_a", "id_b"))
+        val inc = Dedup.connectedComponentsIncremental(
+          labels, newE.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val scratch = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        inc == scratch
+      }
+    }
+
   property("asofJoin matches the per-row latest-at-or-before reference") =
     forAll(
       Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))),
