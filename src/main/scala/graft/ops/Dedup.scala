@@ -173,11 +173,38 @@ object Dedup {
     shingled
       .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
       .select(col("_id"), bandExplode(col("_sig"), numHashes, rowsPerBand).as("_band"))
-      .select(col("_id"), col("_band.bno").as("_bno"), col("_band.bkey").as("_bkey"))
+      .select(col("_id"), col("_band.bno").as("_bno"), col("_band.bkey").as("_bkey"),
+        // self-describing store: a persisted band table carries the
+        // parameters that shaped its key space (constant column — free
+        // under parquet dictionary/RLE), so an incremental probe built
+        // with different parameters fails loudly (see
+        // [[requireStoreParams]]) instead of silently joining into a
+        // foreign keyspace and reporting zero duplicates
+        lit(s"mh:h$numHashes:r$rowsPerBand").as("_params"))
       // Materialized once so consumers (self-join sides, store writes)
       // don't recompute the signatures (the dominant cost).
       .transform(Materialize.checkpoint)
   }
+
+  /** Persisted-artifact parameter guard — the [[bandTable]]/
+    * [[Similarity.srpTable]] analog of the sharded store's `_layout`
+    * marker: if the store carries a `_params` column, its value must
+    * match what THIS probe derives, else the key spaces cannot match
+    * and every candidate silently vanishes (the worst dedup failure:
+    * "no duplicates found" on a store that answers a different
+    * question). Pre-column stores are tolerated (nothing to check).
+    */
+  private[ops] def requireStoreParams(
+      store: DataFrame, want: String, what: String): Unit =
+    if (store.columns.contains("_params")) {
+      store.select(col("_params")).limit(1).collect().headOption
+        .map(_.getString(0)).filter(_ != want).foreach { got =>
+        throw new IllegalArgumentException(
+          s"$what store was built with '$got' but this probe derives " +
+            s"'$want' — the key spaces cannot match (silent candidate " +
+            "loss); rebuild the store or pass its parameters")
+      }
+    }
 
   // ------------------------------------------------------ incremental dedup
 
@@ -218,6 +245,10 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       storedBands: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // drift guard: h/r are checked against the store's self-description;
+    // shingleSize shapes the keys too but is not visible to bandTable —
+    // it remains the caller's contract to keep constant across ingests
+    requireStoreParams(storedBands, s"mh:h$numHashes:r$rowsPerBand", "band")
     val nb = bandTable(
       shingleFrame(newDocs, idCol, textCol, shingleSize),
       numHashes, rowsPerBand)

@@ -364,7 +364,9 @@ object Similarity {
     Text.spread(corpus)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         srpBucket(col(vecCol), numPlanes).as("_bkt"))
-      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
+      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"),
+        // self-describing store — see Dedup.requireStoreParams
+        lit(s"srp:p$numPlanes").as("_params"))
       .transform(Materialize.checkpoint)
 
   /** Incremental embedding near-dup: scored candidate pairs INVOLVING a
@@ -379,6 +381,9 @@ object Similarity {
       newVecs: DataFrame, idCol: String, vecCol: String,
       storedBuckets: DataFrame, threshold: Double,
       numPlanes: Int = 4): DataFrame = {
+    // drift guard: a store hashed with a different plane count answers a
+    // different bucket question — fail loudly, not zero candidates
+    Dedup.requireStoreParams(storedBuckets, s"srp:p$numPlanes", "SRP bucket")
     val nb = srpTable(newVecs, idCol, vecCol, numPlanes)
     val a = nb.select(col("_bkt"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))

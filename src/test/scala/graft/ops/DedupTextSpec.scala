@@ -780,6 +780,24 @@ class DedupTextSpec extends SparkSpec {
     val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
     assert(incr === expected)
     assert(expected.nonEmpty) // the fixture must actually exercise both legs
+
+    // parameter-drift guard: probing the same store with different
+    // banding must fail loudly, never silently join into a foreign key
+    // space and report zero duplicates
+    val eMh = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalCandidates(
+        batch, "doc_id", "text", stored, rowsPerBand = 4)
+    }
+    assert(eMh.getMessage.contains("mh:h8:r2"))
+    val srpStore = Similarity.srpTable(
+      Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numPlanes = 4)
+    val eSrp = intercept[IllegalArgumentException] {
+      Similarity.cosineIncrementalCandidates(
+        Seq((2L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", srpStore, 0.4, numPlanes = 6)
+    }
+    assert(eSrp.getMessage.contains("srp:p4"))
   }
 
   test("mixtureSample: saturated source kept whole, partial rate tracks " +
