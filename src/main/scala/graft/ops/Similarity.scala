@@ -473,6 +473,26 @@ object Similarity {
     * [[ivfTopK]] derives inline) — callers hand it to [[ivfProbe]], the
     * same split as a k-means model: artifact on disk, model in hand.
     */
+  /** Deterministic fingerprint of a centroid model — stamped into the
+    * [[ivfBuild]] artifact and re-derived by [[ivfProbe]] from the model
+    * it was handed, so probing a disk artifact with a DIFFERENT model
+    * (re-seeded after the corpus grew, different k) fails loudly: the
+    * query cells and the artifact's corpus cells would come from two
+    * different quantizers, and every same-cell join silently returns
+    * wrong-cell neighbors — a recall collapse that looks like success.
+    */
+  private def centsFingerprint(cents: Seq[(Long, Seq[Double])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.foreach { case (id, v) =>
+      buf.clear(); buf.putLong(id)
+      md.update(buf.array())
+      v.foreach { d => buf.clear(); buf.putDouble(d); md.update(buf.array()) }
+    }
+    s"ivf:k${cents.size}:" +
+      md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
   def ivfBuild(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, numBuckets: Int, target: String, table: String,
@@ -480,6 +500,10 @@ object Similarity {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
     val assigned = withCell(corpus, idCol, vecCol, cents)
       .withColumn("_vn", norm(col(vecCol)))
+      // self-describing artifact: the quantizer that assigned these
+      // cells, as a constant column (free under parquet dictionary
+      // encoding) — see centsFingerprint
+      .withColumn("_params", lit(centsFingerprint(cents)))
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
       .write(assigned, target, table, "parquet")
@@ -512,6 +536,11 @@ object Similarity {
       queries: DataFrame, assigned: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])],
       nprobe: Int = 1): DataFrame = {
+    // model-drift guard: the artifact records which quantizer assigned
+    // its cells; probing with a different model would join query cells
+    // from one quantizer to corpus cells from another (silent recall
+    // collapse). Pre-column artifacts are tolerated.
+    Dedup.requireStoreParams(assigned, centsFingerprint(cents), "IVF")
     val q = withCells(queries, idCol, vecCol, cents, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         col("_cell"), norm(col(vecCol)).as("_qn"))

@@ -219,6 +219,18 @@ class PlanSpec extends SparkSpec {
       val plan2 = planOf(probe2)
       assert(plan2.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
         s"corpus side must not shuffle at nprobe=2:\n$plan2")
+      // model-drift guard: probing the artifact with a DIFFERENT
+      // quantizer (here k=6 vs the k=4 that assigned the cells) must
+      // fail loudly — two quantizers joined on _cell is a silent
+      // recall collapse, not an answer
+      val other = ops.Similarity.seedCentroidsFor(emb, "vec_id", "embedding", 6)
+      val eDrift = intercept[IllegalArgumentException] {
+        ops.Similarity.ivfProbe(
+          emb.where(col("vec_id") < 8),
+          ops.Similarity.ivfAssigned(spark, wh, "ivf"),
+          "vec_id", "embedding", 5, other)
+      }
+      assert(eDrift.getMessage.contains("ivf:k4:"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS " + graft.sources
