@@ -306,6 +306,25 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("incremental minhash candidates = the full run's pairs that " +
+    "touch the batch, for ANY corpus/batch split of random " +
+    "duplicate-heavy corpora") =
+    forAll(docGen, Gen.choose(0L, 8L)) { (docs, splitId) =>
+      val all = docs.toDF("doc_id", "text")
+      val corpus = all.where(col("doc_id") < splitId)
+      val batch = all.where(col("doc_id") >= splitId)
+      batch.isEmpty || {
+        val full = Dedup.minhashCandidatePairs(all, "doc_id", "text")
+          .as[(Long, Long)].collect().toSet
+        val stored = Dedup.bandTable(corpus.select(col("doc_id").as("_id"),
+          Text.shingles(col("text"), 3).as("_sh")))
+        val incr = Dedup.minhashIncrementalCandidates(
+          batch, "doc_id", "text", stored).as[(Long, Long)].collect().toSet
+        val batchIds = docs.map(_._1).filter(_ >= splitId).toSet
+        incr == full.filter(p => batchIds(p._1) || batchIds(p._2))
+      }
+    }
+
   property("decontaminate keeps exactly the docs sharing no shingle with the eval set") =
     forAll(docGen) { docs =>
       val df = docs.toDF("doc_id", "text")
