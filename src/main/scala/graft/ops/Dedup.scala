@@ -165,7 +165,8 @@ object Dedup {
     * corpus.
     */
   def bandTable(
-      shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      shingled: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      shingleSize: Int = 0): DataFrame = {
     // Staged projections so each expensive array is computed exactly once
     // per row (CollapseProject keeps multiply-referenced non-cheap aliases
     // in their own stage); a single inline expression would re-derive the
@@ -173,36 +174,71 @@ object Dedup {
     shingled
       .select(col("_id"), minhashSignature(col("_sh"), numHashes).as("_sig"))
       .select(col("_id"), bandExplode(col("_sig"), numHashes, rowsPerBand).as("_band"))
-      .select(col("_id"), col("_band.bno").as("_bno"), col("_band.bkey").as("_bkey"),
-        // self-describing store: a persisted band table carries the
-        // parameters that shaped its key space (constant column — free
-        // under parquet dictionary/RLE), so an incremental probe built
-        // with different parameters fails loudly (see
-        // [[requireStoreParams]]) instead of silently joining into a
-        // foreign keyspace and reporting zero duplicates
-        lit(s"mh:h$numHashes:r$rowsPerBand").as("_params"))
+      .select(col("_id"), col("_band.bno").as("_bno"), col("_band.bkey").as("_bkey"))
       // Materialized once so consumers (self-join sides, store writes)
       // don't recompute the signatures (the dominant cost).
       .transform(Materialize.checkpoint)
+      // self-describing store: a persisted band table carries the
+      // parameters that shaped its key space, so an incremental probe
+      // built with different parameters fails loudly (see
+      // [[requireStoreParams]]) instead of silently joining into a
+      // foreign keyspace and reporting zero duplicates. Stamped AFTER
+      // the checkpoint: the materialized in-session frame stays lean
+      // (a per-row string on numBands × |docs| rows is real memory at
+      // corpus scale), the column is a constant projection that only
+      // costs anything when a caller writes the store to parquet —
+      // where dictionary encoding makes it free. shingleSize extends
+      // the params hierarchically when the caller provides it (the
+      // shingle width shapes the key space just as much as h/r).
+      .withColumn("_params", lit(bandParams(numHashes, rowsPerBand, shingleSize)))
   }
+
+  private[ops] def bandParams(
+      numHashes: Int, rowsPerBand: Int, shingleSize: Int): String =
+    s"mh:h$numHashes:r$rowsPerBand" +
+      (if (shingleSize > 0) s":sh$shingleSize" else "")
 
   /** Persisted-artifact parameter guard — the [[bandTable]]/
     * [[Similarity.srpTable]] analog of the sharded store's `_layout`
-    * marker: if the store carries a `_params` column, its value must
-    * match what THIS probe derives, else the key spaces cannot match
-    * and every candidate silently vanishes (the worst dedup failure:
-    * "no duplicates found" on a store that answers a different
-    * question). Pre-column stores are tolerated (nothing to check).
+    * marker: if the store carries a `_params` column, its value must be
+    * COMPATIBLE with what THIS probe derives, else the key spaces
+    * cannot match and every candidate silently vanishes (the worst
+    * dedup failure: "no duplicates found" on a store that answers a
+    * different question). Compatibility is hierarchical: params are
+    * ':'-separated from coarse to fine, and a value that extends the
+    * other at a boundary matches it (a store stamped "mh:h8:r2" before
+    * shingle tagging accepts a probe deriving "mh:h8:r2:sh3" — the
+    * recorded axes agree; the unrecorded one stays the caller's
+    * contract). Pre-column stores and null-params rows (mergeSchema
+    * legacy mixes) are tolerated. The check samples ONE non-null row —
+    * sound under the documented single-writer lifecycle where every
+    * appended ingest was itself probe-guarded before the append; a
+    * store corrupted by unguarded mixed-parameter appends is beyond a
+    * sample's reach. Verdicts are memoized per (store plan, want) so a
+    * per-micro-batch probe pays the read once per run, not per batch.
     */
+  private val storeParamsChecked =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+
+  private def paramsCompatible(got: String, want: String): Boolean =
+    got == want || got.startsWith(want + ":") || want.startsWith(got + ":")
+
   private[ops] def requireStoreParams(
       store: DataFrame, want: String, what: String): Unit =
     if (store.columns.contains("_params")) {
-      store.select(col("_params")).limit(1).collect().headOption
-        .map(_.getString(0)).filter(_ != want).foreach { got =>
-        throw new IllegalArgumentException(
-          s"$what store was built with '$got' but this probe derives " +
-            s"'$want' — the key spaces cannot match (silent candidate " +
-            "loss); rebuild the store or pass its parameters")
+      val key = (store.queryExecution.logical.semanticHash(), want)
+      if (!storeParamsChecked.contains(key)) {
+        store.select(col("_params")).where(col("_params").isNotNull)
+          .limit(1).collect().headOption
+          .map(_.getString(0)).filterNot(paramsCompatible(_, want))
+          .foreach { got =>
+            throw new IllegalArgumentException(
+              s"$what store was built with '$got' but this probe derives " +
+                s"'$want' — the key spaces cannot match (silent candidate " +
+                "loss); rebuild the store or pass its parameters")
+          }
+        storeParamsChecked.put(key, ())
+        ()
       }
     }
 
@@ -245,13 +281,14 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       storedBands: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // drift guard: h/r are checked against the store's self-description;
-    // shingleSize shapes the keys too but is not visible to bandTable —
-    // it remains the caller's contract to keep constant across ingests
-    requireStoreParams(storedBands, s"mh:h$numHashes:r$rowsPerBand", "band")
+    // drift guard: every axis this probe knows (h, r, shingle width) is
+    // checked against the store's self-description; a store stamped
+    // before shingle tagging matches on its recorded axes
+    requireStoreParams(storedBands,
+      bandParams(numHashes, rowsPerBand, shingleSize), "band")
     val nb = bandTable(
       shingleFrame(newDocs, idCol, textCol, shingleSize),
-      numHashes, rowsPerBand)
+      numHashes, rowsPerBand, shingleSize)
     val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
     val b = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
     val newNew = a.join(b, Seq("_bno", "_bkey"))

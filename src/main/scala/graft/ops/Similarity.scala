@@ -364,10 +364,12 @@ object Similarity {
     Text.spread(corpus)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         srpBucket(col(vecCol), numPlanes).as("_bkt"))
-      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"),
-        // self-describing store — see Dedup.requireStoreParams
-        lit(s"srp:p$numPlanes").as("_params"))
+      .select(col("_id"), col("_v"), col("_bkt"), norm(col("_v")).as("_n"))
       .transform(Materialize.checkpoint)
+      // self-describing store, stamped AFTER the checkpoint so the
+      // in-session frame stays lean — see Dedup.requireStoreParams and
+      // the bandTable note
+      .withColumn("_params", lit(s"srp:p$numPlanes"))
 
   /** Incremental embedding near-dup: scored candidate pairs INVOLVING a
     * new ingest batch — new×new plus new×stored — given the persisted
@@ -484,7 +486,9 @@ object Similarity {
   private def centsFingerprint(cents: Seq[(Long, Seq[Double])]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
-    cents.foreach { case (id, v) =>
+    // canonical order: a set-identical model reloaded in a different
+    // row order is the SAME quantizer and must not be refused
+    cents.sortBy(_._1).foreach { case (id, v) =>
       buf.clear(); buf.putLong(id)
       md.update(buf.array())
       v.foreach { d => buf.clear(); buf.putDouble(d); md.update(buf.array()) }

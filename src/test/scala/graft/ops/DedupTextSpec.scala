@@ -789,6 +789,16 @@ class DedupTextSpec extends SparkSpec {
         batch, "doc_id", "text", stored, rowsPerBand = 4)
     }
     assert(eMh.getMessage.contains("mh:h8:r2"))
+    // shingle width shapes the key space just as much as h/r: a store
+    // that RECORDS its width refuses a probe at another width, while
+    // the tag-less `stored` above stays compatible on its recorded axes
+    val storedSh = Dedup.bandTable(corpus.select($"doc_id".as("_id"),
+      Text.shingles($"text", 3).as("_sh")), shingleSize = 3)
+    val eSh = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalCandidates(
+        batch, "doc_id", "text", storedSh, shingleSize = 4)
+    }
+    assert(eSh.getMessage.contains("sh3") && eSh.getMessage.contains("sh4"))
     val srpStore = Similarity.srpTable(
       Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", numPlanes = 4)
