@@ -325,6 +325,30 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("incremental SRP/cosine candidates = the full run's pairs " +
+    "touching the batch, for ANY corpus/batch split of random vectors") =
+    forAll(
+      Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(-3, 3)))),
+      Gen.choose(0L, 10L)) { (vecs, splitId) =>
+      val all = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val corpus = all.where(col("vec_id") < splitId)
+      val batch = all.where(col("vec_id") >= splitId)
+      batch.isEmpty || {
+        val full = Similarity
+          .cosineNearDupPairs(all, "vec_id", "embedding", 0.4)
+          .as[(Long, Long, Double)].collect().toSet
+        val stored = Similarity.srpTable(corpus, "vec_id", "embedding")
+        val incr = Similarity.cosineIncrementalCandidates(
+          batch, "vec_id", "embedding", stored, 0.4)
+          .as[(Long, Long, Double)].collect().toSet
+        val batchIds = (0L until vecs.length.toLong).filter(_ >= splitId).toSet
+        incr == full.filter(p => batchIds(p._1) || batchIds(p._2))
+      }
+    }
+
   property("decontaminate keeps exactly the docs sharing no shingle with the eval set") =
     forAll(docGen) { docs =>
       val df = docs.toDF("doc_id", "text")
