@@ -325,6 +325,24 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  property("incremental exact dedup = the full run's keepers that are " +
+    "batch ids, for ANY corpus/batch split") =
+    forAll(docGen, Gen.choose(0L, 8L)) { (docs, splitId) =>
+      val all = docs.toDF("doc_id", "text")
+      val corpus = all.where(col("doc_id") < splitId)
+      val batch = all.where(col("doc_id") >= splitId)
+      batch.isEmpty || {
+        val full = Dedup.exactGroups(all, "doc_id", "text")
+          .select("keeper_id").as[Long].collect().toSet
+        val store = Dedup.exactGroups(corpus, "doc_id", "text")
+          .select("digest")
+        val incr = Dedup.exactIncremental(batch, "doc_id", "text", store)
+          .select("keeper_id").as[Long].collect().toSet
+        val batchIds = docs.map(_._1).filter(_ >= splitId).toSet
+        incr == full.filter(batchIds)
+      }
+    }
+
   property("incremental SRP/cosine candidates = the full run's pairs " +
     "touching the batch, for ANY corpus/batch split of random vectors") =
     forAll(
