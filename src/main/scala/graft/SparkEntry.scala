@@ -1999,14 +1999,17 @@ object SparkEntry {
     },
 
     // law-plane twin: p = max(1, ceil(log2(count(*)/256))) derived IN
-    // SQL (the numPlanesFor formula), bucket bits built data-driven via
-    // a (plane j) cross join — same md5 sign convention
+    // SQL (the numPlanesFor formula, incl. its CeilEps = 1e-9 nudge —
+    // neither libm is correctly rounded, so at n = 256·2^k the two
+    // ceils could otherwise straddle the exact integer), bucket bits
+    // built data-driven via a (plane j) cross join — same md5 sign
+    // convention
     "q_dedup_embed" -> {
       def dot(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
       val cos = s"${dot("ea.embedding", "eb.embedding")} / (sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
       "WITH nn AS (SELECT count(*) AS n FROM embeddings), " +
-        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0)) AS INT)) AS p FROM nn), " +
+        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0) - 1e-9) AS INT)) AS p FROM nn), " +
         "hp AS (SELECT unnest(generate_series(0, (SELECT p FROM pp) - 1)) AS j), " +
         "proj AS (SELECT e.vec_id, hp.j, " +
         "list_reduce(list_transform(generate_series(0, len(e.embedding) - 1), " +
@@ -2041,7 +2044,9 @@ object SparkEntry {
     // count(*) with the bandsFor selector's formulas (plane-density law
     // p = max(1, ceil(log2(n/256))), then L bands to buy the 0.95
     // recall SLA back: L = ceil(ln(0.05)/ln(1 - c^p)) at the threshold's
-    // per-plane collision c = 1 - acos(0.4)/pi). Band b hashes global
+    // per-plane collision c = 1 - acos(0.4)/pi; both ceils carry the
+    // selector's CeilEps = 1e-9 nudge so the engines can't straddle an
+    // exactly-integer breakpoint). Band b hashes global
     // plane ids b*p .. b*p+p-1 (bit j = plane b*p+j), the same
     // md5('plane:index') sign convention as the native srp_bucket.
     // Candidates = DISTINCT union over bands via a (band, bucket) join
@@ -2050,8 +2055,8 @@ object SparkEntry {
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
       val cos = s"${dot("ea.embedding", "eb.embedding")} / (sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
       "WITH nn AS (SELECT count(*) AS n FROM embeddings), " +
-        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0)) AS INT)) AS p FROM nn), " +
-        "ll AS (SELECT p, greatest(1, CAST(ceil(ln(1.0 - 0.95) / ln(1.0 - power(1.0 - acos(0.4) / pi(), p))) AS INT)) AS nb FROM pp), " +
+        "pp AS (SELECT greatest(1, CAST(ceil(ln(greatest(1.0, n / 256.0)) / ln(2.0) - 1e-9) AS INT)) AS p FROM nn), " +
+        "ll AS (SELECT p, greatest(1, CAST(ceil(ln(1.0 - 0.95) / ln(1.0 - power(1.0 - acos(0.4) / pi(), p)) - 1e-9) AS INT)) AS nb FROM pp), " +
         "hp AS (SELECT band, j, band * (SELECT p FROM ll) + j AS h " +
         "FROM (SELECT unnest(generate_series(0, (SELECT nb FROM ll) - 1)) AS band), " +
         "(SELECT unnest(generate_series(0, (SELECT p FROM ll) - 1)) AS j)), " +

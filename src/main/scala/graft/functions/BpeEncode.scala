@@ -84,6 +84,22 @@ case class BpeEncode(left: Expression, right: Expression)
       require(l != null, s"bpe_encode: null merges line $i")
       l.toString
     }
+    // malformed merge lines fail HERE, in the same plan-time validation
+    // path as the NULL-literal check: a truncated or corrupted
+    // merges.txt (a line that is not 'left right') must not silently
+    // drop ranks and quietly coarsen every downstream token budget.
+    // Comments ('#...') and blank lines stay legal — the published file
+    // format carries a '#version:' header.
+    lines.zipWithIndex.foreach { case (l, i) =>
+      val t = l.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val sp = t.indexOf(' ')
+        require(sp > 0 && sp < t.length - 1 && t.indexOf(' ', sp + 1) < 0,
+          s"bpe_encode: malformed merges line $i: '$l' — expected " +
+            "'left right' (exactly one separating space; tokens encode " +
+            "spaces as the bytes-to-unicode alphabet, never raw)")
+      }
+    }
     BpeEncode.Table(lines)
   }
 

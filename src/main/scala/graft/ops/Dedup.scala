@@ -214,11 +214,35 @@ object Dedup {
     * sound under the documented single-writer lifecycle where every
     * appended ingest was itself probe-guarded before the append; a
     * store corrupted by unguarded mixed-parameter appends is beyond a
-    * sample's reach. Verdicts are memoized per (store plan, want) so a
-    * per-micro-batch probe pays the read once per run, not per batch.
+    * sample's reach. Verdicts are memoized so a per-micro-batch probe
+    * pays the sampling job once per run, not per batch — but the memo
+    * key must be CONTENT-derived, not plan-derived: a store REBUILT at
+    * the same path with different parameters yields the same logical
+    * plan (same path, same schema), and a plan-keyed PASS would
+    * suppress exactly the loud drift error this guard exists for. The
+    * key is therefore the store's input-file listing (a rebuild writes
+    * new part files, so the listing changes even at a fixed path); a
+    * frame with no file inputs (in-memory test frames, exotic sources)
+    * skips memoization and re-samples each call — those are never the
+    * per-micro-batch path the memo exists for. The memo is cleared when
+    * it exceeds [[MemoCap]] entries: a long-lived driver probing many
+    * store generations must not grow it without bound (re-priming after
+    * a clear costs one limit(1) job per live store).
     */
+  private val MemoCap = 1024
   private val storeParamsChecked =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+
+  /** Content-derived memo key: hash of the frame's input files, or None
+    * when the frame has no file inputs (→ caller must not memoize).
+    * `inputFiles` is a driver-side listing already resolved by the
+    * relation — no Spark job.
+    */
+  private def storeContentKey(store: DataFrame): Option[Int] = {
+    val files = store.inputFiles
+    if (files.isEmpty) None
+    else Some(java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]]))
+  }
 
   private def paramsCompatible(got: String, want: String): Boolean =
     got == want || got.startsWith(want + ":") || want.startsWith(got + ":")
@@ -226,8 +250,8 @@ object Dedup {
   private[ops] def requireStoreParams(
       store: DataFrame, want: String, what: String): Unit =
     if (store.columns.contains("_params")) {
-      val key = (store.queryExecution.logical.semanticHash(), want)
-      if (!storeParamsChecked.contains(key)) {
+      val key = storeContentKey(store).map((_, want))
+      if (key.forall(k => !storeParamsChecked.contains(k))) {
         store.select(col("_params")).where(col("_params").isNotNull)
           .limit(1).collect().headOption
           .map(_.getString(0)).filterNot(paramsCompatible(_, want))
@@ -237,8 +261,10 @@ object Dedup {
                 s"'$want' — the key spaces cannot match (silent candidate " +
                 "loss); rebuild the store or pass its parameters")
           }
-        storeParamsChecked.put(key, ())
-        ()
+        key.foreach { k =>
+          if (storeParamsChecked.size >= MemoCap) storeParamsChecked.clear()
+          storeParamsChecked.put(k, ())
+        }
       }
     }
 

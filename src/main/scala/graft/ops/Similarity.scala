@@ -220,10 +220,25 @@ object Similarity {
     * compensate with multi-probe or band OR-ing when recall matters more
     * than throughput. The oracle-pinned queries keep 4 planes (the
     * testdata operating point a DuckDB twin can replicate verbatim).
+    *
+    * [[CeilEps]] is subtracted inside the ceil (mirrored in the DuckDB
+    * twins): neither engine's log/acos/pow is correctly rounded, so at
+    * a corpus size where the TRUE ratio is exactly an integer (here
+    * n = targetBucket·2^k — n = 512·256, 1024·256, … do occur) the two
+    * libm values cluster within ulps on BOTH sides of that integer and
+    * their ceils can disagree by one — a selector-derivation parity gap
+    * masquerading as an operator defect at an ungraded SF. Nudging the
+    * breakpoint off the integer by 1e-9 (≫ the ~1e-13 cross-libm
+    * spread, ≪ any real fractional part) makes both engines land on
+    * the same side everywhere. sqrt-based laws (⌈√n⌉) need no epsilon:
+    * IEEE sqrt IS correctly rounded, so the engines agree bit-for-bit.
     */
+  val CeilEps = 1e-9
+
   def numPlanesFor(n: Long, targetBucket: Long = 256L): Int =
     math.max(1, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)
+        - CeilEps).toInt)
 
   /** Per-plane SRP collision probability of a pair at cosine `c`:
     * 1 − θ/π (Charikar 2002, the sign-random-projection locality bound).
@@ -289,8 +304,10 @@ object Similarity {
     // at an ungraded corpus size and a selector-derivation parity gap
     // would masquerade as an operator defect. log1p's extra accuracy
     // near 0 is irrelevant here (1 − r and 1 − c^p are far from 1).
+    // CeilEps: same breakpoint nudge as numPlanesFor, mirrored in SQL.
     val l = math.max(1,
-      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - cp)).toInt)
+      math.ceil(
+        math.log(1.0 - targetRecall) / math.log(1.0 - cp) - CeilEps).toInt)
     require(l <= maxBands,
       f"recall SLA $targetRecall at threshold $threshold over n=$n needs " +
         f"$l bands (> maxBands $maxBands) at law planes p=$p: lower the " +

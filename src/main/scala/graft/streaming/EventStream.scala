@@ -535,14 +535,17 @@ object EventStream {
           s"sharded store $storeDir layout mismatch: store was placed " +
             s"with '$actual', this fold would place with '$expected' — " +
             "rows would land in (and be looked for in) the wrong " +
-            "shards. Re-shard via readShardedStore + shardLabelStore " +
-            "with the new parameters.")
+            "shards. Run EventStream.reshardStore(spark, storeDir, " +
+            "numShards) once to migrate (crash-resumable), or " +
+            "readShardedStore + shardLabelStore by hand.")
     } else if (listShards(fs, storeDir).live.nonEmpty) {
       throw new java.io.IOException(
         s"sharded store $storeDir has live shards but no _layout " +
           "marker — it predates the layout marker or was written by a " +
           "different scheme; its placement cannot be trusted for " +
-          "folds. Re-shard via readShardedStore + shardLabelStore.")
+          "folds. Run EventStream.reshardStore(spark, storeDir, " +
+          "numShards) once to migrate (crash-resumable), or " +
+          "readShardedStore + shardLabelStore by hand.")
     } else {
       stampLayout(fs, storeDir, numShards)
     }
@@ -601,6 +604,48 @@ object EventStream {
     // the bootstrap just placed every row itself — stamp unconditionally
     // (overwrite wiped any previous marker with the previous store)
     stampLayout(fs, storeDir, numShards)
+  }
+
+  private[graft] val ReshardSrcSuffix = "._reshard_src"
+
+  /** One-shot re-shard / layout migration: rewrite an existing sharded
+    * store under THIS code's placement scheme at `numShards` — the
+    * recovery path for the two refusals [[checkOrStampLayout]] raises
+    * (a store placed by an older hash scheme, live shards with no
+    * `_layout` marker) and for deliberate shard-count changes
+    * ([[shardsFor]] sizing a grown store up).
+    *
+    * The source is PARKED first (rename to `<dir>._reshard_src`): the
+    * bootstrap writer overwrites `storeDir`, and Spark reads lazily, so
+    * rewriting in place would delete the source mid-read. The parked
+    * name also makes the migration crash-resumable: on entry, a
+    * surviving parked dir IS the authority (regardless of how far the
+    * previous attempt got) and the rewrite re-runs from it —
+    * `shardLabelStore`'s overwrite makes the resume idempotent. Only
+    * after the rewrite completes is the parked source deleted. Reading
+    * the source goes through [[readShardedStore]], so a source parked
+    * with its own crash residue recovers first; reads are
+    * placement-agnostic (recovery and scans never consult `_layout`),
+    * which is what lets this read a store whose placement scheme the
+    * fold path refuses. Single-writer, like every store mutation here.
+    */
+  def reshardStore(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      numShards: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parked = new org.apache.hadoop.fs.Path(storeDir + ReshardSrcSuffix)
+    if (!fs.exists(parked)) {
+      require(fs.exists(root),
+        s"no store at $storeDir to re-shard — bootstrap with " +
+          "shardLabelStore instead")
+      require(fs.rename(root, parked),
+        s"could not park $storeDir for re-shard")
+    }
+    val labels = readShardedStore(spark, parked.toString)
+    shardLabelStore(labels, storeDir, numShards)
+    fs.delete(parked, true)
+    ()
   }
 
   /** One `listStatus` of the store root → which shards have a live dir,

@@ -141,4 +141,24 @@ class BpeEncodeSpec extends SparkSpec {
       .head.getSeq[String](0)
     assert(toks === Seq("h", "i"))
   }
+
+  test("malformed merges line fails at analysis like the NULL literal — " +
+    "a truncated merges file must not silently drop ranks") {
+    // no separating space (a torn line), leading space, two spaces:
+    // all three are not 'left right' and must fail loudly
+    Seq("ab", " ab", "a b c").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq("x").toDF("t")
+          .select(graft.ops.Text.bpeTokens(col("t"),
+            Seq("h i", bad)).as("x")).collect()
+      }
+      assert(e.getMessage.contains("malformed"), s"line '$bad'")
+    }
+    // comments and blank lines stay legal (the published header format)
+    val toks = Seq("hi").toDF("t")
+      .select(graft.ops.Text.bpeTokens(col("t"),
+        Seq("#version: 0.2", "", "h i")).as("x"))
+      .head.getSeq[String](0)
+    assert(toks === Seq("hi"))
+  }
 }

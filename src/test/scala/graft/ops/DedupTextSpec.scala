@@ -183,6 +183,14 @@ class DedupTextSpec extends SparkSpec {
     assert(Similarity.numPlanesFor(10L, 256L) === 1)
     // planes grow by ~log2 per decade of corpus
     assert(Similarity.numPlanesFor(2000000L) - Similarity.numPlanesFor(200000L) >= 3)
+    // exact-integer breakpoints (n = 256·2^k): the TRUE log2 ratio is an
+    // integer, where un-nudged libm ceils could land on either side per
+    // engine. CeilEps pins the value to the mathematical ceil here and
+    // keeps +1 one row later — the DuckDB twins mirror the same nudge.
+    assert(Similarity.numPlanesFor(256L * 1024L) === 10)
+    assert(Similarity.numPlanesFor(256L * 1024L + 1L) === 11)
+    assert(Similarity.numPlanesFor(256L * 2L) === 1)
+    assert(Similarity.numPlanesFor(256L * 4L) === 2)
   }
 
   test("kmeansFitTrace: same model as kmeansFit, converges under tol") {
@@ -808,6 +816,40 @@ class DedupTextSpec extends SparkSpec {
         "vec_id", "embedding", srpStore, 0.4, numPlanes = 6)
     }
     assert(eSrp.getMessage.contains("srp:p4"))
+  }
+
+  test("drift-guard memo is content-keyed: a store REBUILT at the same " +
+    "path with other parameters is re-checked and refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-memo")
+    val path = dir.resolve("bands").toString
+    val shingled = docs.select($"doc_id".as("_id"),
+      Text.shingles($"text", 3).as("_sh"))
+    val batch = docs.where($"doc_id" >= 4)
+    try {
+      Dedup.bandTable(shingled, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(path)
+      // first probe matches and memoizes (file-backed store)
+      Dedup.minhashIncrementalCandidates(batch, "doc_id", "text",
+        spark.read.parquet(path), rowsPerBand = 2)
+      // rebuild AT THE SAME PATH with different banding: the fresh read
+      // has the same logical plan (same path, same schema), so a
+      // plan-keyed memo would keep the stale PASS and the probe would
+      // silently join into a foreign key space — the content key (the
+      // rewritten part files) forces the re-check
+      Dedup.bandTable(shingled, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashIncrementalCandidates(batch, "doc_id", "text",
+          spark.read.parquet(path), rowsPerBand = 2)
+      }
+      assert(e.getMessage.contains("mh:h8:r4"))
+      assert(e.getMessage.contains("mh:h8:r2"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
   }
 
   test("mixtureSample: saturated source kept whole, partial rate tracks " +

@@ -198,6 +198,52 @@ class ShardedStoreSpec extends SparkSpec {
     assert(touched.nonEmpty)
   }
 
+  test("reshardStore: one-shot in-place migration for the two _layout " +
+    "refusals and for shard-count changes; crash-resumable") {
+    val base = freshBase()
+    val store = s"$base/labels"
+    val rows = Map(100L -> 100L, 300L -> 100L, 500L -> 500L)
+    EventStream.shardLabelStore(
+      rows.toSeq.toDF("id", "component"), store, S)
+    // simulate a legacy / foreign-scheme store: live shards, no marker
+    fsOf(store).delete(new Path(store, "_layout"), false)
+    val eLegacy = intercept[java.io.IOException] {
+      EventStream.foldShardedBatch(
+        Seq((500L, 900L)).toDF("id_a", "id_b"), store, S)
+    }
+    assert(eLegacy.getMessage.contains("reshardStore"))
+    // the helper migrates in place; folds work again, rows preserved
+    EventStream.reshardStore(spark, store, S)
+    assert(EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap === rows)
+    assert(EventStream.foldShardedBatch(
+      Seq((500L, 900L)).toDF("id_a", "id_b"), store, S).nonEmpty)
+    val afterFold = EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap
+    assert(afterFold === rows ++ Map(900L -> 500L))
+    // shard-count change: the same helper re-places every row at the
+    // new count and re-stamps; a fold at the new count proceeds
+    EventStream.reshardStore(spark, store, S * 2)
+    assert(EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap === afterFold)
+    assert(EventStream.foldShardedBatch(
+      Seq((900L, 901L)).toDF("id_a", "id_b"), store, S * 2).nonEmpty)
+    // crash-resume: park the store by hand (the state after a crash
+    // between the park rename and the rewrite) — a retried reshard
+    // finds the parked source, rebuilds, and cleans up
+    val expect = EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap
+    val fs = fsOf(store)
+    assert(fs.rename(new Path(store),
+      new Path(store + EventStream.ReshardSrcSuffix)))
+    EventStream.reshardStore(spark, store, S)
+    assert(!fs.exists(new Path(store + EventStream.ReshardSrcSuffix)))
+    assert(EventStream.readShardedStore(spark, store)
+      .as[(Long, Long)].collect().toMap === expect)
+    assert(EventStream.foldShardedBatch(
+      Seq((901L, 902L)).toDF("id_a", "id_b"), store, S).nonEmpty)
+  }
+
   test("two-phase commit: the _swap_pending marker decides whether a " +
     "complete ._next is promoted at recovery") {
     def setup(): (String, org.apache.hadoop.fs.FileSystem) = {
