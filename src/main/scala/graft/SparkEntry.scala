@@ -719,6 +719,39 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // --- product quantization (Jégou et al. 2011): the compression tier
+    // below int8 — (m=8, ks=16) stores 4 bits/subvector = 4 bytes per
+    // 64-dim vector, a 64× cut. (m, ks) are a STORAGE FORMAT fixed by the
+    // bit budget, not a law point that must grow with n (FAISS ships
+    // fixed 4/8-bit codebooks at any corpus scale; the sub-linear lever
+    // is IVF composed on top) — so unlike the IVF/semdedup rows there is
+    // no degenerate-parameter hazard in grading them pinned. Codebooks:
+    // first-16-by-id seeds per subspace + one decimal-exact Lloyd round
+    // (the q_kmeans_assign chain under squared-L2), encode = native
+    // vec_argmin_l2 per subspace, map-side, zero corpus shuffle ---
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 1)
+      Similarity.pqEncode(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), col("pq_code"))
+    }),
+
+    // --- ADC top-k over the PQ codes: per-query m×ks distance table
+    // (exact query side — "asymmetric"), corpus scored by m decimal
+    // table lookups per row (scan touches 4 bytes/vector, not 256), rank
+    // by exact decimal sum. Graded contract = (query, neighbor, rank);
+    // the adc double is a diagnostic (the meansOf portability stance) ---
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      Similarity.pqTopK(emb.where(col("vec_id") < 8), enc,
+        "vec_id", "embedding", 5, model)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---

@@ -94,6 +94,15 @@ object GraftExtensions {
             "centsMatrix a foldable array<array<double>>")
       }),
     (
+      new FunctionIdentifier("vec_argmin_l2"),
+      new ExpressionInfo(classOf[VecArgminL2].getName, "vec_argmin_l2"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, m) => VecArgminL2(v, m)
+        case _ => throw new IllegalArgumentException(
+          "vec_argmin_l2(vec, codebook): exactly two arguments, " +
+            "codebook a foldable array<array<double>>")
+      }),
+    (
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (args: Seq[Expression]) => args match {
