@@ -88,11 +88,15 @@ case class BpeEncode(left: Expression, right: Expression)
     // path as the NULL-literal check: a truncated or corrupted
     // merges.txt (a line that is not 'left right') must not silently
     // drop ranks and quietly coarsen every downstream token budget.
-    // Comments ('#...') and blank lines stay legal — the published file
-    // format carries a '#version:' header.
+    // The comment exemption is ONLY the leading '#version' header line:
+    // published GPT-2-family merges files contain genuine merges whose
+    // LEFT token is '#' ('# #' producing '##'), so a blanket '#' comment
+    // rule would silently drop exactly the ranks this guard exists to
+    // protect — HuggingFace's loader skips only the first-line
+    // '#version' header. Blank lines stay legal (not rank-bearing).
     lines.zipWithIndex.foreach { case (l, i) =>
       val t = l.trim
-      if (t.nonEmpty && !t.startsWith("#")) {
+      if (t.nonEmpty && !BpeEncode.isVersionHeader(t, i)) {
         val sp = t.indexOf(' ')
         require(sp > 0 && sp < t.length - 1 && t.indexOf(' ', sp + 1) < 0,
           s"bpe_encode: malformed merges line $i: '$l' — expected " +
@@ -122,21 +126,34 @@ case class BpeEncode(left: Expression, right: Expression)
 
 object BpeEncode {
 
+  /** True only for the published format's first-line `#version` header —
+    * the ONE line the HuggingFace loader skips. A '#' anywhere else is a
+    * genuine token (`'# #'` is a real GPT-2 merge producing `'##'`), so
+    * the parse and the validator share this single definition of
+    * "comment" (skew between them would re-open the silent-rank-drop
+    * hole the validator closes).
+    */
+  private[functions] def isVersionHeader(trimmed: String, idx: Int): Boolean =
+    idx == 0 && trimmed.startsWith("#version")
+
   /** Parsed merges: rank by `"left right"` pair string. Serializable —
     * ships to executors inside the expression / as a codegen reference
-    * object. Lines that are comments (`#version: ...`) or blank are
-    * skipped, matching how the published file is consumed.
+    * object. Only a first-line `#version` header and blank lines are
+    * skipped, matching how the published file is consumed (see
+    * [[isVersionHeader]] — '#' is a legal merge token).
     */
   final case class Table(lines: Array[String]) extends Serializable {
     @transient lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       var rank = 0
-      lines.foreach { l =>
-        val t = l.trim
-        if (t.nonEmpty && !t.startsWith("#") && t.indexOf(' ') > 0) {
+      var i = 0
+      while (i < lines.length) {
+        val t = lines(i).trim
+        if (t.nonEmpty && !isVersionHeader(t, i) && t.indexOf(' ') > 0) {
           if (!m.containsKey(t)) m.put(t, Integer.valueOf(rank))
           rank += 1
         }
+        i += 1
       }
       m
     }
