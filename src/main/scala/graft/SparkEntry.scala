@@ -1355,6 +1355,48 @@ object SparkEntry {
 
   private val ivfTopkOracleSql: String = ivfOracleSql(1)
 
+  /** Squared-L2 between two 8-element subvectors, left-to-right double
+    * fold — the SQL mirror of VecArgminL2's accumulation order (and of
+    * pqTopK's `aggregate(zip_with(...))` table build).
+    */
+  private def pqD2(vec: String, cw: String): String =
+    "list_reduce(list_transform(generate_series(1, 8), " +
+      s"i -> (CAST($vec[i] AS DOUBLE) - CAST($cw[i] AS DOUBLE)) * " +
+      s"(CAST($vec[i] AS DOUBLE) - CAST($cw[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** Shared WITH prefix of the two PQ twins: the full pqTrain + pqEncode
+    * chain at the graded storage format (m=8, ks=16 over the 64-dim
+    * embeddings). Seed books = first-16-by-id sliced per subspace, ONE
+    * decimal-exact Lloyd round under squared L2 — the q_kmeans_assign
+    * twin pattern with cosine-argmax swapped for L2-argmin (round(d², 9)
+    * ASC, code ASC — the VecArgminL2 contract), 6dp decimal-exact means,
+    * dense re-index of surviving codewords (empty codewords simply never
+    * appear in the mean aggregate), then a full-corpus encode against
+    * the trained books. Ends at `encc` = (vec_id, s, code).
+    */
+  private val pqTrainSql: String =
+    "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding " +
+      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+      "sp AS (SELECT unnest(generate_series(0, 7)) AS s), " +
+      "sb AS (SELECT sp.s, seeds.c, seeds.embedding[sp.s*8+1 : sp.s*8+8] AS cw FROM seeds CROSS JOIN sp), " +
+      "d0 AS (SELECT e.vec_id, b.s, b.c, " +
+      pqD2("e.embedding[b.s*8+1 : b.s*8+8]", "b.cw") + " AS dd " +
+      "FROM embeddings e CROSS JOIN sb b), " +
+      "asg AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dd, 9) ASC, c) AS rn FROM d0), " +
+      "win AS (SELECT vec_id, s, c FROM asg WHERE rn = 1), " +
+      "m AS (SELECT a.s, a.c, p.pos, " +
+      "round(CAST(SUM(CAST(e.embedding[a.s*8 + p.pos] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v " +
+      "FROM win a JOIN embeddings e USING (vec_id) " +
+      "CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) p " +
+      "GROUP BY a.s, a.c, p.pos), " +
+      "tbg AS (SELECT s, c, list(v ORDER BY pos) AS cw FROM m GROUP BY s, c), " +
+      "tb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY c) - 1 AS code, cw FROM tbg), " +
+      "d1 AS (SELECT e.vec_id, t.s, t.code, " +
+      pqD2("e.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + " AS dd " +
+      "FROM embeddings e CROSS JOIN tb t), " +
+      "easg AS (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dd, 9) ASC, code) AS rn FROM d1), " +
+      "encc AS (SELECT vec_id, s, code FROM easg WHERE rn = 1)"
+
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
       "SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events",
@@ -2184,6 +2226,28 @@ object SparkEntry {
         "array_to_string(list_transform(embedding, x -> CAST(" +
         "CASE WHEN sc > 0 THEN greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127 / sc + 0.5) AS INT))) ELSE 0 END " +
         "AS VARCHAR)), ',') AS qvec FROM s"),
+
+    // the comma-joined dense code word (dense ints render identically in
+    // both engines; the codes array itself is not pandas-sortable)
+    "q_pq_encode" -> (pqTrainSql +
+      " SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',') AS pq_code " +
+      "FROM encc GROUP BY vec_id"),
+
+    // ADC = exact decimal sum of the per-query 6dp DECIMAL(18,6) table
+    // entries (associative — partial-merge order cannot flip a rank on
+    // the Spark side, and the SQL SUM reproduces it bit-for-bit); rank
+    // by (adc ASC, neighbor ASC), the TopKAggregator contract
+    "q_pq_topk" -> (pqTrainSql +
+      ", q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8), " +
+      "tblq AS (SELECT q.query_id, t.s, t.code, " +
+      "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +
+      "FROM q CROSS JOIN tb t), " +
+      "adc AS (SELECT t.query_id, ec.vec_id AS neighbor_id, SUM(t.entry) AS adcsum " +
+      "FROM tblq t JOIN encc ec ON t.s = ec.s AND t.code = ec.code " +
+      "WHERE t.query_id <> ec.vec_id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, rank FROM " +
+      "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS INT) AS rank FROM adc) " +
+      "WHERE rank <= 5"),
 
     "q_centroid" -> (
       "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +

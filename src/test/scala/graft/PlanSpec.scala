@@ -238,6 +238,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: queries broadcast, corpus streams, and the ADC top-k is " +
+    "partial-aggregable — no row_number window over the scored pairs") {
+    val emb = Tables(spark, dir, "embeddings")
+    val model = ops.Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ks = 16, iters = 1)
+    val enc = ops.Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val df = ops.Similarity.pqTopK(
+      emb.where(col("vec_id") < 8), enc, "vec_id", "embedding", 5, model)
+    val plan = planOf(df)
+    // query side (with its ADC tables) is the broadcast build side
+    val joinLine = plan.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.exists(_.contains("BuildRight")),
+      s"expected BroadcastNestedLoopJoin BuildRight in:\n$plan")
+    // the old shape ranked via row_number() over a per-query window: every
+    // scored corpus×queries pair shuffled into the window sort. The
+    // aggregator shape reduces to k rows per (partition, query) BEFORE
+    // the one exchange — no Window node may appear on the ADC path
+    assert(!plan.contains("Window"),
+      s"ADC ranking must not plan a window over scored pairs:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected map-side partial top-k aggregation in:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
+  }
+
   test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
