@@ -752,6 +752,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- IVFADC (Jégou et al. 2011 §V, the FAISS production ANN shape):
+    // the IVF coarse quantizer at the ⌈√n⌉ law cell count composed with
+    // the PQ code scan — per-query candidates shrink from n to one cell
+    // (expected √n rows) AND each candidate costs m table lookups
+    // instead of dim multiplies. Codes quantize raw vectors (not
+    // residuals — see the Similarity.ivfPqTopK doc for the deliberate
+    // deviation), so the row is bit-identical to q_pq_topk restricted
+    // to same-cell pairs; the twin composes both quantizer chains ---
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 1)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 8), emb,
+        "vec_id", "embedding", 5, kc, model)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -2248,6 +2266,35 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM " +
       "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS INT) AS rank FROM adc) " +
       "WHERE rank <= 5"),
+
+    // the PQ chain composed with the IVF coarse chain (renamed `casg` —
+    // `asg` belongs to the PQ prefix): the ADC join gains one predicate,
+    // neighbor cell = query cell
+    "q_ivfpq_topk" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      pqTrainSql +
+        ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+        "WHERE _srn <= (SELECT k FROM kk)), " +
+        s"casg AS (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
+        "q AS (SELECT e.vec_id AS query_id, e.embedding, cv.cell FROM embeddings e JOIN cellsv cv USING (vec_id) WHERE e.vec_id < 8), " +
+        "tblq AS (SELECT q.query_id, q.cell, t.s, t.code, " +
+        "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +
+        "FROM q CROSS JOIN tb t), " +
+        "adc AS (SELECT t.query_id, ec.vec_id AS neighbor_id, SUM(t.entry) AS adcsum " +
+        "FROM tblq t JOIN encc ec ON t.s = ec.s AND t.code = ec.code " +
+        "JOIN cellsv nc ON nc.vec_id = ec.vec_id AND nc.cell = t.cell " +
+        "WHERE t.query_id <> ec.vec_id GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, rank FROM " +
+        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS INT) AS rank FROM adc) " +
+        "WHERE rank <= 5"
+    },
 
     "q_centroid" -> (
       "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +

@@ -4,8 +4,7 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = session()
     // Deployment knobs for at-scale evidence runs: verify the whole
     // surface under the cluster-durability materialization mode
     // (SPARK_GRAFT_MATERIALIZE_MODE=reliable with ..._DIR pointing at a
@@ -51,6 +56,21 @@ object Verify {
 
   private[graft] def oracleJson: String = SparkEntry.oracleSql
     .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+}
+
+/** Dump ONE query's parquet (for twin iteration — the sbt console
+  * classloader cannot load session extensions, so the native functions
+  * only resolve under runMain). Usage:
+  * runMain graft.DumpOne <name> <sfDir> <outDir>
+  */
+object DumpOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = Verify.session()
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    spark.stop()
+  }
 }
 
 /** Dump SparkEntry.oracleSql as oracle_sql.json WITHOUT running the

