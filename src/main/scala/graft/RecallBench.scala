@@ -57,21 +57,32 @@ object RecallBench {
     // throughput, the storage cut measured on parquet at rest, and the
     // ADC recall/speed trade vs brute force (full scan and cell-probed)
     if (section == "pq") {
+      // the scaled embeddings dirs are ONE ~50 MB parquet file — under
+      // maxPartitionBytes that is ONE input partition, and the cache
+      // preserves it, so every scan-heavy pass here would run on a
+      // single core of the 32 (measured: the 220k planted ADC leg sat
+      // at load ~1 for 50+ min). A production corpus arrives in many
+      // files; re-shard to the session's parallelism so the evidence
+      // measures the operators, not a degenerate file layout.
+      val cpuN = cpus.toInt
+      val pqEmb = emb.repartition(cpuN).cache()
+      pqEmb.count()
+      val pqQueries = pqEmb.where(col("vec_id") < 64)
       // TWO truths: exact L2 (the metric PQ quantizes — the
       // apples-to-apples recall) and exact cosine (printed beside it to
       // quantify the metric-mismatch gap on this unnormalized corpus)
       val (truth, nTruth, truthSec) = forceCount(
-        Similarity.bruteForceTopKL2(queries, emb, "vec_id", "embedding", k))
+        Similarity.bruteForceTopKL2(pqQueries, pqEmb, "vec_id", "embedding", k))
       println(f"PQ truth(L2): pairs=$nTruth bruteforce=$truthSec%.2f s")
       val (truthCos, _, truthCosSec) = forceCount(
-        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
+        Similarity.bruteForceTopK(pqQueries, pqEmb, "vec_id", "embedding", k))
       println(f"PQ truth(cos): bruteforce=$truthCosSec%.2f s " +
         f"l2_vs_cos_overlap=${Similarity.recallVs(truthCos, truth)}%.4f")
       val (model, trainSec) = timed(
-        Similarity.pqTrain(emb, "vec_id", "embedding", 8, 16, 1))
+        Similarity.pqTrain(pqEmb, "vec_id", "embedding", 8, 16, 1))
       println(f"PQ train m=8 ks=16 iters=1: time=$trainSec%.2f s")
       val (enc, nEnc, encSec) = forceCount(
-        Similarity.pqEncode(emb, "vec_id", "embedding", model)
+        Similarity.pqEncode(pqEmb, "vec_id", "embedding", model)
           .select(col("vec_id"), col("codes")))
       println(f"PQ encode: rows=$nEnc time=$encSec%.2f s")
       // the 64x in-memory claim (4-bit codes vs 64 float32s) measured
@@ -79,7 +90,7 @@ object RecallBench {
       // same id column on both sides
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_pq_storage").toString
-      emb.select(col("vec_id"), col("embedding"))
+      pqEmb.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$tmp/raw")
       enc.write.mode("overwrite").parquet(s"$tmp/codes")
       def bytesOf(p: String): Long =
@@ -90,7 +101,7 @@ object RecallBench {
       println(f"PQ_STORAGE raw=${rawB}%d B codes=${codeB}%d B " +
         f"ratio=${rawB.toDouble / codeB}%.1f x")
       val (adc, _, adcSec) = forceCount(
-        Similarity.pqTopK(queries, enc, "vec_id", "embedding", k, model))
+        Similarity.pqTopK(pqQueries, enc, "vec_id", "embedding", k, model))
       println(f"PQ adc_scan: recall@$k(L2)=${Similarity.recallVs(truth, adc)}%.4f " +
         f"recall@$k(cos)=${Similarity.recallVs(truthCos, adc)}%.4f " +
         f"time=$adcSec%.2f s")
@@ -98,7 +109,7 @@ object RecallBench {
       val kc = math.max(4, math.sqrt(n.toDouble).toInt)
       Seq(1, 2, 4, 8).foreach { np =>
         val (r, _, sec) = forceCount(Similarity.ivfPqTopK(
-          queries, emb, "vec_id", "embedding", k, kc, model, nprobe = np))
+          pqQueries, pqEmb, "vec_id", "embedding", k, kc, model, nprobe = np))
         println(f"PQ ivfpq_c$kc nprobe=$np: " +
           f"recall@$k(L2)=${Similarity.recallVs(truth, r)}%.4f time=$sec%.2f s")
         r.unpersist(); ()
@@ -116,7 +127,7 @@ object RecallBench {
       if (plantedFile.exists()) {
         val planted = spark.read.parquet(plantedFile.toString).cache()
         val nPlanted = planted.count()
-        val pq = emb.join(planted.select(col("id_a").as("vec_id")),
+        val pq = pqEmb.join(planted.select(col("id_a").as("vec_id")),
           Seq("vec_id"), "left_semi")
         def twinHits(df: DataFrame): Long = planted.join(df,
           planted("id_a") === df("query_id") &&
@@ -129,7 +140,7 @@ object RecallBench {
         adcP.unpersist()
         Seq(1, 2, 4).foreach { np =>
           val (r, _, sec) = forceCount(Similarity.ivfPqTopK(
-            pq, emb, "vec_id", "embedding", k, kc, model, nprobe = np))
+            pq, pqEmb, "vec_id", "embedding", k, kc, model, nprobe = np))
           println(f"PQ planted ivfpq_c$kc nprobe=$np: twin_hit@$k=" +
             f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
           r.unpersist(); ()
