@@ -106,6 +106,18 @@ object RecallBench {
         f"recall@$k(cos)=${Similarity.recallVs(truthCos, adc)}%.4f " +
         f"time=$adcSec%.2f s")
       adc.unpersist()
+      // two-stage: generous ADC shortlist (10k) re-ranked exactly — the
+      // production fix for 4-bit quantization noise (mis-ordering, not
+      // loss); recall should jump toward exact while the corpus scan
+      // stays the 4-byte/vector code pass
+      val (rr, _, rrSec) = forceCount {
+        val short = Similarity.pqTopK(
+          pqQueries, enc, "vec_id", "embedding", 10 * k, model)
+        Similarity.rerankL2(pqQueries, pqEmb, short, "vec_id", "embedding", k)
+      }
+      println(f"PQ rerank(short=${10 * k}): " +
+        f"recall@$k(L2)=${Similarity.recallVs(truth, rr)}%.4f time=$rrSec%.2f s")
+      rr.unpersist()
       val kc = math.max(4, math.sqrt(n.toDouble).toInt)
       Seq(1, 2, 4, 8).foreach { np =>
         val (r, _, sec) = forceCount(Similarity.ivfPqTopK(

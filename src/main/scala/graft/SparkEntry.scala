@@ -752,6 +752,25 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- two-stage retrieval (the production answer to 4-bit
+    // quantization noise): a generous ADC shortlist (top-50 from codes
+    // alone — corpus scan still touches 4 bytes/vector) re-ranked by
+    // EXACT L2 over just the |queries|×50 nominated rows (broadcast
+    // join, zero corpus shuffle, same (d² ASC, id ASC) contract).
+    // Quantization mis-orders candidates long before it loses them, so
+    // this recovers near-exact top-5 at ANN scan cost ---
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      val queries = emb.where(col("vec_id") < 8)
+      val short = Similarity.pqTopK(
+        queries, enc, "vec_id", "embedding", 50, model)
+      Similarity.rerankL2(queries, emb, short, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- IVFADC (Jégou et al. 2011 §V, the FAISS production ANN shape):
     // the IVF coarse quantizer at the ⌈√n⌉ law cell count composed with
     // the PQ code scan — per-query candidates shrink from n to one cell
@@ -2266,6 +2285,33 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM " +
       "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS INT) AS rank FROM adc) " +
       "WHERE rank <= 5"),
+
+    // the q_pq_topk chain widened to a rank<=50 shortlist, then exact
+    // full-dim L2 re-rank over just the nominated pairs — raw-double
+    // ordering, same arithmetic route both engines (the q_ivf_topk
+    // raw-cosine precedent)
+    "q_pq_rerank" -> {
+      def l2(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      pqTrainSql +
+        ", q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8), " +
+        "tblq AS (SELECT q.query_id, t.s, t.code, " +
+        "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +
+        "FROM q CROSS JOIN tb t), " +
+        "adc AS (SELECT t.query_id, ec.vec_id AS neighbor_id, SUM(t.entry) AS adcsum " +
+        "FROM tblq t JOIN encc ec ON t.s = ec.s AND t.code = ec.code " +
+        "WHERE t.query_id <> ec.vec_id GROUP BY 1, 2), " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS rk FROM adc) WHERE rk <= 50), " +
+        s"rr AS (SELECT sh.query_id, sh.neighbor_id, ${l2("qe.embedding", "ne.embedding")} AS dd " +
+        "FROM short sh JOIN embeddings qe ON qe.vec_id = sh.query_id " +
+        "JOIN embeddings ne ON ne.vec_id = sh.neighbor_id) " +
+        "SELECT query_id, neighbor_id, rank FROM " +
+        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd ASC, neighbor_id) AS INT) AS rank FROM rr) " +
+        "WHERE rank <= 5"
+    },
 
     // the PQ chain composed with the IVF coarse chain (renamed `casg` —
     // `asg` belongs to the PQ prefix): the ADC join gains one predicate,

@@ -133,6 +133,35 @@ class PqSpec extends SparkSpec {
     assert(all.agg(max(col("rank"))).as[Int].head() === dim4.length - 1)
   }
 
+  test("rerankL2: exact re-rank of a FULL shortlist equals the exact-L2 " +
+    "brute force bit-for-bit; a truncated shortlist re-orders only " +
+    "nominated candidates") {
+    val model = Similarity.pqTrain(fixture, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 1)
+    val enc = Similarity.pqEncode(fixture, "vec_id", "embedding", model)
+    val queries = fixture.where(col("vec_id") < 2)
+    // shortlist = everything → the second stage IS exact brute force
+    val full = Similarity.pqTopK(fixture.where(col("vec_id") < 2), enc,
+      "vec_id", "embedding", dim4.length, model)
+    val reranked = Similarity.rerankL2(
+      queries, fixture, full, "vec_id", "embedding", 3)
+    val brute = Similarity.bruteForceTopKL2(
+      queries, fixture, "vec_id", "embedding", 3)
+    assert(reranked.exceptAll(brute).isEmpty &&
+      brute.exceptAll(reranked).isEmpty,
+      "full-shortlist rerank must equal exact brute force")
+    // a 2-candidate shortlist: only nominated neighbors can appear
+    val short2 = Similarity.pqTopK(queries, enc,
+      "vec_id", "embedding", 2, model)
+    val r2 = Similarity.rerankL2(
+      queries, fixture, short2, "vec_id", "embedding", 3)
+    val nominated = short2.select("query_id", "neighbor_id")
+    assert(r2.join(nominated, Seq("query_id", "neighbor_id"), "left_anti")
+      .count() === 0, "rerank must not invent candidates")
+    assert(r2.groupBy("query_id").count()
+      .where(col("count") > 2).count() === 0)
+  }
+
   test("pqTrain drops empty codewords with dense re-index (a seed that " +
     "ties a smaller index wins nothing and falls out)") {
     // seed 2 duplicates seed 0 — ties go to the smaller index, so
