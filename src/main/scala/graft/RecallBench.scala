@@ -157,6 +157,20 @@ object RecallBench {
             f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
           r.unpersist(); ()
         }
+        // the full production pipeline: sub-linear IVFADC shortlist
+        // (5×k from the probed cells) → exact re-rank. A twin sitting
+        // at ADC rank 11..5k inside a probed cell comes BACK into the
+        // top-k here — measures how much of the ivfpq miss is ADC
+        // mis-ordering (recoverable) vs cell miss (nprobe's job)
+        val (rr2, _, rr2Sec) = forceCount {
+          val short = Similarity.ivfPqTopK(
+            pq, pqEmb, "vec_id", "embedding", 5 * k, kc, model, nprobe = 4)
+          Similarity.rerankL2(pq, pqEmb, short, "vec_id", "embedding", k)
+        }
+        println(f"PQ planted ivfpq_c$kc nprobe=4 +rerank(short=${5 * k}): " +
+          f"twin_hit@$k=${twinHits(rr2).toDouble / nPlanted}%.4f " +
+          f"time=$rr2Sec%.2f s")
+        rr2.unpersist()
         planted.unpersist(); ()
       }
       spark.stop(); return
