@@ -1635,6 +1635,33 @@ object Similarity {
     cents
   }
 
+  /** Incremental IVFADC ingest: a new batch assigns cells and encodes
+    * map-side against the SAME two models that built the artifact
+    * (drift-guarded against the artifact's `_params` stamp — encoding a
+    * batch with a refreshed codebook into an old-codebook artifact would
+    * make every ADC lookup read the wrong tables for those rows) and
+    * appends under the same bucket spec. O(batch) work; the existing
+    * corpus is never re-read, re-encoded, or re-shuffled — the ANN twin
+    * of the dedup family's ingest operators. Because cells and codes are
+    * pure per-row functions of the two models, the appended artifact is
+    * bit-identical to a from-scratch rebuild over (corpus ∪ batch) with
+    * the same models — the spec pins probe-equality, the ingest-
+    * equivalence discipline every incremental operator here carries.
+    */
+  def ivfPqAppend(
+      batch: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], model: PqModel, numBuckets: Int,
+      target: String, table: String, tablePrefix: String = "ivfpq"): Unit = {
+    Dedup.requireStoreParams(assigned, ivfPqParams(cents, model), "IVFADC")
+    val rows = pqEncode(withCell(batch, idCol, vecCol, cents),
+        idCol, vecCol, model, keep = Seq("_cell"))
+      .select(col(idCol), col("_cell"), col("codes"))
+      .withColumn("_params", lit(ivfPqParams(cents, model)))
+    graft.sources
+      .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
+      .append(rows, target, table)
+  }
+
   /** Probe a persisted [[ivfPqBuild]] artifact: queries assign map-side
     * (cells + ADC tables, no corpus touch), join the bucketed codes on
     * `_cell` with zero corpus-side Exchange, score by table lookups,

@@ -144,6 +144,23 @@ final case class BucketedSink(
     ws.saveAsTable(catalogName(target, table))
   }
 
+  /** Append an ingest batch to an EXISTING bucketed table under the same
+    * spec — the incremental-ingest arm ([[write]] is the full rebuild).
+    * Each appended file set is bucketed by the same hash, so probes keep
+    * their shuffle-free join; Spark validates the spec against the
+    * catalog entry, so an append under a different (numBuckets, cols)
+    * fails at analysis rather than silently mixing two layouts in one
+    * directory.
+    */
+  def append(df: DataFrame, target: String, table: String): Unit = {
+    val w = df.write.mode("append").format("parquet")
+      .option("path", s"$target/$table")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(catalogName(target, table))
+  }
+
   /** Catalog-resolved read: keeps the bucket spec visible to the planner
     * (reading the bare path would silently drop it and reintroduce the
     * join shuffle this sink exists to remove). Catalog entries persist only

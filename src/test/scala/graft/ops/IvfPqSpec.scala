@@ -111,4 +111,58 @@ class IvfPqSpec extends SparkSpec {
       e.unpersist(); ()
     }
   }
+
+  test("ivfPqAppend: O(batch) ingest — probe(build(base) + append(batch)) " +
+    "is bit-identical to probe(rebuild(base ∪ batch)) under the same " +
+    "models, the probe plan stays shuffle-free, and model drift on the " +
+    "append path fails loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    val e = emb.cache()
+    // split so the first-k-by-id seeds (both quantizers) live in BASE:
+    // then rebuild-over-union derives the same cents the base build did
+    val base = e.where(col("vec_id") < 400)
+    val batch = e.where(col("vec_id") >= 400)
+    val m = model(e) // one model for every arm
+    val queries = e.where(col("vec_id") < 8)
+    try {
+      val cents = Similarity.ivfPqBuild(
+        base, "vec_id", "embedding", 4, m, 8, wh, "inc")
+      Similarity.ivfPqAppend(
+        batch, Similarity.ivfAssigned(spark, wh, "inc", "ivfpq"),
+        "vec_id", "embedding", cents, m, 8, wh, "inc")
+      val appended = Similarity.ivfAssigned(spark, wh, "inc", "ivfpq")
+      assert(appended.count() === e.count(), "append must add batch rows")
+      val probe = Similarity.ivfPqProbe(
+        queries, appended, "vec_id", "embedding", 5, cents, m)
+      val cents2 = Similarity.ivfPqBuild(
+        e, "vec_id", "embedding", 4, m, 8, wh, "full")
+      assert(cents2 === cents, "seed-in-base split must re-derive cents")
+      val rebuilt = Similarity.ivfPqProbe(
+        queries, Similarity.ivfAssigned(spark, wh, "full", "ivfpq"),
+        "vec_id", "embedding", 5, cents2, m)
+      assert(probe.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(probe).isEmpty,
+        "appended artifact must probe identically to a rebuild")
+      // appended files keep the bucket spec: still no corpus Exchange
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+        s"append must not cost the probe its bucketed join:\n$plan")
+      // drift guard on the APPEND path too: a refreshed codebook must
+      // not encode its rows into an old-codebook artifact
+      val otherModel = Similarity.pqTrain(
+        e, "vec_id", "embedding", m = 8, ks = 8, iters = 1)
+      val eDrift = intercept[IllegalArgumentException] {
+        Similarity.ivfPqAppend(
+          batch, Similarity.ivfAssigned(spark, wh, "inc", "ivfpq"),
+          "vec_id", "embedding", cents, otherModel, 8, wh, "inc")
+      }
+      assert(eDrift.getMessage.contains("IVFADC"))
+    } finally {
+      Seq("inc", "full").foreach { t =>
+        spark.sql("DROP TABLE IF EXISTS " + graft.sources
+          .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, t))
+      }
+      e.unpersist(); ()
+    }
+  }
 }

@@ -79,6 +79,31 @@ class SinkSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName(dir, "t")}")
   }
 
+  test("BucketedSink append: batch rows land under the same spec; a " +
+    "mismatched spec fails at analysis instead of mixing layouts") {
+    val dir = Files.createTempDirectory("bucketappend").toString
+    val sink = BucketedSink(numBuckets = 4, bucketCols = Seq("id"),
+      sortCols = Seq("id"), tablePrefix = "sinkspec")
+    try {
+      sink.write(sample, dir, "t", "parquet")
+      val batch = sample.withColumn("id",
+        org.apache.spark.sql.functions.col("id") + 1000)
+      sink.append(batch, dir, "t")
+      val back = sink.read(spark, dir, "t")
+      assert(back.count() === sample.count() * 2)
+      // the spec survives the append — SHOW CREATE still carries it
+      val ddl = spark.sql(s"SHOW CREATE TABLE ${sink.catalogName(dir, "t")}")
+        .head().getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
+      // appending under a DIFFERENT bucket count must fail loudly — two
+      // hash layouts in one table silently corrupt every co-located join
+      val wrong = BucketedSink(numBuckets = 8, bucketCols = Seq("id"),
+        sortCols = Seq("id"), tablePrefix = "sinkspec")
+      intercept[org.apache.spark.sql.AnalysisException](
+        wrong.append(batch, dir, "t"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${sink.catalogName(dir, "t")}")
+  }
+
   test("BucketedSink fresh-session contract: a lost catalog entry is " +
     "re-registered over the existing files, bucket spec intact") {
     // The data files under target/table are durable; the BUCKET SPEC lives
