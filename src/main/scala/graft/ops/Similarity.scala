@@ -670,8 +670,12 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val ordered = cents.sortBy(_._1)
-    val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
-    val cidArr = array(ordered.map(c => lit(c._1)): _*)
+    // single-Literal model artifacts (the bookMat/bpeTokens shape): at
+    // the √n law cell count the old CreateArray matrix was k×dim
+    // literal nodes (≈2,900 at sf0.1's k=45) re-walked by every
+    // analyzer pass — plan-construction overhead, not row work
+    val mat = typedlit(ordered.map(_._2.toSeq))
+    val cidArr = typedlit(ordered.map(_._1))
     corpus.select(col(idCol), col(vecCol),
       element_at(cidArr,
         call_function("vec_argmax_cell", col(vecCol), mat) + 1).as("_cell"))
@@ -699,8 +703,9 @@ object Similarity {
         .where(col("_cell").isNotNull)
     } else {
       val ordered = cents.sortBy(_._1)
-      val mat = array(ordered.map(c => array(c._2.map(lit): _*)): _*)
-      val cidArr = array(ordered.map(c => lit(c._1)): _*)
+      // single-Literal model (see withCell)
+      val mat = typedlit(ordered.map(_._2.toSeq))
+      val cidArr = typedlit(ordered.map(_._1))
       corpus.select(col(idCol), col(vecCol),
         explode(transform(
           call_function("vec_top_cells", col(vecCol), mat, lit(nprobe)),
@@ -1217,8 +1222,14 @@ object Similarity {
     def subDim: Int = dim / books.length
   }
 
+  // ONE Literal node, not array(array(lit...)): a CreateArray tree of
+  // m×ks×subDim literal children is re-traversed by every analyzer pass
+  // and re-evaluated per foldable check — the bpeTokens lesson (ABBench
+  // `bpe` measured the two shapes); typedlit collapses the whole
+  // codebook to a single O(1)-eval node and stays foldable, which is
+  // all vec_argmin_l2's contract requires
   private def bookMat(book: Seq[Seq[Double]]): Column =
-    array(book.map(cw => array(cw.map(lit): _*)): _*)
+    typedlit(book.map(_.toSeq).toSeq)
 
   /** Train per-subspace PQ codebooks: split each vector into `m`
     * contiguous subvectors, run Lloyd rounds independently per subspace
@@ -1487,7 +1498,11 @@ object Similarity {
     array((0 until model.m).map { s =>
       val qsv = slice(vec, s * sub + 1, sub)
       array(model.books(s).map { cw =>
-        val cwLit = array(cw.map(lit): _*)
+        // single-Literal codeword (see bookMat) — the surrounding
+        // zip_with/aggregate tree is per-entry already; keeping the
+        // codeword to one node caps the table plan at m×ks HOF nodes
+        // instead of m×ks×(subDim+1)
+        val cwLit = typedlit(cw.toSeq)
         val d2 = aggregate(
           zip_with(qsv, cwLit, (a, b) => {
             val d = a.cast("double") - b
