@@ -430,4 +430,99 @@ object ClosureProps extends Properties("graft") {
           got == ref
         }
     }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Random small corpora for the PQ family: n vectors of dim 4, values
+    * on a coarse grid (exact in Float, so the Scala reference and the
+    * engine walk identical doubles). iters = 0 keeps the model a PURE
+    * function of the corpus (sliced first-ks-by-id seeds) — the Lloyd
+    * round is pinned by PqSpec's fixtures; these properties cover
+    * corpus SHAPE (duplicates, ties, tiny n vs ks).
+    */
+  private val pqCorpusGen: Gen[Seq[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(2, 10)
+    vecs <- Gen.listOfN(n,
+      Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat / 4)))
+  } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+
+  private def pqRef(sv: Seq[Double], book: Seq[Seq[Double]]): Int =
+    book.zipWithIndex.map { case (cw, c) =>
+      var s = 0.0
+      var i = 0
+      while (i < sv.length) { val d = sv(i) - cw(i); s += d * d; i += 1 }
+      (BigDecimal(java.math.BigDecimal.valueOf(s)
+        .setScale(9, java.math.RoundingMode.HALF_UP)), c)
+    }.min._2
+
+  property("pqEncode = per-subspace argmin reference on random corpora " +
+    "(duplicates and exact ties included)") =
+    forAll(pqCorpusGen) { corpus =>
+      val df = corpus.toDF("vec_id", "embedding")
+      val model = Similarity.pqTrain(df, "vec_id", "embedding",
+        m = 2, ks = 2, iters = 0)
+      val got = Similarity.pqEncode(df, "vec_id", "embedding", model)
+        .select(col("vec_id"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+      corpus.forall { case (id, v) =>
+        got(id) == (0 until model.m).map { s =>
+          pqRef(v.map(_.toDouble)
+            .slice(s * model.subDim, (s + 1) * model.subDim),
+            model.books(s))
+        }
+      }
+    }
+
+  property("pqTopK = exact-decimal ADC reference on random corpora") =
+    forAll(pqCorpusGen) { corpus =>
+      val df = corpus.toDF("vec_id", "embedding")
+      val model = Similarity.pqTrain(df, "vec_id", "embedding",
+        m = 2, ks = 2, iters = 0)
+      val enc = Similarity.pqEncode(df, "vec_id", "embedding", model)
+      val k = 3
+      val got = Similarity.pqTopK(df.where(col("vec_id") < 2), enc,
+        "vec_id", "embedding", k, model)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      val codes = enc.select(col("vec_id"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val expected = corpus.filter(_._1 < 2).flatMap { case (qid, qv) =>
+        val tbl = (0 until model.m).map { s =>
+          val qsv = qv.map(_.toDouble)
+            .slice(s * model.subDim, (s + 1) * model.subDim)
+          model.books(s).map { cw =>
+            var d2 = 0.0
+            var i = 0
+            while (i < qsv.length) { val d = qsv(i) - cw(i); d2 += d * d; i += 1 }
+            BigDecimal(java.math.BigDecimal.valueOf(d2)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+          }
+        }
+        corpus.map(_._1).filter(_ != qid).map { nid =>
+          ((0 until model.m).map(s => tbl(s)(codes(nid)(s))).sum, nid)
+        }.sorted.take(k).zipWithIndex
+          .map { case ((_, nid), i) => (qid, nid, i + 1) }
+      }.toSet
+      got == expected
+    }
+
+  property("ivfPqTopK probing every cell = the full ADC scan on random " +
+    "corpora (cell pruning loses exactly nothing at nprobe = cells)") =
+    forAll(pqCorpusGen) { corpus =>
+      val df = corpus.toDF("vec_id", "embedding")
+      val model = Similarity.pqTrain(df, "vec_id", "embedding",
+        m = 2, ks = 2, iters = 0)
+      val enc = Similarity.pqEncode(df, "vec_id", "embedding", model)
+      val queries = df.where(col("vec_id") < 2)
+      val kc = math.min(3, corpus.length)
+      val all = Similarity.ivfPqTopK(
+        queries, df, "vec_id", "embedding", 3, kc, model, nprobe = kc)
+      val brute = Similarity.pqTopK(queries, enc, "vec_id", "embedding", 3, model)
+      // zero-norm vectors assign to NULL cells and drop from the probed
+      // path but not the full scan — exclude corpora that have them
+      // (cellOf's documented contract, spec-pinned elsewhere)
+      val hasZero = corpus.exists(_._2.forall(_ == 0f))
+      hasZero ||
+        (all.exceptAll(brute).isEmpty && brute.exceptAll(all).isEmpty)
+    }
 }
