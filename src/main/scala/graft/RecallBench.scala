@@ -126,6 +126,21 @@ object RecallBench {
           f"recall@$k(L2)=${Similarity.recallVs(truth, r)}%.4f time=$sec%.2f s")
         r.unpersist(); ()
       }
+      // residual arm, same cells: the codebook spans vec − centroid(cell)
+      // (the paper's §V encoding) — the A/B that prices the raw arm's
+      // within-cell offset at each nprobe
+      val cents = Similarity.seedCentroidsFor(pqEmb, "vec_id", "embedding", kc)
+      val (modelRes, trainResSec) = timed(
+        Similarity.pqTrainRes(pqEmb, "vec_id", "embedding", cents, 8, 16, 1))
+      println(f"PQ train(residual) m=8 ks=16 iters=1: time=$trainResSec%.2f s")
+      Seq(1, 2, 4, 8).foreach { np =>
+        val (r, _, sec) = forceCount(Similarity.ivfPqTopK(
+          pqQueries, pqEmb, "vec_id", "embedding", k, kc, modelRes,
+          nprobe = np, residual = true))
+        println(f"PQ ivfpq_res_c$kc nprobe=$np: " +
+          f"recall@$k(L2)=${Similarity.recallVs(truth, r)}%.4f time=$sec%.2f s")
+        r.unpersist(); ()
+      }
       truthCos.unpersist()
       truth.unpersist()
       // ---- planted-twin hit rate, when the dir carries planted pairs:
@@ -154,6 +169,14 @@ object RecallBench {
           val (r, _, sec) = forceCount(Similarity.ivfPqTopK(
             pq, pqEmb, "vec_id", "embedding", k, kc, model, nprobe = np))
           println(f"PQ planted ivfpq_c$kc nprobe=$np: twin_hit@$k=" +
+            f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
+          r.unpersist(); ()
+        }
+        Seq(1, 2, 4).foreach { np =>
+          val (r, _, sec) = forceCount(Similarity.ivfPqTopK(
+            pq, pqEmb, "vec_id", "embedding", k, kc, modelRes,
+            nprobe = np, residual = true))
+          println(f"PQ planted ivfpq_res_c$kc nprobe=$np: twin_hit@$k=" +
             f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
           r.unpersist(); ()
         }

@@ -789,6 +789,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- IVFADC, residual arm (the paper's §V encoding / FAISS default):
+    // codes quantize vec − centroid(cell) against one shared codebook
+    // trained on the residual distribution, so the same 4-bit budget
+    // resolves the within-cell spread instead of the corpus diameter ---
+    "q_ivfpq_res_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val cents = Similarity.seedCentroidsFor(emb, "vec_id", "embedding", kc)
+      val model = Similarity.pqTrainRes(emb, "vec_id", "embedding", cents,
+        m = 8, ks = 16, iters = 1)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 8), emb,
+        "vec_id", "embedding", 5, kc, model, nprobe = 1, residual = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -1411,28 +1426,35 @@ object SparkEntry {
     * appear in the mean aggregate), then a full-corpus encode against
     * the trained books. Ends at `encc` = (vec_id, s, code).
     */
-  private val pqTrainSql: String =
-    "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding " +
-      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+  /** The chain body parameterized over its vector source (a relation or
+    * CTE exposing `(vec_id, embedding)`): the raw twins run it over
+    * `embeddings`; the residual IVFADC twin runs it over a residual CTE.
+    * No leading `WITH` — callers splice it after their own CTEs.
+    */
+  private def pqChainSql(src: String): String =
+    "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding " +
+      s"FROM $src ORDER BY vec_id LIMIT 16), " +
       "sp AS (SELECT unnest(generate_series(0, 7)) AS s), " +
       "sb AS (SELECT sp.s, seeds.c, seeds.embedding[sp.s*8+1 : sp.s*8+8] AS cw FROM seeds CROSS JOIN sp), " +
       "d0 AS (SELECT e.vec_id, b.s, b.c, " +
       pqD2("e.embedding[b.s*8+1 : b.s*8+8]", "b.cw") + " AS dd " +
-      "FROM embeddings e CROSS JOIN sb b), " +
+      s"FROM $src e CROSS JOIN sb b), " +
       "asg AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dd, 9) ASC, c) AS rn FROM d0), " +
       "win AS (SELECT vec_id, s, c FROM asg WHERE rn = 1), " +
       "m AS (SELECT a.s, a.c, p.pos, " +
       "round(CAST(SUM(CAST(e.embedding[a.s*8 + p.pos] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v " +
-      "FROM win a JOIN embeddings e USING (vec_id) " +
+      s"FROM win a JOIN $src e USING (vec_id) " +
       "CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) p " +
       "GROUP BY a.s, a.c, p.pos), " +
       "tbg AS (SELECT s, c, list(v ORDER BY pos) AS cw FROM m GROUP BY s, c), " +
       "tb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY c) - 1 AS code, cw FROM tbg), " +
       "d1 AS (SELECT e.vec_id, t.s, t.code, " +
       pqD2("e.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + " AS dd " +
-      "FROM embeddings e CROSS JOIN tb t), " +
+      s"FROM $src e CROSS JOIN tb t), " +
       "easg AS (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dd, 9) ASC, code) AS rn FROM d1), " +
       "encc AS (SELECT vec_id, s, code FROM easg WHERE rn = 1)"
+
+  private val pqTrainSql: String = "WITH " + pqChainSql("embeddings")
 
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
@@ -2330,6 +2352,40 @@ object SparkEntry {
         "FROM embeddings v CROSS JOIN cents c), " +
         "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
         "q AS (SELECT e.vec_id AS query_id, e.embedding, cv.cell FROM embeddings e JOIN cellsv cv USING (vec_id) WHERE e.vec_id < 8), " +
+        "tblq AS (SELECT q.query_id, q.cell, t.s, t.code, " +
+        "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +
+        "FROM q CROSS JOIN tb t), " +
+        "adc AS (SELECT t.query_id, ec.vec_id AS neighbor_id, SUM(t.entry) AS adcsum " +
+        "FROM tblq t JOIN encc ec ON t.s = ec.s AND t.code = ec.code " +
+        "JOIN cellsv nc ON nc.vec_id = ec.vec_id AND nc.cell = t.cell " +
+        "WHERE t.query_id <> ec.vec_id GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, rank FROM " +
+        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcsum ASC, neighbor_id) AS INT) AS rank FROM adc) " +
+        "WHERE rank <= 5"
+    },
+
+    // residual IVFADC: same coarse chain, then the WHOLE PQ chain runs
+    // over remb = vec − centroid(cell) (exact double subtraction — cents
+    // are raw corpus floats, so both engines compute identical residuals),
+    // and each query's ADC table is built from ITS residual (nprobe = 1:
+    // the probed cell is the query's own cell, so remb already holds it)
+    "q_ivfpq_res_topk" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+        "WHERE _srn <= (SELECT k FROM kk)), " +
+        s"casg AS (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
+        "remb AS (SELECT e.vec_id, cv.cell, list_transform(generate_series(1, 64), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS embedding " +
+        "FROM embeddings e JOIN cellsv cv USING (vec_id) JOIN cents c ON c.cid = cv.cell), " +
+        pqChainSql("remb") +
+        ", q AS (SELECT r.vec_id AS query_id, r.embedding, r.cell FROM remb r WHERE r.vec_id < 8), " +
         "tblq AS (SELECT q.query_id, q.cell, t.s, t.code, " +
         "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +
         "FROM q CROSS JOIN tb t), " +

@@ -1554,17 +1554,27 @@ object Similarity {
   // linear in the corpus; composing it with the IVF cell partition makes
   // the per-query candidate set one cell (expected n/⌈√n⌉ = √n rows at
   // the law cell count), so the scan is sub-linear AND each candidate
-  // costs m table lookups instead of dim multiplies. One deliberate
-  // deviation from the paper: codes quantize the RAW vectors, not the
-  // per-cell residuals — a residual encoding needs a codebook trained
-  // per coarse cell (or a shared one on residual distributions) and
-  // re-encoding whenever the coarse quantizer refreshes; raw-vector
-  // codes keep ONE m×ks×subDim model valid across any cell layout, let
-  // the artifact rebuild reuse existing codes, and make the composition
-  // bit-identical to pqTopK restricted to the probed cells (the graded
-  // equivalence). The recall cost is the within-cell quantization error
-  // the residual trick removes — recoverable via nprobe, the same lever
+  // costs m table lookups instead of dim multiplies. Two encoding arms:
+  //
+  // DEFAULT (residual = false): codes quantize the RAW vectors. This
+  // keeps ONE m×ks×subDim model valid across any cell layout (a coarse-
+  // quantizer refresh reuses existing codes) and makes the composition
+  // bit-identical to pqTopK restricted to the probed cells — the graded
+  // equivalence. The recall cost is the within-cell offset the paper's
+  // residual encoding removes — recoverable via nprobe, the same lever
   // [[probesFor]] sizes.
+  //
+  // RESIDUAL (residual = true, the paper's §V shape / FAISS default):
+  // codes quantize `vec − centroid(cell)` against ONE shared codebook
+  // trained on the residual distribution ([[pqTrainRes]]). The codebook's
+  // ks codewords then span only the within-cell spread instead of the
+  // whole corpus diameter, so the same bit budget resolves finer — the
+  // measured recall lever (RecallBench `pq`, SCALE.md round 12). Costs:
+  // a coarse refresh invalidates every code (the artifact's `res+`
+  // params stamp makes that loud, not silent), and each probe builds its
+  // ADC table per (query, probed cell) rather than per query —
+  // broadcast-side work, nprobe × m×ks entries; the corpus scan is
+  // unchanged.
   // --------------------------------------------------------------------
 
   /** Deterministic fingerprint of a PQ model — the PQ half of the IVFADC
@@ -1589,8 +1599,60 @@ object Similarity {
   }
 
   private def ivfPqParams(
-      cents: Seq[(Long, Seq[Double])], model: PqModel): String =
-    centsFingerprint(cents) + "+" + pqFingerprint(model)
+      cents: Seq[(Long, Seq[Double])], model: PqModel,
+      residual: Boolean = false): String =
+    (if (residual) "res+" else "") +
+      centsFingerprint(cents) + "+" + pqFingerprint(model)
+
+  /** `vec − centroid(cell)` as a column: the per-cell residual the IVFADC
+    * residual arm quantizes (Jégou et al. 2011 §V's actual encoding). The
+    * centroid model rides as ONE map literal (the bookMat/withCell
+    * single-Literal shape); subtraction is exact — centroids are raw
+    * corpus vectors (float→double is exact), so both engines compute the
+    * identical residual and the decimal ADC chain stays bit-reproducible.
+    * A NULL cell (malformed vector) propagates to a NULL residual, which
+    * encodes to NULL codes downstream — the family's poison discipline.
+    *
+    * The zip_with lambda is interpreted (CodegenFallback) — accepted on
+    * this path because it runs once per row at INDEX BUILD time (the
+    * encode pass), never on the per-query serving scan, the same class as
+    * [[bruteForceTopKL2]]'s truth lambdas; the serving path still scores
+    * by m codegen'd table lookups.
+    */
+  private def residualCol(
+      vec: Column, cellCol: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val centMap = typedlit(cents.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+    zip_with(vec, element_at(centMap, cellCol),
+      (a, b) => a.cast("double") - b)
+  }
+
+  /** Corpus `(id, vec)` → `(id, vec, _cell, _rv)` where `_rv` is the
+    * residual against the assigned coarse cell — the training/encoding
+    * frame of the residual IVFADC arm. Rows whose vector cannot assign a
+    * cell are dropped (they could never be probed). Feed `_rv` to
+    * [[pqTrain]] (or use [[pqTrainRes]]) for the residual codebook.
+    */
+  def ivfPqResiduals(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    withCell(corpus, idCol, vecCol, cents)
+      .where(col("_cell").isNotNull)
+      .withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
+
+  /** Train a PQ codebook on coarse-cell residuals: ONE shared codebook
+    * over the residual distribution (the FAISS IVFADC default — not
+    * per-cell books), first-ks-by-id residual seeds so the DuckDB twin
+    * reproduces the chain. This is the codebook [[ivfPqTopK]]/[[ivfPqBuild]]
+    * with `residual = true` expect; pairing arms and codebooks wrong is
+    * caught by the artifact's `res+` params stamp, not silently.
+    */
+  def pqTrainRes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int = 8, ks: Int = 16, iters: Int = 1): PqModel =
+    pqTrain(ivfPqResiduals(corpus, idCol, vecCol, cents),
+      idCol, "_rv", m, ks, iters)
 
   /** Inline IVFADC top-k: cell-probe + ADC scoring within the probed
     * cells. Corpus rows carry their one max-cosine cell (the [[ivfTopK]]
@@ -1600,21 +1662,38 @@ object Similarity {
     * is a broadcast hash join on `_cell`, so the corpus never shuffles,
     * and the rank tail is the shared partial-aggregable top-k.
     *
-    * By construction the result is [[pqTopK]] restricted to pairs
-    * sharing a probed cell — the IvfPqSpec pins that equivalence, and
-    * the graded twin replicates both quantizer chains.
+    * By construction the raw arm's result is [[pqTopK]] restricted to
+    * pairs sharing a probed cell — the IvfPqSpec pins that equivalence,
+    * and the graded twin replicates both quantizer chains. The residual
+    * arm (`residual = true`, codebook from [[pqTrainRes]]) scores
+    * `‖(q − cent) − (code word)‖²` instead — no global-scan equivalent
+    * exists (distances are cell-relative), so its pins are the in-memory
+    * ADC reference property and its own graded twin.
     */
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int, model: PqModel, nprobe: Int = 1): DataFrame = {
+      k: Int, nCentroids: Int, model: PqModel, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val c = pqEncode(withCell(corpus, idCol, vecCol, cents),
-        idCol, vecCol, model, keep = Seq("_cell"))
+    val base = withCell(corpus, idCol, vecCol, cents)
+    val encSrc =
+      if (residual)
+        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
+      else base
+    val c = pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
+        model, keep = Seq("_cell"))
       .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
       .where(col("codes").isNotNull && col("_cell").isNotNull)
-    val q = withCells(queries, idCol, vecCol, cents, nprobe)
-      .select(col(idCol).as("query_id"), col("_cell"),
-        adcTable(col(vecCol), model).as("_tbl"))
+    // residual arm: the ADC table is per (query, PROBED CELL) — distances
+    // go to `cent_cell + codeword`, so each probe row subtracts its own
+    // cell's centroid before the table build (still broadcast-side work:
+    // nprobe × |queries| table builds, never a corpus-side op)
+    val qCells = withCells(queries, idCol, vecCol, cents, nprobe)
+    val qVec =
+      if (residual) residualCol(col(vecCol), col("_cell"), cents)
+      else col(vecCol)
+    val q = qCells.select(col(idCol).as("query_id"), col("_cell"),
+      adcTable(qVec, model).as("_tbl"))
     adcRank(
       c.join(broadcast(q), Seq("_cell"))
         .where(col("query_id") =!= col("neighbor_id"))
@@ -1638,12 +1717,18 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, model: PqModel, numBuckets: Int,
       target: String, table: String,
-      tablePrefix: String = "ivfpq"): Seq[(Long, Seq[Double])] = {
+      tablePrefix: String = "ivfpq",
+      residual: Boolean = false): Seq[(Long, Seq[Double])] = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val assigned = pqEncode(withCell(corpus, idCol, vecCol, cents),
-        idCol, vecCol, model, keep = Seq("_cell"))
+    val base = withCell(corpus, idCol, vecCol, cents)
+    val encSrc =
+      if (residual)
+        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
+      else base
+    val assigned = pqEncode(encSrc, idCol,
+        if (residual) "_rv" else vecCol, model, keep = Seq("_cell"))
       .select(col(idCol), col("_cell"), col("codes"))
-      .withColumn("_params", lit(ivfPqParams(cents, model)))
+      .withColumn("_params", lit(ivfPqParams(cents, model, residual)))
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
       .write(assigned, target, table, "parquet")
@@ -1666,12 +1751,19 @@ object Similarity {
   def ivfPqAppend(
       batch: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], model: PqModel, numBuckets: Int,
-      target: String, table: String, tablePrefix: String = "ivfpq"): Unit = {
-    Dedup.requireStoreParams(assigned, ivfPqParams(cents, model), "IVFADC")
-    val rows = pqEncode(withCell(batch, idCol, vecCol, cents),
-        idCol, vecCol, model, keep = Seq("_cell"))
+      target: String, table: String, tablePrefix: String = "ivfpq",
+      residual: Boolean = false): Unit = {
+    Dedup.requireStoreParams(
+      assigned, ivfPqParams(cents, model, residual), "IVFADC")
+    val base = withCell(batch, idCol, vecCol, cents)
+    val encSrc =
+      if (residual)
+        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
+      else base
+    val rows = pqEncode(encSrc, idCol,
+        if (residual) "_rv" else vecCol, model, keep = Seq("_cell"))
       .select(col(idCol), col("_cell"), col("codes"))
-      .withColumn("_params", lit(ivfPqParams(cents, model)))
+      .withColumn("_params", lit(ivfPqParams(cents, model, residual)))
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
       .append(rows, target, table)
@@ -1689,11 +1781,16 @@ object Similarity {
   def ivfPqProbe(
       queries: DataFrame, assigned: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])],
-      model: PqModel, nprobe: Int = 1): DataFrame = {
-    Dedup.requireStoreParams(assigned, ivfPqParams(cents, model), "IVFADC")
-    val q = withCells(queries, idCol, vecCol, cents, nprobe)
-      .select(col(idCol).as("query_id"), col("_cell"),
-        adcTable(col(vecCol), model).as("_tbl"))
+      model: PqModel, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
+    Dedup.requireStoreParams(
+      assigned, ivfPqParams(cents, model, residual), "IVFADC")
+    val qCells = withCells(queries, idCol, vecCol, cents, nprobe)
+    val qVec =
+      if (residual) residualCol(col(vecCol), col("_cell"), cents)
+      else col(vecCol)
+    val q = qCells.select(col(idCol).as("query_id"), col("_cell"),
+      adcTable(qVec, model).as("_tbl"))
     val c = assigned
       .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
       .where(col("codes").isNotNull)

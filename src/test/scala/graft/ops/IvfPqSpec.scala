@@ -112,6 +112,66 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual arm: _rv is exactly vec − centroid(cell); the persisted " +
+    "res+ artifact probes bit-identically to the inline residual path " +
+    "with the same shuffle-free plan; and arm mismatch (raw probe of a " +
+    "residual artifact, or the reverse) fails loudly as model drift") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    val e = emb.cache()
+    val kc = 4
+    val cents = Similarity.seedCentroidsFor(e, "vec_id", "embedding", kc)
+    // the residual frame really subtracts the assigned cell's centroid
+    val row = Similarity.ivfPqResiduals(e, "vec_id", "embedding", cents)
+      .where(col("vec_id") === 100)
+      .select(col("embedding"), col("_cell"), col("_rv")).head
+    val cent = cents.toMap.apply(row.getLong(1))
+    assert(row.getSeq[Double](2) ==
+      row.getSeq[Float](0).zip(cent).map { case (a, b) => a.toDouble - b }.toSeq,
+      "_rv must be vec − centroid(cell), exact double subtraction")
+    val mRes = Similarity.pqTrainRes(e, "vec_id", "embedding", cents,
+      m = 8, ks = 16, iters = 1)
+    val queries = e.where(col("vec_id") < 8)
+    try {
+      val cents2 = Similarity.ivfPqBuild(
+        e, "vec_id", "embedding", kc, mRes, 8, wh, "res", residual = true)
+      assert(cents2 === cents, "build must re-derive the same coarse seeds")
+      val assigned = Similarity.ivfAssigned(spark, wh, "res", "ivfpq")
+      val probe = Similarity.ivfPqProbe(
+        queries, assigned, "vec_id", "embedding", 5, cents, mRes,
+        residual = true)
+      val inline = Similarity.ivfPqTopK(
+        queries, e, "vec_id", "embedding", 5, kc, mRes, residual = true)
+      assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty,
+        "residual probe ≠ residual inline")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+        s"residual probe must keep the shuffle-free corpus path:\n$plan")
+      // raw-arm probe of the residual artifact reads cell-relative codes
+      // as absolute ones — recall collapses silently without the stamp
+      val eArm = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbe(
+          queries, assigned, "vec_id", "embedding", 5, cents, mRes)
+      }
+      assert(eArm.getMessage.contains("IVFADC"))
+      // ...and the reverse: residual probe of a raw artifact
+      val mRaw = model(e)
+      val centsRaw = Similarity.ivfPqBuild(
+        e, "vec_id", "embedding", kc, mRaw, 8, wh, "raw")
+      val eArm2 = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbe(
+          queries, Similarity.ivfAssigned(spark, wh, "raw", "ivfpq"),
+          "vec_id", "embedding", 5, centsRaw, mRaw, residual = true)
+      }
+      assert(eArm2.getMessage.contains("IVFADC"))
+    } finally {
+      Seq("res", "raw").foreach { t =>
+        spark.sql("DROP TABLE IF EXISTS " + graft.sources
+          .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, t))
+      }
+      e.unpersist(); ()
+    }
+  }
+
   test("ivfPqAppend: O(batch) ingest — probe(build(base) + append(batch)) " +
     "is bit-identical to probe(rebuild(base ∪ batch)) under the same " +
     "models, the probe plan stays shuffle-free, and model drift on the " +

@@ -525,4 +525,53 @@ object ClosureProps extends Properties("graft") {
       hasZero ||
         (all.exceptAll(brute).isEmpty && brute.exceptAll(all).isEmpty)
     }
+
+  property("residual ivfPqTopK probing every cell = an in-memory " +
+    "cell-relative ADC reference (codes AND tables both built from " +
+    "vec − centroid(cell))") =
+    forAll(pqCorpusGen) { corpus =>
+      val hasZero = corpus.exists(_._2.forall(_ == 0f))
+      hasZero || {
+        val df = corpus.toDF("vec_id", "embedding")
+        val kc = math.min(3, corpus.length)
+        val cents = Similarity.seedCentroidsFor(df, "vec_id", "embedding", kc)
+        val centOf = cents.toMap
+        val model = Similarity.pqTrainRes(df, "vec_id", "embedding", cents,
+          m = 2, ks = 2, iters = 0)
+        val queries = df.where(col("vec_id") < 2)
+        val got = Similarity.ivfPqTopK(queries, df, "vec_id", "embedding",
+          3, kc, model, nprobe = kc, residual = true)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .as[(Long, Long, Int)].collect().toSet
+        // cells from the operator's own (three-way-spec-pinned) assigner;
+        // everything downstream of them recomputed independently
+        val cells = Similarity.withCell(df, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("_cell"))
+          .as[(Long, Long)].collect().toMap
+        def resid(v: Seq[Float], cell: Long): Seq[Double] =
+          v.map(_.toDouble).zip(centOf(cell)).map { case (a, b) => a - b }
+        val codes: Map[Long, Seq[Int]] = corpus.map { case (id, v) =>
+          val r = resid(v, cells(id))
+          id -> (0 until model.m).map(s => pqRef(
+            r.slice(s * model.subDim, (s + 1) * model.subDim), model.books(s)))
+        }.toMap
+        val expected = corpus.filter(_._1 < 2).flatMap { case (qid, qv) =>
+          corpus.map(_._1).filter(_ != qid).map { nid =>
+            val qrv = resid(qv, cells(nid)) // the neighbor's (probed) cell
+            val score = (0 until model.m).map { s =>
+              val qsv = qrv.slice(s * model.subDim, (s + 1) * model.subDim)
+              val cw = model.books(s)(codes(nid)(s))
+              var d2 = 0.0
+              var i = 0
+              while (i < qsv.length) { val d = qsv(i) - cw(i); d2 += d * d; i += 1 }
+              BigDecimal(java.math.BigDecimal.valueOf(d2)
+                .setScale(6, java.math.RoundingMode.HALF_UP))
+            }.sum
+            (score, nid)
+          }.sorted.take(3).zipWithIndex
+            .map { case ((_, nid), i) => (qid, nid, i + 1) }
+        }.toSet
+        got == expected
+      }
+    }
 }
