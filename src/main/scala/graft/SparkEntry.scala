@@ -1429,11 +1429,14 @@ object SparkEntry {
   /** The chain body parameterized over its vector source (a relation or
     * CTE exposing `(vec_id, embedding)`): the raw twins run it over
     * `embeddings`; the residual IVFADC twin runs it over a residual CTE.
-    * No leading `WITH` — callers splice it after their own CTEs.
+    * `seedSrc` (defaults to `src`) is where the first-16-by-id Lloyd
+    * seeds come from — the residual twin points it past the centroid
+    * prefix, mirroring pqTrainRes's degenerate-zero-seed guard. No
+    * leading `WITH` — callers splice it after their own CTEs.
     */
-  private def pqChainSql(src: String): String =
+  private def pqChainSql(src: String, seedSrc: String = ""): String =
     "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding " +
-      s"FROM $src ORDER BY vec_id LIMIT 16), " +
+      s"FROM ${if (seedSrc.isEmpty) src else seedSrc} ORDER BY vec_id LIMIT 16), " +
       "sp AS (SELECT unnest(generate_series(0, 7)) AS s), " +
       "sb AS (SELECT sp.s, seeds.c, seeds.embedding[sp.s*8+1 : sp.s*8+8] AS cw FROM seeds CROSS JOIN sp), " +
       "d0 AS (SELECT e.vec_id, b.s, b.c, " +
@@ -2384,7 +2387,10 @@ object SparkEntry {
         "remb AS (SELECT e.vec_id, cv.cell, list_transform(generate_series(1, 64), " +
         "i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS embedding " +
         "FROM embeddings e JOIN cellsv cv USING (vec_id) JOIN cents c ON c.cid = cv.cell), " +
-        pqChainSql("remb") +
+        // seed past the centroid prefix: centroid rows' residuals are
+        // exactly zero (pqTrainRes's degenerate-seed guard, mirrored)
+        "rembs AS (SELECT * FROM remb WHERE vec_id > (SELECT max(cid) FROM cents)), " +
+        pqChainSql("remb", "rembs") +
         ", q AS (SELECT r.vec_id AS query_id, r.embedding, r.cell FROM remb r WHERE r.vec_id < 8), " +
         "tblq AS (SELECT q.query_id, q.cell, t.s, t.code, " +
         "CAST(round(" + pqD2("q.embedding[t.s*8+1 : t.s*8+8]", "t.cw") + ", 6) AS DECIMAL(18,6)) AS entry " +

@@ -1642,17 +1642,38 @@ object Similarity {
 
   /** Train a PQ codebook on coarse-cell residuals: ONE shared codebook
     * over the residual distribution (the FAISS IVFADC default — not
-    * per-cell books), first-ks-by-id residual seeds so the DuckDB twin
-    * reproduces the chain. This is the codebook [[ivfPqTopK]]/[[ivfPqBuild]]
+    * per-cell books). This is the codebook [[ivfPqTopK]]/[[ivfPqBuild]]
     * with `residual = true` expect; pairing arms and codebooks wrong is
     * caught by the artifact's `res+` params stamp, not silently.
+    *
+    * Seeding: the first ks rows PAST the centroid prefix (id >
+    * max centroid id), NOT first-ks-by-id. The coarse centroids are
+    * their own nearest cells, so their residuals are EXACTLY the zero
+    * vector — and under the family's first-k-by-id cents convention the
+    * first ks corpus rows are all centroids, so naive first-k seeding
+    * feeds Lloyd ks identical zero seeds: every assignment ties to code
+    * 0, codes 1..ks−1 empty out, and the dense re-index leaves ONE
+    * codeword per subspace — every corpus row encodes identically and
+    * ADC ranking collapses to neighbor_id order. Measured before/after
+    * on the 22k planted corpus: twin_hit@10 = 0.0000 degenerate vs the
+    * healthy curve in SCALE.md round 12. Still deterministic and
+    * twin-reproducible (one extra WHERE in the seeds CTE).
     */
   def pqTrainRes(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])],
-      m: Int = 8, ks: Int = 16, iters: Int = 1): PqModel =
-    pqTrain(ivfPqResiduals(corpus, idCol, vecCol, cents),
-      idCol, "_rv", m, ks, iters)
+      m: Int = 8, ks: Int = 16, iters: Int = 1): PqModel = {
+    val resid = ivfPqResiduals(corpus, idCol, vecCol, cents)
+    val maxCentId = cents.map(_._1).max
+    val seeds = seedCentroids(
+      resid.where(col(idCol) > lit(maxCentId)), idCol, "_rv", ks)
+    require(seeds.size >= 2,
+      s"pqTrainRes: need >= 2 seed rows past the centroid prefix (id > " +
+        s"$maxCentId), found ${seeds.size} — corpus too small for this " +
+        "cell count, or cents do not follow the first-k-by-id convention " +
+        "(pass explicit seeds to pqTrainFrom over ivfPqResiduals instead)")
+    pqTrainFrom(resid, idCol, "_rv", seeds.map(_._2), m, iters)
+  }
 
   /** Inline IVFADC top-k: cell-probe + ADC scoring within the probed
     * cells. Corpus rows carry their one max-cosine cell (the [[ivfTopK]]
@@ -1713,6 +1734,36 @@ object Similarity {
     * exactly the [[ivfProbe]] contract. Read it back catalog-resolved
     * via [[ivfAssigned]]`(spark, target, table, "ivfpq")`.
     */
+  /** The artifact row projection shared by [[ivfPqBuild]], [[ivfPqAppend]]
+    * and the streaming ingest ([[graft.streaming.EventStream.ivfPqIngest]]):
+    * assign cells + encode codes map-side against the two models, stamp
+    * `_params`. Pure per-row functions of the models — the property that
+    * makes every ingest path bit-equivalent to a rebuild.
+    */
+  private[graft] def ivfPqRows(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], model: PqModel,
+      residual: Boolean): DataFrame = {
+    val base = withCell(batch, idCol, vecCol, cents)
+    val encSrc =
+      if (residual)
+        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
+      else base
+    pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
+        model, keep = Seq("_cell"))
+      .select(col(idCol), col("_cell"), col("codes"))
+      .withColumn("_params", lit(ivfPqParams(cents, model, residual)))
+  }
+
+  /** The drift check, exposed for the streaming ingest (same message
+    * contract as the batch paths).
+    */
+  private[graft] def requireIvfPqParams(
+      assigned: DataFrame, cents: Seq[(Long, Seq[Double])],
+      model: PqModel, residual: Boolean): Unit =
+    Dedup.requireStoreParams(
+      assigned, ivfPqParams(cents, model, residual), "IVFADC")
+
   def ivfPqBuild(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, model: PqModel, numBuckets: Int,
@@ -1720,15 +1771,7 @@ object Similarity {
       tablePrefix: String = "ivfpq",
       residual: Boolean = false): Seq[(Long, Seq[Double])] = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val base = withCell(corpus, idCol, vecCol, cents)
-    val encSrc =
-      if (residual)
-        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
-      else base
-    val assigned = pqEncode(encSrc, idCol,
-        if (residual) "_rv" else vecCol, model, keep = Seq("_cell"))
-      .select(col(idCol), col("_cell"), col("codes"))
-      .withColumn("_params", lit(ivfPqParams(cents, model, residual)))
+    val assigned = ivfPqRows(corpus, idCol, vecCol, cents, model, residual)
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
       .write(assigned, target, table, "parquet")
@@ -1753,17 +1796,8 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])], model: PqModel, numBuckets: Int,
       target: String, table: String, tablePrefix: String = "ivfpq",
       residual: Boolean = false): Unit = {
-    Dedup.requireStoreParams(
-      assigned, ivfPqParams(cents, model, residual), "IVFADC")
-    val base = withCell(batch, idCol, vecCol, cents)
-    val encSrc =
-      if (residual)
-        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
-      else base
-    val rows = pqEncode(encSrc, idCol,
-        if (residual) "_rv" else vecCol, model, keep = Seq("_cell"))
-      .select(col(idCol), col("_cell"), col("codes"))
-      .withColumn("_params", lit(ivfPqParams(cents, model, residual)))
+    requireIvfPqParams(assigned, cents, model, residual)
+    val rows = ivfPqRows(batch, idCol, vecCol, cents, model, residual)
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
       .append(rows, target, table)

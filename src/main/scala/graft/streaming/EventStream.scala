@@ -265,6 +265,98 @@ object EventStream {
       .start()
   }
 
+  /** Streaming IVFADC ingest: each micro-batch of `(id, vec)` rows
+    * assigns cells + encodes PQ codes map-side against the CALLER'S two
+    * trained models and lands in the bucketed artifact —
+    * [[graft.ops.Similarity.ivfPqAppend]] driven by a stream, the ANN
+    * twin of [[clusterMaintenance]]. O(batch) per micro-batch; the
+    * existing artifact is never re-read on the happy path, and because
+    * cells/codes are pure per-row functions of the models, the streamed
+    * artifact stays bit-identical to a batch rebuild over everything
+    * ingested (the ivfPqAppend equivalence, spec-pinned through this
+    * path too).
+    *
+    * Exactly-once across restarts, two-marker protocol per batch under
+    * `target/table._ingest/` (Hadoop FS of the artifact's own URI):
+    *  - `commit_<batchId>` present → the batch fully landed; a replayed
+    *    batch returns immediately (appending it again would duplicate
+    *    every row — and a duplicated corpus row would surface TWICE in a
+    *    probe's top-k, k−1 real answers);
+    *  - `inflight_<batchId>` present without its commit → a crash hit
+    *    inside THIS batch's append, so SOME of its rows may already be
+    *    in the artifact: the replay re-encodes and anti-joins the batch
+    *    against the artifact's ids before appending. That anti-join
+    *    scans the store once — the O(store) cost is paid ONLY on crash
+    *    recovery of the torn batch, never per batch;
+    *  - otherwise: mark inflight, append (first batch creates the table
+    *    with the bucket spec), mark commit, clear inflight.
+    *
+    * Model drift fails loudly per batch via the artifact's `_params`
+    * stamp (both quantizers, both arms — see ivfPqAppend). `residual`
+    * selects the encoding arm; the model must come from the matching
+    * trainer ([[graft.ops.Similarity.pqTrainRes]] vs `pqTrain`).
+    */
+  def ivfPqIngest(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      model: graft.ops.Similarity.PqModel,
+      numBuckets: Int, target: String, table: String,
+      checkpointDir: String, tablePrefix: String = "ivfpq",
+      residual: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ivfPqIngestBatch(batch, bid, idCol, vecCol, cents, model,
+          numBuckets, target, table, tablePrefix, residual)
+      }
+      .start()
+
+  /** One micro-batch of [[ivfPqIngest]] — factored out so the replay
+    * protocol is testable without staging a crash inside a real stream.
+    */
+  private[graft] def ivfPqIngestBatch(
+      batch: DataFrame, bid: Long, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      model: graft.ops.Similarity.PqModel,
+      numBuckets: Int, target: String, table: String,
+      tablePrefix: String, residual: Boolean): Unit = {
+    import graft.ops.Similarity
+    val spark = batch.sparkSession
+    val sink = graft.sources
+      .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
+    val markers = new org.apache.hadoop.fs.Path(s"$target/$table._ingest")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = new org.apache.hadoop.fs.Path(markers, s"commit_$bid")
+    val inflight = new org.apache.hadoop.fs.Path(markers, s"inflight_$bid")
+    if (fs.exists(commit)) return
+    var rows = Similarity.ivfPqRows(
+      batch, idCol, vecCol, cents, model, residual)
+    if (spark.catalog.tableExists(sink.catalogName(target, table))) {
+      val assigned = Similarity.ivfAssigned(spark, target, table, tablePrefix)
+      Similarity.requireIvfPqParams(assigned, cents, model, residual)
+      if (fs.exists(inflight)) {
+        // recovery-only store scan: drop the torn batch's already-landed
+        // rows (ids are the artifact's PK — the batch side is small, the
+        // store streams through the anti-join once)
+        rows = rows.join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+      }
+      fs.mkdirs(markers)
+      fs.create(inflight, true).close()
+      sink.append(rows, target, table)
+    } else {
+      fs.mkdirs(markers)
+      fs.create(inflight, true).close()
+      // first batch creates the table (mode=overwrite of nothing) with
+      // the bucket spec every later append is validated against
+      sink.write(rows, target, table, "parquet")
+    }
+    fs.create(commit, true).close()
+    fs.delete(inflight, false)
+    ()
+  }
+
   /** Crash recovery for the [[clusterMaintenance]] store swap; run before
     * reading the store. Windows:
     *  - store missing, complete `._next` present (crash between the

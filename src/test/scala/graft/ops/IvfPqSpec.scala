@@ -130,6 +130,12 @@ class IvfPqSpec extends SparkSpec {
       "_rv must be vec − centroid(cell), exact double subtraction")
     val mRes = Similarity.pqTrainRes(e, "vec_id", "embedding", cents,
       m = 8, ks = 16, iters = 1)
+    // regression pin for the zero-seed degeneration: first-k-by-id seeds
+    // over residuals are all-zero (centroid rows), which collapsed every
+    // subspace to ONE surviving codeword — pqTrainRes must seed past the
+    // centroid prefix and keep a real codebook
+    assert(mRes.books.forall(_.size > 1),
+      s"residual codebooks degenerated: ${mRes.books.map(_.size)}")
     val queries = e.where(col("vec_id") < 8)
     try {
       val cents2 = Similarity.ivfPqBuild(
@@ -165,6 +171,83 @@ class IvfPqSpec extends SparkSpec {
       assert(eArm2.getMessage.contains("IVFADC"))
     } finally {
       Seq("res", "raw").foreach { t =>
+        spark.sql("DROP TABLE IF EXISTS " + graft.sources
+          .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, t))
+      }
+      e.unpersist(); ()
+    }
+  }
+
+  test("ivfPqIngest: streamed micro-batches probe bit-identically to a " +
+    "batch rebuild; a committed batch replays as a no-op; a TORN batch " +
+    "(inflight marker, no commit) deduplicates on replay instead of " +
+    "doubling its rows in the artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString
+    val e = emb.cache()
+    val m = model(e)
+    val cents = Similarity.seedCentroidsFor(e, "vec_id", "embedding", 4)
+    val queries = e.where(col("vec_id") < 8)
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b0, b1) = rows.partition(_._1 < 400)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStream.ivfPqIngest(
+      input.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, m, 8, wh, "st", ckpt)
+    try {
+      input.addData(b0.toSeq)
+      q.processAllAvailable()
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = Similarity.ivfAssigned(spark, wh, "st", "ivfpq")
+      assert(streamed.count() === e.count(), "both micro-batches must land")
+      val probe = Similarity.ivfPqProbe(
+        queries, streamed, "vec_id", "embedding", 5, cents, m)
+      Similarity.ivfPqBuild(e, "vec_id", "embedding", 4, m, 8, wh, "full")
+      val rebuilt = Similarity.ivfPqProbe(
+        queries, Similarity.ivfAssigned(spark, wh, "full", "ivfpq"),
+        "vec_id", "embedding", 5, cents, m)
+      assert(probe.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(probe).isEmpty,
+        "streamed artifact must probe identically to a batch rebuild")
+      // a COMMITTED batch replays as a no-op (restart redelivery)
+      val b1df = b1.toSeq.toDF("vec_id", "embedding")
+      graft.streaming.EventStream.ivfPqIngestBatch(
+        b1df, 1L, "vec_id", "embedding", cents, m, 8, wh, "st",
+        "ivfpq", residual = false)
+      assert(Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
+        === e.count(), "replay of a committed batch must not duplicate")
+      // a TORN batch: its rows landed but the commit marker did not —
+      // replay must anti-join them out, not double them
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/st._ingest/commit_1"),
+        false)
+      fs.create(new org.apache.hadoop.fs.Path(s"$wh/st._ingest/inflight_1"),
+        true).close()
+      graft.streaming.EventStream.ivfPqIngestBatch(
+        b1df, 1L, "vec_id", "embedding", cents, m, 8, wh, "st",
+        "ivfpq", residual = false)
+      assert(Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
+        === e.count(), "torn-batch replay must deduplicate, not double")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wh/st._ingest/commit_1")), "replay must re-commit the torn batch")
+      // drift guard holds on the streaming path too
+      val otherModel = Similarity.pqTrain(
+        e, "vec_id", "embedding", m = 8, ks = 8, iters = 1)
+      val eDrift = intercept[IllegalArgumentException] {
+        graft.streaming.EventStream.ivfPqIngestBatch(
+          b1df, 9L, "vec_id", "embedding", cents, otherModel, 8, wh, "st",
+          "ivfpq", residual = false)
+      }
+      assert(eDrift.getMessage.contains("IVFADC"))
+    } finally {
+      if (q.isActive) q.stop()
+      Seq("st", "full").foreach { t =>
         spark.sql("DROP TABLE IF EXISTS " + graft.sources
           .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, t))
       }

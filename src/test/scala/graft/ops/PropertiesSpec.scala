@@ -531,7 +531,9 @@ object ClosureProps extends Properties("graft") {
     "vec − centroid(cell))") =
     forAll(pqCorpusGen) { corpus =>
       val hasZero = corpus.exists(_._2.forall(_ == 0f))
-      hasZero || {
+      // pqTrainRes seeds past the centroid prefix (ids 0..kc-1 at this
+      // first-k convention), so it needs >= kc + 2 rows
+      hasZero || corpus.length < 5 || {
         val df = corpus.toDF("vec_id", "embedding")
         val kc = math.min(3, corpus.length)
         val cents = Similarity.seedCentroidsFor(df, "vec_id", "embedding", kc)
