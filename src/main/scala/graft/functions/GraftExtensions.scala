@@ -112,6 +112,15 @@ object GraftExtensions {
             "array<string> of 'left right' merge lines")
       }),
     (
+      new FunctionIdentifier("vec_sub_at"),
+      new ExpressionInfo(classOf[VecSubAt].getName, "vec_sub_at"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, m, i) => VecSubAt(v, m, i)
+        case _ => throw new IllegalArgumentException(
+          "vec_sub_at(vec, mat, idx): exactly three arguments, " +
+            "mat a foldable array<array<double>>")
+      }),
+    (
       new FunctionIdentifier("vec_top_cells"),
       new ExpressionInfo(classOf[VecTopCells].getName, "vec_top_cells"),
       (args: Seq[Expression]) => args match {

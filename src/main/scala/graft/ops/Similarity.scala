@@ -1604,27 +1604,62 @@ object Similarity {
     (if (residual) "res+" else "") +
       centsFingerprint(cents) + "+" + pqFingerprint(model)
 
-  /** `vec − centroid(cell)` as a column: the per-cell residual the IVFADC
-    * residual arm quantizes (Jégou et al. 2011 §V's actual encoding). The
-    * centroid model rides as ONE map literal (the bookMat/withCell
-    * single-Literal shape); subtraction is exact — centroids are raw
-    * corpus vectors (float→double is exact), so both engines compute the
-    * identical residual and the decimal ADC chain stays bit-reproducible.
-    * A NULL cell (malformed vector) propagates to a NULL residual, which
-    * encodes to NULL codes downstream — the family's poison discipline.
+  /** Corpus `(id, vec)` → `(id, vec, _cell, _rv)` in ONE codegen
+    * projection: cell index from the `vec_argmax_cell` loop, id decode
+    * AND the residual `vec − centroid(cell)` from the same index via the
+    * native `vec_sub_at` loop (graft.functions.VecSubAt — whole-stage
+    * codegen keeps the shared argmax subexpression to one evaluation).
+    * Subtraction is exact IEEE double — centroids are raw corpus vectors
+    * (float→double exact), so both engines compute the identical residual
+    * and the decimal ADC chain stays bit-reproducible. A malformed vector
+    * (NULL cell index) poisons `_cell` and `_rv` to NULL — the family's
+    * discipline.
     *
-    * The zip_with lambda is interpreted (CodegenFallback) — accepted on
-    * this path because it runs once per row at INDEX BUILD time (the
-    * encode pass), never on the per-query serving scan, the same class as
-    * [[bruteForceTopKL2]]'s truth lambdas; the serving path still scores
-    * by m codegen'd table lookups.
+    * Why native and not `zip_with(vec, element_at(matLit, _cell), -)`:
+    * the lambda is CodegenFallback, and under `pqEncode`'s m per-subspace
+    * `slice(_rv)` arguments interpreted evaluation recomputed the whole
+    * subtraction per subspace per row — measured 26–30 s vs ~2 s for the
+    * raw arm on the 22k RecallBench legs (SCALE.md round 12).
     */
-  private def residualCol(
-      vec: Column, cellCol: Column,
-      cents: Seq[(Long, Seq[Double])]): Column = {
-    val centMap = typedlit(cents.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
-    zip_with(vec, element_at(centMap, cellCol),
-      (a, b) => a.cast("double") - b)
+  private def withCellResid(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val ordered = cents.sortBy(_._1)
+    val mat = typedlit(ordered.map(_._2.toSeq))
+    val cidArr = typedlit(ordered.map(_._1))
+    val ci = call_function("vec_argmax_cell", col(vecCol), mat)
+    corpus.select(col(idCol), col(vecCol),
+      element_at(cidArr, ci + 1).as("_cell"),
+      call_function("vec_sub_at", col(vecCol), mat, ci).as("_rv"))
+  }
+
+  /** Query fan-out for the residual arm: `(id, _cell, _rv)` with ONE ROW
+    * PER PROBED CELL, where `_rv` is the residual against THAT probed
+    * cell's centroid (the residual ADC table is cell-relative). The
+    * [[withCells]] twin with the index kept long enough to feed
+    * `vec_sub_at`.
+    */
+  private def withCellsResid(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (nprobe == 1)
+      withCellResid(queries, idCol, vecCol, cents)
+        .where(col("_cell").isNotNull)
+        .select(col(idCol), col("_cell"), col("_rv"))
+    else {
+      val ordered = cents.sortBy(_._1)
+      val mat = typedlit(ordered.map(_._2.toSeq))
+      val cidArr = typedlit(ordered.map(_._1))
+      queries
+        .select(col(idCol), col(vecCol),
+          explode(call_function("vec_top_cells", col(vecCol), mat,
+            lit(nprobe))).as("_ci"))
+        .select(col(idCol),
+          element_at(cidArr, col("_ci") + 1).as("_cell"),
+          call_function("vec_sub_at", col(vecCol), mat, col("_ci"))
+            .as("_rv"))
+    }
   }
 
   /** Corpus `(id, vec)` → `(id, vec, _cell, _rv)` where `_rv` is the
@@ -1636,9 +1671,8 @@ object Similarity {
   def ivfPqResiduals(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
-    withCell(corpus, idCol, vecCol, cents)
+    withCellResid(corpus, idCol, vecCol, cents)
       .where(col("_cell").isNotNull)
-      .withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
 
   /** Train a PQ codebook on coarse-cell residuals: ONE shared codebook
     * over the residual distribution (the FAISS IVFADC default — not
@@ -1696,30 +1730,50 @@ object Similarity {
       k: Int, nCentroids: Int, model: PqModel, nprobe: Int = 1,
       residual: Boolean = false): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val base = withCell(corpus, idCol, vecCol, cents)
-    val encSrc =
-      if (residual)
-        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
-      else base
-    val c = pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
-        model, keep = Seq("_cell"))
-      .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
-      .where(col("codes").isNotNull && col("_cell").isNotNull)
-    // residual arm: the ADC table is per (query, PROBED CELL) — distances
-    // go to `cent_cell + codeword`, so each probe row subtracts its own
-    // cell's centroid before the table build (still broadcast-side work:
-    // nprobe × |queries| table builds, never a corpus-side op)
-    val qCells = withCells(queries, idCol, vecCol, cents, nprobe)
-    val qVec =
-      if (residual) residualCol(col(vecCol), col("_cell"), cents)
-      else col(vecCol)
-    val q = qCells.select(col(idCol).as("query_id"), col("_cell"),
-      adcTable(qVec, model).as("_tbl"))
+    val c = ivfPqScan(corpus, idCol, vecCol, cents, model, residual)
+    val q = ivfPqQueries(queries, idCol, vecCol, cents, model, nprobe,
+      residual)
     adcRank(
       c.join(broadcast(q), Seq("_cell"))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("_adc", adcScore(model)), k)
   }
+
+  /** Corpus side of the inline IVFADC scan: `(neighbor_id, _cell,
+    * codes)`, both arms through [[ivfPqRows]]'s projection shape.
+    */
+  private def ivfPqScan(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], model: PqModel,
+      residual: Boolean): DataFrame = {
+    val encSrc =
+      if (residual) withCellResid(corpus, idCol, vecCol, cents)
+      else withCell(corpus, idCol, vecCol, cents)
+    pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
+        model, keep = Seq("_cell"))
+      .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
+      .where(col("codes").isNotNull && col("_cell").isNotNull)
+  }
+
+  /** Query side of the ADC probes: `(query_id, _cell, _tbl)` per probed
+    * cell. Residual arm: the ADC table is per (query, PROBED CELL) —
+    * distances go to `cent_cell + codeword`, so each probe row subtracts
+    * its own cell's centroid (native `vec_sub_at`) before the table
+    * build. Still broadcast-side work: nprobe × |queries| table builds,
+    * never a corpus-side op.
+    */
+  private def ivfPqQueries(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], model: PqModel, nprobe: Int,
+      residual: Boolean): DataFrame =
+    if (residual)
+      withCellsResid(queries, idCol, vecCol, cents, nprobe)
+        .select(col(idCol).as("query_id"), col("_cell"),
+          adcTable(col("_rv"), model).as("_tbl"))
+    else
+      withCells(queries, idCol, vecCol, cents, nprobe)
+        .select(col(idCol).as("query_id"), col("_cell"),
+          adcTable(col(vecCol), model).as("_tbl"))
 
   /** Persist the IVFADC artifact: `(id, _cell, codes, _params)` bucketed
     * by `_cell` through [[graft.sources.BucketedSink]] — the [[ivfBuild]]
@@ -1744,11 +1798,9 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], model: PqModel,
       residual: Boolean): DataFrame = {
-    val base = withCell(batch, idCol, vecCol, cents)
     val encSrc =
-      if (residual)
-        base.withColumn("_rv", residualCol(col(vecCol), col("_cell"), cents))
-      else base
+      if (residual) withCellResid(batch, idCol, vecCol, cents)
+      else withCell(batch, idCol, vecCol, cents)
     pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
         model, keep = Seq("_cell"))
       .select(col(idCol), col("_cell"), col("codes"))
@@ -1819,12 +1871,8 @@ object Similarity {
       residual: Boolean = false): DataFrame = {
     Dedup.requireStoreParams(
       assigned, ivfPqParams(cents, model, residual), "IVFADC")
-    val qCells = withCells(queries, idCol, vecCol, cents, nprobe)
-    val qVec =
-      if (residual) residualCol(col(vecCol), col("_cell"), cents)
-      else col(vecCol)
-    val q = qCells.select(col(idCol).as("query_id"), col("_cell"),
-      adcTable(qVec, model).as("_tbl"))
+    val q = ivfPqQueries(queries, idCol, vecCol, cents, model, nprobe,
+      residual)
     val c = assigned
       .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
       .where(col("codes").isNotNull)

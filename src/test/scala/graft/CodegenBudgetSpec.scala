@@ -115,4 +115,24 @@ class CodegenBudgetSpec extends SparkSpec {
       "composed k=141 argmax now fits the codegen budget — if Spark " +
         "learned to split it, this guard and SCALE.md's rule need review")
   }
+
+  test("the residual IVFADC encode at k=141 cells / (m=8, ks=16) codes " +
+    "stays inside whole-stage codegen on the native sub + argmin loops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val cents = Seq.tabulate(141) { cid =>
+      (cid.toLong, Seq.tabulate(dim)(i => math.sin(cid * dim + i)))
+    }
+    val model = Similarity.PqModel(dim, Seq.tabulate(8)(s =>
+      IndexedSeq.tabulate(16)(c =>
+        Seq.tabulate(8)(i => math.cos(s * 128 + c * 8 + i)))))
+    val enc = Similarity.pqEncode(
+      Similarity.ivfPqResiduals(emb, "vec_id", "embedding", cents),
+      "vec_id", "_rv", model, keep = Seq("_cell"))
+    val code = compiledCode(enc, "residual encode")
+    assert(code.contains("VecSubAt.subAt"),
+      "residual projection is not on the native vec_sub_at loop")
+    assert(code.contains("VecArgminL2.argmin"),
+      "encode projection is not on the native vec_argmin_l2 loop")
+  }
 }
