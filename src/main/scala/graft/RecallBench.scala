@@ -180,6 +180,28 @@ object RecallBench {
             f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
           r.unpersist(); ()
         }
+        // Lloyd-converged cells through the ...From seam: tighter cells
+        // are the regime where the residual arm should pull ahead of raw
+        // — both arms re-measured over the SAME kmeans cells
+        val (kmCents, kmSec) = timed(Similarity.kmeansFit(
+          pqEmb, "vec_id", "embedding", kc, iters = 2))
+        val (modelResKm, kmTrainSec) = timed(Similarity.pqTrainRes(
+          pqEmb, "vec_id", "embedding", kmCents, 8, 16, 1))
+        println(f"PQ kmeans cells (k=$kc, 2 Lloyd rounds): fit=$kmSec%.2f s " +
+          f"res_train=$kmTrainSec%.2f s")
+        Seq(1, 4).foreach { np =>
+          val (rr0, _, s0) = forceCount(Similarity.ivfPqTopKFrom(
+            pq, pqEmb, "vec_id", "embedding", k, kmCents, model, nprobe = np))
+          println(f"PQ planted ivfpq_km_c$kc nprobe=$np: twin_hit@$k=" +
+            f"${twinHits(rr0).toDouble / nPlanted}%.4f time=$s0%.2f s")
+          rr0.unpersist()
+          val (rr1, _, s1) = forceCount(Similarity.ivfPqTopKFrom(
+            pq, pqEmb, "vec_id", "embedding", k, kmCents, modelResKm,
+            nprobe = np, residual = true))
+          println(f"PQ planted ivfpq_km_res_c$kc nprobe=$np: twin_hit@$k=" +
+            f"${twinHits(rr1).toDouble / nPlanted}%.4f time=$s1%.2f s")
+          rr1.unpersist(); ()
+        }
         // the full production pipeline: sub-linear IVFADC shortlist
         // (5×k from the probed cells) → exact re-rank. A twin sitting
         // at ADC rank 11..5k inside a probed cell comes BACK into the

@@ -1728,8 +1728,26 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int, model: PqModel, nprobe: Int = 1,
-      residual: Boolean = false): DataFrame = {
-    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+      residual: Boolean = false): DataFrame =
+    ivfPqTopKFrom(queries, corpus, idCol, vecCol, k,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), model, nprobe,
+      residual)
+
+  /** [[ivfPqTopK]] with CALLER-SUPPLIED coarse centroids — the
+    * coarse-quantizer-quality seam, the [[kmeansFitFrom]]/[[pqTrainFrom]]
+    * split applied to IVFADC: pass [[kmeansFit]]/[[kmeansParallelSeeds]]
+    * Lloyd-converged cells when cell tightness matters (the residual
+    * arm's recall payoff scales with it — SCALE.md round 12); the graded
+    * rows stay on the first-k-by-id convention a DuckDB twin reproduces.
+    * `ivfPqTopK ≡ ivfPqTopKFrom(seedCentroids(...))` by construction
+    * (spec-pinned). [[ivfPqProbe]]/[[ivfPqAppend]] already take cents —
+    * this closes the inline path, and [[ivfPqBuildFrom]] the artifact
+    * one.
+    */
+  def ivfPqTopKFrom(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: Seq[(Long, Seq[Double])], model: PqModel,
+      nprobe: Int = 1, residual: Boolean = false): DataFrame = {
     val c = ivfPqScan(corpus, idCol, vecCol, cents, model, residual)
     val q = ivfPqQueries(queries, idCol, vecCol, cents, model, nprobe,
       residual)
@@ -1821,8 +1839,21 @@ object Similarity {
       nCentroids: Int, model: PqModel, numBuckets: Int,
       target: String, table: String,
       tablePrefix: String = "ivfpq",
+      residual: Boolean = false): Seq[(Long, Seq[Double])] =
+    ivfPqBuildFrom(corpus, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), model, numBuckets,
+      target, table, tablePrefix, residual)
+
+  /** [[ivfPqBuild]] with caller-supplied coarse centroids (see
+    * [[ivfPqTopKFrom]]). Returns the cents it was given, for call-site
+    * symmetry with ivfPqBuild.
+    */
+  def ivfPqBuildFrom(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], model: PqModel, numBuckets: Int,
+      target: String, table: String,
+      tablePrefix: String = "ivfpq",
       residual: Boolean = false): Seq[(Long, Seq[Double])] = {
-    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
     val assigned = ivfPqRows(corpus, idCol, vecCol, cents, model, residual)
     graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)

@@ -51,6 +51,12 @@ class IvfPqSpec extends SparkSpec {
     val got = composed.select("query_id", "neighbor_id", "rank")
     assert(got.exceptAll(reranked).isEmpty && reranked.exceptAll(got).isEmpty,
       "composed ≠ restricted full scan")
+    // the caller-cents seam: ivfPqTopK ≡ ivfPqTopKFrom(seedCentroids)
+    val viaFrom = Similarity.ivfPqTopKFrom(
+      queries, e, "vec_id", "embedding", 5, cents, m)
+      .select("query_id", "neighbor_id", "rank")
+    assert(viaFrom.exceptAll(got).isEmpty && got.exceptAll(viaFrom).isEmpty,
+      "ivfPqTopKFrom(first-k seeds) ≠ ivfPqTopK")
     // nprobe = cells probes everything: bit-identical to the full scan
     val all = Similarity.ivfPqTopK(
       queries, e, "vec_id", "embedding", 5, kc, m, nprobe = kc)
