@@ -1886,6 +1886,38 @@ object Similarity {
       .append(rows, target, table)
   }
 
+  /** Compact an appended IVFADC artifact into a NEW table: every
+    * [[ivfPqAppend]]/[[graft.streaming.EventStream.ivfPqIngest]] batch
+    * adds its own file set per bucket, so a long-running ingest
+    * accumulates O(batches × buckets) small files — the probe plan stays
+    * shuffle-free throughout (bucket spec is catalog metadata, not file
+    * layout), but scan open/footer costs grow linearly with file count.
+    * One bucketed rewrite, pre-shuffled so each task holds one bucket
+    * (repartition hash ≡ bucket hash on the same column), restores one
+    * file set; `_params` rides through so the drift guard keeps working.
+    *
+    * Deliberately compacts to a NEW table name: the caller flips probes
+    * and drops the old artifact afterwards. An in-place overwrite would
+    * need an atomic swap of both the directory AND the catalog entry —
+    * a metastore transaction the plain-parquet seam does not own — and a
+    * crash mid-overwrite would lose the serving artifact; compact-then-
+    * flip keeps the old artifact intact until the caller retires it
+    * (probe equality spec-pinned).
+    */
+  def ivfPqCompact(
+      spark: org.apache.spark.sql.SparkSession, target: String,
+      fromTable: String, toTable: String, numBuckets: Int,
+      tablePrefix: String = "ivfpq"): Unit = {
+    require(fromTable != toTable,
+      "ivfPqCompact writes a NEW table — flip probes and drop the old " +
+        "one after; an in-place overwrite would be lossy on crash")
+    val sink = graft.sources
+      .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
+    val assigned = sink.read(spark, target, fromTable)
+    sink.write(assigned.repartition(numBuckets, col("_cell")),
+      target, toTable, "parquet")
+  }
+
   /** Probe a persisted [[ivfPqBuild]] artifact: queries assign map-side
     * (cells + ADC tables, no corpus touch), join the bucketed codes on
     * `_cell` with zero corpus-side Exchange, score by table lookups,

@@ -251,9 +251,46 @@ class IvfPqSpec extends SparkSpec {
           "ivfpq", residual = false)
       }
       assert(eDrift.getMessage.contains("IVFADC"))
+      // compaction: every ingested batch leaves its own file set, so the
+      // artifact accumulates O(batches) files; one bucketed rewrite to a
+      // NEW table caps it back at numBuckets, probes bit-identically,
+      // and keeps the drift stamp working
+      def parquetFiles(dir: String): Int =
+        new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      (2 to 5).foreach { i =>
+        val extra = b1df.select(
+          (col("vec_id") + i * 100000L).as("vec_id"), col("embedding"))
+        graft.streaming.EventStream.ivfPqIngestBatch(
+          extra, i.toLong, "vec_id", "embedding", cents, m, 8, wh, "st",
+          "ivfpq", residual = false)
+      }
+      val probeFull = Similarity.ivfPqProbe(
+        queries, Similarity.ivfAssigned(spark, wh, "st", "ivfpq"),
+        "vec_id", "embedding", 5, cents, m)
+      val before = parquetFiles(s"$wh/st")
+      Similarity.ivfPqCompact(spark, wh, "st", "st_c", 8)
+      val after = parquetFiles(s"$wh/st_c")
+      // O(numBuckets) after, O(batches × buckets) before — the cap is
+      // the claim (a task can straddle a bucket boundary, so allow a
+      // small constant over numBuckets, never a per-batch term)
+      assert(after < before && after <= 2 * 8,
+        s"compact must cap files at O(numBuckets): $before -> $after")
+      val probeC = Similarity.ivfPqProbe(
+        queries, Similarity.ivfAssigned(spark, wh, "st_c", "ivfpq"),
+        "vec_id", "embedding", 5, cents, m)
+      assert(probeC.exceptAll(probeFull).isEmpty &&
+        probeFull.exceptAll(probeC).isEmpty,
+        "compacted artifact must probe identically")
+      val eCompactDrift = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbe(
+          queries, Similarity.ivfAssigned(spark, wh, "st_c", "ivfpq"),
+          "vec_id", "embedding", 5, cents, otherModel)
+      }
+      assert(eCompactDrift.getMessage.contains("IVFADC"))
     } finally {
       if (q.isActive) q.stop()
-      Seq("st", "full").foreach { t =>
+      Seq("st", "st_c", "full").foreach { t =>
         spark.sql("DROP TABLE IF EXISTS " + graft.sources
           .BucketedSink(8, Seq("_cell"), Nil, "ivfpq").catalogName(wh, t))
       }
