@@ -447,6 +447,11 @@ object SparkEntry {
             .as("symbol_ratio"))
     }),
 
+    // --- substring-level dedup signal (Lee et al. 2022): per doc, how
+    // many of its w-token windows also occur verbatim in ANOTHER doc ---
+    "q_repeated_spans" -> ((s, dir) =>
+      Text.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", w = 8)),
+
     // --- PII redaction: email/phone masking before training (map-side) ---
     "q_pii_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1970,6 +1975,17 @@ object SparkEntry {
         "round(CAST(list_reduce(list_transform(ts, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / n, 6) AS mean_word_len, " +
         "round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / n, 6) AS symbol_ratio " +
         "FROM sh"),
+
+    "q_repeated_spans" -> (
+      s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+        "sp AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(ts) - 7), i -> array_to_string(ts[i:i+7], ' ')) END) AS s FROM toks), " +
+        "rep AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2), " +
+        "nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM sp GROUP BY 1), " +
+        "nr AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_repeated FROM sp JOIN rep USING (s) GROUP BY 1) " +
+        "SELECT nw.doc_id, nw.n_windows, COALESCE(nr.n_repeated, 0) AS n_repeated, " +
+        "round(CAST(COALESCE(nr.n_repeated, 0) AS DOUBLE) / nw.n_windows, 6) AS repeated_frac " +
+        "FROM nw LEFT JOIN nr ON nw.doc_id = nr.doc_id"),
 
     "q_chunk_docs" -> (
       s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +

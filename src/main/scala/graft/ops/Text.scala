@@ -428,6 +428,70 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Cross-document repeated-span profile — the SUBSTRING-level dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": memorization is driven by spans repeated
+    * ACROSS documents, so the dedup unit is the ~50-token span, not the
+    * document — a corpus can be document-unique and still span-saturated).
+    * Per doc: total w-token windows (stride 1), how many of them also
+    * occur verbatim in at least one OTHER doc, and the repeated
+    * fraction — the per-doc signal a span-masking or doc-dropping policy
+    * consumes. Docs shorter than w collapse to one whole-doc window (the
+    * [[shinglesOfTokens]] convention); a NULL text produces no row.
+    * Within-doc self-repetition does NOT count ("repeated" = ≥ 2 DISTINCT
+    * docs share the span) — single-doc repetition is
+    * `q_repetition_score`'s domain.
+    *
+    * Scale shape: one tokenize+explode per consumer (T window rows for a
+    * T-token corpus), ONE shuffle of the window rows keyed by span to
+    * find cross-doc spans (partial-aggregated map-side), then the
+    * repeated set — the duplicated TAIL, not the corpus — joins back via
+    * the size-dispatched [[Joins.broadcastIfSmall]] semi-join, and the
+    * per-doc aggregates reduce map-side before their tiny exchanges. The
+    * graded row shuffles span TEXT (~6·w bytes/window — the key the
+    * DuckDB twin can reproduce); at 100 TB use [[repeatedSpansHashed]],
+    * which shuffles `xxhash64(span)` (8 bytes/window), property-pinned
+    * equal on duplicate-heavy corpora.
+    */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame =
+    repeatedSpansBy(docs, idCol, textCol, w, identity)
+
+  /** [[repeatedSpans]] with windows shuffled as 64-bit hashes instead of
+    * span text — the 100 TB arm (8 bytes per window on the one big
+    * exchange). A hash collision could mark a unique span repeated; at
+    * 2⁶⁴ key space that needs ~10¹⁰ DISTINCT spans for a 1% birthday
+    * risk, and the failure is one span mis-flagged, not a wrong join.
+    */
+  def repeatedSpansHashed(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame =
+    repeatedSpansBy(docs, idCol, textCol, w, xxhash64(_))
+
+  private def repeatedSpansBy(
+      docs: DataFrame, idCol: String, textCol: String, w: Int,
+      key: Column => Column): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val spans = docs
+      .select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), explode(shinglesOfTokens(col("_ts"), w)).as("_s"))
+      .select(col(idCol), key(col("_s")).as("_k"))
+    val repeated = spans.groupBy("_k")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select("_k")
+    val marked = spans
+      .join(graft.ops.Joins.broadcastIfSmall(repeated), Seq("_k"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
+    spans.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("repeated_frac"))
+  }
+
   /** Training-mixture sampling: draw a deterministic subcorpus whose
     * per-source token mass approximates `totalTokens × weight(source)`.
     *

@@ -417,6 +417,39 @@ object ClosureProps extends Properties("graft") {
       out == ref
     }
 
+  property("repeatedSpans: hashed-key arm ≡ exact-text arm, and both = " +
+    "a naive cross-doc window reference, on duplicate-heavy corpora") =
+    forAll(for {
+      n <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(n, Gen.choose(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }) { docs =>
+      val w = 2
+      val df = docs.toDF("doc_id", "text")
+      def collect(out: org.apache.spark.sql.DataFrame) =
+        out.as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val exact = collect(Text.repeatedSpans(df, "doc_id", "text", w))
+      val hashed = collect(Text.repeatedSpansHashed(df, "doc_id", "text", w))
+      // naive reference: stride-1 windows (short doc -> whole doc), a
+      // window is repeated iff >= 2 distinct docs contain its text
+      def winsOf(t: String): Seq[String] = {
+        val ts = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.size < w) Seq(ts.mkString(" "))
+        else ts.sliding(w).map(_.mkString(" ")).toSeq
+      }
+      val byDoc = docs.map { case (id, t) => id -> winsOf(t) }
+      val repeated = byDoc.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val ref = byDoc.map { case (id, ws) =>
+        val nr = ws.count(repeated)
+        id -> ((ws.size.toLong, nr.toLong,
+          BigDecimal(nr.toDouble / ws.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      exact == ref && hashed == ref
+    }
+
   property("firstPerGroup picks the true minimum per group") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))) {
       rows =>
