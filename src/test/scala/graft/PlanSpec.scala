@@ -264,6 +264,25 @@ class PlanSpec extends SparkSpec {
       s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
   }
 
+  test("repeatedSpans: the repeated tail joins back as a broadcast " +
+    "semi-join (the corpus-sized span set never re-shuffles for it) and " +
+    "the cross-doc detection is partial-aggregated map-side") {
+    val docs = Tables(spark, dir, "documents")
+    val df = ops.Text.repeatedSpans(docs, "doc_id", "text", w = 8)
+    val plan = planOf(df)
+    // the repeated set is the duplicated TAIL — broadcast-sized on any
+    // real corpus; the span rows must meet it in a broadcast semi-join,
+    // not a second full shuffle of the exploded windows
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast LEFT SEMI for the repeated tail in:\n$plan")
+    // countDistinct over the span key plans as two-phase partial_count
+    // (distinct handled by the first keyed aggregate) — no Window
+    assert(!plan.contains("Window"),
+      s"no window may appear on the repeated-span path:\n$plan")
+    assert(plan.toLowerCase.contains("partial_count"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("co-bucketed tables written through the Sink seam join without a shuffle") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
