@@ -41,6 +41,14 @@ object StreamScaleBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // section = cc (default, the cluster-maintenance legs) | ivfpq (the
+    // streaming IVFADC ingest + compact leg over the embeddings table)
+    val section = if (args.length > 2) args(2) else "cc"
+    if (section == "ivfpq") {
+      ivfPqLeg(spark, sfDir, numBatches, cpus.toInt)
+      spark.stop(); return
+    }
+
     val docs = Tables(spark, sfDir, "documents")
     val nDocs = docs.count()
     // the real edge feed: the same pairs the batch dedup operator emits
@@ -190,5 +198,78 @@ object StreamScaleBench {
       s"C=$batchC) = $selShards shards (footprint-aware)")
     shardedLeg(s"sharded-trickle-sel$selShards", selShards, trickleBatches)
     spark.stop()
+  }
+
+  /** Streaming IVFADC ingest leg: the embeddings corpus streams in
+    * `numBatches` micro-batches through `EventStream.ivfPqIngest`
+    * (models pre-trained on the full corpus — the ingest contract),
+    * measuring per batch the fold wall time, artifact rows, file count,
+    * and artifact bytes. Then: probe latency on the appended artifact,
+    * one `ivfPqCompact`, file count and probe latency after — the
+    * numbers behind SCALE.md's "append-forever costs files, not bytes;
+    * compaction caps them at O(numBuckets)".
+    */
+  private def ivfPqLeg(
+      spark: SparkSession, sfDir: String, numBatches: Int,
+      cpus: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables(spark, sfDir, "embeddings").repartition(cpus).cache()
+    val n = emb.count()
+    val kc = math.max(4, math.sqrt(n.toDouble).toInt)
+    val cents = ops.Similarity.seedCentroidsFor(emb, "vec_id", "embedding", kc)
+    val model = ops.Similarity.pqTrain(emb, "vec_id", "embedding", 8, 16, 1)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    println(s"STREAMSCALE ivfpq corpus=$n vecs cells=$kc " +
+      s"buckets=32 batches=$numBatches")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streamscale_ivfpq").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(t: String): Int = {
+      val d = new java.io.File(s"$base/$t")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet"))
+      else 0
+    }
+    def bytes(t: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$t")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = streaming.EventStream.ivfPqIngest(
+      input.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, model, 32, base, "ing", s"$base/ckpt")
+    try {
+      (0 until numBatches).foreach { b =>
+        val batch = rows.zipWithIndex.collect {
+          case (r, i) if i % numBatches == b => r }
+        input.addData(batch.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"STREAMSCALE ivfpq batch=$b vecs=${batch.length} " +
+          f"fold=$sec%.2f s files=${files("ing")} " +
+          f"artifact_bytes=${bytes("ing")}")
+      }
+    } finally q.stop()
+    val queries = emb.where(col("vec_id") < 64)
+    def timeProbe(table: String): Double = {
+      val t0 = System.nanoTime()
+      ops.Similarity.ivfPqProbe(
+        queries, ops.Similarity.ivfAssigned(spark, base, table, "ivfpq"),
+        "vec_id", "embedding", 10, cents, model)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"STREAMSCALE ivfpq probe(appended): ${timeProbe("ing")}%.2f s " +
+      f"files=${files("ing")}")
+    val t0 = System.nanoTime()
+    ops.Similarity.ivfPqCompact(spark, base, "ing", "ing_c", 32)
+    println(f"STREAMSCALE ivfpq compact: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"files ${files("ing")} -> ${files("ing_c")} " +
+      f"bytes ${bytes("ing")} -> ${bytes("ing_c")}")
+    println(f"STREAMSCALE ivfpq probe(compacted): ${timeProbe("ing_c")}%.2f s")
+    ()
   }
 }
