@@ -1256,9 +1256,16 @@ object Similarity {
   def pqTrain(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ks: Int = 16, iters: Int = 1): PqModel = {
+    // cheap scalar argument checks FIRST: seedCentroids below is a
+    // cluster job (orderBy/limit/collect of the corpus head) — an
+    // invalid m/ks/iters must not cost a scan before it fails
     require(ks >= 2, s"ks must be >= 2, got $ks")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     val seeds = seedCentroids(corpus, idCol, vecCol, ks)
-    require(seeds.nonEmpty, "pqTrain: empty corpus — nothing to seed from")
+    require(seeds.size >= 2,
+      s"pqTrain: corpus has ${seeds.size} row(s) — PQ needs >= 2 to seed " +
+        "distinct codewords")
     pqTrainFrom(corpus, idCol, vecCol, seeds.map(_._2), m, iters)
   }
 
@@ -1494,6 +1501,17 @@ object Similarity {
     * probes so the scoring contract cannot fork.
     */
   private def adcTable(vec: Column, model: PqModel): Column = {
+    val sub = model.subDim
+    // explicit length guard, the pqEncode discipline mirrored onto the
+    // QUERY side: a vector LONGER than model.dim slices cleanly into all
+    // m subspaces and would silently score on its first dim elements; a
+    // SHORTER one already poisons via the zip_with length behavior, but
+    // one equality check covers both directions and a NULL vector falls
+    // through to the NULL branch (NULL _tbl → the row drops in adcRank)
+    when(size(vec) === model.dim, adcTableUnchecked(vec, model))
+  }
+
+  private def adcTableUnchecked(vec: Column, model: PqModel): Column = {
     val sub = model.subDim
     array((0 until model.m).map { s =>
       val qsv = slice(vec, s * sub + 1, sub)
@@ -1758,20 +1776,17 @@ object Similarity {
   }
 
   /** Corpus side of the inline IVFADC scan: `(neighbor_id, _cell,
-    * codes)`, both arms through [[ivfPqRows]]'s projection shape.
+    * codes)` — [[ivfPqRows]]'s projection (ONE definition of the
+    * encode-side contract, so the inline scan cannot fork from the
+    * artifact/ingest rows) minus the constant `_params` stamp.
     */
   private def ivfPqScan(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], model: PqModel,
-      residual: Boolean): DataFrame = {
-    val encSrc =
-      if (residual) withCellResid(corpus, idCol, vecCol, cents)
-      else withCell(corpus, idCol, vecCol, cents)
-    pqEncode(encSrc, idCol, if (residual) "_rv" else vecCol,
-        model, keep = Seq("_cell"))
+      residual: Boolean): DataFrame =
+    ivfPqRows(corpus, idCol, vecCol, cents, model, residual)
       .select(col(idCol).as("neighbor_id"), col("_cell"), col("codes"))
       .where(col("codes").isNotNull && col("_cell").isNotNull)
-  }
 
   /** Query side of the ADC probes: `(query_id, _cell, _tbl)` per probed
     * cell. Residual arm: the ADC table is per (query, PROBED CELL) —

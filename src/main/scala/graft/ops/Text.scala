@@ -473,16 +473,26 @@ object Text {
       docs: DataFrame, idCol: String, textCol: String, w: Int,
       key: Column => Column): DataFrame = {
     require(w >= 1, s"window must be >= 1 token, got $w")
-    val spans = docs
+    // the exploded window rows feed three consumers (the cross-doc
+    // aggregate, the semi-join probe side, the per-doc totals) —
+    // materialize them ONCE so tokenize+explode runs once, not per
+    // consumer (the Materialize seam; mode-configurable for a cluster)
+    val spans = Materialize.checkpoint(docs
       .select(col(idCol), tokens(col(textCol)).as("_ts"))
       .select(col(idCol), explode(shinglesOfTokens(col("_ts"), w)).as("_s"))
-      .select(col(idCol), key(col("_s")).as("_k"))
-    val repeated = spans.groupBy("_k")
+      .select(col(idCol), key(col("_s")).as("_k")))
+    // materialized + counted BEFORE the size-dispatched broadcast:
+    // broadcastIfSmall's count and size sample are actions, and an
+    // uncached aggregate would re-run the corpus-wide span shuffle once
+    // per action (its documented caller contract)
+    val repeated = Materialize.checkpoint(spans.groupBy("_k")
       .agg(countDistinct(col(idCol)).as("_nd"))
       .where(col("_nd") >= 2)
-      .select("_k")
+      .select("_k"))
+    val nRepeated = repeated.count()
     val marked = spans
-      .join(graft.ops.Joins.broadcastIfSmall(repeated), Seq("_k"), "left_semi")
+      .join(graft.ops.Joins.broadcastIfSmall(repeated, Some(nRepeated)),
+        Seq("_k"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
     spans.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
       .join(marked, Seq(idCol), "left")

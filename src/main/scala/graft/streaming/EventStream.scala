@@ -277,7 +277,14 @@ object EventStream {
     * path too).
     *
     * Exactly-once across restarts, two-marker protocol per batch under
-    * `target/table._ingest/` (Hadoop FS of the artifact's own URI):
+    * `checkpointDir/_ingest/` — the CHECKPOINT owns batch-id identity,
+    * so the markers must live with it: batch ids restart at 0 for every
+    * fresh checkpoint, and artifact-scoped markers would silently skip a
+    * second stream's first batches as "already committed" (data loss,
+    * no error). Corollary, the standard Structured Streaming contract:
+    * deleting the checkpoint while keeping the artifact discards the
+    * dedup state — a re-run of the same source appends duplicates.
+    * Markers per batch:
     *  - `commit_<batchId>` present → the batch fully landed; a replayed
     *    batch returns immediately (appending it again would duplicate
     *    every row — and a duplicated corpus row would surface TWICE in a
@@ -309,7 +316,8 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ivfPqIngestBatch(batch, bid, idCol, vecCol, cents, model,
-          numBuckets, target, table, tablePrefix, residual)
+          numBuckets, target, table, s"$checkpointDir/_ingest",
+          tablePrefix, residual)
       }
       .start()
 
@@ -321,12 +329,12 @@ object EventStream {
       cents: Seq[(Long, Seq[Double])],
       model: graft.ops.Similarity.PqModel,
       numBuckets: Int, target: String, table: String,
-      tablePrefix: String, residual: Boolean): Unit = {
+      markerDir: String, tablePrefix: String, residual: Boolean): Unit = {
     import graft.ops.Similarity
     val spark = batch.sparkSession
     val sink = graft.sources
       .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
-    val markers = new org.apache.hadoop.fs.Path(s"$target/$table._ingest")
+    val markers = new org.apache.hadoop.fs.Path(markerDir)
     val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commit = new org.apache.hadoop.fs.Path(markers, s"commit_$bid")
     val inflight = new org.apache.hadoop.fs.Path(markers, s"inflight_$bid")

@@ -222,33 +222,45 @@ class IvfPqSpec extends SparkSpec {
         "streamed artifact must probe identically to a batch rebuild")
       // a COMMITTED batch replays as a no-op (restart redelivery)
       val b1df = b1.toSeq.toDF("vec_id", "embedding")
+      val markers = s"$ckpt/_ingest"
       graft.streaming.EventStream.ivfPqIngestBatch(
         b1df, 1L, "vec_id", "embedding", cents, m, 8, wh, "st",
-        "ivfpq", residual = false)
+        markers, "ivfpq", residual = false)
       assert(Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
         === e.count(), "replay of a committed batch must not duplicate")
       // a TORN batch: its rows landed but the commit marker did not —
       // replay must anti-join them out, not double them
       val fs = new org.apache.hadoop.fs.Path(wh)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/st._ingest/commit_1"),
-        false)
-      fs.create(new org.apache.hadoop.fs.Path(s"$wh/st._ingest/inflight_1"),
+      fs.delete(new org.apache.hadoop.fs.Path(s"$markers/commit_1"), false)
+      fs.create(new org.apache.hadoop.fs.Path(s"$markers/inflight_1"),
         true).close()
       graft.streaming.EventStream.ivfPqIngestBatch(
         b1df, 1L, "vec_id", "embedding", cents, m, 8, wh, "st",
-        "ivfpq", residual = false)
+        markers, "ivfpq", residual = false)
       assert(Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
         === e.count(), "torn-batch replay must deduplicate, not double")
-      assert(fs.exists(new org.apache.hadoop.fs.Path(
-        s"$wh/st._ingest/commit_1")), "replay must re-commit the torn batch")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$markers/commit_1")),
+        "replay must re-commit the torn batch")
+      // markers are CHECKPOINT-scoped: a fresh checkpoint restarts batch
+      // ids at 0, and its batch 0 must LAND (artifact-scoped markers
+      // would skip it as already-committed - silent data loss)
+      val fresh = e.where(col("vec_id") < 8)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      val preFresh = Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
+      graft.streaming.EventStream.ivfPqIngestBatch(
+        fresh, 0L, "vec_id", "embedding", cents, m, 8, wh, "st",
+        s"$ckpt/_ingest2", "ivfpq", residual = false)
+      assert(Similarity.ivfAssigned(spark, wh, "st", "ivfpq").count()
+        === preFresh + 8,
+        "a new checkpoint's batch 0 must land despite old commit_0")
       // drift guard holds on the streaming path too
       val otherModel = Similarity.pqTrain(
         e, "vec_id", "embedding", m = 8, ks = 8, iters = 1)
       val eDrift = intercept[IllegalArgumentException] {
         graft.streaming.EventStream.ivfPqIngestBatch(
           b1df, 9L, "vec_id", "embedding", cents, otherModel, 8, wh, "st",
-          "ivfpq", residual = false)
+          markers, "ivfpq", residual = false)
       }
       assert(eDrift.getMessage.contains("IVFADC"))
       // compaction: every ingested batch leaves its own file set, so the
@@ -263,7 +275,7 @@ class IvfPqSpec extends SparkSpec {
           (col("vec_id") + i * 100000L).as("vec_id"), col("embedding"))
         graft.streaming.EventStream.ivfPqIngestBatch(
           extra, i.toLong, "vec_id", "embedding", cents, m, 8, wh, "st",
-          "ivfpq", residual = false)
+          markers, "ivfpq", residual = false)
       }
       val probeFull = Similarity.ivfPqProbe(
         queries, Similarity.ivfAssigned(spark, wh, "st", "ivfpq"),

@@ -123,7 +123,11 @@ class PqSpec extends SparkSpec {
     val badQ = Seq(
       (20L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f)),        // short
       (21L, Seq[java.lang.Float](1.0f, null, 0.0f, 1.0f)),  // null element
-      (22L, Seq[java.lang.Float](Float.NaN, 0.0f, 0.0f, 1.0f)) // NaN
+      (22L, Seq[java.lang.Float](Float.NaN, 0.0f, 0.0f, 1.0f)), // NaN
+      // LONGER than model.dim: slices cleanly into every subspace and
+      // would silently score on its first dim elements without the
+      // adcTable length guard (the pqEncode discipline, query side)
+      (23L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f, 1.0f, 9.0f))
     ).toDF("vec_id", "embedding")
     assert(Similarity.pqTopK(badQ, enc, "vec_id", "embedding", 3, model)
       .count() === 0)
