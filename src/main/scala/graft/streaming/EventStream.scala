@@ -362,6 +362,14 @@ object EventStream {
     }
     fs.create(commit, true).close()
     fs.delete(inflight, false)
+    // O(1) marker housekeeping: Structured Streaming replays at most the
+    // LAST uncommitted batch of a checkpoint lineage, so once bid commits,
+    // markers older than bid−1 can never be consulted again — drop
+    // commit_(bid−2) each batch and the marker dir stays at ≤ 2 files
+    // forever instead of one per batch
+    if (bid >= 2)
+      fs.delete(new org.apache.hadoop.fs.Path(markers, s"commit_${bid - 2}"),
+        false)
     ()
   }
 

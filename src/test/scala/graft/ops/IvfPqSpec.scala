@@ -277,6 +277,13 @@ class IvfPqSpec extends SparkSpec {
           extra, i.toLong, "vec_id", "embedding", cents, m, 8, wh, "st",
           markers, "ivfpq", residual = false)
       }
+      // marker housekeeping: commit files older than bid−1 are pruned
+      // each batch, so a long-running ingest keeps O(1) markers, not one
+      // per batch
+      val markerFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(markers)).length
+      assert(markerFiles <= 3,
+        s"marker dir must stay bounded, found $markerFiles files")
       val probeFull = Similarity.ivfPqProbe(
         queries, Similarity.ivfAssigned(spark, wh, "st", "ivfpq"),
         "vec_id", "embedding", 5, cents, m)
