@@ -809,6 +809,43 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- binary (1-bit sign) quantization: the floor of the
+    // compression ladder (float32 → int8 → PQ 4-bit → 1-bit). No
+    // training, no model artifact — the code is a pure per-row function
+    // of the vector (map-side, zero shuffle), 32 dims per packed word so
+    // no BIGINT sign-bit hazard in either engine ---
+    "q_embed_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binQuantize(emb, "vec_id", "embedding", 64)
+        .select(col("vec_id"), col("bin_code"))
+    }),
+
+    // --- Hamming top-k over the packed sign bits: XOR + POPCNT per
+    // 8-byte code — the cheapest full-scan retrieval arithmetic; rank by
+    // (hamming ASC, neighbor ASC) through the partial-aggregable top-k
+    // tail. Graded contract = (query, neighbor, rank) like the ADC rows ---
+    "q_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codes = Similarity.binQuantize(emb, "vec_id", "embedding", 64)
+      Similarity.hammingTopK(emb.where(col("vec_id") < 8), codes,
+        "vec_id", "embedding", 5, 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // --- binary-scan + exact-rerank two-stage retrieval: a generous
+    // Hamming shortlist (top-50 from 8-byte codes) re-ranked by EXACT
+    // L2 over just the nominated pairs — the q_pq_rerank shape with the
+    // cheaper stage-one scan ---
+    "q_hamming_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codes = Similarity.binQuantize(emb, "vec_id", "embedding", 64)
+      val queries = emb.where(col("vec_id") < 8)
+      val short = Similarity.hammingTopK(queries, codes,
+        "vec_id", "embedding", 50, 64)
+      Similarity.rerankL2(queries, emb, short, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -1463,6 +1500,19 @@ object SparkEntry {
       "encc AS (SELECT vec_id, s, code FROM easg WHERE rn = 1)"
 
   private val pqTrainSql: String = "WITH " + pqChainSql("embeddings")
+
+  /** Shared prefix of the binary-quantization twins: sign-bit packing of
+    * `embeddings` into dim/32 words of 32 bits each (bits 0..31 only, so
+    * every word value is in [0, 2³²) and BIGINT arithmetic is exact and
+    * identical in both engines — the Spark side packs the same way,
+    * Similarity.binQuantize).
+    */
+  private val binCodeSql: String =
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +
+      "bw AS (SELECT vec_id, pos // 32 AS w, " +
+      "SUM(CASE WHEN CAST(x AS DOUBLE) > 0 THEN CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) ELSE 0 END) AS wv " +
+      "FROM e GROUP BY 1, 2), " +
+      "bc AS (SELECT vec_id, list(wv ORDER BY w) AS cw FROM bw GROUP BY 1)"
 
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
@@ -2304,6 +2354,45 @@ object SparkEntry {
         "array_to_string(list_transform(embedding, x -> CAST(" +
         "CASE WHEN sc > 0 THEN greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127 / sc + 0.5) AS INT))) ELSE 0 END " +
         "AS VARCHAR)), ',') AS qvec FROM s"),
+
+    // sign-bit packing, 32 dims per word (bits 0..31 — no BIGINT
+    // sign-bit hazard): word value = Σ CASE x>0 THEN 1<<j — exact
+    // integer arithmetic both engines, comma-joined like qvec
+    "q_embed_binary" -> (binCodeSql +
+      " SELECT vec_id, array_to_string(list_transform(cw, x -> CAST(x AS VARCHAR)), ',') AS bin_code FROM bc"),
+
+    // Hamming = Σ_words bit_count(xor(q_word, c_word)); rank by
+    // (hamming ASC, neighbor ASC) — the TopKAggregator contract
+    "q_hamming_topk" -> (binCodeSql +
+      ", q AS (SELECT vec_id AS query_id, cw AS qw FROM bc WHERE vec_id < 8), " +
+      "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
+      "FROM q CROSS JOIN bc c WHERE q.query_id <> c.vec_id) " +
+      "SELECT query_id, neighbor_id, rank FROM " +
+      "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
+      "WHERE rank <= 5"),
+
+    // the q_hamming_topk chain widened to a rank<=50 shortlist, then
+    // exact full-dim L2 re-rank — the q_pq_rerank tail verbatim
+    "q_hamming_rerank" -> {
+      def l2(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      binCodeSql +
+        ", q AS (SELECT vec_id AS query_id, cw AS qw FROM bc WHERE vec_id < 8), " +
+        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
+        "FROM q CROSS JOIN bc c WHERE q.query_id <> c.vec_id), " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS rk FROM d) WHERE rk <= 50), " +
+        s"rr AS (SELECT sh.query_id, sh.neighbor_id, ${l2("qe.embedding", "ne.embedding")} AS dd " +
+        "FROM short sh JOIN embeddings qe ON qe.vec_id = sh.query_id " +
+        "JOIN embeddings ne ON ne.vec_id = sh.neighbor_id) " +
+        "SELECT query_id, neighbor_id, rank FROM " +
+        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd ASC, neighbor_id) AS INT) AS rank FROM rr) " +
+        "WHERE rank <= 5"
+    },
 
     // the comma-joined dense code word (dense ints render identically in
     // both engines; the codes array itself is not pandas-sortable)

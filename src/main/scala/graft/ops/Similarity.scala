@@ -1195,6 +1195,102 @@ object Similarity {
             .otherwise(lit(0)).cast("string"))).as("qvec"))
 
   // --------------------------------------------------------------------
+  // Binary (1-bit / sign) quantization — the floor of the compression
+  // ladder: one bit per dimension packs a 64-dim float32 vector into 8
+  // bytes (32×), and candidate distance collapses to Hamming popcount
+  // over the packed words (XOR + POPCNT — cheaper per candidate than
+  // even PQ's m table lookups). Charikar 2002 grounds the semantics:
+  // sign bits ARE a 1-bit SRP sketch whose hyperplanes are the
+  // coordinate axes, so E[hamming/dim] = θ/π and Hamming rank
+  // approximates angle rank. Production retrieval ships this as stage
+  // one of binary-scan + exact-rerank; stage two here is [[rerankL2]]
+  // unchanged. No training, no model artifact: the code is a pure
+  // per-row function of the vector, which is what makes the encode
+  // embarrassingly map-side at any corpus size and lets ANY engine
+  // (the DuckDB twin included) reproduce it bit-for-bit.
+  // --------------------------------------------------------------------
+
+  /** Sign-bit packing: word `w` holds dims `[32w, 32w+32)`, bit `j` of
+    * word `w` = 1 iff `vec(32w + j) > 0`. Words use bits 0..31 only —
+    * every word value is in [0, 2³²), so the packed BIGINT never
+    * touches the sign bit and Spark and DuckDB integer arithmetic agree
+    * exactly (packing 64 bits per word would need the sign bit and
+    * engines diverge on `1 << 63` overflow discipline).
+    *
+    * Output: `bin_words` (array<bigint>, dim/32 words — the scan-side
+    * artifact [[hammingTopK]] consumes) and `bin_code` (the same words
+    * comma-joined — the oracle-hashable projection, the [[quantizeInt8]]
+    * qvec convention). Malformed rows — wrong length, NULL element, NaN
+    * element — poison to NULL code rather than a silently plausible one
+    * (NaN > 0 is false, so an unguarded NaN would quietly encode as a 0
+    * bit; the pqEncode length-guard lesson applied from day one).
+    * Map-side only: zero shuffle at any corpus size.
+    */
+  def binQuantize(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && dim % 32 == 0,
+      s"binQuantize: dim must be a positive multiple of 32, got $dim")
+    val words = dim / 32
+    // static unroll: 32 adds per word, all plain integer arithmetic on
+    // literal masks — stays inside whole-stage codegen (no higher-order
+    // lambda on the encode path)
+    val wordCols = (0 until words).map { w =>
+      (0 until 32).map { j =>
+        when(element_at(col(vecCol), w * 32 + j + 1).cast("double") > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val malformed = size(col(vecCol)) =!= dim ||
+      exists(col(vecCol), x => x.isNull || isnan(x.cast("double")))
+    emb.select(
+      col(idCol),
+      when(malformed, lit(null)).otherwise(array(wordCols: _*))
+        .as("bin_words"))
+      .withColumn("bin_code",
+        when(col("bin_words").isNull, lit(null))
+          .otherwise(concat_ws(",",
+            transform(col("bin_words"), _.cast("string")))))
+  }
+
+  /** Hamming top-k over packed sign bits: for each query, the k corpus
+    * codes with the fewest differing bits (ties to the smaller
+    * neighbor_id — integer distances in [0, dim] tie CONSTANTLY, so the
+    * deterministic break is load-bearing, not cosmetic). `codes` is
+    * [[binQuantize]] output; queries are encoded on the fly and
+    * malformed queries DROP (NULL `bin_words` — the bruteForceTopK NaN
+    * discipline, not an arbitrary neighbor_id-ordered answer).
+    *
+    * Scale shape: queries broadcast; the corpus streams ONE scan of 8
+    * bytes/vector touching XOR+POPCNT per word, and the rank tail is the
+    * partial-aggregable [[adcRank]] — k rows per partition reach the one
+    * exchange. This is the cheapest full-scan retrieval arithmetic in
+    * the file; its recall ceiling (1 bit/dim cannot rank what it cannot
+    * resolve) is what [[rerankL2]] on a widened shortlist buys back.
+    */
+  def hammingTopK(
+      queries: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val q = binQuantize(queries, idCol, vecCol, dim)
+      .where(col("bin_words").isNotNull)
+      .select(col(idCol).as("query_id"), col("bin_words").as("_qw"))
+    val c = codes
+      .where(col("bin_words").isNotNull)
+      .select(col(idCol).as("neighbor_id"), col("bin_words").as("_cw"))
+    // words = dim/32 is tiny (2 at dim 64), so the higher-order lambda
+    // dispatch costs O(words) per candidate, not O(dim) — the composed
+    // form stays within noise of a native loop here, unlike vec_dot
+    val hd = aggregate(
+      zip_with(col("_qw"), col("_cw"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    adcRank(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("_adc", hd.cast("double")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("long").as("hamming"))
+  }
+
+  // --------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011, "Product
   // quantization for nearest neighbor search", IEEE TPAMI 33(1)) — the
   // compression tier BELOW int8: int8 cuts a float32 corpus 4×, PQ at

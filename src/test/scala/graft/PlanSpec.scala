@@ -264,6 +264,25 @@ class PlanSpec extends SparkSpec {
       s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
   }
 
+  test("hammingTopK: queries broadcast, corpus codes stream, rank tail " +
+    "is partial-aggregable — no window, at most one exchange") {
+    val emb = Tables(spark, dir, "embeddings")
+    val codes = ops.Similarity.binQuantize(emb, "vec_id", "embedding", 64)
+    val df = ops.Similarity.hammingTopK(
+      emb.where(col("vec_id") < 8), codes, "vec_id", "embedding", 5, 64)
+    val plan = planOf(df)
+    val joinLine = plan.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.exists(_.contains("BuildRight")),
+      s"expected BroadcastNestedLoopJoin BuildRight in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"Hamming ranking must not plan a window over scored pairs:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected map-side partial top-k aggregation in:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
+  }
+
   test("repeatedSpans: the repeated tail joins back as a broadcast " +
     "semi-join (the corpus-sized span set never re-shuffles for it) and " +
     "the cross-doc detection is partial-aggregated map-side") {
