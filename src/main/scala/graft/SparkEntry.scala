@@ -1154,6 +1154,21 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- per-doc mean bigram conditional log-likelihood under the
+    // corpus's own bigram LM — the CCNet-style perplexity signal at its
+    // order-2 exact-count core (scoring corpus == count corpus, so no
+    // smoothing term; the unigram integer-units discipline) ---
+    "q_bigram_logprob" -> ((s, dir) =>
+      Text.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- CCNet perplexity bucketing (Wenzek et al. 2020): decile bands
+    // of the bigram score via broadcast percentile thresholds + map-side
+    // assignment — deliberately NOT an ntile window (a global ORDER BY
+    // window is a single-partition sort) ---
+    "q_ppl_bucket" -> ((s, dir) =>
+      Text.pplBucket(
+        Text.bigramLogProb(t(s, dir, "documents"), "doc_id", "text"))),
+
     // --- DSIR importance weights: mean per-token target-vs-raw unigram
     // log-likelihood ratio (Xie et al. 2023) — docs resembling the seed
     // set (doc_id < 50 here) score positive and get upsampled ---
@@ -1363,6 +1378,23 @@ object SparkEntry {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   private def docTokensOf(e: String) =
     s"list_filter(string_split_regex($e, '\\s+'), x -> x <> '')"
+
+  /** CTE chain of the bigram-LM twins, ending in
+    * `bgl(doc_id, n_bigrams, logprob)` — adjacent token pairs, corpus
+    * bigram counts, the unigram integer-units mean discipline. Docs with
+    * fewer than 2 tokens drop (no bigrams, no defined bucket).
+    */
+  private val bigramChainSql: String =
+    s"tk AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
+      "tok AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 2), " +
+      "bgx AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts FROM tok), " +
+      "bgr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM bgx), " +
+      "tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bgr GROUP BY 1, 2, 3), " +
+      "cb2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tfb GROUP BY 1, 2), " +
+      "cb1 AS (SELECT w1, SUM(c2) AS c1 FROM cb2 GROUP BY 1), " +
+      "bgl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, " +
+      "floor(CAST(SUM(CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logprob " +
+      "FROM tfb JOIN cb2 USING (w1, w2) JOIN cb1 USING (w1) GROUP BY doc_id)"
 
   /** DuckDB rendering of Dedup.simhash16 over `documents`, ending in a
     * CTE `sh(doc_id, simhash)`.
@@ -1627,6 +1659,24 @@ object SparkEntry {
         "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
         "floor(CAST(SUM(CAST(floor(ln(CAST(freq AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logprob " +
         "FROM tf JOIN fr USING (token) CROSS JOIN t GROUP BY doc_id"),
+
+    // adjacent-pair LM: c(w1 w2) / c(w1 ·) where the denominator counts
+    // bigrams STARTING with w1 (a doc's final token starts none), then
+    // the unigram integer-units mean — mirrors the Spark side bit-exactly
+    "q_bigram_logprob" -> (
+      "WITH " + bigramChainSql +
+        " SELECT doc_id, n_bigrams, logprob FROM bgl"),
+
+    // decile thresholds = quantile_cont (the q_percentile-pinned
+    // interpolating percentile) rounded 6dp over the bigram scores, then
+    // map-side band assignment: bucket = 1 + #thresholds strictly below
+    "q_ppl_bucket" -> (
+      "WITH " + bigramChainSql +
+        ", th AS (SELECT list_transform(quantile_cont(logprob, " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl) " +
+        "SELECT doc_id, logprob, " +
+        "CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket " +
+        "FROM bgl CROSS JOIN th"),
 
     "q_asof_join" -> (
       "WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'), " +

@@ -281,6 +281,105 @@ object Text {
           .as("logprob"))
   }
 
+  /** Per-doc mean bigram conditional log-likelihood under the corpus's
+    * own bigram LM: logprob = mean over a doc's adjacent token pairs of
+    * ln P(w₂|w₁), with P(w₂|w₁) = c(w₁w₂) / c(w₁·) and c(w₁·) = the
+    * count of bigrams STARTING with w₁ (not the unigram count — the
+    * final token of a document starts no bigram, and using raw tf would
+    * deflate every conditional). Scoring the same corpus the counts come
+    * from means every scored bigram has c ≥ 1 — no smoothing term, so
+    * the whole chain is exact-count arithmetic any engine reproduces.
+    * This is the LM behind CCNet-style perplexity filtering (Wenzek et
+    * al. 2020) reduced to its order-2 exact-count core: low logprob =
+    * improbable token transitions = boilerplate/garble candidates; the
+    * bucketing step is [[pplBucket]].
+    *
+    * Docs with fewer than 2 tokens have no bigrams and DROP (a NULL
+    * logprob has no defined bucket and engines disagree on NULL
+    * ordering; callers needing them keep a left join on the id).
+    *
+    * Scale shape: one tokenize pass (through [[spread]]), bigram
+    * explode is map-side, then two keyed partial-agg shuffles (doc×
+    * bigram tf, then the corpus bigram table); the count tables re-enter
+    * through [[vocabSide]] — the same broadcast-until-web-scale trade as
+    * [[tfidf]]/[[unigramLogProb]]. Portability: each bigram's ln ratio
+    * is quantized to integer 1e-9 units with floor(+0.5) and summed
+    * EXACTLY — the [[unigramLogProb]] discipline (round(·,9) + decimal
+    * sums were measured there to disagree cross-engine on 15/500 docs).
+    */
+  def bigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = spread(docs)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_ts"))
+      .where(size(col("_ts")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("_ts"), lit(1), size(col("_ts")) - 1),
+          slice(col("_ts"), lit(2), size(col("_ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("doc_id"),
+        col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    bg
+      .join(vocabSide(c2), Seq("w1", "w2"))
+      .join(vocabSide(c1), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(floor(log(col("c2").cast("double") / col("c1").cast("double"))
+          * 1e9 + 0.5).cast("long") * col("tf")).as("_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("_u").cast("double") /
+          (col("n_bigrams").cast("double") * 1000.0) + 0.5) / 1e6)
+          .as("logprob"))
+  }
+
+  /** CCNet-style perplexity bucketing: split scored docs into `buckets`
+    * quantile bands of `logprob` (bucket 1 = least probable text under
+    * the LM — the Wenzek et al. 2020 "tail"; the top bucket is the
+    * "head" a quality-focused mixture upsamples). Thresholds are the
+    * exact interpolated percentiles of the score column — ONE scalar
+    * aggregate row, broadcast — and assignment is a pure map-side
+    * comparison: bucket = 1 + |{thresholds < logprob}| (a doc exactly ON
+    * a threshold goes to the lower band, deterministically).
+    *
+    * Deliberately NOT an ntile window: a global ORDER BY window plans as
+    * a single-partition sort — the one shape that cannot scale. The
+    * threshold form's only non-map cost is the percentile aggregate over
+    * per-doc scalars; at true web scale CCNet itself fixes thresholds
+    * from a SAMPLE once and ships them as config, which this signature
+    * supports by computing them on a sampled frame and bucketing the
+    * full one ([[pplBucketWith]]).
+    */
+  def pplBucket(scored: DataFrame, buckets: Int = 10): DataFrame =
+    pplBucketWith(scored, scored, buckets)
+
+  /** [[pplBucket]] with the thresholds computed on a separate frame
+    * (e.g. a hash-sampled subset — the fixed-thresholds-from-a-sample
+    * production shape). Both frames need a `logprob` column; output is
+    * `sample`'s thresholds applied to every `scored` row.
+    */
+  def pplBucketWith(
+      scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"pplBucket: need >= 2 buckets, got $buckets")
+    val ps = (1 until buckets).map(i =>
+      (BigDecimal(i) / buckets).toDouble).mkString(", ")
+    // 6dp-rounded thresholds: the percentile agg interpolates between
+    // ranks and raw interpolated doubles are not bit-portable; the
+    // q_percentile twin pins round-6 parity for this exact function
+    val th = sample.agg(
+      expr(s"percentile(logprob, array($ps))").as("_raw"))
+      .select(transform(col("_raw"), t => round(t, 6)).as("_th"))
+    scored
+      .crossJoin(broadcast(th))
+      .select(col("doc_id"), col("logprob"),
+        (lit(1) + size(filter(col("_th"), t => t < col("logprob"))))
+          .cast("int").as("bucket"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per doc, the mean
     * per-token log-likelihood RATIO between a small target corpus (the

@@ -1065,4 +1065,55 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.segmentDedup(corpus, "doc_id", "text", width = 0))
   }
+
+  test("bigramLogProb: hand-computed conditionals, bigram-start " +
+    "denominator (not unigram tf), and sub-2-token docs drop") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a,b)x2 (b,a)x1
+      (2L, "a b c"),   // bigrams: (a,b) (b,c)
+      (3L, "x")        // one token: no bigrams, must DROP
+    ).toDF("doc_id", "text")
+    // corpus: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; starts: c1(a)=3 c1(b)=2.
+    // NOTE tf(b)=3 — the unigram count would give P(a|b)=1/3, the
+    // bigram-start denominator gives the correct 1/2
+    def unit(p: Double) = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    def mean(us: Seq[Long]) =
+      math.floor(us.sum.toDouble / (us.size.toDouble * 1000.0) + 0.5) / 1e6
+    val out = Text.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L,
+      mean(Seq(unit(3.0 / 3.0), unit(3.0 / 3.0), unit(1.0 / 2.0))))))
+    assert(out(2L) == ((2L,
+      mean(Seq(unit(3.0 / 3.0), unit(1.0 / 2.0))))))
+  }
+
+  test("pplBucket: interpolated-percentile bands, a score exactly ON a " +
+    "threshold goes to the LOWER band, and the buckets guard") {
+    val scored = (1 to 10)
+      .map(i => (i.toLong, i.toDouble)).toDF("doc_id", "logprob")
+    val b5 = Text.pplBucket(scored, buckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // thresholds p(.2 .4 .6 .8) of 1..10 = 2.8 4.6 6.4 8.2
+    assert(b5 == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3,
+      6L -> 3, 7L -> 4, 8L -> 4, 9L -> 5, 10L -> 5))
+    // p0.5 of (1,2,3) = 2 exactly: doc 2 sits ON the threshold → band 1
+    val edge = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("doc_id", "logprob")
+    val b2 = Text.pplBucket(edge, buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(b2 == Map(1L -> 1, 2L -> 1, 3L -> 2))
+    intercept[IllegalArgumentException](Text.pplBucket(scored, buckets = 1))
+  }
+
+  test("pplBucketWith: sample thresholds apply to a different scored " +
+    "frame (the fixed-thresholds-from-a-sample production shape)") {
+    val sample = (1 to 10)
+      .map(i => (i.toLong, i.toDouble)).toDF("doc_id", "logprob")
+    val scored = Seq((100L, -5.0), (101L, 5.5), (102L, 99.0))
+      .toDF("doc_id", "logprob")
+    val got = Text.pplBucketWith(scored, sample, buckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(100L -> 1, 101L -> 3, 102L -> 5))
+  }
 }
