@@ -50,8 +50,111 @@ object RecallBench {
     }
 
     val section = if (args.length > 3) args(3) else "all"
-    require(Seq("all", "topk", "pairs", "ivfsplit", "pq").contains(section),
-      s"section must be all|topk|pairs|ivfsplit|pq, got $section")
+    require(Seq("all", "topk", "pairs", "ivfsplit", "pq", "bin").contains(section),
+      s"section must be all|topk|pairs|ivfsplit|pq|bin, got $section")
+
+    // ---- binary (1-bit) quantization: storage cut at rest, Hamming
+    // full-scan speed/recall vs exact truth, rerank recovery, and the
+    // planted-twin hit rate — the PQ section's evidence protocol at the
+    // bottom of the compression ladder ----
+    if (section == "bin") {
+      val cpuN = cpus.toInt
+      val bEmb = emb.repartition(cpuN).cache()
+      bEmb.count()
+      val bQueries = bEmb.where(col("vec_id") < 64)
+      val (truth, nTruth, truthSec) = forceCount(
+        Similarity.bruteForceTopKL2(bQueries, bEmb, "vec_id", "embedding", k))
+      println(f"BIN truth(L2): pairs=$nTruth bruteforce=$truthSec%.2f s")
+      val (truthCos, _, truthCosSec) = forceCount(
+        Similarity.bruteForceTopK(bQueries, bEmb, "vec_id", "embedding", k))
+      println(f"BIN truth(cos): bruteforce=$truthCosSec%.2f s")
+      val (codes, nEnc, encSec) = forceCount(
+        Similarity.binQuantize(bEmb, "vec_id", "embedding", 64)
+          .select(col("vec_id"), col("bin_words")))
+      println(f"BIN encode: rows=$nEnc time=$encSec%.2f s")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bin_storage").toString
+      bEmb.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/raw")
+      codes.write.mode("overwrite").parquet(s"$tmp/codes")
+      def bytesOf(p: String): Long =
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      println(f"BIN_STORAGE raw=${bytesOf(s"$tmp/raw")}%d B " +
+        f"codes=${bytesOf(s"$tmp/codes")}%d B " +
+        f"ratio=${bytesOf(s"$tmp/raw").toDouble / bytesOf(s"$tmp/codes")}%.1f x")
+      val (hm, _, hmSec) = forceCount(Similarity.hammingTopK(
+        bQueries, codes, "vec_id", "embedding", k, 64))
+      println(f"BIN hamming_scan: recall@$k(L2)=${Similarity.recallVs(truth, hm)}%.4f " +
+        f"recall@$k(cos)=${Similarity.recallVs(truthCos, hm)}%.4f " +
+        f"time=$hmSec%.2f s")
+      hm.unpersist()
+      val (rr, _, rrSec) = forceCount {
+        val short = Similarity.hammingTopK(
+          bQueries, codes, "vec_id", "embedding", 10 * k, 64)
+        Similarity.rerankL2(bQueries, bEmb, short, "vec_id", "embedding", k)
+      }
+      println(f"BIN rerank(short=${10 * k}): " +
+        f"recall@$k(L2)=${Similarity.recallVs(truth, rr)}%.4f time=$rrSec%.2f s")
+      rr.unpersist()
+      truthCos.unpersist()
+      truth.unpersist()
+      val plantedFile = new java.io.File(s"$sfDir/planted_pairs.parquet")
+      if (plantedFile.exists()) {
+        val planted = spark.read.parquet(plantedFile.toString).cache()
+        val nPlanted = planted.count()
+        val pqQ = bEmb.join(planted.select(col("id_a").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        def twinHits(df: DataFrame): Long = planted.join(df,
+          planted("id_a") === df("query_id") &&
+            planted("id_b") === df("neighbor_id"), "left_semi").count()
+        val (hmP, _, hmPSec) = forceCount(Similarity.hammingTopK(
+          pqQ, codes, "vec_id", "embedding", k, 64))
+        println(f"BIN planted hamming_scan: twin_hit@$k=" +
+          f"${twinHits(hmP).toDouble / nPlanted}%.4f " +
+          f"queries=$nPlanted time=$hmPSec%.2f s")
+        hmP.unpersist()
+        // A/B: the same planted scan with the COMPOSED kernel
+        // (zip_with + bit_count + aggregate — a lambda dispatch per word
+        // per pair) — prices what the native vec_hamming loop buys on
+        // the operator's own hot path
+        val (hmC, _, hmCSec) = forceCount {
+          val qq = Similarity.binQuantize(pqQ, "vec_id", "embedding", 64)
+            .where(col("bin_words").isNotNull)
+            .select(col("vec_id").as("query_id"), col("bin_words").as("_qw"))
+          val cc = codes.where(col("bin_words").isNotNull)
+            .select(col("vec_id").as("neighbor_id"), col("bin_words").as("_cw"))
+          val hd = aggregate(
+            zip_with(col("_qw"), col("_cw"),
+              (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+            lit(0L), (acc, x) => acc + x)
+          val scored = cc.join(broadcast(qq),
+            col("query_id") =!= col("neighbor_id"))
+            .withColumn("_hd", hd)
+          val topk = graft.functions.TopKAggregator.topK(k)
+          scored.where(col("_hd").isNotNull)
+            .groupBy("query_id")
+            .agg(topk(negate(col("_hd").cast("double")), col("neighbor_id"))
+              .as("_top"))
+            .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+            .select(col("query_id"), col("_t._2").as("neighbor_id"),
+              (col("_i") + 1).cast("int").as("rank"))
+        }
+        println(f"BIN planted hamming_scan(composed): twin_hit@$k=" +
+          f"${twinHits(hmC).toDouble / nPlanted}%.4f time=$hmCSec%.2f s")
+        hmC.unpersist()
+        val (rrP, _, rrPSec) = forceCount {
+          val short = Similarity.hammingTopK(
+            pqQ, codes, "vec_id", "embedding", 10 * k, 64)
+          Similarity.rerankL2(pqQ, bEmb, short, "vec_id", "embedding", k)
+        }
+        println(f"BIN planted rerank(short=${10 * k}): twin_hit@$k=" +
+          f"${twinHits(rrP).toDouble / nPlanted}%.4f time=$rrPSec%.2f s")
+        rrP.unpersist()
+        planted.unpersist(); ()
+      }
+      spark.stop(); return
+    }
 
     // ---- PQ / IVFADC: compression-tier evidence — train + encode
     // throughput, the storage cut measured on parquet at rest, and the

@@ -1240,6 +1240,13 @@ object SparkEntry {
           .otherwise(col("_hx") < "8"))
         .select(col("doc_id"), col("lang"))),
 
+    // --- per-source document cap (the per-domain cap of web curation):
+    // keep the 20 smallest seeded-md5 ranks per source through the
+    // partial-aggregable TopKAggregator — |groups|×cap rows cross the
+    // exchange, per-group state is cap-bounded however hot the domain ---
+    "q_cap_per_group" -> ((s, dir) =>
+      Text.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 20)),
+
     // --- training-mixture sampling: per-source token-budget weights →
     // per-source keep fraction → seeded hash sample (engine-reproducible;
     // the broadcast fraction table means the corpus never shuffles) ---
@@ -1695,6 +1702,16 @@ object SparkEntry {
 
     "q_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' ELSE substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' END",
+
+    // the Spark side ranks by the first 12 md5 hex chars parsed as a
+    // number through the partial-agg top-k; numeric order of a fixed-
+    // width lowercase hex slice IS its lexicographic order, so the twin
+    // ranks the substring directly (ties — 2^-48 — break to smaller id)
+    "q_cap_per_group" -> (
+      "SELECT source, doc_id FROM (SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 20"),
 
     "q_dedup_incremental" -> (
       "WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250), " +

@@ -137,6 +137,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "vec_dot(a, b): exactly two array arguments")
       }),
+    (
+      new FunctionIdentifier("vec_hamming"),
+      new ExpressionInfo(classOf[VecHamming].getName, "vec_hamming"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecHamming(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vec_hamming(a, b): exactly two array<bigint> arguments")
+      }),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (only the InjectRuntimeFilter rule uses them; they are
     // not in the public FunctionRegistry). graft's bloom-prefiltered join

@@ -1276,13 +1276,12 @@ object Similarity {
     val c = codes
       .where(col("bin_words").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("bin_words").as("_cw"))
-    // words = dim/32 is tiny (2 at dim 64), so the higher-order lambda
-    // dispatch costs O(words) per candidate, not O(dim) — the composed
-    // form stays within noise of a native loop here, unlike vec_dot
-    val hd = aggregate(
-      zip_with(col("_qw"), col("_cw"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen kernel (graft.functions.VecHamming): the scan is
+    // |queries| × |corpus| evaluations of XOR+POPCNT per word — the
+    // vec_dot precedent; the composed zip_with/aggregate form pays a
+    // lambda dispatch per word per pair (measured ~2× slower on the
+    // 2000-query planted leg, SCALE.md round 12)
+    val hd = call_function("vec_hamming", col("_qw"), col("_cw"))
     adcRank(
       c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("_adc", hd.cast("double")), k)

@@ -635,4 +635,42 @@ object Text {
           format_string("%08x", floor(col("_f") * 4294967296d).cast("long")))
       .drop("_src", "_w", "_f")
   }
+
+  /** Per-group document cap — the per-domain cap of web-corpus curation
+    * (no single domain/source may contribute more than `cap` docs to the
+    * training set): keep the `cap` docs with the SMALLEST seeded-md5
+    * rank within each group. A deterministic uniform without-replacement
+    * sample: reproducible across runs AND engines, independent of input
+    * order, and re-derivable per doc from (seed, id) alone.
+    *
+    * Rank = the first 12 hex chars of md5(seed:id) parsed as a number —
+    * 48 bits, chosen because it is EXACT in a double (53-bit mantissa),
+    * so the [[graft.functions.TopKAggregator]]'s Double value channel
+    * cannot round two distinct ranks together; residual 2⁻⁴⁸ rank ties
+    * break to the smaller id in both engines.
+    *
+    * Scale shape: the rank is a map-side hash; selection is the
+    * partial-aggregable TopKAggregator — each map task reduces to ≤ cap
+    * rows per group BEFORE the shuffle, so the exchange carries
+    * |groups| × cap rows. The row_number window formulation would
+    * shuffle and sort the whole corpus. Per-group state is cap-bounded:
+    * a hot domain with 10⁹ docs costs the same buffer as one with 10³.
+    */
+  def capPerGroup(
+      docs: DataFrame, groupCol: String, idCol: String, cap: Int,
+      seed: String = "cap:"): DataFrame = {
+    require(cap >= 1, s"capPerGroup: cap must be >= 1, got $cap")
+    val topk = graft.functions.TopKAggregator.topK(cap)
+    val rank = conv(substring(
+      md5(concat(lit(seed), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    docs
+      .select(col(groupCol).as("_grp"), col(idCol).cast("long").as("_id"),
+        negate(rank).as("_rk"))
+      .groupBy("_grp")
+      .agg(topk(col("_rk"), col("_id")).as("_top"))
+      .select(col("_grp").as(groupCol),
+        explode(col("_top")).as("_t"))
+      .select(col(groupCol), col("_t._2").as(idCol))
+  }
 }

@@ -1106,6 +1106,29 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.pplBucket(scored, buckets = 1))
   }
 
+  test("capPerGroup: hot group capped at k, small group kept whole, " +
+    "selection order-independent and seed-keyed, cap guard") {
+    val docs = ((1L to 100L).map(i => (i, "hot")) ++
+      Seq((200L, "cold"), (201L, "cold"))).toDF("doc_id", "source")
+    val got = Text.capPerGroup(docs, "source", "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "hot") == 5)
+    assert(got.filter(_._1 == "cold").map(_._2).toSet == Set(200L, 201L))
+    // the kept set is a pure function of (seed, id): reversing input
+    // order changes nothing
+    val reversed = Text.capPerGroup(
+      docs.orderBy(col("doc_id").desc), "source", "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == reversed.toSet)
+    // a different seed draws a different (still deterministic) sample
+    val otherSeed = Text.capPerGroup(docs, "source", "doc_id", 5, "cap2:")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(otherSeed.toSet != got.toSet)
+    assert(otherSeed.count(_._1 == "hot") == 5)
+    intercept[IllegalArgumentException](
+      Text.capPerGroup(docs, "source", "doc_id", 0))
+  }
+
   test("pplBucketWith: sample thresholds apply to a different scored " +
     "frame (the fixed-thresholds-from-a-sample production shape)") {
     val sample = (1 to 10)

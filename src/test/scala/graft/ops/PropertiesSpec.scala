@@ -609,4 +609,49 @@ object ClosureProps extends Properties("graft") {
         got == expected
       }
     }
+
+  // -------------------------------------------------------------- binary
+
+  /** Random corpora for the binary family: dim 32 (one packed word),
+    * integer-grid values INCLUDING exact zeros — the packing contract is
+    * strictly `> 0`, so zeros must land on the 0-bit side everywhere.
+    */
+  private val binCorpusGen: Gen[Seq[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(2, 8)
+    vecs <- Gen.listOfN(n,
+      Gen.listOfN(32, Gen.choose(-2, 2).map(_.toFloat)))
+  } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+
+  private def binRefWord(v: Seq[Float]): Long =
+    v.zipWithIndex.map { case (x, j) => if (x > 0) 1L << j else 0L }.sum
+
+  property("binQuantize = sign-bit reference on random corpora " +
+    "(exact zeros pack as 0-bits)") =
+    forAll(binCorpusGen) { corpus =>
+      val df = corpus.toDF("vec_id", "embedding")
+      val got = Similarity.binQuantize(df, "vec_id", "embedding", 32)
+        .select(col("vec_id"), col("bin_words"))
+        .as[(Long, Seq[Long])].collect().toMap
+      corpus.forall { case (id, v) => got(id) == Seq(binRefWord(v)) }
+    }
+
+  property("hammingTopK = popcount reference with the (distance ASC, " +
+    "id ASC) tie contract on random corpora") =
+    forAll(binCorpusGen) { corpus =>
+      val df = corpus.toDF("vec_id", "embedding")
+      val codes = Similarity.binQuantize(df, "vec_id", "embedding", 32)
+      val k = 3
+      val got = Similarity.hammingTopK(df.where(col("vec_id") < 2), codes,
+        "vec_id", "embedding", k, 32)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      val packed = corpus.map { case (id, v) => id -> binRefWord(v) }.toMap
+      val expected = corpus.filter(_._1 < 2).flatMap { case (qid, _) =>
+        corpus.map(_._1).filter(_ != qid)
+          .map(n => (java.lang.Long.bitCount(packed(qid) ^ packed(n)), n))
+          .sorted.take(k).zipWithIndex
+          .map { case ((_, nid), i) => (qid, nid, i + 1) }
+      }.toSet
+      got == expected
+    }
 }
