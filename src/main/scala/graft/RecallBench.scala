@@ -143,6 +143,16 @@ object RecallBench {
         println(f"BIN planted hamming_scan(composed): twin_hit@$k=" +
           f"${twinHits(hmC).toDouble / nPlanted}%.4f time=$hmCSec%.2f s")
         hmC.unpersist()
+        // IVF ∘ binary: the sub-linear arm — same coarse cells as
+        // IVFADC (√n, first-k-by-id seeds), Hamming inside probed cells
+        val kc = math.max(4, math.sqrt(n.toDouble).toInt)
+        Seq(1, 2, 4).foreach { np =>
+          val (r, _, sec) = forceCount(Similarity.ivfBinTopK(
+            pqQ, bEmb, "vec_id", "embedding", k, kc, 64, nprobe = np))
+          println(f"BIN planted ivfbin_c$kc nprobe=$np: twin_hit@$k=" +
+            f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
+          r.unpersist(); ()
+        }
         val (rrP, _, rrPSec) = forceCount {
           val short = Similarity.hammingTopK(
             pqQ, codes, "vec_id", "embedding", 10 * k, 64)

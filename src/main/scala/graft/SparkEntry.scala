@@ -846,6 +846,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- IVF ∘ binary: coarse cosine cells at the ⌈√n⌉ law compose
+    // with the Hamming scan — sub-linear candidates AND the cheapest
+    // per-candidate arithmetic; bit-identical to q_hamming_topk
+    // restricted to probed cells (no second model: binary codes need no
+    // training, so the composition has half IVFADC's drift surface) ---
+    "q_ivfbin_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.ivfBinTopK(emb.where(col("vec_id") < 8), emb,
+        "vec_id", "embedding", 5, kc, 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -2438,6 +2451,31 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, rank FROM " +
       "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
       "WHERE rank <= 5"),
+
+    // the binary chain composed with the q_ivfpq_topk coarse chain:
+    // the Hamming join gains one predicate, neighbor cell = query cell
+    "q_ivfbin_topk" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      binCodeSql +
+        ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+        "WHERE _srn <= (SELECT k FROM kk)), " +
+        s"casg AS (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
+        "q AS (SELECT b.vec_id AS query_id, b.cw AS qw, cv.cell FROM bc b JOIN cellsv cv USING (vec_id) WHERE b.vec_id < 8), " +
+        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
+        "FROM q CROSS JOIN bc c JOIN cellsv nc ON nc.vec_id = c.vec_id AND nc.cell = q.cell " +
+        "WHERE q.query_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, rank FROM " +
+        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
+        "WHERE rank <= 5"
+    },
 
     // the q_hamming_topk chain widened to a rank<=50 shortlist, then
     // exact full-dim L2 re-rank — the q_pq_rerank tail verbatim

@@ -1227,7 +1227,21 @@ object Similarity {
     * Map-side only: zero shuffle at any corpus size.
     */
   def binQuantize(
-      emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    emb.select(
+      col(idCol),
+      binWordsCol(col(vecCol), dim).as("bin_words"))
+      .withColumn("bin_code",
+        when(col("bin_words").isNull, lit(null))
+          .otherwise(concat_ws(",",
+            transform(col("bin_words"), _.cast("string")))))
+
+  /** The packing expression behind [[binQuantize]] — ONE definition of
+    * the word/guard contract, shared with the composed scans
+    * ([[ivfBinTopKFrom]]) so a cell-restricted code can never fork from
+    * the full-scan one.
+    */
+  private[graft] def binWordsCol(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim % 32 == 0,
       s"binQuantize: dim must be a positive multiple of 32, got $dim")
     val words = dim / 32
@@ -1236,20 +1250,13 @@ object Similarity {
     // lambda on the encode path)
     val wordCols = (0 until words).map { w =>
       (0 until 32).map { j =>
-        when(element_at(col(vecCol), w * 32 + j + 1).cast("double") > 0,
+        when(element_at(vec, w * 32 + j + 1).cast("double") > 0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val malformed = size(col(vecCol)) =!= dim ||
-      exists(col(vecCol), x => x.isNull || isnan(x.cast("double")))
-    emb.select(
-      col(idCol),
-      when(malformed, lit(null)).otherwise(array(wordCols: _*))
-        .as("bin_words"))
-      .withColumn("bin_code",
-        when(col("bin_words").isNull, lit(null))
-          .otherwise(concat_ws(",",
-            transform(col("bin_words"), _.cast("string")))))
+    val malformed = size(vec) =!= dim ||
+      exists(vec, x => x.isNull || isnan(x.cast("double")))
+    when(malformed, lit(null)).otherwise(array(wordCols: _*))
   }
 
   /** Hamming top-k over packed sign bits: for each query, the k corpus
@@ -1266,6 +1273,14 @@ object Similarity {
     * exchange. This is the cheapest full-scan retrieval arithmetic in
     * the file; its recall ceiling (1 bit/dim cannot rank what it cannot
     * resolve) is what [[rerankL2]] on a widened shortlist buys back.
+    *
+    * Drift note: a `codes` frame packed at a DIFFERENT dim than the
+    * queries yields word-count-mismatched pairs, whose `vec_hamming` is
+    * NULL, and those pairs DROP — every query then returns fewer (or
+    * zero) neighbors instead of failing. The packing has exactly one
+    * parameter (dim), carried by the caller, so unlike the PQ artifacts
+    * there is no `_params` stamp to check against; persist codes beside
+    * a dim marker if multiple packings can coexist in one store.
     */
   def hammingTopK(
       queries: DataFrame, codes: DataFrame,
@@ -1285,6 +1300,49 @@ object Similarity {
     adcRank(
       c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("_adc", hd.cast("double")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("long").as("hamming"))
+  }
+
+  /** IVF ∘ binary: the coarse cosine cells of [[ivfPqTopK]] composed
+    * with the Hamming code scan — per-query candidates shrink from n to
+    * one cell (~√n rows at the law cell count) AND each candidate costs
+    * two XOR+POPCNT words instead of dim multiplies. Same structure,
+    * same levers, same honesty clauses as IVFADC: nprobe recovers cell
+    * misses, the result is bit-identical to [[hammingTopK]] restricted
+    * to probed cells (spec-pinned, including nprobe = cells ≡ the full
+    * scan), and the corpus never shuffles — cells and codes are both
+    * pure map-side functions (the binary arm needs NO trained codebook,
+    * so unlike IVFADC there is no second model to drift).
+    */
+  def ivfBinTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, dim: Int, nprobe: Int = 1): DataFrame =
+    ivfBinTopKFrom(queries, corpus, idCol, vecCol, k,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), dim, nprobe)
+
+  /** [[ivfBinTopK]] with caller-supplied coarse centroids — the
+    * coarse-quantizer-quality seam ([[ivfPqTopKFrom]]'s contract:
+    * Lloyd-converged cells for production, first-k-by-id for twins).
+    */
+  def ivfBinTopKFrom(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: Seq[(Long, Seq[Double])], dim: Int,
+      nprobe: Int = 1): DataFrame = {
+    val c = withCells(corpus, idCol, vecCol, cents, 1)
+      .select(col(idCol).as("neighbor_id"), col("_cell"),
+        binWordsCol(col(vecCol), dim).as("_cw"))
+      .where(col("_cw").isNotNull)
+    val q = withCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col(idCol).as("query_id"), col("_cell"),
+        binWordsCol(col(vecCol), dim).as("_qw"))
+      .where(col("_qw").isNotNull)
+    adcRank(
+      c.join(broadcast(q), Seq("_cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_adc",
+          call_function("vec_hamming", col("_qw"), col("_cw"))
+            .cast("double")), k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc").cast("long").as("hamming"))
   }

@@ -655,6 +655,11 @@ object Text {
     * |groups| × cap rows. The row_number window formulation would
     * shuffle and sort the whole corpus. Per-group state is cap-bounded:
     * a hot domain with 10⁹ docs costs the same buffer as one with 10³.
+    *
+    * Contract: ids must be long-castable (the aggregator's id channel
+    * is Long — under ANSI mode a non-numeric string id fails LOUDLY at
+    * the cast, not silently). Non-numeric id schemes need a surrogate
+    * (e.g. xxhash64(id) carried beside the row) before this op.
     */
   def capPerGroup(
       docs: DataFrame, groupCol: String, idCol: String, cap: Int,

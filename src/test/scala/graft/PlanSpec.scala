@@ -283,6 +283,23 @@ class PlanSpec extends SparkSpec {
       s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
   }
 
+  test("ivfBinTopK: cells and codes are map-side on the corpus (zero " +
+    "corpus-side Exchange before the rank agg), probes broadcast") {
+    val emb = Tables(spark, dir, "embeddings")
+    val df = ops.Similarity.ivfBinTopK(
+      emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+      5, 16, 64, nprobe = 2)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the probe side to broadcast onto the cell join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may rank the scored pairs:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected map-side partial top-k aggregation in:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"only the |queries|-keyed agg exchange may shuffle:\n$plan")
+  }
+
   test("repeatedSpans: the repeated tail joins back as a broadcast " +
     "semi-join (the corpus-sized span set never re-shuffles for it) and " +
     "the cross-doc detection is partial-aggregated map-side") {

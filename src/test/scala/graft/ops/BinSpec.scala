@@ -108,6 +108,52 @@ class BinSpec extends SparkSpec {
     }
   }
 
+  test("ivfBinTopK with nprobe = cells ≡ hammingTopK — the full-probe " +
+    "identity (every cell probed restores the full scan bit-for-bit)") {
+    val queries = fixture.where(col("vec_id") < 3)
+    val codes = Similarity.binQuantize(fixture, "vec_id", "embedding", dim)
+    val full = Similarity.hammingTopK(
+      queries, codes, "vec_id", "embedding", 4, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val kc = 3
+    val ivf = Similarity.ivfBinTopK(
+      queries, fixture, "vec_id", "embedding", 4, kc, dim, nprobe = kc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == full)
+  }
+
+  test("ivfBinTopK at nprobe = 1 returns exactly the full-scan ranking " +
+    "restricted to the query's own cell") {
+    val queries = fixture.where(col("vec_id") < 3)
+    val kc = 3
+    val cents = Similarity.seedCentroidsFor(fixture, "vec_id", "embedding", kc)
+    val cells = Similarity.withCells(fixture, "vec_id", "embedding", cents, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("_cell")))
+      .toMap
+    val got = Similarity.ivfBinTopK(
+      queries, fixture, "vec_id", "embedding", 4, kc, dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    val packed = vecs.map { case (id, v) => id -> refWords(v) }.toMap
+    for (q <- 0L until 3L) {
+      val want = packed.keys
+        .filter(n => n != q && cells(n) == cells(q)).toSeq
+        .map { n =>
+          val hd = packed(q).zip(packed(n))
+            .map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }.sum
+          (n, hd)
+        }
+        .sortBy { case (n, hd) => (hd, n) }
+        .take(4)
+      want.zipWithIndex.foreach { case ((n, hd), i) =>
+        assert(got((q, i + 1)) == ((n, hd)), s"query $q rank ${i + 1}")
+      }
+      // and nothing beyond the cell-mates ranks
+      assert(got.keys.count(_._1 == q) == want.size)
+    }
+  }
+
   test("hammingTopK drops a malformed query instead of returning an " +
     "arbitrary top-k, and k > corpus ranks every corpus row") {
     val codes = Similarity.binQuantize(fixture, "vec_id", "embedding", dim)

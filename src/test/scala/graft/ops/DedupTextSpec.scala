@@ -1071,7 +1071,8 @@ class DedupTextSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: (a,b)x2 (b,a)x1
       (2L, "a b c"),   // bigrams: (a,b) (b,c)
-      (3L, "x")        // one token: no bigrams, must DROP
+      (3L, "x"),       // one token: no bigrams, must DROP
+      (4L, null)       // NULL text: size(tokens) is -1 → drops like short
     ).toDF("doc_id", "text")
     // corpus: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; starts: c1(a)=3 c1(b)=2.
     // NOTE tf(b)=3 — the unigram count would give P(a|b)=1/3, the
