@@ -561,13 +561,24 @@ object Dedup {
     */
   def simhashNearDupPairsBlocked(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 8): DataFrame =
+    hash64NearDupPairsBlocked(
+      simhash64(docs, idCol, textCol), maxHamming, blocks)
+
+  /** The Manku block-banding over ANY 64-bit signature frame
+    * `(_id, _h)` — the [[simhashNearDupPairsBlocked]] machinery with the
+    * hash supplier factored out, so other 64-bit perceptual signatures
+    * (image dHash — [[graft.sources.Multimodal.nearDupImagePairs]]) ride
+    * the identical exact-cover banding instead of growing a fork.
+    */
+  def hash64NearDupPairsBlocked(
+      hashes: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
     require(blocks > maxHamming && 64 % blocks == 0,
       s"need 64 % blocks == 0 and blocks > maxHamming, got $blocks/$maxHamming")
     val width = 64 / blocks
     val keep = blocks - maxHamming
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashed = simhash64(docs, idCol, textCol).transform(Materialize.checkpoint)
+    val hashed = hashes.transform(Materialize.checkpoint)
     // one band per keep-sized block combination; the key concatenates the
     // chosen blocks' bits (band id disambiguates which combination)
     val combos = (0 until blocks).combinations(keep).toSeq

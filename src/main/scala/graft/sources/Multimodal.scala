@@ -193,6 +193,102 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: rescale to
+    * 9×8 (bilinear, JDK AWT — no external codec), integer Rec.601
+    * luminance per pixel, bit k = lum(x, y) > lum(x+1, y) over the 8
+    * row-adjacent comparisons of each of 8 rows = one 64-bit signature.
+    * The standard property this buys: re-encodes, format changes and
+    * mild global edits (brightness, small crops) move few bits, so
+    * image NEAR-dup reduces to 64-bit Hamming distance — the exact
+    * problem the engine already solves for simhash, and at 8 bytes per
+    * image the signature table of a billion-image corpus is ~8 GB.
+    *
+    * Integer-only luminance (299r + 587g + 114b, no divide) keeps the
+    * bit pattern platform-deterministic; strict `>` means a CONSTANT
+    * image hashes to 0L (all comparisons false) — flat-color dups
+    * collapse to one bucket, which is the desired semantics.
+    */
+  object DHash {
+    def of(img: java.awt.image.BufferedImage): Long = {
+      val w = 9; val h = 8
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      def lum(px: Int): Int =
+        299 * ((px >> 16) & 0xFF) + 587 * ((px >> 8) & 0xFF) + 114 * (px & 0xFF)
+      var bits = 0L
+      var k = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          if (lum(scaled.getRGB(x, y)) > lum(scaled.getRGB(x + 1, y)))
+            bits |= (1L << k)
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+  }
+
+  /** Per-image dHash over a media frame: image rows decode through
+    * [[ImageIoDecoder]]'s codec (real javax.imageio) and hash through
+    * [[DHash]]; non-image rows, undecodable bytes and null payloads get
+    * NULL — decode failures are data, not exceptions. Map-side per
+    * partition, payloads never shuffle; output is (media_id, dhash).
+    *
+    * Spec-verified (not oracle-graded): DuckDB cannot decode an image,
+    * so like the BPE tokenizer this op is pinned by golden tests — real
+    * PNG/BMP bytes built in-test, re-encode invariance, the
+    * monotone-row identities (increasing rows → 0L, decreasing → −1L),
+    * and brightness-shift near-invariance.
+    */
+  def dHashImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val h: Any =
+            if (mt != "image" || payload == null || payload.isEmpty) null
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+                .map(DHash.of).orNull
+            } catch { case _: Exception => null }
+          Row(id, h)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Image near-dup pairs: [[dHashImages]] signatures through the SAME
+    * Manku exact-cover block banding the simhash corpus path uses
+    * ([[graft.ops.Dedup.hash64NearDupPairsBlocked]]) — never all-pairs,
+    * identical scale story (the published web-crawl shape). Default
+    * hamming ≤ 6 with 8 blocks: re-encodes and mild global edits measure
+    * 0–4 bits on the spec fixtures; 6 keeps slack without admitting the
+    * ~32-bit distance of unrelated images. NULL-dhash rows (undecodable,
+    * non-image) drop before banding.
+    */
+  def nearDupImagePairs(
+      media: DataFrame, maxHamming: Int = 6, blocks: Int = 8): DataFrame =
+    graft.ops.Dedup.hash64NearDupPairsBlocked(
+      dHashImages(media)
+        .where(col("dhash").isNotNull)
+        .select(col("media_id").as("_id"), col("dhash").as("_h")),
+      maxHamming, blocks)
+
   /** Build a media table from the documents testdata (text bytes standing
     * in for blobs) — deterministic fixture for specs and queries.
     */

@@ -88,4 +88,118 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.zipWithIndex.forall { case (ms, i) => ms == i * 60000L })
   }
+
+  // ---- perceptual image dedup (dHash) — golden-pinned: DuckDB cannot
+  // decode an image, so like BPE these are spec gates, not oracle rows
+
+  private def pngOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    buf.toByteArray
+  }
+
+  private def bmpOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", buf))
+    buf.toByteArray
+  }
+
+  /** 9×8 image whose pixel (x, y) has gray level `g(x)` — already at
+    * dHash grid size, so the rescale is identity and bits are
+    * hand-derivable from the luminance monotonicity alone.
+    */
+  private def gradient(g: Int => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = math.max(0, math.min(255, g(x)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("DHash monotone-row identities: increasing rows → 0L, " +
+    "decreasing rows → all 64 bits set, constant image → 0L") {
+    assert(Multimodal.DHash.of(gradient(x => x * 20)) === 0L)
+    assert(Multimodal.DHash.of(gradient(x => 255 - x * 20)) === -1L)
+    assert(Multimodal.DHash.of(gradient(_ => 128)) === 0L)
+  }
+
+  test("dHash is re-encode invariant (PNG ≡ BMP, identical pixels) and " +
+    "near-invariant under a global brightness shift") {
+    val base = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 48; x <- 0 until 64)
+      base.setRGB(x, y, rnd.nextInt(1 << 24))
+    val brighter = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val px = base.getRGB(x, y)
+      def up(c: Int) = math.min(255, c + 16)
+      brighter.setRGB(x, y, (up((px >> 16) & 0xFF) << 16) |
+        (up((px >> 8) & 0xFF) << 8) | up(px & 0xFF))
+    }
+    def hOf(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      Multimodal.DHash.of(img)
+    }
+    val hPng = hOf(pngOf(base))
+    val hBmp = hOf(bmpOf(base))
+    assert(hPng === hBmp) // lossless containers, same pixels, same hash
+    val hBright = hOf(pngOf(brighter))
+    val d = java.lang.Long.bitCount(hPng ^ hBright)
+    assert(d <= 6, s"brightness shift moved $d bits") // near-dup range
+    // and an unrelated image is FAR: a different random field
+    val other = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd2 = new scala.util.Random(99)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, rnd2.nextInt(1 << 24))
+    val dFar = java.lang.Long.bitCount(hPng ^ hOf(pngOf(other)))
+    assert(dFar > 6, s"unrelated images measured only $dFar bits apart")
+  }
+
+  test("dHashImages: image rows hash, corrupt/non-image/null rows get " +
+    "NULL; nearDupImagePairs finds the re-encode and the brightness " +
+    "twin but not the unrelated image") {
+    val base = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 48; x <- 0 until 64)
+      base.setRGB(x, y, rnd.nextInt(1 << 24))
+    val brighter = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val px = base.getRGB(x, y)
+      def up(c: Int) = math.min(255, c + 16)
+      brighter.setRGB(x, y, (up((px >> 16) & 0xFF) << 16) |
+        (up((px >> 8) & 0xFF) << 8) | up(px & 0xFF))
+    }
+    val other = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd2 = new scala.util.Random(99)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, rnd2.nextInt(1 << 24))
+    val rows = java.util.Arrays.asList(
+      Row(1L, pngOf(base), "image"),
+      Row(2L, bmpOf(base), "image"),     // re-encode: hamming 0
+      Row(3L, pngOf(brighter), "image"), // near-dup: small hamming
+      Row(4L, pngOf(other), "image"),    // unrelated: far
+      Row(5L, "corrupt".getBytes("UTF-8"), "image"),
+      Row(6L, pngOf(base), "audio"),     // non-image: no decode
+      Row(7L, null, "image"))
+    val m = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val hashed = Multimodal.dHashImages(m).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashed(1L).isDefined && hashed(1L) == hashed(2L))
+    assert(hashed(5L).isEmpty && hashed(6L).isEmpty && hashed(7L).isEmpty)
+    val pairs = Multimodal.nearDupImagePairs(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
