@@ -80,9 +80,12 @@ object RecallBench {
       def bytesOf(p: String): Long =
         new java.io.File(p).listFiles()
           .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-      println(f"BIN_STORAGE raw=${bytesOf(s"$tmp/raw")}%d B " +
-        f"codes=${bytesOf(s"$tmp/codes")}%d B " +
-        f"ratio=${bytesOf(s"$tmp/raw").toDouble / bytesOf(s"$tmp/codes")}%.1f x")
+      val rawB = bytesOf(s"$tmp/raw")
+      val codeB = bytesOf(s"$tmp/codes")
+      println(f"BIN_STORAGE raw=$rawB%d B codes=$codeB%d B " +
+        f"ratio=${rawB.toDouble / codeB}%.1f x")
+      // measured; don't leak tens of MB per bench run
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       val (hm, _, hmSec) = forceCount(Similarity.hammingTopK(
         bQueries, codes, "vec_id", "embedding", k, 64))
       println(f"BIN hamming_scan: recall@$k(L2)=${Similarity.recallVs(truth, hm)}%.4f " +
@@ -128,17 +131,11 @@ object RecallBench {
             zip_with(col("_qw"), col("_cw"),
               (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
             lit(0L), (acc, x) => acc + x)
-          val scored = cc.join(broadcast(qq),
-            col("query_id") =!= col("neighbor_id"))
-            .withColumn("_hd", hd)
-          val topk = graft.functions.TopKAggregator.topK(k)
-          scored.where(col("_hd").isNotNull)
-            .groupBy("query_id")
-            .agg(topk(negate(col("_hd").cast("double")), col("neighbor_id"))
-              .as("_top"))
-            .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
-            .select(col("query_id"), col("_t._2").as("neighbor_id"),
-              (col("_i") + 1).cast("int").as("rank"))
+          // the SAME rank tail as the native path (adcRank) — the A/B
+          // must price only the kernel, not a reimplemented ranking
+          Similarity.adcRank(
+            cc.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+              .withColumn("_adc", hd.cast("double")), k)
         }
         println(f"BIN planted hamming_scan(composed): twin_hit@$k=" +
           f"${twinHits(hmC).toDouble / nPlanted}%.4f time=$hmCSec%.2f s")

@@ -1254,9 +1254,16 @@ object Similarity {
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val malformed = size(vec) =!= dim ||
-      exists(vec, x => x.isNull || isnan(x.cast("double")))
-    when(malformed, lit(null)).otherwise(array(wordCols: _*))
+    // POSITIVE gate with no otherwise: a NULL input array makes both
+    // conjuncts NULL, the when never fires, and the result is NULL. The
+    // negative formulation (`when(malformed, null).otherwise(array)`)
+    // was MEASURED to encode a NULL vector as the all-zeros code —
+    // size(NULL) and exists(NULL, ...) are NULL, NULL is not true, so
+    // the otherwise branch ran and every element_at(NULL, i) > 0
+    // quietly contributed a 0 bit (the adcTable wellFormed pattern).
+    val wellFormed = size(vec) === dim &&
+      !exists(vec, x => x.isNull || isnan(x.cast("double")))
+    when(wellFormed, array(wordCols: _*))
   }
 
   /** Hamming top-k over packed sign bits: for each query, the k corpus
@@ -1706,7 +1713,7 @@ object Similarity {
     * neighbor_id — the row_number contract without the full-width window
     * shuffle.
     */
-  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopKAggregator.topK(k)
     scored
       .where(col("_adc").isNotNull)

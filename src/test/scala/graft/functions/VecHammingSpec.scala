@@ -66,7 +66,9 @@ class VecHammingSpec extends SparkSpec {
       assert(withCodegen.toSeq === interpreted.toSeq)
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      // unset, not hardcode: the session is shared across suites and the
+      // Spark default (FALLBACK) must come back for everyone after us
+      spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
 }

@@ -51,7 +51,7 @@ class BinSpec extends SparkSpec {
   }
 
   test("binQuantize poisons malformed rows to NULL: short vector, LONG " +
-    "vector, NULL element, NaN element") {
+    "vector, NULL element, NaN element, NULL vector") {
     val bad = Seq(
       (100L, Seq.fill(dim - 1)(1.0f)),             // short
       (101L, Seq.fill(dim + 1)(1.0f)),             // long — must NOT
@@ -64,6 +64,12 @@ class BinSpec extends SparkSpec {
         .withColumn("embedding",
           concat(array((0 until dim - 1).map(_ => lit(1.0f)): _*),
             array(lit(null).cast("float")))))
+      // a NULL VECTOR must poison too: with the negative-gate
+      // formulation (when(malformed, null).otherwise(array)) size(NULL)
+      // and exists(NULL) are NULL — not true — so the otherwise branch
+      // encoded NULL as the all-zeros code (measured in review)
+      .union(Seq(105L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
     val got = Similarity.binQuantize(bad, "vec_id", "embedding", dim)
       .collect()
       .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
@@ -71,6 +77,7 @@ class BinSpec extends SparkSpec {
     assert(got(101L) == (true, true))
     assert(got(102L) == (true, true))
     assert(got(104L) == (true, true))
+    assert(got(105L) == (true, true))
     assert(got(103L) == (false, false))
   }
 
