@@ -998,6 +998,25 @@ object SparkEntry {
           try_element_at(col("_h"), lit(1)).as("h_first"),
           array_min(col("_h")).as("h_min"))),
 
+    // --- winnowing fingerprints (Schleimer et al. 2003, MOSS): rightmost
+    // min of each w-window of KR hashes, deduped — any shared substring
+    // of length >= k+w-1 yields a shared fingerprint; map-side argmin
+    // over the row's own arrays, only (id, pos, hash) rows leave ---
+    "q_winnow" -> ((s, dir) =>
+      Text.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("pos"), col("fp_hash")))),
+            fp => concat_ws(":", fp.getField("pos").cast("string"),
+              fp.getField("fp_hash").cast("string")))).as("fps"))),
+
+    // --- MOSS overlap report: pairs sharing >= 2 distinct fingerprint
+    // values (position-independent — moved-around copies still count) ---
+    "q_winnow_overlap" -> ((s, dir) =>
+      Text.winnowOverlapPairs(
+        Text.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text"))),
+
     // --- vocabulary build: token → frequency (one explode + one agg) ---
     "q_token_freq" -> ((s, dir) =>
       Text.spread(t(s, dir, "documents"))
@@ -1566,6 +1585,29 @@ object SparkEntry {
       "FROM e GROUP BY 1, 2), " +
       "bc AS (SELECT vec_id, list(wv ORDER BY w) AS cw FROM bw GROUP BY 1)"
 
+  /** CTE chain of the winnowing twins, ending in
+    * `fp(doc_id, pos, fp_hash)` — KR hashes (the q_rolling_hash
+    * rendering, k = 8), rightmost-min of each 4-window via
+    * reverse+position (the identical integer arithmetic the Spark side
+    * computes), distinct picks. Docs with no full hash window drop.
+    */
+  private val winnowChainSql: String = {
+    // k = 32, w = 8 (the operator defaults): 8-byte grams are shared by
+    // EVERY pair through common words (measured: 112,745 "overlap"
+    // pairs among 500 sf0.001 docs at k=8) — 32-byte grams only match
+    // genuine copied spans, guarantee length k + w − 1 = 39 bytes
+    def kr(i: String) =
+      s"list_reduce(list_transform(generate_series($i, $i + 31), k2 -> CAST(ascii(substr(text, k2, 1)) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+    s"wh AS (SELECT doc_id, list_transform(generate_series(1, len(text) - 31), i -> ${kr("i")}) AS h " +
+      "FROM documents WHERE len(text) >= 32), " +
+      // picks packed as pos·2³¹ + hash: DuckDB list_distinct cannot
+      // histogram STRUCTs, and the Spark side packs identically
+      "fp0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> " +
+      "CAST(i + 8 - list_position(list_reverse(h[i:i+7]), list_min(h[i:i+7])) - 1 AS BIGINT) * 2147483648 + list_min(h[i:i+7])))) AS c " +
+      "FROM wh WHERE len(h) >= 8), " +
+      "fp AS (SELECT doc_id, c >> 31 AS pos, c & 2147483647 AS fp_hash FROM fp0)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_moving_avg" ->
       "SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events",
@@ -2021,6 +2063,20 @@ object SparkEntry {
         s"CASE WHEN len(text) >= 8 THEN list_min(list_transform(generate_series(1, len(text) - 7), i -> ${h("i")})) END AS h_min " +
         "FROM documents"
     },
+
+    // rightmost-min picks rendered identically: w − position(reverse, min)
+    "q_winnow" -> (
+      "WITH " + winnowChainSql +
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, " +
+        "string_agg(CAST(pos AS VARCHAR) || ':' || CAST(fp_hash AS VARCHAR), ',' ORDER BY pos) AS fps " +
+        "FROM fp GROUP BY doc_id"),
+
+    "q_winnow_overlap" -> (
+      "WITH " + winnowChainSql +
+        ", dd AS (SELECT DISTINCT doc_id, fp_hash FROM fp) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM dd a JOIN dd b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
 
     "q_ngram_jaccard" -> (
       s"WITH toks AS (SELECT doc_id, lang, $docTokens AS ts FROM documents), " +

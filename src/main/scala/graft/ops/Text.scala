@@ -527,6 +527,86 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): over the native Karp–Rabin per-window hashes
+    * (`rolling_hash(text, k)`), slide a window of `w` consecutive
+    * hashes and keep the MINIMUM of each, ties to the RIGHTMOST
+    * occurrence; dedup the picks. The guarantee this buys over mod-p
+    * sampling: any shared substring of length ≥ k + w − 1 between two
+    * documents yields at least one SHARED fingerprint (a match can
+    * never fall between samples), while only ~2/(w+1) of positions are
+    * kept — the overlap-detection density/recall trade is explicit in
+    * (k, w).
+    *
+    * Output: one row per kept fingerprint — (doc_id, pos, fp_hash),
+    * pos = 0-based byte offset of the k-gram. Entirely MAP-SIDE: the
+    * per-window argmin runs inside the row's own arrays (slice /
+    * array_min / reverse / array_position — all codegen'd built-ins),
+    * no shuffle at any corpus size; only the (id, pos, 8-byte hash)
+    * fingerprint rows leave the scan (~2/(w+1) × text bytes). Docs
+    * shorter than k + w − 1 bytes produce no fingerprints (no full
+    * hash window exists). Engine-portable: KR values are exact BIGINTs
+    * both engines (the q_rolling_hash precedent), and rightmost-tie =
+    * `w − position(reverse(window), min)` is the same integer
+    * arithmetic in both.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: need k >= 1 and w >= 1, got $k/$w")
+    val h = expr(s"rolling_hash(${textCol}, $k)")
+    // each pick packs into ONE BIGINT, pos·2³¹ + hash (KR hash < 1e9+7
+    // < 2³¹): distinct over plain BIGINTs instead of structs — DuckDB's
+    // list_distinct cannot histogram a STRUCT, and both engines then
+    // dedup the identical integers
+    val fps = { hc: Column =>
+      // window starts are 1-based over the hash array; guard n < w
+      // explicitly — sequence(1, 0) generates DESCENDING in Spark
+      when(size(hc) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(hc) - w + 1),
+          i => {
+            val win = slice(hc, i, lit(w))
+            val mn = array_min(win)
+            (i + lit(w) - array_position(reverse(win), mn) - 1)
+              .cast("long") * lit(2147483648L) + mn
+          })))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    spread(docs)
+      .select(col(idCol).as("doc_id"), explode(fps(h)).as("_c"))
+      .select(col("doc_id"),
+        shiftright(col("_c"), 31).as("pos"),
+        col("_c").bitwiseAND(lit(2147483647L)).as("fp_hash"))
+  }
+
+  /** MOSS-style overlap report: document pairs sharing at least
+    * `minShared` DISTINCT winnowed fingerprint values. The join is keyed
+    * on fp_hash — candidates are generated per shared hash bucket, never
+    * all-pairs (the simhash band-join shape); `n_shared` counts distinct
+    * shared hash VALUES (position-independent, so moved-around copies
+    * still count — the published overlap semantics).
+    *
+    * Scale note: a boilerplate hash shared by B docs emits C(B,2) pair
+    * rows from its bucket — the same hot-key behavior as every
+    * shared-key candidate generator here; cap it upstream by dropping
+    * corpus-frequent fingerprints (the [[boilerplateStats]] signal) the
+    * way MOSS drops over-common k-grams before matching.
+    */
+  def winnowOverlapPairs(
+      fps: DataFrame, minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"winnow overlap: minShared >= 1, got $minShared")
+    val d = fps.select(col("doc_id"), col("fp_hash")).distinct()
+    val a = d.select(col("fp_hash"), col("doc_id").as("id_a"))
+    val b = d.select(col("fp_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp_hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Cross-document repeated-span profile — the SUBSTRING-level dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": memorization is driven by spans repeated

@@ -1107,6 +1107,57 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.pplBucket(scored, buckets = 1))
   }
 
+  test("winnowFingerprints: picks = rightmost window minima (driver " +
+    "reference), the w-gap density guarantee, and short docs drop") {
+    // k = 4, w = 3 on tiny synthetic docs: the reference recomputes the
+    // same KR hashes and the rightmost-min rule in plain Scala
+    val docs = Seq(
+      (1L, "abcdefghabcdefgh"),
+      (2L, "zzzzzzzzzzzz"),
+      (3L, "abc") // shorter than k: no hash windows, no fingerprints
+    ).toDF("doc_id", "text")
+    def kr(s: String, i: Int, k: Int): Long =
+      s.substring(i, i + k).getBytes("UTF-8")
+        .foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+    def refPicks(s: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val h = (0 to s.length - k).map(i => kr(s, i, k))
+      (0 to h.length - w).map { i =>
+        val win = h.slice(i, i + w)
+        val mn = win.min
+        val rightmost = i + win.lastIndexOf(mn)
+        (rightmost.toLong, mn)
+      }.toSet
+    }
+    val got = Text.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == refPicks("abcdefghabcdefgh", 4, 3))
+    // all-same-char doc: every hash equal, rightmost tie each window
+    assert(got(2L) == refPicks("zzzzzzzzzzzz", 4, 3))
+    // density: adjacent kept positions are at most w apart (the paper's
+    // coverage guarantee — no gap of w windows goes unsampled)
+    val pos1 = got(1L).map(_._1).toSeq.sorted
+    assert(pos1.zip(pos1.tail).forall { case (a, b) => b - a <= 3 })
+  }
+
+  test("winnowOverlapPairs: a copied span >= k+w-1 bytes is FOUND, " +
+    "unrelated docs are not, and minShared gates") {
+    val shared = "The quick brown fox jumps over the lazy dog repeatedly."
+    val docs = Seq(
+      (1L, s"intro one. $shared tail A"),
+      (2L, s"different lead-in text!! $shared closing B"),
+      (3L, "completely unrelated content with no copied span at all " +
+        "padded out to a comparable length for fairness 0123456789")
+    ).toDF("doc_id", "text")
+    val fps = Text.winnowFingerprints(docs, "doc_id", "text")
+    val pairs = Text.winnowOverlapPairs(fps, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    intercept[IllegalArgumentException](Text.winnowOverlapPairs(fps, 0))
+  }
+
   test("capPerGroup: hot group capped at k, small group kept whole, " +
     "selection order-independent and seed-keyed, cap guard") {
     val docs = ((1L to 100L).map(i => (i, "hot")) ++
