@@ -588,16 +588,39 @@ object Text {
     * shared hash VALUES (position-independent, so moved-around copies
     * still count — the published overlap semantics).
     *
-    * Scale note: a boilerplate hash shared by B docs emits C(B,2) pair
-    * rows from its bucket — the same hot-key behavior as every
-    * shared-key candidate generator here; cap it upstream by dropping
-    * corpus-frequent fingerprints (the [[boilerplateStats]] signal) the
-    * way MOSS drops over-common k-grams before matching.
+    * `maxDocFreq` is the hot-key lever, and it is SEMANTIC, not just
+    * cost: a fingerprint appearing in more than `maxDocFreq` docs is
+    * boilerplate (license headers, navigation chrome), emits C(B,2)
+    * pair rows from its bucket, and MOSS itself drops over-common
+    * k-grams before matching for exactly both reasons. The graded row
+    * keeps None (the corpus is 500 docs; the twin reproduces the
+    * uncapped set) — a web-scale run sets it the way
+    * [[boilerplateStats]]' ≥ 5-docs threshold is set.
     */
   def winnowOverlapPairs(
-      fps: DataFrame, minShared: Int = 2): DataFrame = {
+      fps: DataFrame, minShared: Int = 2,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     require(minShared >= 1, s"winnow overlap: minShared >= 1, got $minShared")
-    val d = fps.select(col("doc_id"), col("fp_hash")).distinct()
+    require(maxDocFreq.forall(_ >= 1),
+      s"winnow overlap: maxDocFreq must be >= 1, got $maxDocFreq")
+    val d0 = fps.select(col("doc_id"), col("fp_hash")).distinct()
+    val d = maxDocFreq match {
+      case None => d0
+      case Some(cap) =>
+        // one partial-agg pass over the (already distinct) rows;
+        // materialized BEFORE the size-dispatched broadcast counts it
+        // (broadcastIfSmall's count is an action — uncached, the
+        // doc-freq aggregate would run once for the count and again
+        // for the join; the repeatedSpans contract)
+        val common = Materialize.checkpoint(
+          d0.groupBy("fp_hash")
+            .agg(count(lit(1)).as("_df"))
+            .where(col("_df") > cap)
+            .select("fp_hash"))
+        val nCommon = common.count()
+        d0.join(graft.ops.Joins.broadcastIfSmall(common, Some(nCommon)),
+          Seq("fp_hash"), "left_anti")
+    }
     val a = d.select(col("fp_hash"), col("doc_id").as("id_a"))
     val b = d.select(col("fp_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("fp_hash"))

@@ -1158,6 +1158,33 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.winnowOverlapPairs(fps, 0))
   }
 
+  test("winnowOverlapPairs maxDocFreq: a boilerplate span shared by ALL " +
+    "docs is dropped (MOSS's over-common k-gram rule), genuine pair-wise " +
+    "copies survive") {
+    val boiler = "standard license header present in every single document " +
+      "of this corpus without exception."
+    val copied = "a genuinely copied passage that only two documents share!"
+    val docs = Seq(
+      (1L, s"$boiler $copied unique tail one"),
+      (2L, s"$boiler $copied unique tail two"),
+      (3L, s"$boiler qqq www eee rrr ttt yyy uuu iii"),
+      (4L, s"$boiler 111 222 333 444 555 666 777 888")
+    ).toDF("doc_id", "text")
+    val fps = Text.winnowFingerprints(docs, "doc_id", "text")
+    // uncapped: the boilerplate makes EVERY pair an "overlap"
+    val all = Text.winnowOverlapPairs(fps, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size > 1 && all.contains((3L, 4L)))
+    // capped at doc-freq 2: boilerplate (df=4) drops, the copied
+    // passage (df=2) survives — only the genuine pair remains
+    val capped = Text.winnowOverlapPairs(fps, minShared = 2,
+      maxDocFreq = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Text.winnowOverlapPairs(fps, 2, Some(0L)))
+  }
+
   test("capPerGroup: hot group capped at k, small group kept whole, " +
     "selection order-independent and seed-keyed, cap guard") {
     val docs = ((1L to 100L).map(i => (i, "hot")) ++
