@@ -46,6 +46,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("binQuantize streams unchanged: per-micro-batch codes are " +
+    "bit-identical to one batch encode (no codebook, no state — the " +
+    "trivially-exact-incremental claim pinned)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 32
+    val rnd = new scala.util.Random(3)
+    case class V(vec_id: Long, embedding: Seq[Float])
+    val vecs = (0L until 9L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextInt(5) - 2) * (rnd.nextFloat() + 0.1f))))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Similarity.binQuantize(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dim)
+      .writeStream.format("memory").queryName("bincodes")
+      .outputMode("append").start()
+    try {
+      // three micro-batches — the encode is a pure per-row projection,
+      // so the streamed artifact must equal the one-shot batch encode
+      vecs.grouped(3).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.table("bincodes")
+        .select("vec_id", "bin_code").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batched = graft.ops.Similarity.binQuantize(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", dim)
+        .select("vec_id", "bin_code").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batched)
+    } finally q.stop()
+  }
+
   test("runningCount: cumulative per-user ordered by event time") {
     val out = EventStream.runningCount(batch.toDF())
       .orderBy("event_id").select("running_n").as[Long].collect()
