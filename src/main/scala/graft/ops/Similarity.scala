@@ -1354,6 +1354,90 @@ object Similarity {
         col("adc").cast("long").as("hamming"))
   }
 
+  /** `_params` stamp of the binary artifact: packing dim + coarse cells.
+    * Unlike IVFADC's two-model stamp there is no codebook half — dim is
+    * the packing's ONLY parameter (the [[hammingTopK]] drift note made
+    * checkable at the artifact seam).
+    */
+  private def ivfBinParams(cents: Seq[(Long, Seq[Double])], dim: Int): String =
+    s"bin:d$dim+" + centsFingerprint(cents)
+
+  /** The artifact row projection shared by [[ivfBinBuildFrom]] (and any
+    * future streaming ingest): assign cells + pack sign bits, both pure
+    * map-side functions — ingest paths are bit-equivalent to a rebuild
+    * by construction.
+    */
+  private[graft] def ivfBinRows(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], dim: Int): DataFrame =
+    withCells(batch, idCol, vecCol, cents, 1)
+      .select(col(idCol), col("_cell"),
+        binWordsCol(col(vecCol), dim).as("bin_words"))
+      .withColumn("_params", lit(ivfBinParams(cents, dim)))
+
+  /** Persist the IVF-binary serving artifact: `(id, _cell, bin_words,
+    * _params)` bucketed by `_cell` through the Sink seam — 8 bytes of
+    * signature per vector, NO raw vectors (the [[ivfPqBuild]] contract
+    * at the 1-bit tier; exact re-rank fetches vectors for shortlist
+    * survivors only). Read back via [[ivfAssigned]]`(…, "ivfbin")`.
+    */
+  def ivfBinBuild(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, dim: Int, numBuckets: Int,
+      target: String, table: String,
+      tablePrefix: String = "ivfbin"): Seq[(Long, Seq[Double])] =
+    ivfBinBuildFrom(corpus, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), dim, numBuckets,
+      target, table, tablePrefix)
+
+  /** [[ivfBinBuild]] with caller-supplied coarse centroids (the
+    * [[ivfPqTopKFrom]] seam). Returns the cents it was given.
+    */
+  def ivfBinBuildFrom(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], dim: Int, numBuckets: Int,
+      target: String, table: String,
+      tablePrefix: String = "ivfbin"): Seq[(Long, Seq[Double])] = {
+    graft.sources
+      .BucketedSink(numBuckets, Seq("_cell"), Seq("_cell"), tablePrefix)
+      .write(ivfBinRows(corpus, idCol, vecCol, cents, dim),
+        target, table, "parquet")
+    cents
+  }
+
+  /** Probe the persisted binary artifact: queries assign + pack
+    * map-side, join the bucketed signatures on `_cell` with zero
+    * corpus-side Exchange, rank by the native Hamming kernel —
+    * bit-identical to [[ivfBinTopKFrom]] on the same corpus
+    * (spec-pinned). The `_params` stamp fails loudly on EITHER drift
+    * axis: wrong cells join wrong buckets, wrong dim yields
+    * NULL-dropping word mismatches — both are silent recall collapses
+    * without the guard.
+    */
+  def ivfBinProbe(
+      queries: DataFrame, assigned: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Long, Seq[Double])], dim: Int,
+      nprobe: Int = 1): DataFrame = {
+    Dedup.requireStoreParams(
+      assigned, ivfBinParams(cents, dim), "IVF-binary")
+    val q = withCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col(idCol).as("query_id"), col("_cell"),
+        binWordsCol(col(vecCol), dim).as("_qw"))
+      .where(col("_qw").isNotNull)
+    val c = assigned
+      .select(col(idCol).as("neighbor_id"), col("_cell"),
+        col("bin_words").as("_cw"))
+      .where(col("_cw").isNotNull)
+    adcRank(
+      c.join(broadcast(q), Seq("_cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_adc",
+          call_function("vec_hamming", col("_qw"), col("_cw"))
+            .cast("double")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("long").as("hamming"))
+  }
+
   // --------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011, "Product
   // quantization for nearest neighbor search", IEEE TPAMI 33(1)) — the

@@ -161,6 +161,42 @@ class BinSpec extends SparkSpec {
     }
   }
 
+  test("ivfBinProbe of the persisted artifact is bit-identical to the " +
+    "inline path, stores no raw vectors, and the _params stamp fails " +
+    "loudly on either drift axis (cells or dim)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfbin").toString
+    val queries = fixture.where(col("vec_id") < 3)
+    val kc = 3
+    val cents = Similarity.ivfBinBuild(
+      fixture, "vec_id", "embedding", kc, dim, 4, wh, "bin")
+    val assigned = Similarity.ivfAssigned(spark, wh, "bin", "ivfbin")
+    assert(!assigned.columns.contains("embedding"),
+      "artifact must not store raw vectors")
+    val probe = Similarity.ivfBinProbe(
+      queries, assigned, "vec_id", "embedding", 4, cents, dim)
+    val inline = Similarity.ivfBinTopKFrom(
+      queries, fixture, "vec_id", "embedding", 4, cents, dim)
+    assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty,
+      "probe ≠ inline")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"corpus side must not shuffle on the probe path:\n$plan")
+    // drift, axis 1: different coarse cells
+    val otherCents = Similarity.seedCentroidsFor(
+      fixture, "vec_id", "embedding", 5)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfBinProbe(
+        queries, assigned, "vec_id", "embedding", 4, otherCents, dim)
+    }
+    assert(e1.getMessage.contains("IVF-binary"))
+    // drift, axis 2: different packing dim
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfBinProbe(
+        queries, assigned, "vec_id", "embedding", 4, cents, dim + 32)
+    }
+    assert(e2.getMessage.contains("IVF-binary"))
+  }
+
   test("hammingTopK drops a malformed query instead of returning an " +
     "arbitrary top-k, and k > corpus ranks every corpus row") {
     val codes = Similarity.binQuantize(fixture, "vec_id", "embedding", dim)
