@@ -1272,6 +1272,13 @@ object SparkEntry {
           .otherwise(col("_hx") < "8"))
         .select(col("doc_id"), col("lang"))),
 
+    // --- deterministic training-order sharding (WebDataset convention):
+    // seeded-hash shard map-side, within-shard rank by an INDEPENDENT
+    // second hash through a shard-partitioned window (n/shards rows per
+    // sort — never the global single-partition window) ---
+    "q_shard_order" -> ((s, dir) =>
+      Text.shardOrder(t(s, dir, "documents"), "doc_id", 8)),
+
     // --- per-source document cap (the per-domain cap of web curation):
     // keep the 20 smallest seeded-md5 ranks per source through the
     // partial-aggregable TopKAggregator — |groups|×cap rows cross the
@@ -1757,6 +1764,14 @@ object SparkEntry {
 
     "q_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' ELSE substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' END",
+
+    // shard = 48-bit md5 prefix mod shards (exact BIGINT both engines);
+    // pos ranks an INDEPENDENT second hash within the shard
+    "q_shard_order" -> (
+      "WITH s AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+        "substr(md5('shard:' || 'pos:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM s"),
 
     // the Spark side ranks by the first 12 md5 hex chars parsed as a
     // number through the partial-agg top-k; numeric order of a fixed-

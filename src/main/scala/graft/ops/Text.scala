@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline.
@@ -526,6 +527,42 @@ object Text {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Deterministic training-order sharding (the WebDataset/tar-shard
+    * convention): every doc gets a shard (seeded hash bucket — map-side,
+    * uniform, reproducible) and a position within its shard (rank by a
+    * SECOND seeded hash, ties to id), so the training order is a pure
+    * function of (seed, id) — re-runnable, engine-reproducible, and
+    * resumable mid-epoch from (shard, pos) alone. Two independent hashes
+    * matter: ranking within a shard by the SAME hash that chose the
+    * shard would order every shard's docs by the residue that put them
+    * there (correlated, not uniform).
+    *
+    * Scale shape: shard assignment is map-side; the within-shard rank is
+    * a window PARTITIONED by shard — n/shards rows per sort, never a
+    * global single-partition window; writers then emit one shard per
+    * task. This is the distributed answer to "shuffle the corpus":
+    * a true global permutation needs a global sort, while shard-then-
+    * local-order delivers the same training-dynamics properties (each
+    * shard is an unbiased sample; readers interleave shards) at
+    * per-shard cost — the reason the convention exists.
+    */
+  def shardOrder(
+      docs: DataFrame, idCol: String, numShards: Int,
+      seed: String = "shard:"): DataFrame = {
+    require(numShards >= 1, s"shardOrder: numShards >= 1, got $numShards")
+    val shard = pmod(
+      conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+        1, 12), 16, 10).cast("long"), lit(numShards.toLong))
+    val rank = substring(
+      md5(concat(lit(seed), lit("pos:"), col(idCol).cast("string"))), 1, 12)
+    val w = Window.partitionBy("shard")
+      .orderBy(col("_rk"), col(idCol))
+    docs
+      .select(col(idCol), shard.as("shard"), rank.as("_rk"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the

@@ -1107,6 +1107,29 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.pplBucket(scored, buckets = 1))
   }
 
+  test("shardOrder: total coverage, dense 1..n positions per shard, " +
+    "order-independent and seed-keyed") {
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Text.shardOrder(docs, "doc_id", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == (1L to 200L).toSet) // every doc, once
+    // positions are a dense 1..|shard| sequence within each shard
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // pure function of (seed, id): reversing input order changes nothing
+    val rev = Text.shardOrder(docs.orderBy(col("doc_id").desc), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == rev.toSet)
+    // a different seed reshuffles (still total, still dense)
+    val other = Text.shardOrder(docs, "doc_id", 8, "epoch2:").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet != got.toSet)
+    assert(other.map(_._1).toSet == (1L to 200L).toSet)
+    intercept[IllegalArgumentException](Text.shardOrder(docs, "doc_id", 0))
+  }
+
   test("winnowFingerprints: picks = rightmost window minima (driver " +
     "reference), the w-gap density guarantee, and short docs drop") {
     // k = 4, w = 3 on tiny synthetic docs: the reference recomputes the
