@@ -1592,9 +1592,19 @@ object SparkEntry {
       "FROM e GROUP BY 1, 2), " +
       "bc AS (SELECT vec_id, list(wv ORDER BY w) AS cw FROM bw GROUP BY 1)"
 
+  /** The ONE DuckDB rendering of graft.functions.RollingHash's fold —
+    * `((0·31+b0)·31+b1)… ≡ Σ bi·31^(w-1-i) mod 1e9+7` over the bytes of
+    * window `[i, i+window)` (documents are pure ASCII, so char codes ==
+    * UTF-8 bytes). Shared by the q_rolling_hash and winnow twins: a
+    * base/modulus change to RollingHash has exactly one SQL copy to
+    * update, not a silently-stale second.
+    */
+  private def krFoldSql(i: String, window: Int): String =
+    s"list_reduce(list_transform(generate_series($i, $i + ${window - 1}), k2 -> CAST(ascii(substr(text, k2, 1)) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+
   /** CTE chain of the winnowing twins, ending in
     * `fp(doc_id, pos, fp_hash)` — KR hashes (the q_rolling_hash
-    * rendering, k = 8), rightmost-min of each 4-window via
+    * rendering, k = 32), rightmost-min of each 8-window via
     * reverse+position (the identical integer arithmetic the Spark side
     * computes), distinct picks. Docs with no full hash window drop.
     */
@@ -1603,8 +1613,7 @@ object SparkEntry {
     // EVERY pair through common words (measured: 112,745 "overlap"
     // pairs among 500 sf0.001 docs at k=8) — 32-byte grams only match
     // genuine copied spans, guarantee length k + w − 1 = 39 bytes
-    def kr(i: String) =
-      s"list_reduce(list_transform(generate_series($i, $i + 31), k2 -> CAST(ascii(substr(text, k2, 1)) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+    def kr(i: String) = krFoldSql(i, 32)
     s"wh AS (SELECT doc_id, list_transform(generate_series(1, len(text) - 31), i -> ${kr("i")}) AS h " +
       "FROM documents WHERE len(text) >= 32), " +
       // picks packed as pos·2³¹ + hash: DuckDB list_distinct cannot
@@ -2068,11 +2077,9 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
 
     "q_rolling_hash" -> {
-      // Non-incremental rendering of RollingHash (documents are pure
-      // ASCII, so char codes == UTF-8 bytes); fold seeds at 0 like the
-      // Scala loop: ((0·31+b0)·31+b1)… ≡ Σ bi·31^(w-1-i) mod 1e9+7.
-      def h(i: String) =
-        s"list_reduce(list_transform(generate_series($i, $i + 7), k -> CAST(ascii(substr(text, k, 1)) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+      // Non-incremental rendering of RollingHash — the shared krFoldSql
+      // at window 8 (one SQL copy of the fold for all twins)
+      def h(i: String) = krFoldSql(i, 8)
       "SELECT doc_id, CAST(GREATEST(len(text) - 7, 0) AS INT) AS n_windows, " +
         s"CASE WHEN len(text) >= 8 THEN ${h("1")} END AS h_first, " +
         s"CASE WHEN len(text) >= 8 THEN list_min(list_transform(generate_series(1, len(text) - 7), i -> ${h("i")})) END AS h_min " +

@@ -1335,11 +1335,25 @@ object Similarity {
   def ivfBinTopKFrom(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, cents: Seq[(Long, Seq[Double])], dim: Int,
-      nprobe: Int = 1): DataFrame = {
-    val c = withCells(corpus, idCol, vecCol, cents, 1)
-      .select(col(idCol).as("neighbor_id"), col("_cell"),
-        binWordsCol(col(vecCol), dim).as("_cw"))
-      .where(col("_cw").isNotNull)
+      nprobe: Int = 1): DataFrame =
+    ivfBinRank(
+      withCells(corpus, idCol, vecCol, cents, 1)
+        .select(col(idCol).as("neighbor_id"), col("_cell"),
+          binWordsCol(col(vecCol), dim).as("_cw")),
+      queries, idCol, vecCol, cents, dim, nprobe, k)
+
+  /** ONE definition of the cell-restricted Hamming scan tail — query
+    * encode + cell join + self-exclusion + native kernel + partial-agg
+    * rank — shared by the inline ([[ivfBinTopKFrom]]) and artifact
+    * ([[ivfBinProbe]]) paths, which differ ONLY in where the corpus
+    * frame `(neighbor_id, _cell, _cw)` comes from; the probe ≡ inline
+    * spec pin holds by construction instead of by parallel maintenance.
+    */
+  private def ivfBinRank(
+      corpusSide: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])], dim: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    val c = corpusSide.where(col("_cw").isNotNull)
     val q = withCells(queries, idCol, vecCol, cents, nprobe)
       .select(col(idCol).as("query_id"), col("_cell"),
         binWordsCol(col(vecCol), dim).as("_qw"))
@@ -1420,22 +1434,10 @@ object Similarity {
       nprobe: Int = 1): DataFrame = {
     Dedup.requireStoreParams(
       assigned, ivfBinParams(cents, dim), "IVF-binary")
-    val q = withCells(queries, idCol, vecCol, cents, nprobe)
-      .select(col(idCol).as("query_id"), col("_cell"),
-        binWordsCol(col(vecCol), dim).as("_qw"))
-      .where(col("_qw").isNotNull)
-    val c = assigned
-      .select(col(idCol).as("neighbor_id"), col("_cell"),
-        col("bin_words").as("_cw"))
-      .where(col("_cw").isNotNull)
-    adcRank(
-      c.join(broadcast(q), Seq("_cell"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .withColumn("_adc",
-          call_function("vec_hamming", col("_qw"), col("_cw"))
-            .cast("double")), k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc").cast("long").as("hamming"))
+    ivfBinRank(
+      assigned.select(col(idCol).as("neighbor_id"), col("_cell"),
+        col("bin_words").as("_cw")),
+      queries, idCol, vecCol, cents, dim, nprobe, k)
   }
 
   // --------------------------------------------------------------------

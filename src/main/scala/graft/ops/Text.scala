@@ -560,7 +560,13 @@ object Text {
       .orderBy(col("_rk"), col(idCol))
     docs
       .select(col(idCol), shard.as("shard"), rank.as("_rk"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+      // running count, not row_number(): row_number is IntegerType and
+      // wraps negative past 2³¹ rows in one shard — silently breaking
+      // the resumable-from-(shard, pos) contract at exactly the corpus
+      // size this op exists for. The ordering (_rk, id) is total, so
+      // the Long running count IS the row number.
+      .withColumn("pos", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(idCol), col("shard"), col("pos"))
   }
 
@@ -592,7 +598,10 @@ object Text {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: need k >= 1 and w >= 1, got $k/$w")
-    val h = expr(s"rolling_hash(${textCol}, $k)")
+    // Column-level invocation, not expr() string interpolation: a
+    // column name needing backticks would fail (or worse, reparse) in
+    // a SQL fragment
+    val h = call_function("rolling_hash", col(textCol), lit(k))
     // each pick packs into ONE BIGINT, pos·2³¹ + hash (KR hash < 1e9+7
     // < 2³¹): distinct over plain BIGINTs instead of structs — DuckDB's
     // list_distinct cannot histogram a STRUCT, and both engines then
@@ -640,15 +649,18 @@ object Text {
     require(minShared >= 1, s"winnow overlap: minShared >= 1, got $minShared")
     require(maxDocFreq.forall(_ >= 1),
       s"winnow overlap: maxDocFreq must be >= 1, got $maxDocFreq")
-    val d0 = fps.select(col("doc_id"), col("fp_hash")).distinct()
     val d = maxDocFreq match {
-      case None => d0
+      case None => fps.select(col("doc_id"), col("fp_hash")).distinct()
       case Some(cap) =>
-        // one partial-agg pass over the (already distinct) rows;
-        // materialized BEFORE the size-dispatched broadcast counts it
-        // (broadcastIfSmall's count is an action — uncached, the
-        // doc-freq aggregate would run once for the count and again
-        // for the join; the repeatedSpans contract)
+        // the SHARED frame is what gets materialized (the repeatedSpans
+        // contract): d0 feeds both the doc-freq aggregate (an action,
+        // via broadcastIfSmall's count) and the pair join — uncached,
+        // the whole winnow scan + distinct shuffle would run TWICE
+        val d0 = Materialize.checkpoint(
+          fps.select(col("doc_id"), col("fp_hash")).distinct())
+        // the aggregate is ALSO materialized before broadcastIfSmall's
+        // count action, so neither the scan nor the doc-freq shuffle
+        // runs twice
         val common = Materialize.checkpoint(
           d0.groupBy("fp_hash")
             .agg(count(lit(1)).as("_df"))

@@ -52,7 +52,6 @@ class EventStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dim = 32
     val rnd = new scala.util.Random(3)
-    case class V(vec_id: Long, embedding: Seq[Float])
     val vecs = (0L until 9L).map(i =>
       (i, Seq.fill(dim)((rnd.nextInt(5) - 2) * (rnd.nextFloat() + 0.1f))))
     val input = MemoryStream[(Long, Seq[Float])]
