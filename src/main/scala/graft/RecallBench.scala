@@ -150,6 +150,19 @@ object RecallBench {
             f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
           r.unpersist(); ()
         }
+        // the coarse-quantizer-quality lever through the caller-cents
+        // seam — the ivfpq section measured Lloyd-converged cells worth
+        // more than any nprobe doubling; same A/B for the binary arm
+        val (kmCents, kmSec) = timed(Similarity.kmeansFit(
+          bEmb, "vec_id", "embedding", kc, iters = 2))
+        println(f"BIN kmeans cells (k=$kc, 2 Lloyd rounds): fit=$kmSec%.2f s")
+        Seq(1, 4).foreach { np =>
+          val (r, _, sec) = forceCount(Similarity.ivfBinTopKFrom(
+            pqQ, bEmb, "vec_id", "embedding", k, kmCents, 64, nprobe = np))
+          println(f"BIN planted ivfbin_km_c$kc nprobe=$np: twin_hit@$k=" +
+            f"${twinHits(r).toDouble / nPlanted}%.4f time=$sec%.2f s")
+          r.unpersist(); ()
+        }
         val (rrP, _, rrPSec) = forceCount {
           val short = Similarity.hammingTopK(
             pqQ, codes, "vec_id", "embedding", 10 * k, 64)
