@@ -84,8 +84,9 @@ object StreamScaleBench {
         input.toDF(), store, s"$base/ckpt")
       try {
         batches.zipWithIndex.foreach { case (b, i) =>
-          input.addData(b.map(e =>
-            streaming.EventStream.CandPair(e._1, e._2)): _*)
+          input.addData(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(b.map(e =>
+              streaming.EventStream.CandPair(e._1, e._2))): _*)
           val t0 = System.nanoTime()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -130,8 +131,9 @@ object StreamScaleBench {
       try {
         legBatches.zipWithIndex.foreach { case (b, i) =>
           val before = stat()
-          input.addData(b.map(e =>
-            streaming.EventStream.CandPair(e._1, e._2)): _*)
+          input.addData(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(b.map(e =>
+              streaming.EventStream.CandPair(e._1, e._2))): _*)
           val t0 = System.nanoTime()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -238,7 +240,7 @@ object StreamScaleBench {
     }
     val input = MemoryStream[(Long, Seq[Float])]
     val q = streaming.EventStream.ivfPqIngest(
-      input.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
       cents, model, 32, base, "ing", s"$base/ckpt")
     try {
       (0 until numBatches).foreach { b =>

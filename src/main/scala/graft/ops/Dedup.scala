@@ -1100,7 +1100,7 @@ object Dedup {
     // the just-materialized checkpoint, no extra shuffle.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(xxhash64(col("id"), col("component"))
-        .cast("decimal(38,0)"))).head.getDecimal(0))
+        .cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var round = 0
     var converged = prevSum.isEmpty // empty edge set: trivially converged

@@ -853,7 +853,7 @@ object Similarity {
         element_at(mat,
           call_function("vec_argmax_cell", col(vecCol), mat) + 1))).as("_d"))
       .where(col("_d").isNotNull && !isnan(col("_d")))
-      .agg(coalesce(sum("_d"), lit(0.0))).head.getDouble(0)
+      .agg(coalesce(sum("_d"), lit(0.0))).head().getDouble(0)
   }
 
   /** k-means‖ seeding (Bahmani et al. 2012, "Scalable k-means++",
@@ -913,7 +913,7 @@ object Similarity {
       val phiUnits = scored
         .agg(coalesce(sum(round(col("_d2") * 1e9, 0).cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       val phi = phiUnits.doubleValue / 1e9
       if (phi > 0) {
         val p = least(lit(1.0), lit(l) * col("_d2") / lit(phi))
