@@ -859,6 +859,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // --- the persisted-artifact arm of the same scan (the q_ivf_probe
+    // pattern): build (id, cell, bin_words) bucketed on _cell, read it
+    // back, probe — graded against the INLINE twin, which is the
+    // probe ≡ inline bit-identity under the gate ---
+    "q_ivfbin_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ivfbin_probe").toString
+      val cents = Similarity.ivfBinBuild(
+        emb, "vec_id", "embedding", kc, 64, 8, wh, "bin")
+      Similarity.ivfBinProbe(
+          emb.where(col("vec_id") < 8),
+          Similarity.ivfAssigned(s, wh, "bin", "ivfbin"),
+          "vec_id", "embedding", 5, cents, 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // --- per-label centroid (in-engine "training" step for IVF): element
     // sums go through DECIMAL so partial-agg merge order can't change a
     // single bit, then divide by the group count ---
@@ -1622,6 +1640,34 @@ object SparkEntry {
       "CAST(i + 8 - list_position(list_reverse(h[i:i+7]), list_min(h[i:i+7])) - 1 AS BIGINT) * 2147483648 + list_min(h[i:i+7])))) AS c " +
       "FROM wh WHERE len(h) >= 8), " +
       "fp AS (SELECT doc_id, c >> 31 AS pos, c & 2147483647 AS fp_hash FROM fp0)"
+  }
+
+  /** The binary chain composed with the q_ivfpq_topk coarse chain: the
+    * Hamming join gains one predicate, neighbor cell = query cell.
+    * Shared by `q_ivfbin_topk` (inline) and `q_ivfbin_probe` (artifact)
+    * — probe ≡ inline is the operator's spec-pinned identity.
+    */
+  private val ivfBinTopkOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    binCodeSql +
+      ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+      "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+      "WHERE _srn <= (SELECT k FROM kk)), " +
+      s"casg AS (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+      "FROM embeddings v CROSS JOIN cents c), " +
+      "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
+      "q AS (SELECT b.vec_id AS query_id, b.cw AS qw, cv.cell FROM bc b JOIN cellsv cv USING (vec_id) WHERE b.vec_id < 8), " +
+      "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
+      "FROM q CROSS JOIN bc c JOIN cellsv nc ON nc.vec_id = c.vec_id AND nc.cell = q.cell " +
+      "WHERE q.query_id <> c.vec_id) " +
+      "SELECT query_id, neighbor_id, rank FROM " +
+      "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
+      "WHERE rank <= 5"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2532,28 +2578,11 @@ object SparkEntry {
 
     // the binary chain composed with the q_ivfpq_topk coarse chain:
     // the Hamming join gains one predicate, neighbor cell = query cell
-    "q_ivfbin_topk" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      def cos(a: String, b: String) =
-        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      binCodeSql +
-        ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
-        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
-        "WHERE _srn <= (SELECT k FROM kk)), " +
-        s"casg AS (SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN cents c), " +
-        "cellsv AS (SELECT vec_id, cid AS cell FROM casg WHERE rn = 1), " +
-        "q AS (SELECT b.vec_id AS query_id, b.cw AS qw, cv.cell FROM bc b JOIN cellsv cv USING (vec_id) WHERE b.vec_id < 8), " +
-        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
-        "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
-        "FROM q CROSS JOIN bc c JOIN cellsv nc ON nc.vec_id = c.vec_id AND nc.cell = q.cell " +
-        "WHERE q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM " +
-        "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
-        "WHERE rank <= 5"
-    },
+    "q_ivfbin_topk" -> ivfBinTopkOracleSql,
+
+    // the artifact probe shares the inline twin — probe ≡ inline is the
+    // operator's own spec-pinned identity, graded here under the gate
+    "q_ivfbin_probe" -> ivfBinTopkOracleSql,
 
     // the q_hamming_topk chain widened to a rank<=50 shortlist, then
     // exact full-dim L2 re-rank — the q_pq_rerank tail verbatim
