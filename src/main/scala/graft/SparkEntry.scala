@@ -1035,6 +1035,16 @@ object SparkEntry {
       Text.winnowOverlapPairs(
         Text.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text"))),
 
+    // --- span-level decontamination via winnowing: any verbatim span
+    // >= k+w-1 bytes copied from the benchmark (doc_id < 50, the dsir
+    // seed convention) is caught position-independently; benchmark
+    // fingerprints broadcast, the corpus never self-joins ---
+    "q_winnow_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Text.winnowDecontaminate(d.where(col("doc_id") >= 50),
+        "doc_id", "text", d.where(col("doc_id") < 50))
+    }),
+
     // --- vocabulary build: token → frequency (one explode + one agg) ---
     "q_token_freq" -> ((s, dir) =>
       Text.spread(t(s, dir, "documents"))
@@ -2145,6 +2155,15 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM dd a JOIN dd b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+
+    // fingerprints are a per-doc function, so computing the chain over
+    // ALL documents and splitting by id afterwards equals computing it
+    // per frame (what the Spark side does)
+    "q_winnow_decontaminate" -> (
+      "WITH " + winnowChainSql +
+        ", bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50) " +
+        "SELECT f.doc_id, CAST(count(DISTINCT f.fp_hash) AS BIGINT) AS n_hits " +
+        "FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50 GROUP BY 1"),
 
     "q_ngram_jaccard" -> (
       s"WITH toks AS (SELECT doc_id, lang, $docTokens AS ts FROM documents), " +

@@ -632,6 +632,34 @@ object Text {
         col("_c").bitwiseAND(lit(2147483647L)).as("fp_hash"))
   }
 
+  /** Winnowing-based decontamination: corpus docs sharing at least one
+    * winnowed fingerprint VALUE with any benchmark doc, with the count
+    * of distinct shared hashes. Complements the other two arms:
+    * [[decontaminate]]'s exact shingles need token-aligned identity,
+    * minhash fuzzy catches whole-doc paraphrase — winnowing carries the
+    * LOCAL guarantee (any verbatim span ≥ k+w−1 bytes copied from the
+    * benchmark is caught, position-independent) at ~2/(w+1) of the
+    * span-hash density, which is the shape test-set leaks actually take
+    * (a quoted question inside an otherwise original page).
+    *
+    * Scale shape: the benchmark is eval-suite-sized → its fingerprint
+    * set is materialized once and rides the size-dispatched broadcast;
+    * the corpus pays one map-side winnow pass and never self-joins.
+    */
+  def winnowDecontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, k: Int = 32, w: Int = 8): DataFrame = {
+    val bfp = Materialize.checkpoint(
+      winnowFingerprints(benchmark, idCol, textCol, k, w)
+        .select("fp_hash").distinct())
+    val nB = bfp.count()
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .join(graft.ops.Joins.broadcastIfSmall(bfp, Some(nB)),
+        Seq("fp_hash"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct("fp_hash").as("n_hits"))
+  }
+
   /** MOSS-style overlap report: document pairs sharing at least
     * `minShared` DISTINCT winnowed fingerprint values. The join is keyed
     * on fp_hash — candidates are generated per shared hash bucket, never

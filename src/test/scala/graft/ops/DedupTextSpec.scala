@@ -1181,6 +1181,30 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.winnowOverlapPairs(fps, 0))
   }
 
+  test("winnowDecontaminate: a corpus doc quoting a benchmark span " +
+    ">= k+w-1 bytes is flagged with its distinct-hash hit count, clean " +
+    "docs are absent, position-independent") {
+    val leak = "What is the capital of France? Paris is the capital city."
+    val benchmark = Seq((900L, s"Q17. $leak Answer key follows."))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"original page content here, then quoted: $leak and more."),
+      (2L, "a completely clean document with its own words only, " +
+        "padded to a comparable length 0123456789 abcdefghij")
+    ).toDF("doc_id", "text")
+    val got = Text.winnowDecontaminate(docs, "doc_id", "text", benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got(1L) >= 1L)
+    assert(!got.contains(2L))
+    // position independence: the same leak at the START of the doc is
+    // still caught (fingerprint values carry no position)
+    val moved = Seq((3L, s"$leak — prefixed nothing, different tail."))
+      .toDF("doc_id", "text")
+    val got2 = Text.winnowDecontaminate(moved, "doc_id", "text", benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.contains(3L) && got2(3L) >= 1L)
+  }
+
   test("winnowOverlapPairs maxDocFreq: a boilerplate span shared by ALL " +
     "docs is dropped (MOSS's over-common k-gram rule), genuine pair-wise " +
     "copies survive") {
