@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -10,7 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute force is a broadcast nested loop of the (small) query
   * set against the corpus — one corpus scan, no shuffle of the big side,
-  * then a per-query top-k window. The bucketed variant (`lshTopK`) first
+  * then the partial-aggregable top-k tail ([[scoreRank]] — k rows per
+  * (partition, query) reach the one exchange, never the full scored
+  * set). The bucketed variant (`lshTopK`) first
   * assigns each vector to a sign-random-projection bucket so candidate
   * generation joins on the bucket key — the classic IVF/LSH trade: recall
   * for a shuffle that's O(corpus) instead of O(corpus × queries).
@@ -64,7 +65,8 @@ object Similarity {
     * The QUERY side is broadcast (a query set is small by construction);
     * the corpus streams through one scan with zero shuffle of the big side
     * — broadcasting the corpus instead would OOM every executor at scale.
-    * The only shuffle is the per-query top-k window on `query_id`.
+    * The only shuffle is the |queries|-keyed top-k aggregation exchange
+    * ([[scoreRank]]), which carries k rows per (partition, query).
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -73,15 +75,11 @@ object Similarity {
       norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       norm(col(vecCol)).as("_cn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    scoreRank(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn"))),
+      k)
   }
 
   /** Sign-random-projection bucket id: bit per hyperplane, hyperplane h =
@@ -477,15 +475,12 @@ object Similarity {
     val c = withCell(corpus, idCol, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         col("_cell"), norm(col(vecCol)).as("_cn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    q.join(c, Seq("_cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    scoreRank(
+      q.join(c, Seq("_cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn"))),
+      k)
   }
 
   /** The IVF artifact/probe split — the production shape of [[ivfTopK]].
@@ -499,7 +494,7 @@ object Similarity {
     * Because the bucket spec rides the catalog, every later probe joins
     * the corpus with ZERO corpus-side Exchange (PlanSpec pins it): the
     * only shuffles left are the query side (batch-sized) and the
-    * per-query top-k window. At 100 TB that turns the dominant
+    * |queries|-keyed top-k aggregation. At 100 TB that turns the dominant
     * corpus shuffle into a once-per-refresh write cost.
     *
     * Returns the centroid model (the same driver-side artifact
@@ -581,15 +576,12 @@ object Similarity {
         col("_cell"), norm(col(vecCol)).as("_qn"))
     val c = assigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), col("_cell"), col("_vn").as("_cn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    q.join(c, Seq("_cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    scoreRank(
+      q.join(c, Seq("_cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn"))),
+      k)
   }
 
   /** Deterministic centroid seeds: the first `k` corpus vectors by id,
@@ -1156,16 +1148,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       srpBucket(col(vecCol), numPlanes).as("_bkt"),
       norm(col(vecCol)).as("_cn"))
-    val scored = q.join(c, Seq("_bkt"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    scoreRank(
+      q.join(c, Seq("_bkt"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          cosineFromNorms(dot(col("_qv"), col("_cv")), col("_qn"), col("_cn"))),
+      k)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale
@@ -1810,6 +1798,45 @@ object Similarity {
       .select(col("query_id"), col("_t._2").as("neighbor_id"),
         (col("_i") + 1).cast("int").as("rank"),
         negate(col("_t._1")).as("adc"))
+  }
+
+  /** Shared rank tail of the COSINE scans ([[bruteForceTopK]],
+    * [[ivfTopK]], [[ivfProbe]], [[lshTopK]]) — the score-DESC mirror of
+    * [[adcRank]], so every retrieval family ranks through the same
+    * partial-aggregable [[graft.functions.TopKAggregator]]: each map task
+    * reduces its scored pairs to a k-element buffer BEFORE the shuffle,
+    * where the previous `row_number` window sorted the WHOLE per-query
+    * candidate set through one exchange (at 100 TB the window exchange
+    * is the plan; the aggregator exchange carries |queries|×k rows per
+    * partition).
+    *
+    * Rank contract preserved exactly: score DESC, ties to the smaller
+    * neighbor_id — the aggregator keeps (value DESC, id ASC). Two edge
+    * disciplines carried over from the window shape:
+    *   - NaN ranks GREATEST (the documented zero-norm-cosine semantics;
+    *     Spark's DESC sort puts NaN first). Scala's total ordering on
+    *     Double would instead sort −NaN last, so NaN is encoded as the
+    *     sentinel 2.0 on the way in and decoded back on the way out —
+    *     lossless because cosine is confined to [−1, 1] ∪ {NaN}, so 2.0
+    *     is unreachable as a genuine score.
+    *   - NULL scores DROP (a NULL vector / malformed row), aligning the
+    *     cosine family with the ADC/Hamming malformed-input discipline —
+    *     the typed aggregator would otherwise decode NULL as 0.0 and
+    *     silently rank garbage mid-pack.
+    */
+  private[graft] def scoreRank(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val enc = when(isnan(col("score")), lit(2.0))
+      .otherwise(col("score").cast("double"))
+    scored
+      .where(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(topk(enc, col("neighbor_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("query_id"), col("_t._2").as("neighbor_id"),
+        (col("_i") + 1).cast("int").as("rank"),
+        when(col("_t._1") === 2.0, lit(Double.NaN))
+          .otherwise(col("_t._1")).as("score"))
   }
 
   // --------------------------------------------------------------------

@@ -74,9 +74,51 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("BuildRight"),
       s"query side must be the (right) build side:\n$joinLine")
     // corpus side reaches the join without an Exchange: the only shuffle
-    // in the whole plan is the per-query top-k window partitioning
+    // in the whole plan is the |queries|-keyed top-k aggregation
     assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
       s"corpus side must not shuffle before the join:\n$plan")
+    // the rank tail is the shared partial-aggregable scoreRank — k rows
+    // per (partition, query) reach the exchange, never the full scored
+    // corpus×queries set the old row_number window sorted
+    assert(!plan.contains("Window"),
+      s"cosine ranking must not plan a window over scored pairs:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected map-side partial top-k aggregation in:\n$plan")
+  }
+
+  test("ivfTopK / lshTopK rank through the partial-aggregable tail — " +
+    "no row_number window on any production cosine path") {
+    val emb = Tables(spark, dir, "embeddings")
+    for (df <- Seq(
+        ops.Similarity.ivfTopK(
+          emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5),
+        ops.Similarity.lshTopK(
+          emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"),
+        s"cosine ranking must not plan a window over scored pairs:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topkaggregator"),
+        s"expected map-side partial top-k aggregation in:\n$plan")
+    }
+  }
+
+  test("scoreRank keeps the window's rank contract on the edges: NaN " +
+    "ranks greatest, NULL scores drop, ties break to the smaller id") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, Some(0.5)), (1L, 11L, Some(Double.NaN)),
+      (1L, 12L, Some(0.9)), (1L, 13L, None),
+      (1L, 14L, Some(0.9)), (1L, 15L, Some(Double.NaN)))
+      .toDF("query_id", "neighbor_id", "score")
+    val got = ops.Similarity.scoreRank(scored, 3)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // NaN first (id ties ascending), then score DESC / id ASC; the NULL
+    // row never appears; decoded scores carry NaN, not the 2.0 sentinel
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((11L, 1), (15L, 2), (12L, 3)))
+    assert(got(0)._3.isNaN && got(1)._3.isNaN && got(2)._3 === 0.9)
   }
 
   test("budget report: fact side scanned once and joined broadcast") {
@@ -198,12 +240,17 @@ class PlanSpec extends SparkSpec {
         "vec_id", "embedding", 5, cents)
       val plan = planOf(probe)
       // the only shuffles allowed: the (batch-sized) query side moving
-      // into the corpus's bucket partitioning, and the per-query top-k
-      // window — the corpus itself reaches the join pre-partitioned by
-      // the bucketed layout the build paid for once. An un-bucketed read
-      // would plan a third Exchange on the corpus branch.
+      // into the corpus's bucket partitioning, and the |queries|-keyed
+      // top-k aggregation — the corpus itself reaches the join
+      // pre-partitioned by the bucketed layout the build paid for once.
+      // An un-bucketed read would plan a third Exchange on the corpus
+      // branch.
       assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
         s"corpus side must not shuffle before the probe join:\n$plan")
+      assert(!plan.contains("Window"),
+        s"probe ranking must not plan a window over scored pairs:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topkaggregator"),
+        s"expected map-side partial top-k aggregation in:\n$plan")
       // amortizing the artifact must not change a single row vs inline
       val inline = ops.Similarity.ivfTopK(
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
