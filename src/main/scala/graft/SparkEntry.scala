@@ -132,9 +132,15 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"))
     }),
 
+    // customers with no RECENT order — the date predicate keeps the
+    // anti-join's graded output non-empty at every SF (the unfiltered
+    // fixture has an order for every customer, so the row was a vacuous
+    // 0-row hash match: it proved emptiness, not anti-join semantics)
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -1113,10 +1119,14 @@ object SparkEntry {
           round(col("qty") / col("total_qty"), 6).as("pct"))
     }),
 
-    // --- set operations (EXCEPT/INTERSECT, distinct semantics) ---
+    // --- set operations (EXCEPT/INTERSECT, distinct semantics). The
+    // EXCEPT subtracts only RECENT order keys so the output is
+    // non-empty at every SF (see q_anti_join — same de-vacuation) ---
     "q_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
-        .except(t(s, dir, "orders").select(col("o_custkey")))),
+        .except(t(s, dir, "orders")
+          .where(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+          .select(col("o_custkey")))),
 
     "q_intersect" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -1611,14 +1621,19 @@ object SparkEntry {
     * `embeddings` into dim/32 words of 32 bits each (bits 0..31 only, so
     * every word value is in [0, 2³²) and BIGINT arithmetic is exact and
     * identical in both engines — the Spark side packs the same way,
-    * Similarity.binQuantize).
+    * Similarity.binQuantize). A NaN element poisons the whole code to
+    * NULL (the bool_or guards), matching binQuantize's documented
+    * NULL-poisoning: without them DuckDB's `CAST(x AS DOUBLE) > 0`
+    * would treat NaN as greater-than-zero (NaN sorts above all values
+    * there) and silently SET the bit where Spark NULLs the code.
     */
   private val binCodeSql: String =
     "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM embeddings), " +
       "bw AS (SELECT vec_id, pos // 32 AS w, " +
-      "SUM(CASE WHEN CAST(x AS DOUBLE) > 0 THEN CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) ELSE 0 END) AS wv " +
+      "CASE WHEN bool_or(isnan(CAST(x AS DOUBLE))) THEN NULL " +
+      "ELSE SUM(CASE WHEN CAST(x AS DOUBLE) > 0 THEN CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) ELSE 0 END) END AS wv " +
       "FROM e GROUP BY 1, 2), " +
-      "bc AS (SELECT vec_id, list(wv ORDER BY w) AS cw FROM bw GROUP BY 1)"
+      "bc AS (SELECT vec_id, CASE WHEN bool_or(wv IS NULL) THEN NULL ELSE list(wv ORDER BY w) END AS cw FROM bw GROUP BY 1)"
 
   /** The ONE DuckDB rendering of graft.functions.RollingHash's fold —
     * `((0·31+b0)·31+b1)… ≡ Σ bi·31^(w-1-i) mod 1e9+7` over the bytes of
@@ -1730,7 +1745,7 @@ object SparkEntry {
         "SELECT l_returnflag, qty, round(qty / total_qty, 6) AS pct FROM f CROSS JOIN t"),
 
     "q_except" ->
-      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'",
 
     "q_intersect" ->
       "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
@@ -1983,7 +1998,7 @@ object SparkEntry {
       "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
 
     "q_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01')",
 
     "q_inner_join" ->
       "SELECT l_orderkey, l_linenumber, o_custkey, CAST(o_orderdate AS DATE) AS o_date FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
@@ -2585,14 +2600,18 @@ object SparkEntry {
       " SELECT vec_id, array_to_string(list_transform(cw, x -> CAST(x AS VARCHAR)), ',') AS bin_code FROM bc"),
 
     // Hamming = Σ_words bit_count(xor(q_word, c_word)); rank by
-    // (hamming ASC, neighbor ASC) — the TopKAggregator contract
+    // (hamming ASC, neighbor ASC) — the TopKAggregator contract. The
+    // `hd IS NOT NULL` filter mirrors adcRank's isNotNull guard: under
+    // dim drift an out-of-range cw[i] makes hd NULL here, and without
+    // the filter the NULL row would still receive a row_number rank
+    // (NULLs last) where the Spark side drops it
     "q_hamming_topk" -> (binCodeSql +
       ", q AS (SELECT vec_id AS query_id, cw AS qw FROM bc WHERE vec_id < 8), " +
       "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
       "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
       "FROM q CROSS JOIN bc c WHERE q.query_id <> c.vec_id) " +
       "SELECT query_id, neighbor_id, rank FROM " +
-      "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d) " +
+      "(SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS INT) AS rank FROM d WHERE hd IS NOT NULL) " +
       "WHERE rank <= 5"),
 
     // the binary chain composed with the q_ivfpq_topk coarse chain:
@@ -2616,7 +2635,7 @@ object SparkEntry {
         "list_reduce(list_transform(generate_series(1, len(q.qw)), i -> CAST(bit_count(xor(q.qw[i], c.cw[i])) AS BIGINT)), (a, b) -> a + b) AS hd " +
         "FROM q CROSS JOIN bc c WHERE q.query_id <> c.vec_id), " +
         "short AS (SELECT query_id, neighbor_id FROM " +
-        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS rk FROM d) WHERE rk <= 50), " +
+        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id) AS rk FROM d WHERE hd IS NOT NULL) WHERE rk <= 50), " +
         s"rr AS (SELECT sh.query_id, sh.neighbor_id, ${l2("qe.embedding", "ne.embedding")} AS dd " +
         "FROM short sh JOIN embeddings qe ON qe.vec_id = sh.query_id " +
         "JOIN embeddings ne ON ne.vec_id = sh.neighbor_id) " +

@@ -193,41 +193,71 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Perceptual difference-hash (dHash) of a decoded image: rescale to
-    * 9×8 (bilinear, JDK AWT — no external codec), integer Rec.601
-    * luminance per pixel, bit k = lum(x, y) > lum(x+1, y) over the 8
-    * row-adjacent comparisons of each of 8 rows = one 64-bit signature.
-    * The standard property this buys: re-encodes, format changes and
-    * mild global edits (brightness, small crops) move few bits, so
-    * image NEAR-dup reduces to 64-bit Hamming distance — the exact
-    * problem the engine already solves for simhash, and at 8 bytes per
-    * image the signature table of a billion-image corpus is ~8 GB.
+  /** Perceptual difference-hash (dHash) of a decoded image: downscale to
+    * a 9×8 grid, integer Rec.601 luminance per cell, bit k =
+    * lum(x, y) > lum(x+1, y) over the 8 row-adjacent comparisons of each
+    * of 8 rows = one 64-bit signature. The standard property this buys:
+    * re-encodes, format changes and mild global edits (brightness, small
+    * crops) move few bits, so image NEAR-dup reduces to 64-bit Hamming
+    * distance — the exact problem the engine already solves for simhash,
+    * and at 8 bytes per image the signature table of a billion-image
+    * corpus is ~8 GB.
     *
-    * Integer-only luminance (299r + 587g + 114b, no divide) keeps the
-    * bit pattern platform-deterministic; strict `>` means a CONSTANT
-    * image hashes to 0L (all comparisons false) — flat-color dups
-    * collapse to one bucket, which is the desired semantics.
+    * The downscale is an EXPLICIT integer box filter (cell (tx, ty)
+    * averages the source rectangle [⌊tx·W/9⌋, ⌊(tx+1)·W/9⌋) ×
+    * [⌊ty·H/8⌋, ⌊(ty+1)·H/8⌋), Long channel sums, one floor division),
+    * not AWT's `Graphics2D.drawImage` — that rescale's kernel is
+    * JDK-implementation-defined, which would pin the bit pattern only
+    * per-JVM where a heterogeneous executor fleet needs the SAME bytes
+    * to hash to the SAME signature on every node. With the fixed kernel
+    * the hash is a pure integer function of the decoded pixel raster,
+    * so it is platform-deterministic for lossless formats (PNG/BMP
+    * decode to exact pixels; JPEG's IDCT remains decoder-defined).
+    * A source dimension smaller than the grid degrades to pixel
+    * replication (the `max(x0+1, …)` bound). Strict `>` means a
+    * CONSTANT image hashes to 0L (all comparisons false) — flat-color
+    * dups collapse to one bucket, which is the desired semantics.
     */
   object DHash {
     def of(img: java.awt.image.BufferedImage): Long = {
       val w = 9; val h = 8
-      val scaled = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = scaled.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, w, h, null)
-      g.dispose()
-      def lum(px: Int): Int =
-        299 * ((px >> 16) & 0xFF) + 587 * ((px >> 8) & 0xFF) + 114 * (px & 0xFF)
+      val sw = img.getWidth; val sh = img.getHeight
+      // 1000×-scaled luminance of the box-averaged cell: channel sums
+      // accumulate in Long (max 255·W·H per cell — no overflow at any
+      // real image size), ONE floor division by the cell pixel count
+      val lum = Array.ofDim[Long](h, w)
+      var ty = 0
+      while (ty < h) {
+        val y0 = ty * sh / h
+        val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+        var tx = 0
+        while (tx < w) {
+          val x0 = tx * sw / w
+          val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val px = img.getRGB(x, y)
+              rs += (px >> 16) & 0xFF; gs += (px >> 8) & 0xFF; bs += px & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          lum(ty)(tx) = (299L * rs + 587L * gs + 114L * bs) / n
+          tx += 1
+        }
+        ty += 1
+      }
       var bits = 0L
       var k = 0
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w - 1) {
-          if (lum(scaled.getRGB(x, y)) > lum(scaled.getRGB(x + 1, y)))
-            bits |= (1L << k)
+          if (lum(y)(x) > lum(y)(x + 1)) bits |= (1L << k)
           k += 1; x += 1
         }
         y += 1
