@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Closure, Dedup, Enrich, Joins, Profile, Similarity, Text, Transforms}
+import graft.ops.{Closure, Curation, Dedup, Enrich, Joins, Profile, Similarity, Text, Transforms}
 import graft.reports.{BudgetReport, ProjectBudgetReport, TaskTree}
 import graft.sources.Multimodal
 import graft.streaming.EventStream
@@ -1406,6 +1406,22 @@ object SparkEntry {
         .withColumn("_digest", md5(col("text").cast("binary")))
       Transforms.firstPerGroup(filtered, Seq("_digest"), Seq(col("doc_id")))
         .select(col("doc_id"), col("n_tokens"), col("quality"))
+    }),
+
+    // --- the END-TO-END curation composite (ops.Curation.curate): the
+    // full production chain over documents — gopher quality gate →
+    // exact dedup + minhash-CC keep-best → winnow decontamination
+    // against the benchmark slice (doc_id < 50, the dsir seed
+    // convention) → bigram-LM perplexity deciles with the tail decile
+    // dropped → per-source cap → deterministic shard/pos training
+    // order. Every stage is individually graded elsewhere; this row
+    // grades their COMPOSITION (column contracts, stage-boundary
+    // materialization — the bugs per-operator rows cannot catch) ---
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curate(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source")
     })
   )
 
@@ -1467,18 +1483,24 @@ object SparkEntry {
     * `bgl(doc_id, n_bigrams, logprob)` — adjacent token pairs, corpus
     * bigram counts, the unigram integer-units mean discipline. Docs with
     * fewer than 2 tokens drop (no bigrams, no defined bucket).
+    * Parameterized over the source relation: the LM counts are computed
+    * over exactly the docs in `src`, which is what the curation twin
+    * needs (the Spark side trains the LM on the surviving corpus).
     */
-  private val bigramChainSql: String =
-    s"tk AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
+  private def bigramChainSqlOver(
+      src: String, materialized: Boolean = false): String =
+    s"tk AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM $src), " +
       "tok AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 2), " +
       "bgx AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts FROM tok), " +
       "bgr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM bgx), " +
       "tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bgr GROUP BY 1, 2, 3), " +
       "cb2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tfb GROUP BY 1, 2), " +
       "cb1 AS (SELECT w1, SUM(c2) AS c1 FROM cb2 GROUP BY 1), " +
-      "bgl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, " +
+      s"bgl AS ${if (materialized) "MATERIALIZED " else ""}(SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, " +
       "floor(CAST(SUM(CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logprob " +
       "FROM tfb JOIN cb2 USING (w1, w2) JOIN cb1 USING (w1) GROUP BY doc_id)"
+
+  private val bigramChainSql: String = bigramChainSqlOver("documents")
 
   /** DuckDB rendering of Dedup.simhash16 over `documents`, ending in a
     * CTE `sh(doc_id, simhash)`.
@@ -1524,10 +1546,13 @@ object SparkEntry {
 
   /** The minhash-LSH candidate-pair derivation as a reusable CTE chain
     * ending in `pairs(id_a, id_b)` — shared by q_dedup_minhash and the
-    * connected-components oracle.
+    * connected-components oracle. Parameterized over the document
+    * source relation so the curation-composite twin can run it over a
+    * filtered stage CTE (fingerprints/pairs are a function of each
+    * doc's text alone, so the chain is source-agnostic).
     */
-  private val minhashPairsCtes =
-    s"toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
+  private def minhashPairsCtesOver(src: String) =
+    s"toks AS (SELECT doc_id, $docTokens AS ts FROM $src), " +
       "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' ')) END) AS shingles FROM toks WHERE len(ts) > 0), " +
       "sig AS (SELECT doc_id, [" +
       (0 until 8).map(seed =>
@@ -1538,6 +1563,8 @@ object SparkEntry {
       "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
       "FROM banded a JOIN banded c ON a.bno = c.bno AND a.bkey = c.bkey " +
       "WHERE a.doc_id < c.doc_id)"
+
+  private val minhashPairsCtes = minhashPairsCtesOver("documents")
 
   /** IVF twin, parameterized on the QUERY-side probe width: corpus
     * vectors live in their rn = 1 cell; queries probe their `nprobe`
@@ -1651,14 +1678,16 @@ object SparkEntry {
     * reverse+position (the identical integer arithmetic the Spark side
     * computes), distinct picks. Docs with no full hash window drop.
     */
-  private val winnowChainSql: String = {
+  private def winnowChainSqlOver(src: String): String = {
     // k = 32, w = 8 (the operator defaults): 8-byte grams are shared by
     // EVERY pair through common words (measured: 112,745 "overlap"
     // pairs among 500 sf0.001 docs at k=8) — 32-byte grams only match
-    // genuine copied spans, guarantee length k + w − 1 = 39 bytes
+    // genuine copied spans, guarantee length k + w − 1 = 39 bytes.
+    // Source-parameterized like minhashPairsCtesOver: fingerprints are
+    // a per-doc function, so any (doc_id, text) relation slots in.
     def kr(i: String) = krFoldSql(i, 32)
     s"wh AS (SELECT doc_id, list_transform(generate_series(1, len(text) - 31), i -> ${kr("i")}) AS h " +
-      "FROM documents WHERE len(text) >= 32), " +
+      s"FROM $src WHERE len(text) >= 32), " +
       // picks packed as pos·2³¹ + hash: DuckDB list_distinct cannot
       // histogram STRUCTs, and the Spark side packs identically
       "fp0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> " +
@@ -1666,6 +1695,34 @@ object SparkEntry {
       "FROM wh WHERE len(h) >= 8), " +
       "fp AS (SELECT doc_id, c >> 31 AS pos, c & 2147483647 AS fp_hash FROM fp0)"
   }
+
+  private val winnowChainSql: String = winnowChainSqlOver("documents")
+
+  /** Gopher signal CTE chain over `src`, ending in `gs(doc_id, n_words,
+    * mean_word_len, alpha_word_frac, stop_hits)` — the Text.gopherStats
+    * twin, shared by q_gopher_filter and the curation composite.
+    */
+  private def gopherStatsCtesOver(src: String): String =
+    s"gt AS (SELECT doc_id, $docTokens AS ts FROM $src), " +
+      "gs AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_words, " +
+      "CASE WHEN len(ts) > 0 THEN round(CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts), 6) END AS mean_word_len, " +
+      "CASE WHEN len(ts) > 0 THEN round(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ts), 6) END AS alpha_word_frac, " +
+      "CAST(len(list_filter(ts, w -> lower(w) IN ('the','and','of','to','a'))) AS INT) AS stop_hits FROM gt)"
+
+  /** The gopher keep conjunction over gs's columns — ONE SQL copy of the
+    * rule thresholds (Text.gopherKeep is the Scala single copy).
+    */
+  private val gopherKeepSql: String =
+    "n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0 " +
+      "AND alpha_word_frac >= 0.7 AND stop_hits >= 1"
+
+  /** DuckDB rendering of Text.qualityScore over a `text` column — shared
+    * by q_quality_score, q_dedup_keep_best and the curation composite.
+    */
+  private val qualityCaseSql: String =
+    "CASE WHEN text IS NULL THEN 0.0 ELSE round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) + " +
+      "(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) + " +
+      s"least(CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) END"
 
   /** The binary chain composed with the q_ivfpq_topk coarse chain: the
     * Hamming join gains one predicate, neighbor cell = query cell.
@@ -1888,14 +1945,9 @@ object SparkEntry {
         "format('{:08x}', CAST(floor(fr * 4294967296) AS BIGINT))"),
 
     "q_gopher_filter" -> (
-      s"WITH t AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
-        "s AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_words, " +
-        "CASE WHEN len(ts) > 0 THEN round(CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts), 6) END AS mean_word_len, " +
-        "CASE WHEN len(ts) > 0 THEN round(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ts), 6) END AS alpha_word_frac, " +
-        "CAST(len(list_filter(ts, w -> lower(w) IN ('the','and','of','to','a'))) AS INT) AS stop_hits FROM t) " +
-        "SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits, " +
-        "(n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0 " +
-        "AND alpha_word_frac >= 0.7 AND stop_hits >= 1) AS keep FROM s"),
+      "WITH " + gopherStatsCtesOver("documents") +
+        " SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits, " +
+        s"($gopherKeepSql) AS keep FROM gs"),
 
     "q_boilerplate" -> (
       s"WITH toks AS (SELECT doc_id, $docTokens AS ts FROM documents), " +
@@ -1922,9 +1974,7 @@ object SparkEntry {
         "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
         "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
         "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
-        "q AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0.0 ELSE round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) + " +
-        "(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) + " +
-        s"least(CAST(len(list_filter(${docTokensOf("lower(text)")}, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) END AS quality FROM documents), " +
+        s"q AS (SELECT doc_id, $qualityCaseSql AS quality FROM documents), " +
         "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
         "k AS (SELECT cluster, doc_id AS keeper FROM (SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1) " +
         "SELECT cl.doc_id, cl.cluster, cl.quality, cl.doc_id = k.keeper AS keep " +
@@ -2239,6 +2289,47 @@ object SparkEntry {
         "q AS (SELECT doc_id, text, lang, n_tokens, CASE WHEN text IS NULL THEN 0.0 ELSE round((least(len / 400.0, 1.0) + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) + least(stop / 5.0, 1.0)) / 3.0, 6) END AS quality FROM b), " +
         "f AS (SELECT doc_id, n_tokens, quality, md5(text) AS digest FROM q WHERE lang = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 500) " +
         "SELECT doc_id, n_tokens, quality FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn FROM f) WHERE rn = 1"),
+
+    // ---- the end-to-end curation composite: each stage's CTE block is
+    // the already-graded twin of its operator (gopherStatsCtesOver /
+    // exact-digest grouping / minhashPairsCtesOver + the keep_best
+    // recursive-CC chain / winnowChainSqlOver over the dd∪benchmark
+    // union / bigramChainSqlOver + the ppl threshold CTEs / the cap and
+    // shard twins), spliced over the previous stage's survivors. The
+    // MATERIALIZED hints pin DuckDB's CTE inlining on the multiply-
+    // referenced stage frames (the Spark side checkpoints the same
+    // frames): inlined, each consumer re-runs the whole upstream chain
+    // — measured 41 s → 3 s at sf0.01 on this exact query.
+    "q_curation_pipeline" -> (
+      "WITH RECURSIVE " +
+        "src0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 50), " +
+        gopherStatsCtesOver("src0") + ", " +
+        s"gk AS (SELECT doc_id FROM gs WHERE $gopherKeepSql), " +
+        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)), " +
+        "exg AS (SELECT md5(text) AS dg, min(doc_id) AS kid FROM kept GROUP BY 1), " +
+        "ex AS MATERIALIZED (SELECT k.* FROM kept k JOIN exg ON k.doc_id = exg.kid), " +
+        minhashPairsCtesOver("ex") + ", " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
+        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
+        s"q AS (SELECT doc_id, $qualityCaseSql AS quality FROM ex), " +
+        "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
+        "kbest AS (SELECT doc_id AS keeper FROM (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1), " +
+        "dd AS MATERIALIZED (SELECT e.* FROM ex e JOIN kbest kb ON e.doc_id = kb.keeper), " +
+        "wsrc AS (SELECT doc_id, text FROM dd UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+        winnowChainSqlOver("wsrc") + ", " +
+        "bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50), " +
+        "hits AS (SELECT DISTINCT f.doc_id FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50), " +
+        "cleand AS MATERIALIZED (SELECT d.* FROM dd d WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)), " +
+        bigramChainSqlOver("cleand", materialized = true) + ", " +
+        "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl), " +
+        "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM bgl CROSS JOIN th), " +
+        "hd0 AS MATERIALIZED (SELECT c.* FROM cleand c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
+        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10), " +
+        "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+        "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"),
 
     "q_token_count" -> (
       s"SELECT doc_id, CAST(len($docTokens) AS INT) AS ws_tokens, " +

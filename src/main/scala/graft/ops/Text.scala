@@ -473,25 +473,49 @@ object Text {
     * the synthetic corpus (the reference rule set uses 50..100k words;
     * these documents are 10..~100 words).
     */
-  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = size(col("_ts")).cast("int")
-    val meanLen = when(n > 0,
-      round(aggregate(col("_ts"), lit(0.0),
-        (acc, w) => acc + length(w).cast("double")) / n.cast("double"), 6))
-    val alphaFrac = when(n > 0,
-      round(size(filter(col("_ts"), w => w.rlike("[A-Za-z]"))).cast("double")
-        / n.cast("double"), 6))
-    val stops = size(filter(col("_ts"),
-      w => lower(w).isin("the", "and", "of", "to", "a"))).cast("int")
+  // the four Gopher signals over a tokenized `_ts` column, and the keep
+  // conjunction over named signal columns — ONE definition shared by the
+  // stats report and the filter shape so the two can never drift
+  private def gopherN = size(col("_ts")).cast("int")
+  private def gopherMeanLen = when(gopherN > 0,
+    round(aggregate(col("_ts"), lit(0.0),
+      (acc, w) => acc + length(w).cast("double")) / gopherN.cast("double"), 6))
+  private def gopherAlphaFrac = when(gopherN > 0,
+    round(size(filter(col("_ts"), w => w.rlike("[A-Za-z]"))).cast("double")
+      / gopherN.cast("double"), 6))
+  private def gopherStops = size(filter(col("_ts"),
+    w => lower(w).isin("the", "and", "of", "to", "a"))).cast("int")
+  private def gopherKeep(
+      nWords: Column, meanLen: Column, alphaFrac: Column,
+      stops: Column): Column =
+    nWords.between(10, 1000) && meanLen.between(2.0, 12.0) &&
+      alphaFrac >= 0.7 && stops >= 1
+
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // tokens materialized once in their own projection (CollapseProject
     // would otherwise re-run the regex split per derived signal)
     docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
-      .select(col(idCol), n.as("n_words"), meanLen.as("mean_word_len"),
-        alphaFrac.as("alpha_word_frac"), stops.as("stop_hits"))
+      .select(col(idCol), gopherN.as("n_words"),
+        gopherMeanLen.as("mean_word_len"),
+        gopherAlphaFrac.as("alpha_word_frac"), gopherStops.as("stop_hits"))
       .withColumn("keep",
-        col("n_words").between(10, 1000) &&
-          col("mean_word_len").between(2.0, 12.0) &&
-          col("alpha_word_frac") >= 0.7 && col("stop_hits") >= 1)
+        gopherKeep(col("n_words"), col("mean_word_len"),
+          col("alpha_word_frac"), col("stop_hits")))
+
+  /** The [[gopherStats]] rule conjunction applied as a FILTER returning
+    * the surviving ORIGINAL rows — the composition shape a curation
+    * chain needs ([[Curation.curate]] stage 1). Running gopherStats and
+    * semi-joining the keepers back on id would shuffle the corpus on a
+    * corpus-sized key set just to evaluate a per-row predicate; this is
+    * the same one-scan zero-shuffle pass with the conjunction inlined
+    * (the signal expressions are shared with gopherStats, so the report
+    * and the filter agree by construction).
+    */
+  def gopherFilter(docs: DataFrame, textCol: String): DataFrame = {
+    val cols = docs.columns.toSeq.map(col)
+    docs.select(cols :+ tokens(col(textCol)).as("_ts"): _*)
+      .where(gopherKeep(gopherN, gopherMeanLen, gopherAlphaFrac, gopherStops))
+      .select(cols: _*)
   }
 
   /** Temperature-flattened mixture sampling (the multilingual-corpus

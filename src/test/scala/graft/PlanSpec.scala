@@ -102,6 +102,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation composite: stage boundaries are materialized exactly " +
+    "once — the final plan reads checkpointed blocks, never the source " +
+    "parquet, so no stage can re-run a predecessor's scan or shuffle") {
+    val docs = Tables(spark, dir, "documents")
+    val out = ops.Curation.curate(
+      docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+      "doc_id", "text", "source")
+    val plan = planOf(out)
+    // everything upstream of the last materialization (`head`) was
+    // checkpointed during construction: a parquet scan in THIS plan
+    // would mean some stage reached past a checkpoint back to the
+    // source and will re-execute the whole upstream chain per action
+    assert(!plan.contains("Scan parquet"),
+      s"final curation plan must read checkpoints, not parquet:\n$plan")
+    // the tail is cap + semi-join + shard window over capped survivors:
+    // group-keyed exchanges only, nothing corpus-wide beyond them
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 4,
+      s"unexpected extra shuffles in the curation tail:\n$plan")
+    // and the funnel is non-vacuous end to end
+    assert(out.count() > 0)
+  }
+
   test("scoreRank keeps the window's rank contract on the edges: NaN " +
     "ranks greatest, NULL scores drop, ties break to the smaller id") {
     import spark.implicits._

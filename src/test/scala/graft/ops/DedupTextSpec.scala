@@ -891,6 +891,18 @@ class DedupTextSpec extends SparkSpec {
     assert(!out(2).getAs[Boolean]("keep")) // 17 words, mean (40+7)/17 < 2
   }
 
+  test("gopherFilter keeps exactly the gopherStats keep=true rows, with " +
+    "the ORIGINAL columns intact (shared signal definitions cannot drift)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val filtered = Text.gopherFilter(docs, "text")
+    assert(filtered.columns.toSeq === docs.columns.toSeq)
+    val gotIds = filtered.select("doc_id").as[Long].collect().sorted.toSeq
+    val wantIds = Text.gopherStats(docs, "doc_id", "text")
+      .where(col("keep")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotIds === wantIds)
+    assert(gotIds.nonEmpty && gotIds.size < docs.count())
+  }
+
   test("boilerplateStats: shared shingles counted as frequent, frac in [0,1]") {
     // 5 docs share the template 'a b c d'; doc 6 is unique text
     val tpl = (1 to 5).map(i => (i.toLong, s"a b c d unique$i words$i here$i"))
