@@ -50,8 +50,66 @@ object RecallBench {
     }
 
     val section = if (args.length > 3) args(3) else "all"
-    require(Seq("all", "topk", "pairs", "ivfsplit", "pq", "bin").contains(section),
-      s"section must be all|topk|pairs|ivfsplit|pq|bin, got $section")
+    require(
+      Seq("all", "topk", "pairs", "ivfsplit", "pq", "bin", "images")
+        .contains(section),
+      s"section must be all|topk|pairs|ivfsplit|pq|bin|images, got $section")
+
+    // ---- planted image near-dup corpus: dHash + Manku banding recall
+    // and per-image cost at generator-chosen scale (the gen_neardup
+    // pattern applied to images). Corpus = nBase smooth synthetic images
+    // (bilinear-interpolated seeded coarse grids — crop/brightness edits
+    // on white noise would move EVERY dHash bit, which is not what web
+    // images do); 3 of every 10 bases get one planted twin: a BMP
+    // re-encode (same pixels), a +16 brightness shift, or a 2px border
+    // crop. Truth = the planted (base, twin) pairs, labeled by kind.
+    // Usage: runMain graft.RecallBench <sfDir> <k> <t> images [nBase]
+    if (section == "images") {
+      val nBase = if (args.length > 4) args(4).toInt else 10000
+      import graft.sources.Multimodal
+      val (media, total, genSec) = forceCount(plantedImages(spark, nBase))
+      println(f"IMG corpus: rows=$total (bases=$nBase) gen=$genSec%.2f s")
+      val (_, nHashed, hashSec) = forceCount(
+        Multimodal.dHashImages(media).where(col("dhash").isNotNull))
+      println(f"IMG dhash: hashed=$nHashed time=$hashSec%.2f s " +
+        f"(${hashSec * 1e6 / total}%.1f us/image)")
+      val planted = spark.range(nBase)
+        .where(pmod(col("id"), lit(10)) < 3)
+        .select(col("id").as("id_a"), (col("id") + nBase).as("id_b"),
+          element_at(
+            array(lit("reencode"), lit("brightness"), lit("crop")),
+            (pmod(col("id"), lit(10)) + 1).cast("int")).as("kind"))
+        .cache()
+      val nPlanted = planted.count()
+      // two Manku operating points. Band count = C(blocks, blocks − h):
+      // (3, 4) → 4 bands (the classic 4-split), (6, 8) → 28. Pushing h
+      // higher is NOT free — (10, 16) would need C(16, 6) = 8008 bands,
+      // 8008 banded rows per image: the exact-cover guarantee prices
+      // high radii out, which is why the operator defaults to h ≤ 6.
+      for ((maxHamming, blocks) <- Seq((3, 4), (6, 8))) {
+        val (pairs, nPairs, pairSec) = forceCount(
+          Multimodal.nearDupImagePairs(media, maxHamming, blocks))
+        val hits = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+        val byKind = hits.groupBy("kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val plantedByKind = planted.groupBy("kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nHits = byKind.values.sum
+        val falsePairs = nPairs - nHits
+        println(f"IMG pairs@h<=$maxHamming: found=$nPairs " +
+          f"recall=${nHits.toDouble / nPlanted}%.4f " +
+          f"(truth=$nPlanted) false_pairs=$falsePairs " +
+          f"time=$pairSec%.2f s (${pairSec * 1e6 / total}%.1f us/image)")
+        plantedByKind.toSeq.sortBy(_._1).foreach { case (kind, nK) =>
+          val hK = byKind.getOrElse(kind, 0L)
+          println(f"IMG recall/$kind@h<=$maxHamming: " +
+            f"${hK.toDouble / nK}%.4f ($hK/$nK)")
+        }
+        pairs.unpersist(); ()
+      }
+      spark.stop()
+      return
+    }
 
     // ---- binary (1-bit) quantization: storage cut at rest, Hamming
     // full-scan speed/recall vs exact truth, rerank recovery, and the
@@ -460,5 +518,84 @@ object RecallBench {
     }
     }
     spark.stop()
+  }
+
+  /** Deterministic SMOOTH synthetic image for `id`: a seeded 6×5 coarse
+    * RGB grid bilinearly upscaled to 64×48. Smoothness is the point —
+    * dHash's crop/brightness robustness holds for natural low-frequency
+    * images; on white noise a 2px crop shifts every box boundary and
+    * moves ~half the bits, which would measure the generator, not the
+    * operator. `bright` shifts every channel (clamped); `crop` emits the
+    * inner (64−2c)×(48−2c) window of the SAME field (the coordinate
+    * mapping keeps the original sampling grid, so the crop is a true
+    * sub-window, not a rescale).
+    */
+  private def smoothImage(
+      id: Long, bright: Int, crop: Int): java.awt.image.BufferedImage = {
+    val w = 64; val h = 48; val cw = 6; val ch = 5
+    val rnd = new scala.util.Random(id * 2654435761L + 99991L)
+    val grid = Array.fill(ch, cw, 3)(rnd.nextInt(256))
+    val ow = w - 2 * crop; val oh = h - 2 * crop
+    val img = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val sx = (x + crop).toDouble * (cw - 1) / (w - 1)
+        val sy = (y + crop).toDouble * (ch - 1) / (h - 1)
+        val x0 = math.min(sx.toInt, cw - 2); val y0 = math.min(sy.toInt, ch - 2)
+        val fx = sx - x0; val fy = sy - y0
+        var rgb = 0
+        var c = 0
+        while (c < 3) {
+          val v = grid(y0)(x0)(c) * (1 - fx) * (1 - fy) +
+            grid(y0)(x0 + 1)(c) * fx * (1 - fy) +
+            grid(y0 + 1)(x0)(c) * (1 - fx) * fy +
+            grid(y0 + 1)(x0 + 1)(c) * fx * fy
+          rgb = (rgb << 8) | math.max(0, math.min(255, v.toInt + bright))
+          c += 1
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(
+      img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, buf)
+    buf.toByteArray
+  }
+
+  /** The planted image corpus: `nBase` smooth bases; bases with
+    * id % 10 ∈ {0, 1, 2} get one twin at id + nBase — a BMP re-encode,
+    * a +16 brightness shift, or a 2px border crop respectively.
+    * Generation is distributed (mapPartitions over a range — image
+    * bytes are produced executor-side, never collected).
+    */
+  private[graft] def plantedImages(
+      spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase.toLong).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val base = (id, encodeImage(smoothImage(id, 0, 0), "png"), "image")
+          val twin = (id % 10) match {
+            case 0 => Seq((nBase + id,
+              encodeImage(smoothImage(id, 0, 0), "bmp"), "image"))
+            case 1 => Seq((nBase + id,
+              encodeImage(smoothImage(id, 16, 0), "png"), "image"))
+            case 2 => Seq((nBase + id,
+              encodeImage(smoothImage(id, 0, 2), "png"), "image"))
+            case _ => Seq.empty
+          }
+          Iterator(base) ++ twin.iterator
+        }
+      }
+      .toDF("media_id", "payload", "media_type")
   }
 }
