@@ -1213,12 +1213,22 @@ object Similarity {
     * (NaN > 0 is false, so an unguarded NaN would quietly encode as a 0
     * bit; the pqEncode length-guard lesson applied from day one).
     * Map-side only: zero shuffle at any corpus size.
+    *
+    * The packing dim rides the `bin_words` column as SCHEMA METADATA
+    * (`graft.bin.dim`) — it survives projections and parquet round
+    * trips, so even an INLINE codes frame (no artifact `_params` stamp)
+    * carries its one packing parameter, and [[hammingTopK]] can refuse
+    * a dim-drifted frame at plan time for free.
     */
+  val BinDimKey = "graft.bin.dim"
+
   def binQuantize(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
     emb.select(
       col(idCol),
-      binWordsCol(col(vecCol), dim).as("bin_words"))
+      binWordsCol(col(vecCol), dim).as("bin_words",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(BinDimKey, dim.toLong).build()))
       .withColumn("bin_code",
         when(col("bin_words").isNull, lit(null))
           .otherwise(concat_ws(",",
@@ -1269,17 +1279,27 @@ object Similarity {
     * the file; its recall ceiling (1 bit/dim cannot rank what it cannot
     * resolve) is what [[rerankL2]] on a widened shortlist buys back.
     *
-    * Drift note: a `codes` frame packed at a DIFFERENT dim than the
-    * queries yields word-count-mismatched pairs, whose `vec_hamming` is
-    * NULL, and those pairs DROP — every query then returns fewer (or
-    * zero) neighbors instead of failing. The packing has exactly one
-    * parameter (dim), carried by the caller, so unlike the PQ artifacts
-    * there is no `_params` stamp to check against; persist codes beside
-    * a dim marker if multiple packings can coexist in one store.
+    * Drift guard: a `codes` frame packed at a DIFFERENT dim than the
+    * queries would yield word-count-mismatched pairs, whose
+    * `vec_hamming` is NULL, and those pairs DROP — every query would
+    * return fewer (or zero) neighbors instead of failing. Since
+    * [[binQuantize]] stamps its packing dim into the `bin_words`
+    * column's schema metadata ([[BinDimKey]] — survives projections
+    * and parquet round trips), the mismatch is refused HERE at plan
+    * time, no corpus touch. Frames without the stamp (hand-built,
+    * pre-stamp parquet) are tolerated, the ivfProbe pre-column-artifact
+    * convention.
     */
   def hammingTopK(
       queries: DataFrame, codes: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    codes.schema.fields.find(_.name == "bin_words")
+      .filter(_.metadata.contains(BinDimKey))
+      .map(_.metadata.getLong(BinDimKey))
+      .foreach(d => require(d == dim,
+        s"hammingTopK: codes were packed at dim=$d but queries encode " +
+          s"at dim=$dim — every distance would be NULL and every pair " +
+          "would silently drop"))
     val q = binQuantize(queries, idCol, vecCol, dim)
       .where(col("bin_words").isNotNull)
       .select(col(idCol).as("query_id"), col("bin_words").as("_qw"))

@@ -210,4 +210,39 @@ class BinSpec extends SparkSpec {
     // query 0 ranks all 11 non-self corpus rows (k capped by corpus)
     assert(got.where(col("query_id") === 0L).count() == 11)
   }
+
+  test("hammingTopK refuses a dim-drifted codes frame at plan time (the " +
+    "bin_words metadata stamp); unstamped frames are tolerated") {
+    // a 64-dim fixture packed at dim=64, probed at dim=32: without the
+    // stamp every distance would be NULL and every pair would silently
+    // drop — the guard turns that into a loud plan-time failure
+    val codes = Similarity.binQuantize(fixture, "vec_id", "embedding", dim)
+    val queries32 = Seq((0L, Seq.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(queries32, codes, "vec_id", "embedding", 5, 32)
+    }
+    assert(e.getMessage.contains(s"dim=$dim") &&
+      e.getMessage.contains("dim=32"))
+    // metadata survives a projection AND a parquet round trip
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bin_stamp").toString
+    codes.select("vec_id", "bin_words").write
+      .mode("overwrite").parquet(tmp)
+    val reread = spark.read.parquet(tmp)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(queries32, reread, "vec_id", "embedding", 5, 32)
+    }
+    assert(e2.getMessage.contains(s"dim=$dim"))
+    // an unstamped frame (hand-built) still runs — pre-stamp tolerance
+    val bare = codes.select(col("vec_id"),
+      col("bin_words").as("bin_words")) // fresh alias drops no metadata…
+    val stripped = spark.createDataFrame(
+      bare.rdd, org.apache.spark.sql.types.StructType(
+        bare.schema.fields.map(_.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty))))
+    val ok = Similarity.hammingTopK(
+      fixture.where(col("vec_id") === 0L), stripped,
+      "vec_id", "embedding", 5, dim)
+    assert(ok.count() == 5)
+  }
 }
