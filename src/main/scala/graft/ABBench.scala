@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Cases: closure | breadcrumb | minhash | kmeans (kmeans is not an
   * A/B — it prints `Similarity.kmeansFitTrace`'s per-iteration seconds
   * and centroid shift to convergence, the SCALE.md slope evidence for
-  * the iterated trainer; [runs] is the iteration cap, default 12).
+  * the iterated trainer; [runs] is the iteration cap, default 12) |
+  * shardorder (a shard-count sweep of Text.shardOrder — validates the
+  * documented numShards sizing rule with a measured per-shard sort
+  * cost: wall time should stay flat as shards grow because the window
+  * is shard-PARTITIONED, never a global sort).
   */
 object ABBench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +55,27 @@ object ABBench {
           f"max_shift=${t.maxShift}%.2e"))
       println(f"KMEANS n=$n k=$k converged_iters=${trace.length} " +
         f"total=${trace.map(_.seconds).sum}%.2f s (tol=1e-6, cap=$iters)")
+      spark.stop()
+      return
+    }
+
+    if (which == "shardorder") {
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      docs.cache()
+      val n = docs.count()
+      def force(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      force(ops.Text.shardOrder(docs.limit(256), "doc_id", 8)) // warmup
+      for (shards <- Seq(8, 256, 2048, 8192)) {
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          force(ops.Text.shardOrder(docs, "doc_id", shards))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SHARDORDER n=$n shards=$shards min=${times.min}%.2f s " +
+          s"runs=${times.map(x => f"$x%.2f").mkString(",")}")
+      }
       spark.stop()
       return
     }
