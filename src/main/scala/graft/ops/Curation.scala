@@ -67,6 +67,18 @@ object Curation {
     // 2a. exact dedup: one digest-keyed partial aggregate, min-id keeper
     // keeps its own payload row. Materialized: the frame feeds the pair
     // generator, the quality projection AND the keeper semi-join.
+    //
+    // Stage-boundary LAYOUT, measured fact: pre-repartitioning a stage
+    // frame by id before the checkpoint does NOT survive it — under AQE
+    // the materialized LogicalRDD reports UnknownPartitioning, so the
+    // keeper/survivor joins re-shuffle the wide side regardless (the
+    // small id-only sides broadcast below that threshold anyway). The
+    // co-located discipline at 100 TB therefore lives at the PERSISTED
+    // seam, not the checkpoint: write stage boundaries through
+    // [[graft.sources.BucketedSink]] bucketed on id (the catalog keeps
+    // the bucket spec visible to the planner — the ivfBuild/ivfProbe
+    // precedent, PlanSpec-pinned shuffle-free there), which is also
+    // what a multi-job production run does between stages.
     val exact = Materialize.checkpoint(
       Transforms.firstPerGroup(
         kept.withColumn("_digest", md5(col(textCol).cast("binary"))),
