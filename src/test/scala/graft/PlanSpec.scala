@@ -234,6 +234,14 @@ class PlanSpec extends SparkSpec {
       graft.ops.Text.gopherStats(Tables(spark, dir, "documents"), "doc_id", "text"))
     assert(!plan.contains("Exchange"), s"gopher filter must not shuffle:\n$plan")
     assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    // the FILTER shape (curation stage 1) keeps the same plan contract:
+    // one scan, zero shuffle — a stats+semi-join formulation would plan
+    // a second scan and an id-keyed Exchange of the corpus
+    val fPlan = planOf(
+      graft.ops.Text.gopherFilter(Tables(spark, dir, "documents"), "text"))
+    assert(!fPlan.contains("Exchange"),
+      s"gopherFilter must not shuffle:\n$fPlan")
+    assert("Scan parquet".r.findAllIn(fPlan).size === 1, fPlan)
   }
 
   test("keep-best resolution uses a partial-aggregable struct-min, no Window") {
