@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the end-to-end curation composite beyond the graded
+  * oracle row: per-stage drop reasons on a planted corpus, the knob
+  * edges (dropTailBuckets = 0, cap larger than every group, empty
+  * benchmark), and the output contract (dense per-shard positions).
+  * Fixture texts are built so each doc trips exactly one stage: the
+  * gopher rules need >= 10 words incl. a stopword; winnowing needs a
+  * >= k + w − 1 = 39-byte verbatim span to flag contamination; docs
+  * share no 3-gram shingles unless planted, so minhash pairs only what
+  * the test intends.
+  */
+class CurationSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  // 10+ words, one stopword, mean word length in range, all alphabetic.
+  // Every doc pays one branching ln(1/4) bigram ("the" → its unique
+  // follower); the LONG variant dilutes that penalty over more bigrams,
+  // so long docs score a strictly higher mean logprob than short ones —
+  // the ppl-bucket stage has a real distribution to band (a corpus of
+  // structurally identical docs scores ONE logprob and the median
+  // threshold puts everything in the tail band, by the on-threshold →
+  // lower-band rule)
+  private def doc(i: Int): String =
+    s"the alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i " +
+      s"hotel$i india$i juliet$i"
+
+  private def docLong(i: Int): String =
+    doc(i) + s" kilo$i lima$i mike$i november$i oscar$i"
+
+  private val benchSpan =
+    "benchmark sentence copied verbatim into the corpus document"
+
+  private def corpus() = Seq(
+    (100L, doc(0), "s1"),
+    (101L, doc(0), "s1"), // exact dup of 100 → only the min id survives
+    (102L, doc(2), "s1"),
+    (103L, "x y", "s1"), // gopher: too few words
+    (104L, s"the kilo4 lima4 mike4 november4 oscar4 papa4 quebec4 " +
+      s"romeo4 sierra4 $benchSpan", "s2"), // contaminated → dropped
+    (105L, docLong(5), "s2"),
+    (106L, docLong(6), "s2")
+  ).toDF("doc_id", "text", "source")
+
+  private def bench() =
+    Seq((1L, s"the $benchSpan")).toDF("doc_id", "text")
+
+  test("curate drops each planted doc at its intended stage and emits " +
+    "dense per-shard training order over the survivors") {
+    val out = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+      pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(100L, 102L, 105L, 106L),
+      s"unexpected survivor set: $ids")
+    // dense 1..n positions within each shard (the resumability contract)
+    val byShard = out.select("shard", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1)
+    byShard.foreach { case (shard, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.size).toSeq,
+        s"shard $shard positions not dense: ${g.map(_._2).sorted.toSeq}")
+    }
+  }
+
+  test("empty benchmark: decontamination drops nothing") {
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.curate(corpus(), noBench, "doc_id", "text", "source",
+      pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(104L), "nothing is contaminated without a benchmark")
+    assert(ids === Set(100L, 102L, 104L, 105L, 106L))
+  }
+
+  test("dropTailBuckets drops the lowest perplexity band; capPerSource = 1 " +
+    "binds every source to one doc") {
+    val base = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+      pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2)
+      .count()
+    val dropped = Curation.curate(corpus(), bench(), "doc_id", "text",
+      "source", pplBuckets = 2, dropTailBuckets = 1, capPerSource = 10,
+      numShards = 2).count()
+    assert(dropped < base && dropped > 0,
+      s"tail drop must shrink the corpus: $base -> $dropped")
+    // the short docs score the lower mean logprob (one ln(1/4) bigram
+    // over fewer bigrams) → they are the dropped tail band
+    val headIds = Curation.curate(corpus(), bench(), "doc_id", "text",
+      "source", pplBuckets = 2, dropTailBuckets = 1, capPerSource = 10,
+      numShards = 2).select("doc_id").as[Long].collect().toSet
+    assert(headIds === Set(105L, 106L), s"expected the long docs: $headIds")
+    val capped = Curation.curate(corpus(), bench(), "doc_id", "text",
+      "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 1,
+      numShards = 2)
+    val bySource = capped.select("doc_id").as[Long].collect().toSet
+    // survivors before the cap: s1 → {100, 102}, s2 → {105, 106};
+    // cap 1 keeps exactly one of each (the seeded-md5 rank decides)
+    assert(capped.count() === 2)
+    assert(bySource.exists(Set(100L, 102L)) && bySource.exists(Set(105L, 106L)))
+  }
+}
