@@ -1317,6 +1317,15 @@ object SparkEntry {
     "q_shard_order" -> ((s, dir) =>
       Text.shardOrder(t(s, dir, "documents"), "doc_id", 8)),
 
+    // --- curriculum training order: shard assignment stays the seeded
+    // hash (unbiased shard composition), within-shard order = quality
+    // DESC (negated ASC key) — easy/clean-first curriculum, ties to id.
+    // Quality is the graded 6dp qualityScore, so the sort key is
+    // bit-portable across engines ---
+    "q_shard_curriculum" -> ((s, dir) =>
+      Text.shardOrderBy(t(s, dir, "documents"), "doc_id", 8,
+        Seq(negate(Text.qualityScore(col("text")))))),
+
     // --- per-source document cap (the per-domain cap of web curation):
     // keep the 20 smallest seeded-md5 ranks per source through the
     // partial-aggregable TopKAggregator — |groups|×cap rows cross the
@@ -1909,6 +1918,16 @@ object SparkEntry {
         "CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
         "substr(md5('shard:' || 'pos:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents) " +
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM s"),
+
+    // same shard hash, within-shard order by the graded 6dp quality
+    // DESC (the Spark side sorts the NEGATED score ascending — same
+    // total order, no NULLs: qualityScore maps NULL text to 0.0)
+    "q_shard_curriculum" -> (
+      s"WITH q AS (SELECT doc_id, $qualityCaseSql AS quality FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+        "quality FROM q) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS BIGINT) AS pos FROM s"),
 
     // the Spark side ranks by the first 12 md5 hex chars parsed as a
     // number through the partial-agg top-k; numeric order of a fixed-

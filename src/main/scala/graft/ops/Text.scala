@@ -578,21 +578,42 @@ object Text {
     */
   def shardOrder(
       docs: DataFrame, idCol: String, numShards: Int,
-      seed: String = "shard:"): DataFrame = {
+      seed: String = "shard:"): DataFrame =
+    shardOrderBy(docs, idCol, numShards,
+      Seq(substring(
+        md5(concat(lit(seed), lit("pos:"), col(idCol).cast("string"))),
+        1, 12)), seed)
+
+  /** [[shardOrder]] with a caller-supplied within-shard sort key — the
+    * CURRICULUM variant (easy-first / quality-first training order):
+    * shard assignment stays the seeded hash, so every shard remains an
+    * unbiased sample of the corpus and interleaved readers see the
+    * curriculum locally within each stream; only the within-shard
+    * order changes from the second hash to `orderCols` (ascending;
+    * negate a numeric key for descending — ties still break to id, so
+    * the order stays total and resumable). Putting the curriculum in
+    * the SHARD key instead would skew shard composition by difficulty
+    * and break the unbiased-sample property the convention exists for.
+    * Same scale shape: shard-partitioned window, n/shards rows per
+    * sort.
+    */
+  def shardOrderBy(
+      docs: DataFrame, idCol: String, numShards: Int,
+      orderCols: Seq[Column], seed: String = "shard:"): DataFrame = {
     require(numShards >= 1, s"shardOrder: numShards >= 1, got $numShards")
+    require(orderCols.nonEmpty, "shardOrderBy: need at least one sort key")
     val shard = pmod(
       conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
         1, 12), 16, 10).cast("long"), lit(numShards.toLong))
-    val rank = substring(
-      md5(concat(lit(seed), lit("pos:"), col(idCol).cast("string"))), 1, 12)
+    val keys = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
     val w = Window.partitionBy("shard")
-      .orderBy(col("_rk"), col(idCol))
+      .orderBy(keys.indices.map(i => col(s"_o$i")) :+ col(idCol): _*)
     docs
-      .select(col(idCol), shard.as("shard"), rank.as("_rk"))
+      .select(col(idCol) +: shard.as("shard") +: keys: _*)
       // running count, not row_number(): row_number is IntegerType and
       // wraps negative past 2³¹ rows in one shard — silently breaking
       // the resumable-from-(shard, pos) contract at exactly the corpus
-      // size this op exists for. The ordering (_rk, id) is total, so
+      // size this op exists for. The ordering (keys, id) is total, so
       // the Long running count IS the row number.
       .withColumn("pos", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1142,6 +1142,27 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Text.shardOrder(docs, "doc_id", 0))
   }
 
+  test("shardOrderBy: within-shard order follows the curriculum key " +
+    "(ties to id), shard assignment unchanged from shardOrder") {
+    val docs = (1L to 200L).map(i => (i, (i % 7).toDouble))
+      .toDF("doc_id", "difficulty")
+    val got = Text.shardOrderBy(docs, "doc_id", 8, Seq(col("difficulty")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val diff = (1L to 200L).map(i => i -> (i % 7).toDouble).toMap
+    // within each shard, pos ASC == (difficulty ASC, id ASC)
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      val want = rows.map(_._1).sortBy(id => (diff(id), id))
+      assert(byPos.toSeq == want.toSeq, s"shard $sh order diverges")
+    }
+    // the shard key is untouched by the curriculum: identical shards
+    val plain = Text.shardOrder(docs, "doc_id", 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(x => x._1 -> x._2).toMap == plain)
+    intercept[IllegalArgumentException](
+      Text.shardOrderBy(docs, "doc_id", 8, Seq.empty))
+  }
+
   test("winnowFingerprints: picks = rightmost window minima (driver " +
     "reference), the w-gap density guarantee, and short docs drop") {
     // k = 4, w = 3 on tiny synthetic docs: the reference recomputes the
