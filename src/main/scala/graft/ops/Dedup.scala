@@ -277,22 +277,36 @@ object Dedup {
     * `(keeper_id, digest)` — union the digests back into the store to
     * complete the ingest.
     *
-    * Scale shape: one digest shuffle over the BATCH plus one join against
-    * the store — a daily ingest costs O(|batch| + |store lookup|), never a
-    * re-dedup of the corpus. The store side is a bare 32-byte-digest
-    * column; at 100 TB it lives as parquet and the join prunes to the
-    * digest column only.
+    * Scale shape: one digest shuffle over the BATCH, then the store is
+    * probed by a BROADCAST semi-join of the batch's digest set — the
+    * store STREAMS one pruned scan (digest column only) with ZERO
+    * shuffle, and only its batch-matching rows (≤ |batch|) reach the
+    * anti-join, which then broadcasts too. The previous one-join shape
+    * planned a sort-merge anti-join that re-shuffled the WHOLE store on
+    * every ingest batch — at a 10¹⁰-digest store that exchange (300+ GB)
+    * was the entire cost of a daily ingest. Size-dispatched via
+    * [[graft.ops.Joins.broadcastIfSmall]]: an over-broadcast-sized
+    * backfill batch degrades to the old shuffle join instead of OOMing
+    * the executors.
     */
   def exactIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
       seenDigests: DataFrame): DataFrame = {
-    // null-SAFE anti-join: md5(NULL text) is a null digest, and a plain
-    // equality anti-join never matches null against null — so the
-    // null-text group would re-enter the corpus once per ingest batch
-    // forever (while collapsing correctly WITHIN each batch)
-    val seen = seenDigests.select(col("digest").as("_seen"))
-    exactGroups(newDocs, idCol, textCol)
-      .join(seen, col("digest") <=> col("_seen"), "left_anti")
+    // materialized: the group frame feeds the probe side AND the final
+    // anti-join (uncached, the batch digest shuffle would run twice)
+    val groups = Materialize.checkpoint(exactGroups(newDocs, idCol, textCol))
+    val nGroups = groups.count()
+    // null-SAFE joins throughout: md5(NULL text) is a null digest, and
+    // plain equality never matches null against null — the null-text
+    // group would re-enter the corpus once per ingest batch forever
+    // (while collapsing correctly WITHIN each batch)
+    val hits = seenDigests.select(col("digest").as("_seen"))
+      .join(
+        graft.ops.Joins.broadcastIfSmall(
+          groups.select(col("digest")), Some(nGroups)),
+        col("_seen") <=> col("digest"), "left_semi")
+    groups
+      .join(hits, col("digest") <=> col("_seen"), "left_anti")
       .select(col("keeper_id"), col("digest"))
   }
 

@@ -102,6 +102,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exactIncremental: the digest store STREAMS into a broadcast " +
+    "semi-probe of the batch — zero store-side Exchange per ingest") {
+    val docs = Tables(spark, dir, "documents")
+    val seen = docs.where(col("doc_id") < 250)
+      .select(md5(col("text").cast("binary")).as("digest"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the HINT must carry the broadcast, not size stats — at 100 TB the
+    // store's stats would never qualify anything on this join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = ops.Dedup.exactIncremental(
+        docs.where(col("doc_id") >= 250), "doc_id", "text", seen)
+      val plan = planOf(out)
+      val semiAt = plan.linesIterator.indexWhere(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      assert(semiAt >= 0,
+        s"store probe must be a broadcast semi-join:\n$plan")
+      // the streamed (store) side sits between the semi-join node and
+      // its BroadcastExchange build side: no shuffle may appear there —
+      // the old sort-merge anti-join re-shuffled the WHOLE store per
+      // batch, the exchange that IS the cost of a daily ingest at scale
+      val lines = plan.linesIterator.toVector
+      val bcastAt = lines.indexWhere(_.contains("BroadcastExchange"), semiAt)
+      assert(bcastAt > semiAt, s"expected a broadcast build side:\n$plan")
+      val storeSide = lines.slice(semiAt + 1, bcastAt)
+      assert(!storeSide.exists(_.contains("Exchange hashpartitioning")),
+        s"store side must not shuffle before the probe:\n$plan")
+      assert(storeSide.exists(_.contains("Scan parquet")),
+        s"store side should be the streamed scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("curation composite: stage boundaries are materialized exactly " +
     "once — the final plan reads checkpointed blocks, never the source " +
     "parquet, so no stage can re-run a predecessor's scan or shuffle") {
