@@ -329,13 +329,21 @@ object Dedup {
     val nb = bandTable(
       shingleFrame(newDocs, idCol, textCol, shingleSize),
       numHashes, rowsPerBand, shingleSize)
+    val nBatch = nb.count() // cheap: bandTable is checkpointed
     val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
     val b = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
     val newNew = a.join(b, Seq("_bno", "_bkey"))
       .where(col("id_a") < col("id_b"))
     val stored = storedBands
       .select(col("_bno"), col("_bkey"), col("_id").as("_sid"))
-    val newStored = a.join(stored, Seq("_bno", "_bkey"))
+    // the BATCH side carries the broadcast hint (size-dispatched): the
+    // store then STREAMS through this join with zero shuffle — an
+    // unhinted equi-join plans sort-merge and re-shuffles the whole
+    // persisted band table on every ingest batch, which at corpus scale
+    // is the entire cost of the ingest (the exactIncremental finding;
+    // an over-broadcast-sized backfill degrades to the shuffle join)
+    val newStored = Joins.broadcastIfSmall(a, Some(nBatch))
+      .join(stored, Seq("_bno", "_bkey"))
       .where(col("id_a") =!= col("_sid"))
       .select(least(col("id_a"), col("_sid")).as("id_a"),
         greatest(col("id_a"), col("_sid")).as("id_b"))

@@ -416,6 +416,7 @@ object Similarity {
     // different bucket question — fail loudly, not zero candidates
     Dedup.requireStoreParams(storedBuckets, s"srp:p$numPlanes", "SRP bucket")
     val nb = srpTable(newVecs, idCol, vecCol, numPlanes)
+    val nBatch = nb.count() // cheap: srpTable is checkpointed
     val a = nb.select(col("_bkt"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
     val bNew = nb.select(col("_bkt"), col("_id").as("id_b"),
@@ -430,12 +431,21 @@ object Similarity {
     // breaking the full-run-pair-set equivalence. Anti-join, not
     // distinct: distinct would also have to dedup value columns and
     // costs a full-output shuffle; the anti-join is one bucket-key pass.
-    val batchIds = nb.select(col("_id"))
+    //
+    // Both store-side joins carry the batch-side broadcast hint
+    // (size-dispatched): the persisted SRP store then STREAMS through
+    // anti-join + bucket join in one shuffle-free pass — unhinted, each
+    // plans sort-merge and re-shuffles the whole store per ingest (the
+    // exactIncremental finding; an over-broadcast-sized backfill
+    // degrades to the shuffle joins).
+    val batchIds = graft.ops.Joins.broadcastIfSmall(
+      nb.select(col("_id")), Some(nBatch))
     val stored = storedBuckets
       .join(batchIds, storedBuckets("_id") === batchIds("_id"), "left_anti")
       .select(col("_bkt"), col("_id").as("_sid"),
         col("_v").as("_vb"), col("_n").as("_nb"))
-    val newStored = a.join(stored, Seq("_bkt"))
+    val newStored = graft.ops.Joins.broadcastIfSmall(a, Some(nBatch))
+      .join(stored, Seq("_bkt"))
       .where(col("id_a") =!= col("_sid"))
       .select(least(col("id_a"), col("_sid")).as("id_a"),
         greatest(col("id_a"), col("_sid")).as("id_b"),

@@ -134,6 +134,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental band/bucket probes broadcast the BATCH side: the " +
+    "persisted store streams with zero store-side shuffle per ingest") {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // minhash: batch (doc_id >= 250) vs the persisted band table
+      val storedBands = ops.Dedup.bandTable(
+        docs.where(col("doc_id") < 250).select(col("doc_id").as("_id"),
+          ops.Text.shingles(col("text"), 3).as("_sh")))
+      val mh = ops.Dedup.minhashIncrementalCandidates(
+        docs.where(col("doc_id") >= 250), "doc_id", "text", storedBands)
+      val mhPlan = planOf(mh)
+      assert(mhPlan.contains("BroadcastHashJoin"),
+        s"batch side must broadcast onto the band store:\n$mhPlan")
+      // SRP: batch vec_ids ≡ 0 mod 5 vs the persisted bucket table
+      val storedBkts = ops.Similarity.srpTable(
+        emb.where(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding")
+      val sp = ops.Similarity.cosineIncrementalCandidates(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+        storedBkts, 0.4)
+      val spPlan = planOf(sp)
+      // both store-side joins (retry anti-join + bucket join) must be
+      // broadcast — one leftover sort-merge join re-shuffles the store
+      val bhj = spPlan.linesIterator
+        .count(_.contains("BroadcastHashJoin"))
+      assert(bhj >= 2,
+        s"expected both store-side joins broadcast, got $bhj:\n$spPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("curation composite: stage boundaries are materialized exactly " +
     "once — the final plan reads checkpointed blocks, never the source " +
     "parquet, so no stage can re-run a predecessor's scan or shuffle") {
