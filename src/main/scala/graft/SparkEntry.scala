@@ -626,6 +626,20 @@ object SparkEntry {
         stored, 0.4)
     }),
 
+    // --- semantic (embedding-space) decontamination: the paraphrase
+    // arm of the decontamination ladder — corpus docs within cosine
+    // >= 0.3 of ANY benchmark embedding (vec_id < 8, the query-set
+    // convention) drop; benchmark broadcast, corpus one anti-join scan.
+    // τ = 0.3 is the non-vacuous fixture point (460/492 survive at the
+    // graded SF — the row proves drops, not emptiness) ---
+    "q_embed_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", 0.3)
+        .select(col("vec_id"))
+    }),
+
     // --- similarity: IVF cell-probed ANN at the √n law cell count
     // (round 10: was pinned 4 cells — candidate work per query is
     // n/cells, so a fixed cell count is a linear-per-query scan a
@@ -2622,6 +2636,19 @@ object SparkEntry {
         s"SELECT id_a, id_b, score FROM (SELECT c.id_a, c.id_b, round($cos, 6) AS score " +
         "FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
         "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE score >= 0.4"
+    },
+
+    // NOT EXISTS over the 6dp cosine — NaN (zero-norm) scores are
+    // excluded as hits on BOTH sides (DuckDB sorts NaN above all
+    // values, so an unguarded >= would count malformed as contaminated)
+    "q_embed_decontaminate" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      val cos = s"${dot("c.embedding", "b.embedding")} / " +
+        s"(sqrt(${dot("c.embedding", "c.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
+      "SELECT c.vec_id FROM embeddings c WHERE c.vec_id >= 8 AND NOT EXISTS (" +
+        "SELECT 1 FROM embeddings b WHERE b.vec_id < 8 " +
+        s"AND NOT isnan($cos) AND round($cos, 6) >= 0.3)"
     },
 
     "q_ivf_topk" -> ivfTopkOracleSql,

@@ -1146,6 +1146,45 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** Embedding-space benchmark decontamination — the SEMANTIC arm of the
+    * decontamination ladder (exact shingles → minhash fuzzy →
+    * winnowed spans → this): drop every corpus doc whose embedding
+    * sits within cosine ≥ `threshold` of ANY benchmark embedding.
+    * Paraphrase-level eval leakage survives all text-overlap detectors
+    * (no shared n-grams), but a decent encoder maps it next to its
+    * source — which is exactly what this catches.
+    *
+    * Shape: the benchmark is eval-suite-sized by construction, so its
+    * (vector, norm) pairs ride ONE broadcast; the corpus streams a
+    * single scan through a broadcast nested-loop LEFT ANTI join — zero
+    * shuffle at any corpus size, |corpus| × |benchmark| dot products of
+    * map-side work (the native `vec_dot` kernel). For benchmarks too
+    * big for that product, bucket BOTH sides first and restrict the
+    * comparison to shared buckets — the [[cosineNearDupPairsBanded]] /
+    * [[semDeDup]] machinery; the exact arm here is the graded truth
+    * those approximations are sized against.
+    *
+    * Malformed (zero-norm / NaN) scores never count as contamination
+    * hits (the explicit isnan guard — BOTH engines would otherwise
+    * treat NaN ≥ τ as true, silently deleting every failed-embedding
+    * row as "contaminated"); such rows pass through to the quality/
+    * dedup stages whose job they are. Scores compare at 6dp like every
+    * cosine gate in this file, so the DuckDB twin reproduces the
+    * survivor set exactly.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val b = benchmark.select(col(vecCol).as("_bv"), norm(col(vecCol)).as("_bn"))
+    val score = cosineFromNorms(
+      dot(col(vecCol), col("_bv")), col("_cn"), col("_bn"))
+    corpus
+      .withColumn("_cn", norm(col(vecCol)))
+      .join(broadcast(b), !isnan(score) && round(score, 6) >= threshold,
+        "left_anti")
+      .drop("_cn")
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to same-bucket
     * vectors, then exact cosine + rank within candidates.
     */

@@ -665,6 +665,28 @@ class DedupTextSpec extends SparkSpec {
     assert(all === cells)
   }
 
+  test("semanticDecontaminate: near-benchmark vectors drop, orthogonal " +
+    "ones survive, zero-norm scores never count as contamination") {
+    val bench = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.99f, 0.1f, 0.0f)), // paraphrase-close → dropped
+      (11L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal → survives
+      (12L, Seq(-1.0f, 0.0f, 0.0f)), // opposite → survives
+      (13L, Seq(0.0f, 0.0f, 0.0f))   // zero-norm: NaN score, survives
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(11L, 12L, 13L))
+    // a zero-norm BENCHMARK row must not nuke the corpus either
+    val benchBad = bench.union(
+      Seq((2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got2 = Similarity.semanticDecontaminate(
+      corpus, benchBad, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2 === Set(11L, 12L, 13L))
+  }
+
   test("semDeDup on the corpus: survivor set is exactly the complement of " +
     "the shadowed set, verified pairwise on the driver") {
     val emb = spark.read
