@@ -693,13 +693,40 @@ object Text {
     */
   def winnowDecontaminate(
       docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, k: Int = 32, w: Int = 8): DataFrame = {
-    val bfp = Materialize.checkpoint(
+      benchmark: DataFrame, k: Int = 32, w: Int = 8): DataFrame =
+    winnowDecontaminateAgainst(docs, idCol, textCol,
+      winnowStore(benchmark, idCol, textCol, k, w), k, w)
+
+  /** The benchmark's winnowed fingerprint set as a PERSISTABLE store —
+    * the decontamination artifact a production deployment builds once
+    * per benchmark refresh and probes on every ingest batch (the
+    * [[graft.ops.Dedup.bandTable]] store discipline: self-describing
+    * `_params` stamp, stamped AFTER the checkpoint so the in-session
+    * frame stays lean; a probe built with different (k, w) samples a
+    * different fingerprint space and must fail loudly, never report
+    * zero hits).
+    */
+  def winnowStore(
+      benchmark: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, w: Int = 8): DataFrame =
+    Materialize.checkpoint(
       winnowFingerprints(benchmark, idCol, textCol, k, w)
         .select("fp_hash").distinct())
-    val nB = bfp.count()
+      .withColumn("_params", lit(s"wn:k$k:w$w"))
+
+  /** [[winnowDecontaminate]] against an already-built (possibly
+    * parquet-persisted and re-read) [[winnowStore]] — each ingest batch
+    * pays its own map-side winnow pass plus one broadcast semi-join;
+    * the benchmark is never re-fingerprinted.
+    */
+  def winnowDecontaminateAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, k: Int = 32, w: Int = 8): DataFrame = {
+    graft.ops.Dedup.requireStoreParams(
+      store, s"wn:k$k:w$w", "winnow fingerprint")
+    val bfp = store.select("fp_hash")
     winnowFingerprints(docs, idCol, textCol, k, w)
-      .join(graft.ops.Joins.broadcastIfSmall(bfp, Some(nB)),
+      .join(graft.ops.Joins.broadcastIfSmall(bfp),
         Seq("fp_hash"), "left_semi")
       .groupBy("doc_id")
       .agg(countDistinct("fp_hash").as("n_hits"))

@@ -1258,6 +1258,26 @@ class DedupTextSpec extends SparkSpec {
     val got2 = Text.winnowDecontaminate(moved, "doc_id", "text", benchmark)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2.contains(3L) && got2(3L) >= 1L)
+    // store/probe split ≡ direct (the bandTable store discipline): the
+    // persisted fingerprint set answers every batch identically, and a
+    // parquet round trip keeps the _params stamp
+    val store = Text.winnowStore(benchmark, "doc_id", "text")
+    val viaStore = Text.winnowDecontaminateAgainst(
+      docs, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStore === got)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_winnow_store").toString
+    store.write.mode("overwrite").parquet(tmp)
+    val reread = spark.read.parquet(tmp)
+    assert(Text.winnowDecontaminateAgainst(docs, "doc_id", "text", reread)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
+    // (k, w) drift must fail loudly — a differently-sampled fingerprint
+    // space silently reports zero hits otherwise
+    val eDrift = intercept[IllegalArgumentException] {
+      Text.winnowDecontaminateAgainst(docs, "doc_id", "text", store, k = 16)
+    }
+    assert(eDrift.getMessage.contains("wn:k32:w8"))
   }
 
   test("winnowOverlapPairs maxDocFreq: a boilerplate span shared by ALL " +
