@@ -1347,6 +1347,21 @@ object SparkEntry {
     "q_cap_per_group" -> ((s, dir) =>
       Text.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 20)),
 
+    // --- ROLLING per-source admission: yesterday's corpus (doc_id <
+    // 250) fills the counts store through the plain batch cap; today's
+    // batch admits only into the remaining per-source quota. The store
+    // streams (zero shuffle per ingest); earlier batches claim quota
+    // first — the production semantics for a store that only grows ---
+    "q_cap_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = Text.capCounts(
+        Text.capPerGroup(
+          docs.where(col("doc_id") < 250), "source", "doc_id", 20),
+        "source", 20)
+      Text.capPerGroupIncremental(
+        docs.where(col("doc_id") >= 250), "source", "doc_id", 20, counts)
+    }),
+
     // --- training-mixture sampling: per-source token-budget weights →
     // per-source keep fraction → seeded hash sample (engine-reproducible;
     // the broadcast fraction table means the corpus never shuffles) ---
@@ -1952,6 +1967,16 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source " +
         "ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 20"),
+
+    // rolling admission: prior batch fills per-source counts, today's
+    // ranks (same seeded-md5 order) admit while rn <= cap - n_kept
+    "q_cap_incremental" -> {
+      val rk = "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12)"
+      s"WITH prior AS (SELECT source, doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY $rk, doc_id) AS rn FROM documents WHERE doc_id < 250) WHERE rn <= 20), " +
+        "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM prior GROUP BY 1), " +
+        s"b AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY $rk, doc_id) AS rn FROM documents WHERE doc_id >= 250) " +
+        "SELECT b.source, b.doc_id FROM b LEFT JOIN cnt USING (source) WHERE rn <= 20 - COALESCE(n_kept, 0)"
+    },
 
     "q_dedup_incremental" -> (
       "WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250), " +

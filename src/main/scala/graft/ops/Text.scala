@@ -923,16 +923,102 @@ object Text {
       seed: String = "cap:"): DataFrame = {
     require(cap >= 1, s"capPerGroup: cap must be >= 1, got $cap")
     val topk = graft.functions.TopKAggregator.topK(cap)
-    val rank = conv(substring(
-      md5(concat(lit(seed), col(idCol).cast("string"))), 1, 12), 16, 10)
-      .cast("long").cast("double")
     docs
       .select(col(groupCol).as("_grp"), col(idCol).cast("long").as("_id"),
-        negate(rank).as("_rk"))
+        negate(capRank(col(idCol), seed)).as("_rk"))
       .groupBy("_grp")
       .agg(topk(col("_rk"), col("_id")).as("_top"))
       .select(col("_grp").as(groupCol),
         explode(col("_top")).as("_t"))
       .select(col(groupCol), col("_t._2").as(idCol))
+  }
+
+  // ONE definition of the cap family's seeded 48-bit rank (see
+  // capPerGroup's doc for why 12 hex chars) — shared by the batch cap
+  // and the incremental admission so the two orders can never fork
+  private def capRank(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double")
+
+  private def capParams(cap: Int, seed: String): String = s"capcnt:c$cap:$seed"
+
+  /** The per-group admitted-count STORE for [[capPerGroupIncremental]] —
+    * `(groupCol, n_kept)` stamped with the (cap, seed) that produced it
+    * (the store discipline: admitting against counts accumulated under
+    * a DIFFERENT cap or rank seed silently over- or under-fills groups).
+    * Build it from the first batch's admitted set; after each later
+    * ingest, merge via [[capCountsUpdate]].
+    */
+  def capCounts(
+      kept: DataFrame, groupCol: String, cap: Int,
+      seed: String = "cap:"): DataFrame =
+    kept.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("_params", lit(capParams(cap, seed)))
+
+  /** Merge a batch's newly admitted docs into the counts store — one
+    * groups-keyed aggregate over (store ∪ batch counts). The store is
+    * |groups|-sized (domains), not corpus-sized, so this shuffle is the
+    * dimension-table cost a rolling ingest can afford per batch.
+    */
+  def capCountsUpdate(
+      counts: DataFrame, admitted: DataFrame, groupCol: String, cap: Int,
+      seed: String = "cap:"): DataFrame = {
+    graft.ops.Dedup.requireStoreParams(
+      counts, capParams(cap, seed), "cap count")
+    counts.select(col(groupCol), col("n_kept"))
+      .unionByName(capCounts(admitted, groupCol, cap, seed)
+        .select(col(groupCol), col("n_kept")))
+      .groupBy(col(groupCol))
+      .agg(sum("n_kept").as("n_kept"))
+      .withColumn("_params", lit(capParams(cap, seed)))
+  }
+
+  /** Incremental per-group cap — ROLLING admission control for a daily
+    * ingest: admit a batch doc while its group's historical admitted
+    * count plus the doc's deterministic within-batch rank position stays
+    * within `cap`. Groups absent from the store start with full quota;
+    * full groups admit nothing. NOT equal to [[capPerGroup]] over the
+    * accumulated union — earlier batches claim quota first, which IS
+    * the production admission semantics for a store that only grows
+    * (re-ranking the union would retroactively evict already-shipped
+    * docs). Within one batch the order is exactly [[capPerGroup]]'s
+    * (shared [[capRank]]), so batch №1 against an empty store ≡ the
+    * batch cap (spec-pinned).
+    *
+    * Scale shape: the batch aggregates to ≤ |batch groups| × cap rows
+    * through the cap-bounded TopKAggregator; the counts STORE first
+    * semi-restricts to the batch's groups via a broadcast of the batch
+    * group list — the store STREAMS with zero shuffle per ingest (the
+    * exactIncremental discipline) and only its batch-relevant rows
+    * (≤ |batch groups|) reach the quota join.
+    */
+  def capPerGroupIncremental(
+      batch: DataFrame, groupCol: String, idCol: String, cap: Int,
+      counts: DataFrame, seed: String = "cap:"): DataFrame = {
+    require(cap >= 1, s"capPerGroupIncremental: cap must be >= 1, got $cap")
+    graft.ops.Dedup.requireStoreParams(
+      counts, capParams(cap, seed), "cap count")
+    val topk = graft.functions.TopKAggregator.topK(cap)
+    // ≤ cap candidates per group, positioned 1..cap in admission order
+    val batchTop = Materialize.checkpoint(
+      batch
+        .select(col(groupCol).as("_grp"), col(idCol).cast("long").as("_id"),
+          negate(capRank(col(idCol), seed)).as("_rk"))
+        .groupBy("_grp")
+        .agg(topk(col("_rk"), col("_id")).as("_top"))
+        .select(col("_grp"), posexplode(col("_top")).as(Seq("_i", "_t")))
+        .select(col("_grp"), (col("_i") + 1).as("_pos"),
+          col("_t._2").as("_id")))
+    val batchGroups = batchTop.select(col("_grp")).distinct()
+    // store streams; only batch-group rows survive into the quota join
+    val relevant = Materialize.checkpoint(
+      counts.select(col(groupCol).as("_grp"), col("n_kept"))
+        .join(graft.ops.Joins.broadcastIfSmall(batchGroups),
+          Seq("_grp"), "left_semi"))
+    batchTop
+      .join(graft.ops.Joins.broadcastIfSmall(relevant), Seq("_grp"), "left")
+      .where(col("_pos") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
+      .select(col("_grp").as(groupCol), col("_id").as(idCol))
   }
 }

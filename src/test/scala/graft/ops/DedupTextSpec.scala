@@ -1330,6 +1330,48 @@ class DedupTextSpec extends SparkSpec {
       Text.capPerGroup(docs, "source", "doc_id", 0))
   }
 
+  test("capPerGroupIncremental: rolling admission — batch 1 vs an empty " +
+    "store ≡ the batch cap, batch 2 gets only the remaining quota, full " +
+    "groups admit nothing, and parameter drift fails loudly") {
+    val cap = 5
+    val empty = Text.capCounts(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"), "source", cap)
+    val b1 = ((1L to 100L).map(i => (i, "hot")) ++
+      Seq((200L, "cold"))).toDF("doc_id", "source")
+    val a1 = Text.capPerGroupIncremental(b1, "source", "doc_id", cap, empty)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchCap = Text.capPerGroup(b1, "source", "doc_id", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a1 === batchCap) // first batch ≡ the plain batch cap
+    assert(a1.count(_._1 == "hot") == cap && a1.contains(("cold", 200L)))
+    // batch 2: "hot" is FULL (admits nothing), "cold" has quota 4 left,
+    // "fresh" is absent from the store (admits up to cap)
+    val counts = Text.capCountsUpdate(
+      empty, a1.toSeq.toDF("source", "doc_id"), "source", cap)
+    val b2 = ((101L to 150L).map(i => (i, "hot")) ++
+      (210L to 230L).map(i => (i, "cold")) ++
+      (300L to 302L).map(i => (i, "fresh"))).toDF("doc_id", "source")
+    val a2 = Text.capPerGroupIncremental(b2, "source", "doc_id", cap, counts)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a2.count(_._1 == "hot") == 0, s"full group must admit nothing: $a2")
+    assert(a2.count(_._1 == "cold") == cap - 1) // 1 already admitted
+    assert(a2.count(_._1 == "fresh") == 3) // whole small group fits
+    // totals per group never exceed the cap after the merge
+    val merged = Text.capCountsUpdate(
+      counts, a2.toSeq.toDF("source", "doc_id"), "source", cap)
+      .select("source", "n_kept")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.values.forall(_ <= cap))
+    assert(merged === Map("hot" -> 5L, "cold" -> 5L, "fresh" -> 3L))
+    // drift guards: a store accumulated under a different cap or seed
+    // would silently over/under-fill groups — refuse it
+    intercept[IllegalArgumentException](
+      Text.capPerGroupIncremental(b2, "source", "doc_id", cap + 1, counts))
+    intercept[IllegalArgumentException](
+      Text.capPerGroupIncremental(
+        b2, "source", "doc_id", cap, counts, seed = "cap2:"))
+  }
+
   test("pplBucketWith: sample thresholds apply to a different scored " +
     "frame (the fixed-thresholds-from-a-sample production shape)") {
     val sample = (1 to 10)
