@@ -43,6 +43,37 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // ------------------------------------------------------------------
+  // The DAILY-INGEST composition of the same chain (each arm exists,
+  // is individually graded or spec-pinned, and streams its store with
+  // zero store-side shuffle per batch):
+  //   1. gopher gate        — stateless: Text.gopherFilter(batch)
+  //   2. exact dedup        — Dedup.exactIncremental(batch, digestStore)
+  //      near-dup           — Dedup.minhashIncrementalCandidates(batch,
+  //                           bandStore) → Dedup.
+  //                           connectedComponentsIncremental (cluster
+  //                           store merge; streaming upkeep =
+  //                           EventStream.clusterMaintenance)
+  //   3. decontamination    — Text.winnowDecontaminateAgainst(batch,
+  //                           Text.winnowStore(benchmark)) — benchmark
+  //                           fingerprinted once per refresh
+  //   4. ppl banding        — Text.pplBucketWith(batchScored, sample)
+  //                           (CCNet's fixed-thresholds-from-a-sample
+  //                           production shape; re-deriving thresholds
+  //                           per batch would drift bands batch-to-batch)
+  //   5. per-source cap     — Text.capPerGroupIncremental(batch,
+  //                           capCounts store) + capCountsUpdate
+  //   6. training order     — Text.shardOrder over the admitted batch
+  //                           with a per-epoch seed (shards are
+  //                           append-only; positions restart per batch
+  //                           file, the tar-shard convention)
+  // What stays BATCH-ONLY by design: best-quality keeper RESOLUTION
+  // against stored cluster members (an arriving doc better than an
+  // already-shipped keeper needs a tombstone protocol, not a filter —
+  // the streaming clusterMaintenance store records the merge, and the
+  // periodic batch curate() is where keeper choices are re-resolved).
+  // ------------------------------------------------------------------
+
   /** Run the full chain over `corpus`, decontaminating against
     * `benchmark` (an eval-suite-sized frame with the same id/text
     * columns). Returns the kept docs in training order:
