@@ -940,6 +940,17 @@ object Text {
     conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 12), 16, 10)
       .cast("long").cast("double")
 
+  /** Plain-JVM twin of [[capRank]] for per-group executor code (the
+    * streaming admission state function) — identical arithmetic: md5 of
+    * the UTF-8 bytes of seed+id, first 12 hex chars (48 bits) as a
+    * Long. Spec-pinned equal to the Column form.
+    */
+  private[graft] def capRankOf(id: Long, seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((seed + id.toString).getBytes("UTF-8"))
+    d.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
   private def capParams(cap: Int, seed: String): String = s"capcnt:c$cap:$seed"
 
   /** The per-group admitted-count STORE for [[capPerGroupIncremental]] —

@@ -130,6 +130,45 @@ object EventStream {
       }
   }
 
+  case class CapDocIn(doc_id: Long, source: String)
+  case class CapAdmitted(source: String, doc_id: Long)
+
+  /** Streaming twin of `Text.capPerGroupIncremental`: rolling per-source
+    * admission over a document ingest stream. State is ONE Long per
+    * source — the admitted count, exactly the `capCounts` store the
+    * batch path persists, here held by the streaming state store. A
+    * full source admits nothing forever (no watermark: the cap is
+    * permanent corpus semantics, and the state is 8 bytes per source,
+    * never documents). Within each micro-batch the admission order is
+    * the SAME seeded 48-bit md5 rank as the batch paths
+    * (`Text.capRankOf` ≡ the `capRank` Column, spec-pinned), ties to
+    * the smaller id — so a micro-batch sequence admits exactly what the
+    * same sequence of `capPerGroupIncremental` calls admits
+    * (EventStreamSpec pins the equivalence), and earlier batches claim
+    * quota first, the admission-control contract.
+    */
+  def capAdmissionStream(
+      docs: Dataset[CapDocIn], cap: Int,
+      seed: String = "cap:"): Dataset[CapAdmitted] = {
+    require(cap >= 1, s"capAdmissionStream: cap must be >= 1, got $cap")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, CapAdmitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[CapDocIn], state: GroupState[Long]) =>
+          val kept = state.getOption.getOrElse(0L)
+          if (kept >= cap) Iterator.empty
+          else {
+            val admitted = rows.toSeq
+              .sortBy(d => (graft.ops.Text.capRankOf(d.doc_id, seed), d.doc_id))
+              .take((cap - kept).toInt)
+            if (admitted.nonEmpty) state.update(kept + admitted.size)
+            admitted.map(d => CapAdmitted(source, d.doc_id)).iterator
+          }
+      }
+  }
+
   case class BandRow(doc_id: Long, bno: Int, bkey: String)
   case class CandPair(id_a: Long, id_b: Long)
 

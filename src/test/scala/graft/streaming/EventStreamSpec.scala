@@ -206,6 +206,65 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capAdmissionStream: per-source quota persists across " +
+    "micro-batches and admits exactly what the batch incremental admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 3
+    val input = MemoryStream[EventStream.CapDocIn]
+    val q = EventStream.capAdmissionStream(input.toDS(), cap)
+      .writeStream.format("memory").queryName("cap_admit")
+      .outputMode("append").start()
+    try {
+      val b1 = (1L to 10L).map(EventStream.CapDocIn(_, "hot")) :+
+        EventStream.CapDocIn(100L, "cold")
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val a1 = spark.table("cap_admit")
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      // batch twin: same batch against an empty store
+      val a1Batch = graft.ops.Text.capPerGroupIncremental(
+        b1.toDF("doc_id", "source"), "source", "doc_id", cap,
+        graft.ops.Text.capCounts(
+          Seq.empty[(Long, String)].toDF("doc_id", "source"), "source", cap))
+        .as[(String, Long)].collect().toSet
+      assert(a1 === a1Batch)
+      assert(a1.count(_._1 == "hot") == cap && a1.contains(("cold", 100L)))
+      // batch 2: hot is FULL, cold has quota 2, fresh is new
+      val b2 = (11L to 20L).map(EventStream.CapDocIn(_, "hot")) ++
+        (101L to 110L).map(EventStream.CapDocIn(_, "cold")) :+
+        EventStream.CapDocIn(200L, "fresh")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val all = spark.table("cap_admit")
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      val a2 = all -- a1
+      val a2Batch = graft.ops.Text.capPerGroupIncremental(
+        b2.toDF("doc_id", "source"), "source", "doc_id", cap,
+        graft.ops.Text.capCountsUpdate(
+          graft.ops.Text.capCounts(
+            Seq.empty[(Long, String)].toDF("doc_id", "source"), "source", cap),
+          a1.toSeq.toDF("source", "doc_id"), "source", cap))
+        .as[(String, Long)].collect().toSet
+      assert(a2 === a2Batch)
+      assert(a2.count(_._1 == "hot") == 0)
+      assert(a2.count(_._1 == "cold") == cap - 1)
+      assert(a2.contains(("fresh", 200L)))
+    } finally q.stop()
+  }
+
+  test("capRankOf (JVM) ≡ the capRank Column arithmetic on a range of ids") {
+    val ids = (0L to 500L) ++ Seq(Long.MaxValue, 123456789012345L)
+    val viaCol = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("rk"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(graft.ops.Text.capRankOf(id, "cap:") === viaCol(id),
+        s"rank fork at id=$id")
+    }
+  }
+
   test("minhashCandidateStream: band state store reproduces the batch " +
     "twin's candidate pairs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
