@@ -39,8 +39,8 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 MUTATION = sys.argv[4] if len(sys.argv) > 4 else "caesar"
-assert MUTATION in ("caesar", "suffix")
-assert MUTATION == "suffix" or FACTOR <= 26, "caesar collides beyond 26 replicas"
+assert MUTATION in ("caesar", "suffix", "suffix_stop")
+assert MUTATION != "caesar" or FACTOR <= 26, "caesar collides beyond 26 replicas"
 
 # Generation depth: chaining this tool on its own output must not reuse a
 # mutation family whose per-replica patterns COMMUTE across generations —
@@ -71,7 +71,7 @@ if (MUTATION == "caesar" and not _meta.exists()
         "testdata — provenance unknown, so caesar chaining cannot be ruled "
         "out. Use mutation=suffix, or rerun with "
         "GEN_SCALE_TRUST_PRISTINE=1 if the corpus is known unscaled.")
-assert MUTATION != "suffix" or SRC_DEPTH == 0 or FACTOR <= 10, \
+assert MUTATION == "caesar" or SRC_DEPTH == 0 or FACTOR <= 10, \
     "chained suffix replicas need factor <= 10 for unambiguous digit strings"
 
 con = duckdb.connect()
@@ -108,10 +108,25 @@ def mutate(col):
     the scaled corpus is N× the same near-dup workload, never an
     all-twins pathology. `suffix` appends the replica number to every
     word (token structure, counts and within-replica duplicate identity
-    preserved; vocabularies disjoint at any factor)."""
+    preserved; vocabularies disjoint at any factor). `suffix_stop` is
+    `suffix` with the bare word 'the' RESTORED afterwards: both plain
+    mutations destroy every stopword, which guts stopword-gated
+    operators (the gopher keep rule keeps ZERO suffix-replica docs —
+    measured, SCALE.md round 13) and makes funnel slopes unmeasurable;
+    restoring only 'the' keeps those gates alive while cross-replica
+    3-gram shingles would need a 'the the the' run to collide — absent
+    from the corpus, so the no-manufactured-near-dups property holds.
+    (The restore pattern requires a word boundary after the digits, so
+    an original token like 'the7' — suffixed to 'the<k>7' — is never
+    falsely restored.)"""
     if MUTATION == "caesar":
         return caesar_case(col)
-    return f"regexp_replace({col}, '([A-Za-z]+)', '\\1' || CAST(k AS VARCHAR), 'g')"
+    suffixed = (f"regexp_replace({col}, '([A-Za-z]+)', "
+                "'\\1' || CAST(k AS VARCHAR), 'g')")
+    if MUTATION == "suffix":
+        return suffixed
+    return (f"regexp_replace({suffixed}, "
+            "'\\bthe' || CAST(k AS VARCHAR) || '\\b', 'the', 'g')")
 
 import pathlib
 pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
