@@ -51,9 +51,62 @@ object RecallBench {
 
     val section = if (args.length > 3) args(3) else "all"
     require(
-      Seq("all", "topk", "pairs", "ivfsplit", "pq", "bin", "images")
-        .contains(section),
-      s"section must be all|topk|pairs|ivfsplit|pq|bin|images, got $section")
+      Seq("all", "topk", "pairs", "ivfsplit", "pq", "bin", "images",
+        "semantic").contains(section),
+      s"section must be all|topk|pairs|ivfsplit|pq|bin|images|semantic, " +
+        s"got $section")
+
+    // ---- planted semantic-decontamination corpus: catch rate of
+    // noisy benchmark paraphrases vs false-drop rate of clean docs,
+    // across noise levels and thresholds. Paraphrase twin of benchmark
+    // vec v = normalize(v + ε·g), so E[cos] ≈ 1/√(1+ε²) (ε 0.3 → ~.96,
+    // 0.6 → ~.86, 1.0 → ~.71); clean random 64-dim pairs sit at
+    // |cos| ≲ 0.4. Usage: … semantic [nCorpus]
+    if (section == "semantic") {
+      val nCorpus = if (args.length > 4) args(4).toInt else 100000
+      val nBench = 200
+      val epss = Seq(0.3, 0.6, 1.0, 1.5)
+      val perEps = nCorpus / 20 // 5% planted per noise level
+      val bench = plantedVecs(spark, 0, nBench, None, 0.0).cache()
+      bench.count()
+      // corpus = clean rows + per-ε paraphrases of benchmark vectors;
+      // id encodes the class: [0, nCorpus) clean, then perEps per ε
+      val plantedBase = 10000000L
+      require(nCorpus < plantedBase.toInt, "corpus ids must stay below the planted id space")
+      val corpus = epss.zipWithIndex
+        .map { case (eps, i) =>
+          plantedVecs(spark, plantedBase + i * 1000000L, perEps,
+            Some(nBench), eps)
+        }
+        .foldLeft(plantedVecs(spark, 0L, nCorpus, None, 0.0)
+          .where(col("vec_id") >= nBench))( // clean ids reuse the bench
+          _.unionByName(_))                 // seed space; exclude them
+        .cache()
+      val total = corpus.count()
+      for (tau <- Seq(0.6, 0.7, 0.8)) {
+        val t0 = System.nanoTime()
+        val surv = Similarity.semanticDecontaminate(
+          corpus, bench, "embedding", tau)
+          .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cleanTotal = total - epss.size * perEps
+        val cleanKept = surv.count(_ < plantedBase)
+        epss.zipWithIndex.foreach { case (eps, i) =>
+          val ids = (plantedBase + i * 1000000L) until
+            (plantedBase + i * 1000000L + perEps)
+          val caught = ids.count(!surv.contains(_))
+          println(f"SEM catch@tau=$tau eps=$eps: " +
+            f"${caught.toDouble / perEps}%.4f ($caught/$perEps)")
+        }
+        println(f"SEM false_drop@tau=$tau: " +
+          f"${(cleanTotal - cleanKept).toDouble / cleanTotal}%.6f " +
+          f"(${cleanTotal - cleanKept}/$cleanTotal) scan=$sec%.2f s " +
+          f"(${sec * 1e6 / total}%.1f us/doc vs $nBench bench vecs)")
+      }
+      spark.stop()
+      return
+    }
 
     // ---- planted image near-dup corpus: dHash + Manku banding recall
     // and per-image cost at generator-chosen scale (the gen_neardup
@@ -569,6 +622,40 @@ object RecallBench {
     val buf = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, buf)
     buf.toByteArray
+  }
+
+  /** Deterministic unit-norm 64-dim vectors for the semantic-
+    * decontamination leg. `paraphraseOf = Some(nb)`: row i is a noisy
+    * copy of BENCHMARK vector (i mod nb) — base gaussian from seed
+    * i mod nb (the benchmark's own seed space), plus eps × an
+    * independent gaussian, renormalized, so E[cos(base, copy)] ≈
+    * 1/√(1+eps²). `None`: an independent vector seeded by idBase + i.
+    * Executor-side generation (mapPartitions over a range).
+    */
+  private[graft] def plantedVecs(
+      spark: SparkSession, idBase: Long, n: Int,
+      paraphraseOf: Option[Int], eps: Double): DataFrame = {
+    import spark.implicits._
+    def gauss(seed: Long): Array[Double] = {
+      val r = new scala.util.Random(
+        seed * 6364136223846793005L + 1442695040888963407L)
+      Array.fill(64)(r.nextGaussian())
+    }
+    spark.range(n.toLong).as[Long]
+      .mapPartitions { idxs =>
+        idxs.map { i =>
+          val v = paraphraseOf match {
+            case None => gauss(idBase + i)
+            case Some(nb) =>
+              val base = gauss(i % nb)
+              val noise = gauss(idBase + i + 777L)
+              base.zip(noise).map { case (a, b) => a + eps * b }
+          }
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          (idBase + i, v.map(x => (x / nrm).toFloat).toSeq)
+        }
+      }
+      .toDF("vec_id", "embedding")
   }
 
   /** The planted image corpus: `nBase` smooth bases; bases with

@@ -636,7 +636,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.semanticDecontaminate(
         emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8),
-        "vec_id", "embedding", 0.3)
+        "embedding", 0.3)
         .select(col("vec_id"))
     }),
 

@@ -1173,7 +1173,7 @@ object Similarity {
     * survivor set exactly.
     */
   def semanticDecontaminate(
-      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      corpus: DataFrame, benchmark: DataFrame,
       vecCol: String, threshold: Double): DataFrame = {
     val b = benchmark.select(col(vecCol).as("_bv"), norm(col(vecCol)).as("_bn"))
     val score = cosineFromNorms(

@@ -675,14 +675,14 @@ class DedupTextSpec extends SparkSpec {
       (13L, Seq(0.0f, 0.0f, 0.0f))   // zero-norm: NaN score, survives
     ).toDF("vec_id", "embedding")
     val got = Similarity.semanticDecontaminate(
-      corpus, bench, "vec_id", "embedding", 0.9)
+      corpus, bench, "embedding", 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(got === Set(11L, 12L, 13L))
     // a zero-norm BENCHMARK row must not nuke the corpus either
     val benchBad = bench.union(
       Seq((2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
     val got2 = Similarity.semanticDecontaminate(
-      corpus, benchBad, "vec_id", "embedding", 0.9)
+      corpus, benchBad, "embedding", 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(got2 === Set(11L, 12L, 13L))
   }
