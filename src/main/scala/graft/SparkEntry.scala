@@ -1190,6 +1190,15 @@ object SparkEntry {
           .isin("0", "1", "2", "3"))
         .select(col("doc_id"), col("lang"))),
 
+    // --- deterministic labeled train/val/test split (80/10/10): every
+    // doc gets exactly one label, stable under corpus growth — a doc's
+    // assignment is a pure function of (seed, id), so yesterday's train
+    // doc can never migrate into tomorrow's validation set ---
+    "q_hash_split" -> ((s, dir) =>
+      Text.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+
     // --- full outer join of two keyed aggregates ---
     "q_full_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
@@ -1868,6 +1877,17 @@ object SparkEntry {
 
     "q_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')",
+
+    // bounds come from the SAME Scala helper the operator uses
+    // (Text.hashSplitBounds), so the two renderings cannot drift
+    "q_hash_split" -> {
+      val Seq(b0, b1) = Text.hashSplitBounds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      "SELECT doc_id, CASE " +
+        s"WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$b0' THEN 'train' " +
+        s"WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$b1' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"
+    },
 
     "q_full_outer" -> (
       "WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1), " +

@@ -545,6 +545,46 @@ object Text {
       .drop("_src", "_pw", "_f")
   }
 
+  /** Deterministic labeled train/val/test split: every doc gets exactly
+    * ONE label, chosen by where its seeded 32-bit md5 prefix falls in
+    * the cumulative weight bounds (weights are normalized; the LAST
+    * split absorbs the remainder so floating-point rounding can never
+    * orphan a row). Map-side, order-independent, reproducible across
+    * runs AND engines (the comparison is fixed-width lowercase hex —
+    * lexicographic == numeric, the mixtureSample convention), and
+    * re-derivable per doc from (seed, id) alone — which is the property
+    * a split must have: a doc's assignment cannot change when the
+    * corpus grows, or yesterday's training doc leaks into tomorrow's
+    * validation set. Granularity 2⁻³², like the samplers.
+    */
+  def hashSplit(
+      docs: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      seed: String = "split:"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: need at least one split")
+    require(splits.forall(_._2 > 0),
+      s"hashSplit: weights must be positive, got $splits")
+    val h = substring(
+      md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8)
+    val labeled = splits.init.zip(hashSplitBounds(splits))
+      .foldRight(lit(splits.last._1): Column) {
+        case (((label, _), bound), rest) =>
+          when(h < lit(bound), lit(label)).otherwise(rest)
+      }
+    docs.withColumn("split", labeled)
+  }
+
+  /** Cumulative 32-bit bounds of [[hashSplit]] as zero-padded hex —
+    * shared with the DuckDB oracle twin so the two renderings cannot
+    * drift. One bound per non-last split.
+    */
+  private[graft] def hashSplitBounds(
+      splits: Seq[(String, Double)]): Seq[String] = {
+    val total = splits.map(_._2).sum
+    splits.init
+      .scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${math.floor(c / total * 4294967296.0).toLong}%08x")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * (An incremental Karp–Rabin rolling hash lives in
     * graft.functions.RollingHash as the per-window variant.)

@@ -1372,6 +1372,35 @@ class DedupTextSpec extends SparkSpec {
         b2, "source", "doc_id", cap, counts, seed = "cap2:"))
   }
 
+  test("hashSplit: total single-label coverage, proportions near weights, " +
+    "assignment stable under corpus growth, seed-keyed, guards") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = (1L to 4000L).map(Tuple1(_)).toDF("doc_id")
+    val got = Text.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(got.length === 4000 && got.map(_._1).distinct.length === 4000)
+    val byLabel = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 3000 && byLabel("train") < 3400,
+      s"~80% expected: $byLabel")
+    assert(byLabel("val") > 250 && byLabel("val") < 550, s"$byLabel")
+    // STABILITY: the assignment of the first 1000 docs is identical
+    // whether the corpus has 1000 or 4000 docs — the property that
+    // keeps yesterday's train doc out of tomorrow's validation set
+    val small = Text.hashSplit(
+      (1L to 1000L).map(Tuple1(_)).toDF("doc_id"), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.filter(_._1 <= 1000L).forall { case (id, s) => small(id) == s })
+    // a different seed re-deals (still total, still single-label)
+    val reseed = Text.hashSplit(docs, "doc_id", splits, "epoch2:")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.exists { case (id, s) => reseed(id) != s })
+    intercept[IllegalArgumentException](
+      Text.hashSplit(docs, "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Text.hashSplit(docs, "doc_id", Seq("a" -> 1.0, "b" -> 0.0)))
+  }
+
   test("pplBucketWith: sample thresholds apply to a different scored " +
     "frame (the fixed-thresholds-from-a-sample production shape)") {
     val sample = (1 to 10)
