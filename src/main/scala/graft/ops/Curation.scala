@@ -91,9 +91,18 @@ object Curation {
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8): DataFrame = {
+    // Funnel observability rides the stage jobs for free: each stage
+    // frame carries an `observe` counter (the Observe seam — collected
+    // DURING the checkpoint's own execution pass, no second scan),
+    // delivered to any QueryExecutionListener as curation_kept/exact/
+    // deduped/clean/head/final row counts — the composite analog of the
+    // reference's per-run counters. Spec-pinned monotone non-increasing.
+    def staged(df: DataFrame, stage: String): DataFrame =
+      Observe.withRowMetrics(df, s"curation_$stage")
+
     // 1. quality gate — map-side, rides the corpus scan; feeds exactly
     // one consumer (the digest aggregate) so it is NOT materialized
-    val kept = Text.gopherFilter(corpus, textCol)
+    val kept = staged(Text.gopherFilter(corpus, textCol), "kept")
 
     // 2a. exact dedup: one digest-keyed partial aggregate, min-id keeper
     // keeps its own payload row. Materialized: the frame feeds the pair
@@ -110,10 +119,10 @@ object Curation {
     // the bucket spec visible to the planner — the ivfBuild/ivfProbe
     // precedent, PlanSpec-pinned shuffle-free there), which is also
     // what a multi-job production run does between stages.
-    val exact = Materialize.checkpoint(
+    val exact = Materialize.checkpoint(staged(
       Transforms.firstPerGroup(
         kept.withColumn("_digest", md5(col(textCol).cast("binary"))),
-        Seq("_digest"), Seq(col(idCol))).drop("_digest"))
+        Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact"))
 
     // 2b. near-dup resolution: banded minhash candidates (never
     // all-pairs) → connected components → highest-quality keeper per
@@ -124,18 +133,18 @@ object Curation {
           Dedup.minhashCandidatePairs(exact, idCol, textCol)))
       .where(col("keep"))
       .select(col("doc_id").as(idCol))
-    val deduped = Materialize.checkpoint(
-      exact.join(best, Seq(idCol), "left_semi"))
+    val deduped = Materialize.checkpoint(staged(
+      exact.join(best, Seq(idCol), "left_semi"), "deduped"))
 
     // 3. span-level decontamination: any doc sharing a winnowed
     // fingerprint with the benchmark drops (n_hits >= 1 by the
     // operator's output contract); benchmark fingerprints broadcast,
     // the corpus pays one map-side winnow pass
-    val clean = Materialize.checkpoint(
+    val clean = Materialize.checkpoint(staged(
       deduped.join(
         Text.winnowDecontaminate(deduped, idCol, textCol, benchmark)
           .select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_anti"))
+        Seq(idCol), "left_anti"), "clean"))
 
     // 4. LM-perplexity tail drop: bigram LM scored over the SURVIVING
     // corpus (the thresholds see the same distribution they band)
@@ -143,14 +152,16 @@ object Curation {
         Text.bigramLogProb(clean, idCol, textCol), pplBuckets)
       .where(col("bucket") > dropTailBuckets)
       .select(col("doc_id").as(idCol))
-    val head = Materialize.checkpoint(
-      clean.join(headIds, Seq(idCol), "left_semi"))
+    val head = Materialize.checkpoint(staged(
+      clean.join(headIds, Seq(idCol), "left_semi"), "head"))
 
     // 5 + 6. per-source cap (cap-bounded aggregator state), then
     // deterministic shard/pos training order over the capped survivors
     val capped = Text.capPerGroup(head, sourceCol, idCol, capPerSource)
       .select(col(idCol))
-    Text.shardOrder(head.join(capped, Seq(idCol), "left_semi"),
-      idCol, numShards)
+    staged(
+      Text.shardOrder(head.join(capped, Seq(idCol), "left_semi"),
+        idCol, numShards),
+      "final")
   }
 }

@@ -64,6 +64,46 @@ class CurationSpec extends graft.SparkSpec {
     }
   }
 
+  test("funnel counters ride the stage jobs: every curation_<stage> " +
+    "metric is observed, counts are monotone non-increasing") {
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("curation_"))
+            seen.put(name, row.getAs[Long]("n_rows"))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Curation.curate(corpus(), bench(), "doc_id", "text",
+        "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2)
+      val finalRows = out.count()
+      // listener delivery is async — poll briefly for the full funnel
+      val want = Seq("curation_kept", "curation_exact", "curation_deduped",
+        "curation_clean", "curation_head", "curation_final")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!want.forall(seen.containsKey) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(want.forall(seen.containsKey), s"missing metrics: $seen")
+      val counts = want.map(seen.get(_))
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"funnel must be monotone non-increasing: $seen")
+      assert(seen.get("curation_final") === finalRows)
+      // the planted fixture's exact numbers: 6 pass gopher, 5 survive
+      // the exact dup, 4 after decontamination
+      assert(seen.get("curation_kept") === 6L)
+      assert(seen.get("curation_exact") === 5L)
+      assert(seen.get("curation_clean") === 4L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("empty benchmark: decontamination drops nothing") {
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = Curation.curate(corpus(), noBench, "doc_id", "text", "source",
