@@ -567,6 +567,15 @@ object SparkEntry {
       EventStream.runningCount(t(s, dir, "events"))
         .select(col("event_id"), col("user_id"), col("running_n"))),
 
+    // --- step-ordered funnel: signup → click → purchase, each step
+    // within 24h of the previous match (greedy earliest-match — the
+    // analytics-product semantics, deterministic on both engines). The
+    // 24h window is the fixture point with real drop-off (150 → 65 →
+    // 29 users at sf0.01; unwindowed, every user reaches every step) ---
+    "q_funnel" -> ((s, dir) =>
+      EventStream.funnel(t(s, dir, "events"),
+        Seq("signup", "click", "purchase"))),
+
     // --- similarity: LSH-bucketed ANN (scale path next to brute force) ---
     "q_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2566,6 +2575,18 @@ object SparkEntry {
 
     "q_running_count" ->
       "SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n FROM events",
+
+    // the same greedy earliest-match chain: each step's reach = min ts
+    // strictly after the previous match and within its 24h window
+    "q_funnel" -> (
+      "WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1 AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2 AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1) " +
+        "SELECT CAST(1 AS INT) AS step, 'signup' AS event_type, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users " +
+        "UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2) " +
+        "UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)"),
 
     "q_lsh_topk" -> {
       // same ±1-plane bucket derivation as Similarity.srpBucket, DuckDB-side

@@ -50,6 +50,50 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Step-ordered funnel analysis: for each user, match `steps` head to
+    * its EARLIEST event, then every later step to the earliest
+    * qualifying event strictly after the previous match and within
+    * `window` of it — the GREEDY sequential-match funnel (deterministic;
+    * the common analytics-product semantics). Output: one row per step,
+    * `(step, event_type, n_users)` — users whose chain reaches it.
+    *
+    * Greedy is a deliberately documented choice, not an oversight: an
+    * exists-ANY-chain match can reach further (a later step-i event may
+    * open a window the earliest one closes), but deciding it needs a
+    * per-user time sweep over ALL events, while greedy is k−1 rounds of
+    * (one type-pruned scan + one user-keyed join/aggregate) with ONE
+    * row of state per user per round — bounded however hot a user is.
+    * The per-user sweep shape (collect + fold) concentrates a hot
+    * user's whole history in one task; this one never does. Rounds are
+    * checkpointed (the iterative-fixpoint discipline) so round plans
+    * stay O(1) and each reach frame feeds both its successor and the
+    * final count union without re-running its join.
+    */
+  def funnel(
+      events: DataFrame, steps: Seq[String], window: String = "24 hours",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val w = expr(s"INTERVAL $window")
+    val first = graft.Materialize.checkpoint(
+      events.where(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")))
+    val reaches = steps.tail.scanLeft(first) { (prev, step) =>
+      graft.Materialize.checkpoint(
+        events.where(col(typeCol) === step)
+          .join(prev.select(col(userCol), col("_t").as("_tp")), Seq(userCol))
+          .where(col(tsCol) > col("_tp") && col(tsCol) <= col("_tp") + w)
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")))
+    }
+    reaches.zip(steps).zipWithIndex
+      .map { case ((r, step), i) =>
+        r.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** Per-user running event count ordered by event time — on a stream this
     * is the `mapGroupsWithState` shape; expressed declaratively it is a
     * cumulative window, which Structured Streaming cannot run but batch

@@ -29,6 +29,48 @@ class EventStreamSpec extends SparkSpec {
     assert(first.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("funnel: greedy earliest-match chain per user, step windows " +
+    "enforced, boundary semantics (> prev, <= prev + window) pinned") {
+    def ev(id: Long, t: String, user: Long, tp: String) =
+      (id, ts(t), user, tp)
+    val events = Seq(
+      // user 1: full chain inside the windows
+      ev(1, "2024-01-01 10:00:00", 1, "signup"),
+      ev(2, "2024-01-01 10:30:00", 1, "click"),
+      ev(3, "2024-01-01 10:45:00", 1, "purchase"),
+      // user 2: click exactly AT signup ts → excluded (strict >); the
+      // later click opens the chain, purchase lands exactly at the
+      // window bound → included (<=)
+      ev(4, "2024-01-01 09:00:00", 2, "signup"),
+      ev(5, "2024-01-01 09:00:00", 2, "click"),
+      ev(6, "2024-01-01 10:00:00", 2, "click"),
+      ev(7, "2024-01-01 11:00:00", 2, "purchase"),
+      // user 3: the documented GREEDY undercount — the earliest click
+      // (10:01) is matched, so the purchase 90m later misses ITS window,
+      // even though chaining via the 11:00 click would have reached it
+      ev(8, "2024-01-01 10:00:00", 3, "signup"),
+      ev(9, "2024-01-01 10:01:00", 3, "click"),
+      ev(10, "2024-01-01 11:00:00", 3, "click"),
+      ev(11, "2024-01-01 11:45:00", 3, "purchase"),
+      // user 4: purchase BEFORE any click → chain stops at signup+click
+      ev(12, "2024-01-01 10:00:00", 4, "purchase"),
+      ev(13, "2024-01-01 10:10:00", 4, "signup"),
+      ev(14, "2024-01-01 10:20:00", 4, "click"),
+      // user 5: never signs up → reaches nothing
+      ev(15, "2024-01-01 10:00:00", 5, "click"),
+      ev(16, "2024-01-01 10:05:00", 5, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStream.funnel(
+      events, Seq("signup", "click", "purchase"), window = "1 hour")
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "signup", 4L),   // users 1–4 (user 5 never signs up)
+      (2, "click", 4L),    // users 1–4 each click inside their window
+      (3, "purchase", 2L))) // users 1, 2 — user 3 is the greedy
+                            // undercount, user 4 purchased before clicking
+  }
+
   test("hourlyAgg incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
