@@ -1643,7 +1643,7 @@ object SparkEntry {
       s"q AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM asg WHERE rn <= $nprobe AND vec_id < 8), " +
       s"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q.qv", "c.embedding")} AS score " +
       "FROM q JOIN cells c ON q.cell = c.cell AND q.query_id <> c.vec_id) " +
-      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"
   }
 
   private val ivfTopkOracleSql: String = ivfOracleSql(1)
@@ -2333,7 +2333,7 @@ object SparkEntry {
         "(sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) * " +
         "sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score " +
         "FROM q JOIN embeddings c ON q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"),
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"),
 
     "q_lang_id" -> (
       s"WITH toks AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
@@ -2602,7 +2602,7 @@ object SparkEntry {
         "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
         s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
         "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored) WHERE rank <= 5"
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"
     },
 
     // the bloom prefilter is a pure optimization: the oracle is the plain join

@@ -305,8 +305,17 @@ object Dedup {
         graft.ops.Joins.broadcastIfSmall(
           groups.select(col("digest")), Some(nGroups)),
         col("_seen") <=> col("digest"), "left_semi")
+    // `hits` is ≤ |batch groups| by construction (semi-join of the store
+    // against the batch digest set), so it rides the same size dispatch:
+    // unhinted, the DEGRADED path (an over-broadcast backfill batch)
+    // planned this anti-join sort-merge too, adding a second batch-sized
+    // exchange on top of the store shuffle it already pays. Checkpointed
+    // first so the dispatch's size sample reads the materialized rows —
+    // sampling the live frame would re-run the store scan a second time.
+    val hitsM = Materialize.checkpoint(hits)
     groups
-      .join(hits, col("digest") <=> col("_seen"), "left_anti")
+      .join(graft.ops.Joins.broadcastIfSmall(hitsM, Some(nGroups)),
+        col("digest") <=> col("_seen"), "left_anti")
       .select(col("keeper_id"), col("digest"))
   }
 

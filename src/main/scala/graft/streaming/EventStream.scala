@@ -69,21 +69,53 @@ object EventStream {
     * stay O(1) and each reach frame feeds both its successor and the
     * final count union without re-running its join.
     */
+  /** Validated funnel window: the caller-supplied duration string must
+    * parse as a positive calendar interval BEFORE it is spliced into the
+    * plan — interpolating it raw surfaces a malformed window ("24h",
+    * empty string) as an opaque Catalyst parse error instead of the
+    * loud require(...) the rest of the operator family uses.
+    */
+  private def funnelInterval(window: String): Column = {
+    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(parsed != null,
+      s"funnel: window '$window' is not a valid interval " +
+        "(expected e.g. '24 hours', '30 minutes')")
+    require(
+      parsed.months > 0 || parsed.days > 0 || parsed.microseconds > 0,
+      s"funnel: window '$window' must be a positive duration")
+    expr(s"INTERVAL $window")
+  }
+
   def funnel(
       events: DataFrame, steps: Seq[String], window: String = "24 hours",
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      wholeFunnelWindow: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
-    val w = expr(s"INTERVAL $window")
+    val w = funnelInterval(window)
     val first = graft.Materialize.checkpoint(
       events.where(col(typeCol) === steps.head)
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("_t"))
+        .withColumn("_t0", col("_t")))
+    // Two published window conventions, both spec-pinned: per-step (each
+    // step within `window` of the PREVIOUS match — the default) and
+    // whole-funnel (every step within `window` of the step-1 match).
+    // Whole-funnel is the stricter gate whenever k > 2; the chains are
+    // identical otherwise. The greedy match stays min-ts either way —
+    // under the whole-funnel deadline the earliest qualifying event is
+    // never worse than a later one, so greedy IS optimal for that mode.
     val reaches = steps.tail.scanLeft(first) { (prev, step) =>
       graft.Materialize.checkpoint(
         events.where(col(typeCol) === step)
-          .join(prev.select(col(userCol), col("_t").as("_tp")), Seq(userCol))
-          .where(col(tsCol) > col("_tp") && col(tsCol) <= col("_tp") + w)
-          .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")))
+          .join(prev.select(col(userCol), col("_t").as("_tp"), col("_t0")),
+            Seq(userCol))
+          .where(col(tsCol) > col("_tp") &&
+            col(tsCol) <= (if (wholeFunnelWindow) col("_t0") else col("_tp")) + w)
+          .groupBy(col(userCol), col("_t0")).agg(min(col(tsCol)).as("_t"))
+          .select(col(userCol), col("_t"), col("_t0")))
     }
     reaches.zip(steps).zipWithIndex
       .map { case ((r, step), i) =>

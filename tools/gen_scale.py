@@ -114,11 +114,17 @@ def mutate(col):
     operators (the gopher keep rule keeps ZERO suffix-replica docs —
     measured, SCALE.md round 13) and makes funnel slopes unmeasurable;
     restoring only 'the' keeps those gates alive while cross-replica
-    3-gram shingles would need a 'the the the' run to collide — absent
-    from the corpus, so the no-manufactured-near-dups property holds.
-    (The restore pattern requires a word boundary after the digits, so
-    an original token like 'the7' — suffixed to 'the<k>7' — is never
-    falsely restored.)"""
+    3-gram shingles can only collide through a 3-token window made
+    entirely of RESTORE-INVARIANT tokens ('the' in any casing, or a
+    token with no ASCII letters at all — digits/punctuation are never
+    suffixed). The guard below VERIFIES the source corpus has no such
+    window (and no all-invariant short doc, which would collapse to
+    byte-identical replicas = manufactured exact dups) instead of
+    assuming it. The restore is case-insensitive ('The<k>'/'THE<k>'
+    restore too, capture group preserves the original casing) and the
+    pattern requires a word boundary after the digits, so an original
+    token like 'the7' — suffixed to 'the<k>7' — is never falsely
+    restored."""
     if MUTATION == "caesar":
         return caesar_case(col)
     suffixed = (f"regexp_replace({col}, '([A-Za-z]+)', "
@@ -126,7 +132,51 @@ def mutate(col):
     if MUTATION == "suffix":
         return suffixed
     return (f"regexp_replace({suffixed}, "
-            "'\\bthe' || CAST(k AS VARCHAR) || '\\b', 'the', 'g')")
+            "'\\b(the)' || CAST(k AS VARCHAR) || '\\b', '\\1', 'gi')")
+
+
+def check_suffix_stop_source():
+    """suffix_stop's no-manufactured-near-dups property, MEASURED on the
+    source corpus rather than claimed: a cross-replica shared 3-token
+    shingle (or a byte-identical replica of a whole doc) requires
+    restore-invariant tokens — lower(t) = 'the', or a token containing
+    no ASCII letter. Real corpora DO contain the odd literal
+    'the the the' run (sf0.001 doc 295; 3 docs at sf0.1), so this is a
+    measured bound, not a zero assert: each flagged doc manufactures at
+    most one C(FACTOR,2) replica pair family (its replicas share ONLY
+    the invariant windows — still near-dup candidates, not exact dups,
+    unless the whole doc is invariant). Fail only when the flagged
+    fraction is material (> 0.1%); otherwise print the count so slope
+    evidence can state the manufactured-pair bound explicitly."""
+    bad, total = con.execute(f"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+        FROM read_parquet('{SRC}/documents.parquet')),
+      inv AS (
+        SELECT doc_id, len(ts) AS n,
+               list_transform(ts, t ->
+                 lower(t) = 'the' OR NOT regexp_matches(t, '[A-Za-z]')) AS iv
+        FROM toks)
+      SELECT count(*) FILTER (
+        (n > 0 AND n <= 3 AND list_reduce(iv, (a, b) -> a AND b))
+        OR (n >= 3 AND len(list_filter(generate_series(1, n - 2),
+              i -> iv[i] AND iv[i + 1] AND iv[i + 2])) > 0)), count(*)
+      FROM inv
+    """).fetchone()
+    assert bad <= max(1, total // 1000), (
+        f"suffix_stop would manufacture cross-replica near-dups at a "
+        f"material rate: {bad}/{total} source docs have a 3-token "
+        "restore-invariant window — pick a different mutation")
+    if bad:
+        print(f"suffix_stop note: {bad}/{total} source docs carry a "
+              f"restore-invariant 3-token window -> at most {bad} "
+              f"manufactured cross-replica candidate-pair families "
+              f"(bounded, document in slope evidence)")
+
+
+if MUTATION == "suffix_stop":
+    check_suffix_stop_source()
 
 import pathlib
 pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
