@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Materialize
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The end-to-end training-corpus curation composite: the one-shot chain
   * a production pipeline actually runs (the reference analog is the
@@ -163,5 +164,217 @@ object Curation {
       Text.shardOrder(head.join(capped, Seq(idCol), "left_semi"),
         idCol, numShards),
       "final")
+  }
+
+  /** The fixed perplexity-filter artifact a rolling ingest scores
+    * against: the bigram LM counts ([[Text.bigramCounts]]) and the band
+    * thresholds ([[Text.pplThresholds]]), trained ONCE on a reference
+    * sample and shipped — CCNet's fixed-model production shape. Both
+    * frames are `_params`-stamped stores.
+    */
+  final case class PplModel(lm: DataFrame, thresholds: DataFrame)
+
+  /** The persisted state a daily-ingest curation carries between
+    * batches. In production each frame is a parquet table (append or
+    * rewrite per the arm's contract); in-session the returned frames
+    * chain directly — every batch-derived piece inside them is
+    * checkpointed, so folding N batches never re-executes batch k's
+    * work.
+    *
+    *  - `digests`   exact-dedup content digests seen so far (append-only)
+    *  - `bands`     minhash band table of every dedup-processed doc
+    *                (append-only — [[Dedup.bandTableOf]] rows)
+    *  - `labels`    near-dup component labels over every dedup-processed
+    *                doc, SINGLETONS INCLUDED self-labeled — completeness
+    *                is what lets a later batch detect that its near-dup
+    *                partner was already shipped (an unpaired-then-paired
+    *                doc absent from the store would look brand-new and
+    *                re-admit a duplicate)
+    *  - `ppl`       the fixed scoring model; None until bootstrapped
+    *                (the first batch trains it on its own survivors and
+    *                returns it — day-one bootstrap)
+    *  - `capCounts` per-source admitted counts ([[Text.capCounts]])
+    */
+  final case class CurationStores(
+      digests: DataFrame, bands: DataFrame, labels: DataFrame,
+      ppl: Option[PplModel], capCounts: DataFrame)
+
+  object CurationStores {
+    /** Empty bootstrap stores (ingest day zero). `sourceCol` names the
+      * cap-count group column; ids default to LongType (the corpus id
+      * contract — [[Text.capPerGroup]]'s long-castable rule).
+      */
+    def empty(
+        spark: SparkSession, sourceCol: String,
+        idType: DataType = LongType): CurationStores = {
+      def emptyDf(schema: StructType): DataFrame =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      CurationStores(
+        digests = emptyDf(StructType(Seq(
+          StructField("digest", StringType)))),
+        bands = emptyDf(StructType(Seq(
+          StructField("_id", idType), StructField("_bno", IntegerType),
+          StructField("_bkey", StringType),
+          StructField("_params", StringType)))),
+        labels = emptyDf(StructType(Seq(
+          StructField("id", idType), StructField("component", idType)))),
+        ppl = None,
+        capCounts = emptyDf(StructType(Seq(
+          StructField(sourceCol, StringType),
+          StructField("n_kept", LongType),
+          StructField("_params", StringType)))))
+    }
+  }
+
+  /** ONE ingest batch through the daily composition of the same chain
+    * (the arm map in the header comment above, now composed): gopher →
+    * incremental exact dedup → incremental minhash candidates →
+    * incremental connected-components merge + batch keeper admission →
+    * winnow decontamination against the persisted benchmark store →
+    * fixed-model perplexity tail drop → rolling per-source cap →
+    * per-batch training order. Returns the batch's admitted docs in
+    * training order (`idCol, shard, pos` — positions restart per batch,
+    * the tar-shard append convention) and the UPDATED stores for the
+    * next batch.
+    *
+    * Sequencing semantics (the documented deltas vs re-running the
+    * batch [[curate]] over the accumulated corpus, each pinned in
+    * CurationIncrementalSpec):
+    *  - exact keeper = first batch to see the digest, min id within it
+    *    (batch [[curate]]: global min id);
+    *  - near-dup keeper: a batch doc whose merged component already
+    *    holds ANY stored doc is dropped — stored keepers are never
+    *    re-resolved, however good the newcomer (an already-shipped
+    *    keeper needs a tombstone protocol, not a filter; the periodic
+    *    batch [[curate]] is where keeper choices are re-resolved).
+    *    Components wholly new to this batch admit their best-quality
+    *    member, exactly the batch rule;
+    *  - ppl bands: FIXED thresholds/LM from `stores.ppl` — batch docs
+    *    band against the shipped cut points, never their own quantiles.
+    *    A `None` model bootstraps from THIS batch's clean survivors
+    *    (scoring a frame against its own counts ≡ [[Text.bigramLogProb]],
+    *    so the bootstrap batch bands exactly like the batch chain);
+    *  - cap: earlier batches claim quota first
+    *    ([[Text.capPerGroupIncremental]]'s contract).
+    * On ONE batch against empty stores every delta vanishes: the fold
+    * equals [[curate]] row-for-row (spec-pinned).
+    *
+    * Scale shape per batch: every store streams ONE scan with ZERO
+    * store-side shuffle — digests through [[Dedup.exactIncremental]]'s
+    * broadcast probe, bands through the batch-side broadcast band join,
+    * labels through the ONE map-side relabel pass (batch-sized merge
+    * map broadcast), winnow fingerprints and the ppl model/thresholds
+    * as broadcast artifacts, cap counts semi-restricted to batch groups
+    * then broadcast. Everything else is batch-sized. PlanSpec pins the
+    * no-store-Exchange claims.
+    */
+  def curateIncremental(
+      batch: DataFrame, winnowStore: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, stores: CurationStores,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8)
+      : (DataFrame, CurationStores) = {
+    def staged(df: DataFrame, stage: String): DataFrame =
+      Observe.withRowMetrics(df, s"curinc_$stage")
+    def idsOf(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).as(idCol))
+    // size-dispatched broadcast for batch-bounded id sets; counts are
+    // cheap (every hinted frame below is checkpointed first)
+    def bc(df: DataFrame): DataFrame =
+      Joins.broadcastIfSmall(df, Some(df.count()))
+
+    // 1. quality gate — stateless, rides the batch scan
+    val kept = staged(Text.gopherFilter(batch, textCol), "kept")
+
+    // 2a. exact dedup against the digest store (store streams, zero
+    // store shuffle — exactIncremental's contract)
+    val exNew = Materialize.checkpoint(
+      Dedup.exactIncremental(kept, idCol, textCol, stores.digests))
+    val batchExact = Materialize.checkpoint(staged(
+      kept.join(bc(idsOf(exNew, "keeper_id")), Seq(idCol), "left_semi"),
+      "exact"))
+
+    // 2b. near-dup: band the batch ONCE (probe + store append share the
+    // frame), candidates against the band store, then the incremental
+    // component merge; admission = best-quality batch doc per component
+    // that holds NO pre-batch store member
+    val batchBands = Dedup.bandTableOf(batchExact, idCol, textCol)
+    val pairs = Dedup.minhashIncrementalCandidatesFromBands(
+      batchBands, stores.bands)
+    val (labelsUpdated, bcMerged, newRows, storeComps) =
+      Dedup.connectedComponentsIncrementalParts(stores.labels, pairs)
+    // components that existed in the store before this batch, under
+    // their POST-merge labels — each already shipped a keeper
+    val blocked = Materialize.checkpoint(
+      storeComps.join(bcMerged, col("c") === col("_old"), "left")
+        .select(coalesce(col("_new"), col("c")).as("_bcomp")).distinct())
+    val kb = Dedup.keepBestPerCluster(
+      batchExact, idCol, Text.qualityScore(col(textCol)), newRows)
+    val admittedDedup = kb.where(col("keep"))
+      .join(bc(blocked), col("cluster") === col("_bcomp"), "left_anti")
+      .select(col("doc_id").as(idCol))
+      .transform(Materialize.checkpoint)
+    val deduped = Materialize.checkpoint(staged(
+      batchExact.join(bc(admittedDedup), Seq(idCol), "left_semi"),
+      "deduped"))
+    // store completeness: unpaired batch survivors enter self-labeled
+    val singletons = idsOf(batchExact, idCol)
+      .join(bc(Materialize.checkpoint(newRows.select(col("id").as(idCol)))),
+        Seq(idCol), "left_anti")
+      .select(col(idCol).as("id"), col(idCol).as("component"))
+
+    // 3. span decontamination against the persisted benchmark store
+    val clean = Materialize.checkpoint(staged(
+      deduped.join(
+        idsOf(Text.winnowDecontaminateAgainst(
+          deduped, idCol, textCol, winnowStore), "doc_id"),
+        Seq(idCol), "left_anti"), "clean"))
+
+    // 4. perplexity tail drop against the FIXED model (bootstrap: train
+    // on this batch's survivors and ship the artifact forward; a batch
+    // with NOTHING scoreable — empty, or all sub-2-token docs — ships no
+    // model, so the next real batch bootstraps instead of banding the
+    // whole corpus against empty thresholds forever)
+    val (model, scored) = stores.ppl match {
+      case some @ Some(m) =>
+        (some, Text.bigramLogProbAgainst(clean, idCol, textCol, m.lm))
+      case None =>
+        val lm = Text.bigramCounts(clean, idCol, textCol)
+        val sc = Materialize.checkpoint(
+          Text.bigramLogProbAgainst(clean, idCol, textCol, lm))
+        if (sc.isEmpty) (None, sc)
+        else (Some(PplModel(lm,
+          Materialize.checkpoint(Text.pplThresholds(sc, pplBuckets)))), sc)
+    }
+    val headIds = model match {
+      case Some(m) => Text.pplBucketAgainst(scored, m.thresholds, pplBuckets)
+          .where(col("bucket") > dropTailBuckets)
+          .transform(df => idsOf(df, "doc_id"))
+          .transform(Materialize.checkpoint)
+      // no model = nothing scoreable this batch either (sub-2-token docs
+      // drop — the bigramLogProb contract the batch chain shares)
+      case None => idsOf(clean, idCol).limit(0)
+    }
+    val head = Materialize.checkpoint(staged(
+      clean.join(bc(headIds), Seq(idCol), "left_semi"), "head"))
+
+    // 5. rolling per-source admission (earlier batches claim quota
+    // first), then 6. per-batch training order over the admitted set
+    val admitted = Materialize.checkpoint(
+      Text.capPerGroupIncremental(
+        head, sourceCol, idCol, capPerSource, stores.capCounts))
+    val out = staged(
+      Text.shardOrder(
+        head.join(bc(idsOf(admitted, idCol)), Seq(idCol), "left_semi"),
+        idCol, numShards),
+      "final")
+    (out, CurationStores(
+      digests = stores.digests.unionByName(exNew.select("digest")),
+      bands = stores.bands.unionByName(batchBands),
+      labels = labelsUpdated.unionByName(singletons),
+      ppl = model,
+      capCounts = Text.capCountsUpdate(
+        stores.capCounts, admitted, sourceCol, capPerSource)))
   }
 }

@@ -329,15 +329,40 @@ object Dedup {
   def minhashIncrementalCandidates(
       newDocs: DataFrame, idCol: String, textCol: String,
       storedBands: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashIncrementalCandidatesFromBands(
+      bandTableOf(newDocs, idCol, textCol, shingleSize, numHashes, rowsPerBand),
+      storedBands, shingleSize, numHashes, rowsPerBand)
+
+  /** The band table of a raw document frame — [[bandTable]] with the
+    * tokenize+shingle pass folded in. This is the PERSISTED-ARTIFACT
+    * builder for incremental dedup: band the ingest batch once, probe
+    * the store with it ([[minhashIncrementalCandidatesFromBands]]), then
+    * append the same frame to the store — the batch is never re-banded.
+    */
+  def bandTableOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame =
+    bandTable(shingleFrame(docs, idCol, textCol, shingleSize),
+      numHashes, rowsPerBand, shingleSize)
+
+  /** [[minhashIncrementalCandidates]] over a PREBUILT batch band table
+    * (as produced by [[bandTableOf]]) — the shape a composed ingest uses
+    * when the same frame both probes the store and is appended to it.
+    * Both frames are parameter-guarded against the probe's axes.
+    */
+  def minhashIncrementalCandidatesFromBands(
+      newBands: DataFrame, storedBands: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     // drift guard: every axis this probe knows (h, r, shingle width) is
-    // checked against the store's self-description; a store stamped
+    // checked against BOTH sides' self-description; a store stamped
     // before shingle tagging matches on its recorded axes
     requireStoreParams(storedBands,
       bandParams(numHashes, rowsPerBand, shingleSize), "band")
-    val nb = bandTable(
-      shingleFrame(newDocs, idCol, textCol, shingleSize),
-      numHashes, rowsPerBand, shingleSize)
+    requireStoreParams(newBands,
+      bandParams(numHashes, rowsPerBand, shingleSize), "batch band")
+    val nb = newBands
     val nBatch = nb.count() // cheap: bandTable is checkpointed
     val a = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_a"))
     val b = nb.select(col("_bno"), col("_bkey"), col("_id").as("id_b"))
@@ -881,15 +906,30 @@ object Dedup {
     * orders of magnitude smaller than the corpus.
     */
   def connectedComponentsIncremental(
-      labels: DataFrame, newEdges: DataFrame): DataFrame = {
-    val (bcMerged, newRows, _) = incrementalMergeParts(labels, newEdges)
+      labels: DataFrame, newEdges: DataFrame): DataFrame =
+    connectedComponentsIncrementalParts(labels, newEdges)._1
+
+  /** [[connectedComponentsIncremental]] with the batch-sized fold pieces
+    * exposed beside the updated store — `(updatedStore, bcMerged,
+    * newRows, storeComps)` — for composed ingests
+    * ([[graft.ops.Curation.curateIncremental]]) that also need the
+    * admission facts the fold already computed: which merged components
+    * EXISTED in the store before this batch (`storeComps`, relabel
+    * through `bcMerged` — those clusters already shipped a keeper) and
+    * the batch endpoints' final labels (`newRows`). Re-deriving either
+    * from the updated store would cost a second corpus-scale scan.
+    */
+  private[graft] def connectedComponentsIncrementalParts(
+      labels: DataFrame, newEdges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (bcMerged, newRows, storeComps) = incrementalMergeParts(labels, newEdges)
     // ONE map-side pass over the store: touched components relabel,
     // untouched rows stream through
     val storeUpdated = labels
       .join(bcMerged, labels("component") === col("_old"), "left")
       .select(labels("id"),
         coalesce(col("_new"), labels("component")).as("component"))
-    storeUpdated.unionByName(newRows)
+    (storeUpdated.unionByName(newRows), bcMerged, newRows, storeComps)
   }
 
   /** The two batch-sized pieces of the incremental fold, shared by the

@@ -310,7 +310,31 @@ object Text {
     */
   def bigramLogProb(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = spread(docs)
+    val bg = bigramTf(docs, idCol, textCol)
+    val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    bg
+      .join(vocabSide(c2), Seq("w1", "w2"))
+      .join(vocabSide(c1), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(floor(log(col("c2").cast("double") / col("c1").cast("double"))
+          * 1e9 + 0.5).cast("long") * col("tf")).as("_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("_u").cast("double") /
+          (col("n_bigrams").cast("double") * 1000.0) + 0.5) / 1e6)
+          .as("logprob"))
+  }
+
+  /** Per-doc bigram term frequencies `(doc_id, w1, w2, tf)` — the shared
+    * tokenize+explode pass behind [[bigramLogProb]], [[bigramCounts]]
+    * and [[bigramLogProbAgainst]]. Docs with fewer than 2 tokens emit
+    * nothing (no bigrams), matching the drop contract of all three.
+    */
+  private def bigramTf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_ts"))
       .where(size(col("_ts")) >= 2)
       .select(col("doc_id"),
@@ -322,16 +346,66 @@ object Text {
         col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("tf"))
-    val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+
+  private[graft] val BigramLmParams = "bglm:v1"
+
+  /** The bigram LM as a PERSISTABLE artifact — `(w1, w2, c2, c1)` corpus
+    * bigram/prefix counts, checkpointed and `_params`-stamped (the
+    * [[graft.ops.Dedup.bandTable]] store discipline). This is CCNet's
+    * production shape made explicit: the filtering LM is trained ONCE on
+    * a reference sample and SHIPPED; every ingest batch scores against
+    * the fixed artifact ([[bigramLogProbAgainst]]) rather than re-deriving
+    * counts per batch, which would drift scores batch-to-batch.
+    */
+  def bigramCounts(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c2 = bigramTf(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    bg
-      .join(vocabSide(c2), Seq("w1", "w2"))
-      .join(vocabSide(c1), Seq("w1"))
+    Materialize.checkpoint(c2.join(c1, Seq("w1")))
+      .withColumn("_params", lit(BigramLmParams))
+  }
+
+  /** [[bigramLogProb]] scored against a FIXED LM artifact
+    * ([[bigramCounts]], possibly parquet-persisted and re-read) instead
+    * of the scored frame's own counts. Seen bigrams score the exact
+    * quantized `ln(c2/c1)` of the artifact; UNSEEN bigrams (out-of-LM
+    * text — junk, or genuinely novel domains) score the global floor
+    * `ln(1/(N+1))`, N = the LM's total bigram count — strictly below
+    * every seen transition, so OOV-heavy docs land deep in the
+    * perplexity tail (the curation-correct direction) instead of
+    * silently dropping. `n_bigrams` counts ALL bigrams, seen or not.
+    * Scoring a frame against its OWN counts reproduces [[bigramLogProb]]
+    * bit-for-bit (no bigram is unseen — spec-pinned).
+    *
+    * Scale shape: the LM is sample-trained and vocabulary-sized → rides
+    * the [[BroadcastVocabKey]] broadcast; the floor is ONE broadcast
+    * scalar row; the batch pays its own tokenize pass only.
+    */
+  def bigramLogProbAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    graft.ops.Dedup.requireStoreParams(lm, BigramLmParams, "bigram LM")
+    val counts = lm.select(col("w1"), col("w2"), col("c2"), col("c1"))
+    // quantized-integer-units discipline throughout (the unigramLogProb
+    // portability finding); identical operand order in the DuckDB twin
+    // coalesce(N, 0): an EMPTY LM floors at ln(1/1) = 0 instead of
+    // nulling every score through the scalar agg's NULL sum
+    val floorRow = counts.agg(
+      floor(log(lit(1.0) /
+        (coalesce(sum(col("c2")), lit(0L)) + lit(1)).cast("double"))
+        * 1e9 + 0.5).cast("long").as("_floor_u"))
+    bigramTf(docs, idCol, textCol)
+      .join(vocabSide(counts), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(floorRow))
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_bigrams"),
-        sum(floor(log(col("c2").cast("double") / col("c1").cast("double"))
-          * 1e9 + 0.5).cast("long") * col("tf")).as("_u"))
+        sum(
+          coalesce(
+            floor(log(col("c2").cast("double") / col("c1").cast("double"))
+              * 1e9 + 0.5).cast("long"),
+            col("_floor_u")) * col("tf")).as("_u"))
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("_u").cast("double") /
           (col("n_bigrams").cast("double") * 1000.0) + 0.5) / 1e6)
@@ -364,18 +438,41 @@ object Text {
     * `sample`'s thresholds applied to every `scored` row.
     */
   def pplBucketWith(
-      scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame = {
+      scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame =
+    pplBucketAgainst(scored, pplThresholds(sample, buckets), buckets)
+
+  private[graft] def pplThresholdParams(buckets: Int) = s"pplth:b$buckets"
+
+  /** The band thresholds as a PERSISTABLE one-row artifact
+    * (`_th: array<double>`, `_params`-stamped) — computed once from a
+    * sample and shipped beside the LM ([[bigramCounts]]), so every
+    * ingest batch bands against FIXED cut points (re-deriving them per
+    * batch would drift bands batch-to-batch). 6dp-rounded: the
+    * percentile agg interpolates between ranks and raw interpolated
+    * doubles are not bit-portable; the q_percentile twin pins round-6
+    * parity for this exact expression.
+    */
+  def pplThresholds(sample: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, s"pplBucket: need >= 2 buckets, got $buckets")
     val ps = (1 until buckets).map(i =>
       (BigDecimal(i) / buckets).toDouble).mkString(", ")
-    // 6dp-rounded thresholds: the percentile agg interpolates between
-    // ranks and raw interpolated doubles are not bit-portable; the
-    // q_percentile twin pins round-6 parity for this exact function
-    val th = sample.agg(
+    sample.agg(
       expr(s"percentile(logprob, array($ps))").as("_raw"))
       .select(transform(col("_raw"), t => round(t, 6)).as("_th"))
+      .withColumn("_params", lit(pplThresholdParams(buckets)))
+  }
+
+  /** Band `scored` against an already-built (possibly persisted and
+    * re-read) [[pplThresholds]] artifact: one broadcast scalar row, then
+    * the pure map-side comparison bucket = 1 + |{thresholds < logprob}|
+    * (a doc exactly ON a threshold goes to the lower band).
+    */
+  def pplBucketAgainst(
+      scored: DataFrame, thresholds: DataFrame, buckets: Int): DataFrame = {
+    graft.ops.Dedup.requireStoreParams(
+      thresholds, pplThresholdParams(buckets), "ppl threshold")
     scored
-      .crossJoin(broadcast(th))
+      .crossJoin(broadcast(thresholds.select(col("_th"))))
       .select(col("doc_id"), col("logprob"),
         (lit(1) + size(filter(col("_th"), t => t < col("logprob"))))
           .cast("int").as("bucket"))
