@@ -1478,6 +1478,35 @@ object SparkEntry {
       Curation.curate(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
         "doc_id", "text", "source")
+    }),
+
+    // --- the DAILY-INGEST composition of the same chain
+    // (ops.Curation.curateIncremental): the corpus split into two ingest
+    // batches (doc_id parity), folded in order through the persisted
+    // stores — incremental exact/minhash/CC dedup with the
+    // stored-keepers-never-re-resolved admission rule, winnow
+    // decontamination against the fixed benchmark store, perplexity
+    // banding against the batch-0-bootstrapped LM + thresholds (OOV
+    // bigrams floor at ln(1/(N+1))), rolling per-source quota, per-batch
+    // training order. The twin expresses the SEQUENTIAL semantics
+    // directly (batch-0 keeper resolution, then batch-1 admission
+    // against batch-0's shipped state) — the deltas vs the batch
+    // composite are the operator's documented contract, pinned in
+    // CurationIncrementalSpec ---
+    "q_curation_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") >= 50)
+      val ws = Text.winnowStore(
+        docs.where(col("doc_id") < 50), "doc_id", "text")
+      val st0 = Curation.CurationStores.empty(s, "source")
+      val (out0, st1) = Curation.curateIncremental(
+        corpus.where(pmod(col("doc_id"), lit(2)) === 0), ws,
+        "doc_id", "text", "source", st0, metricsTag = "curinc_b0")
+      val (out1, _) = Curation.curateIncremental(
+        corpus.where(pmod(col("doc_id"), lit(2)) === 1), ws,
+        "doc_id", "text", "source", st1, metricsTag = "curinc_b1")
+      out0.withColumn("batch", lit(0))
+        .unionByName(out1.withColumn("batch", lit(1)))
     })
   )
 
@@ -2417,6 +2446,70 @@ object SparkEntry {
         "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
         "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"),
+
+    // ---- the daily-ingest fold, sequential semantics expressed
+    // directly: exact keeper = first batch to see the digest (row_number
+    // over (bno, doc_id)); near-dup admission = batch-0 keep-best over
+    // batch-0-only components, then batch-1 keep-best over the FINAL
+    // components that contain no batch-0 survivor (two recursive CC
+    // CTEs); decontamination per-doc vs the fixed store; perplexity =
+    // batch-0-trained LM + thresholds applied to everything, unseen
+    // bigrams floored at ln(1/(N+1)); rolling cap = row_number over
+    // (bno, rank, id); per-batch shard positions
+    "q_curation_incremental" -> (
+      "WITH RECURSIVE " +
+        "src0 AS (SELECT doc_id, text, source, CAST(doc_id % 2 AS INT) AS bno FROM documents WHERE doc_id >= 50), " +
+        gopherStatsCtesOver("src0") + ", " +
+        s"gk AS (SELECT doc_id FROM gs WHERE $gopherKeepSql), " +
+        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)), " +
+        "exr AS (SELECT k.*, row_number() OVER (PARTITION BY md5(text) ORDER BY bno, doc_id) AS _ern FROM kept k), " +
+        "ex AS MATERIALIZED (SELECT doc_id, text, source, bno FROM exr WHERE _ern = 1), " +
+        minhashPairsCtesOver("ex") + ", " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
+        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
+        "edges0 AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a % 2 = 0 AND id_b % 2 = 0 " +
+        "UNION SELECT id_b, id_a FROM pairs WHERE id_a % 2 = 0 AND id_b % 2 = 0), " +
+        "reach0 AS (SELECT a AS id, a AS anc FROM edges0 UNION " +
+        "SELECT e.b, r.anc FROM reach0 r JOIN edges0 e ON e.a = r.id), " +
+        "comp0 AS (SELECT id, min(anc) AS component FROM reach0 GROUP BY id), " +
+        s"q AS (SELECT doc_id, $qualityCaseSql AS quality FROM ex), " +
+        "cl0 AS (SELECT e.doc_id, COALESCE(c.component, e.doc_id) AS cluster, q.quality " +
+        "FROM ex e JOIN q USING (doc_id) LEFT JOIN comp0 c ON e.doc_id = c.id WHERE e.bno = 0), " +
+        "kb0 AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl0) WHERE rn = 1), " +
+        "clf AS MATERIALIZED (SELECT e.doc_id, e.bno, COALESCE(c.component, e.doc_id) AS comp FROM ex e LEFT JOIN comp c ON e.doc_id = c.id), " +
+        "blocked AS (SELECT DISTINCT comp FROM clf WHERE bno = 0), " +
+        "cl1 AS (SELECT f.doc_id, f.comp, q.quality FROM clf f JOIN q USING (doc_id) " +
+        "WHERE f.bno = 1 AND f.comp NOT IN (SELECT comp FROM blocked)), " +
+        "kb1 AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn FROM cl1) WHERE rn = 1), " +
+        "dd AS MATERIALIZED (SELECT e.* FROM ex e WHERE e.doc_id IN (SELECT doc_id FROM kb0) OR e.doc_id IN (SELECT doc_id FROM kb1)), " +
+        "wsrc AS (SELECT doc_id, text FROM dd UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+        winnowChainSqlOver("wsrc") + ", " +
+        "bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50), " +
+        "hits AS (SELECT DISTINCT f.doc_id FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50), " +
+        "cleand AS MATERIALIZED (SELECT d.* FROM dd d WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)), " +
+        "c0 AS MATERIALIZED (SELECT doc_id, text FROM cleand WHERE bno = 0), " +
+        bigramChainSqlOver("c0", materialized = true) + ", " +
+        "lmc AS MATERIALIZED (SELECT w1, w2, c2, c1 FROM cb2 JOIN cb1 USING (w1)), " +
+        "nlm AS (SELECT COALESCE(SUM(c2), 0) AS n FROM lmc), " +
+        "fl AS (SELECT CAST(floor(ln(1.0 / CAST(n + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS fu FROM nlm), " +
+        s"atk AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM cleand), " +
+        "atok AS (SELECT doc_id, ts FROM atk WHERE len(ts) >= 2), " +
+        "abgx AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts FROM atok), " +
+        "abgr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM abgx), " +
+        "atf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM abgr GROUP BY 1, 2, 3), " +
+        "abgl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, " +
+        "floor(CAST(SUM(COALESCE(CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT), fu) * tf) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1000.0) + 0.5) / 1e6 AS logprob " +
+        "FROM atf LEFT JOIN lmc USING (w1, w2) CROSS JOIN fl GROUP BY doc_id), " +
+        "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl " +
+        "FROM abgl JOIN cleand USING (doc_id) WHERE cleand.bno = 0), " +
+        "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM abgl CROSS JOIN th), " +
+        "hd AS MATERIALIZED (SELECT c.* FROM cleand c JOIN bkt USING (doc_id) WHERE bucket >= 2), " +
+        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY bno, substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd) WHERE rn <= 10), " +
+        "sh2 AS (SELECT h.doc_id, h.bno, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+        "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd h JOIN capids USING (doc_id)) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY bno, shard ORDER BY rk, doc_id) AS BIGINT) AS pos, CAST(bno AS INT) AS batch FROM sh2"),
 
     "q_token_count" -> (
       s"SELECT doc_id, CAST(len($docTokens) AS INT) AS ws_tokens, " +

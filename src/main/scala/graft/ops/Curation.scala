@@ -273,10 +273,14 @@ object Curation {
       batch: DataFrame, winnowStore: DataFrame, idCol: String,
       textCol: String, sourceCol: String, stores: CurationStores,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
-      capPerSource: Int = 10, numShards: Int = 8)
+      capPerSource: Int = 10, numShards: Int = 8,
+      metricsTag: String = "curinc")
       : (DataFrame, CurationStores) = {
+    // metricsTag must be unique per batch when two batches' outputs meet
+    // in ONE plan (e.g. a union for comparison): Spark rejects duplicate
+    // observe names with different results in a single query
     def staged(df: DataFrame, stage: String): DataFrame =
-      Observe.withRowMetrics(df, s"curinc_$stage")
+      Observe.withRowMetrics(df, s"${metricsTag}_$stage")
     def idsOf(df: DataFrame, c: String): DataFrame =
       df.select(col(c).as(idCol))
     // size-dispatched broadcast for batch-bounded id sets; counts are

@@ -306,16 +306,25 @@ object Dedup {
           groups.select(col("digest")), Some(nGroups)),
         col("_seen") <=> col("digest"), "left_semi")
     // `hits` is ≤ |batch groups| by construction (semi-join of the store
-    // against the batch digest set), so it rides the same size dispatch:
-    // unhinted, the DEGRADED path (an over-broadcast backfill batch)
-    // planned this anti-join sort-merge too, adding a second batch-sized
-    // exchange on top of the store shuffle it already pays. Checkpointed
-    // first so the dispatch's size sample reads the materialized rows —
-    // sampling the live frame would re-run the store scan a second time.
-    val hitsM = Materialize.checkpoint(hits)
+    // against the batch digest set), so it must carry a broadcast hint
+    // too: unhinted, the anti-join planned sort-merge and re-shuffled
+    // the batch. Dispatch WITHOUT sampling on the normal path (digest
+    // rows are fixed-width, so the gates need no job — sampling the live
+    // `hits` would re-run the store scan a second time, and checkpointing
+    // it would hide the store probe from the final plan); the DEGRADED
+    // path (an over-broadcast backfill batch) materializes `hits` once
+    // and samples its TRUE size — store∩batch is usually tiny even when
+    // the batch is huge, so the backfill stays at one store shuffle
+    // instead of adding a second batch-sized exchange.
+    val digestRowBytes = 120L // 32-hex UTF8String + row overhead
+    val hinted =
+      if (graft.ops.Joins.fitsBroadcast(
+          newDocs.sparkSession, nGroups, digestRowBytes))
+        broadcast(hits)
+      else graft.ops.Joins.broadcastIfSmall(
+        Materialize.checkpoint(hits), Some(nGroups))
     groups
-      .join(graft.ops.Joins.broadcastIfSmall(hitsM, Some(nGroups)),
-        col("digest") <=> col("_seen"), "left_anti")
+      .join(hinted, col("digest") <=> col("_seen"), "left_anti")
       .select(col("keeper_id"), col("digest"))
   }
 

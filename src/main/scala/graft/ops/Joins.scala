@@ -56,6 +56,23 @@ object Joins {
     * recomputes) and may supply `countHint` when the count is already
     * known.
     */
+  /** The [[broadcastIfSmall]] gates for a frame whose per-row width is
+    * STATICALLY known (a fixed-width column, e.g. a 32-hex digest) and
+    * whose row count is bounded by `rows` — no sampling pass, so the
+    * dispatch never executes the frame. For derived frames this is the
+    * difference between hinting for free and running the upstream join
+    * twice (once for the size sample, once for real).
+    */
+  def fitsBroadcast(
+      spark: org.apache.spark.sql.SparkSession, rows: Long,
+      rowBytes: Long): Boolean = {
+    val conf = spark.conf
+    val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong
+    val maxBytes =
+      conf.get(MaxBroadcastBytesKey, (256L * 1024 * 1024).toString).toLong
+    rows <= maxRows && rows * rowBytes <= maxBytes
+  }
+
   def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
     val conf = dim.sparkSession.conf
     val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong

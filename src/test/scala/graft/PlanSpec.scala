@@ -188,6 +188,64 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("curateIncremental: batch fold against PARQUET-persisted stores — " +
+    "the final plan reads checkpoints only, and the returned label store " +
+    "update is the ONE map-side relabel pass (broadcast merge map, zero " +
+    "store-side Exchange)") {
+    val docs = Tables(spark, dir, "documents")
+    val ws = ops.Text.winnowStore(
+      docs.where(col("doc_id") < 50), "doc_id", "text")
+    val b0 = docs.where(col("doc_id") >= 50 && pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.where(col("doc_id") >= 50 && pmod(col("doc_id"), lit(2)) === 1)
+    val (_, st1) = ops.Curation.curateIncremental(
+      b0, ws, "doc_id", "text", "source",
+      ops.Curation.CurationStores.empty(spark, "source"),
+      metricsTag = "curinc_p0")
+    // persist the stores the way a production fold would, and re-read:
+    // the batch-2 probes must stream THESE parquet scans shuffle-free
+    val wh = java.nio.file.Files.createTempDirectory("graft_curinc").toString
+    def roundTrip(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$wh/$name")
+      spark.read.parquet(s"$wh/$name")
+    }
+    val persisted = st1.copy(
+      digests = roundTrip(st1.digests, "digests"),
+      bands = roundTrip(st1.bands, "bands"),
+      labels = roundTrip(st1.labels, "labels"),
+      capCounts = roundTrip(st1.capCounts, "caps"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (out2, st2) = ops.Curation.curateIncremental(
+        b1, ws, "doc_id", "text", "source", persisted,
+        metricsTag = "curinc_p1")
+      // stage discipline: the output reads checkpointed stage frames,
+      // never the source or store parquet (no stage re-runs upstream)
+      val outPlan = planOf(out2)
+      assert(!outPlan.contains("Scan parquet"),
+        s"fold output must read checkpoints, not parquet:\n$outPlan")
+      assert(out2.count() > 0, "fold must be non-vacuous at sf0.001")
+      // label-store update: one broadcast left join over the store scan,
+      // plus the batch-sized union — NO hash-partitioning Exchange
+      // anywhere (a sort-merge relabel would re-shuffle the whole store
+      // per ingest, the exactIncremental finding)
+      val lblPlan = planOf(st2.labels)
+      assert(lblPlan.contains("BroadcastHashJoin"),
+        s"store relabel must broadcast the merge map:\n$lblPlan")
+      assert(!lblPlan.contains("Exchange hashpartitioning"),
+        s"label store must never shuffle on ingest:\n$lblPlan")
+      assert(lblPlan.contains("Scan parquet"),
+        s"the relabel pass should stream the persisted store:\n$lblPlan")
+      // digest/band store updates are pure appends (union of the scan
+      // with checkpointed batch rows) — same zero-Exchange contract
+      Seq(st2.digests, st2.bands).foreach { store =>
+        val p = planOf(store)
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"append-only store update must not shuffle:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("scoreRank keeps the window's rank contract on the edges: NaN " +
     "ranks greatest, NULL scores drop, ties break to the smaller id") {
     import spark.implicits._
