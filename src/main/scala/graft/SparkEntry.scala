@@ -1507,6 +1507,23 @@ object SparkEntry {
         "doc_id", "text", "source", st1, metricsTag = "curinc_b1")
       out0.withColumn("batch", lit(0))
         .unionByName(out1.withColumn("batch", lit(1)))
+    }),
+
+    // --- the same batch composite through the PERSISTED seam: stage
+    // boundaries written as parquet tables bucketed on doc_id
+    // (BucketedSink), so every keeper/survivor join is co-located with
+    // zero Exchange on either side at ANY scale (the checkpoint seam
+    // loses partitioning under AQE — measured, ops/Curation.scala).
+    // Byte-identical to q_curation_pipeline by construction; shares its
+    // oracle, which IS the graded claim ---
+    "q_curation_staged" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_curation_staged").toString
+      Curation.curateStaged(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source",
+        graft.sources.BucketedSink(8, Seq("doc_id")), wh)
     })
   )
 
@@ -1656,6 +1673,47 @@ object SparkEntry {
     * nearest cells (rn <= nprobe — the same round(cos, 9) DESC, cid ASC
     * contract `vec_top_cells` implements natively).
     */
+  /** The batch curation composite's twin — shared verbatim by
+    * `q_curation_pipeline` (checkpoint seam) and `q_curation_staged`
+    * (bucketed-parquet seam): the staged variant must be byte-identical,
+    * so ONE oracle grades both — the q_ivf_probe convention, and itself
+    * the claim that persisting the stage boundaries changes nothing.
+    */
+  // lazy: the stage CTE builders (gopherKeepSql, qualityCaseSql, the
+  // winnow/bigram chains) are defined LATER in object-init order — an
+  // eager val here would interpolate their still-null references
+  private lazy val curationPipelineOracleSql: String =
+
+      "WITH RECURSIVE " +
+        "src0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 50), " +
+        gopherStatsCtesOver("src0") + ", " +
+        s"gk AS (SELECT doc_id FROM gs WHERE $gopherKeepSql), " +
+        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)), " +
+        "exg AS (SELECT md5(text) AS dg, min(doc_id) AS kid FROM kept GROUP BY 1), " +
+        "ex AS MATERIALIZED (SELECT k.* FROM kept k JOIN exg ON k.doc_id = exg.kid), " +
+        minhashPairsCtesOver("ex") + ", " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
+        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
+        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
+        s"q AS (SELECT doc_id, $qualityCaseSql AS quality FROM ex), " +
+        "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
+        "kbest AS (SELECT doc_id AS keeper FROM (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1), " +
+        "dd AS MATERIALIZED (SELECT e.* FROM ex e JOIN kbest kb ON e.doc_id = kb.keeper), " +
+        "wsrc AS (SELECT doc_id, text FROM dd UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+        winnowChainSqlOver("wsrc") + ", " +
+        "bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50), " +
+        "hits AS (SELECT DISTINCT f.doc_id FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50), " +
+        "cleand AS MATERIALIZED (SELECT d.* FROM dd d WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)), " +
+        bigramChainSqlOver("cleand", materialized = true) + ", " +
+        "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl), " +
+        "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM bgl CROSS JOIN th), " +
+        "hd0 AS MATERIALIZED (SELECT c.* FROM cleand c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
+        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10), " +
+        "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+        "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
+
   private def ivfOracleSql(nprobe: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -2416,36 +2474,9 @@ object SparkEntry {
     // referenced stage frames (the Spark side checkpoints the same
     // frames): inlined, each consumer re-runs the whole upstream chain
     // — measured 41 s → 3 s at sf0.01 on this exact query.
-    "q_curation_pipeline" -> (
-      "WITH RECURSIVE " +
-        "src0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 50), " +
-        gopherStatsCtesOver("src0") + ", " +
-        s"gk AS (SELECT doc_id FROM gs WHERE $gopherKeepSql), " +
-        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)), " +
-        "exg AS (SELECT md5(text) AS dg, min(doc_id) AS kid FROM kept GROUP BY 1), " +
-        "ex AS MATERIALIZED (SELECT k.* FROM kept k JOIN exg ON k.doc_id = exg.kid), " +
-        minhashPairsCtesOver("ex") + ", " +
-        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
-        "reach AS (SELECT a AS id, a AS anc FROM edges UNION " +
-        "SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.id), " +
-        "comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id), " +
-        s"q AS (SELECT doc_id, $qualityCaseSql AS quality FROM ex), " +
-        "cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality FROM q LEFT JOIN comp c ON q.doc_id = c.id), " +
-        "kbest AS (SELECT doc_id AS keeper FROM (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl) WHERE rn = 1), " +
-        "dd AS MATERIALIZED (SELECT e.* FROM ex e JOIN kbest kb ON e.doc_id = kb.keeper), " +
-        "wsrc AS (SELECT doc_id, text FROM dd UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
-        winnowChainSqlOver("wsrc") + ", " +
-        "bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50), " +
-        "hits AS (SELECT DISTINCT f.doc_id FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50), " +
-        "cleand AS MATERIALIZED (SELECT d.* FROM dd d WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)), " +
-        bigramChainSqlOver("cleand", materialized = true) + ", " +
-        "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl), " +
-        "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM bgl CROSS JOIN th), " +
-        "hd0 AS MATERIALIZED (SELECT c.* FROM cleand c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
-        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10), " +
-        "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
-        "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
-        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"),
+    "q_curation_pipeline" -> curationPipelineOracleSql,
+
+    "q_curation_staged" -> curationPipelineOracleSql,
 
     // ---- the daily-ingest fold, sequential semantics expressed
     // directly: exact keeper = first batch to see the digest (row_number

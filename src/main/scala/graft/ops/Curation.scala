@@ -91,13 +91,87 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
-      capPerSource: Int = 10, numShards: Int = 8): DataFrame = {
+      capPerSource: Int = 10, numShards: Int = 8): DataFrame =
     // Funnel observability rides the stage jobs for free: each stage
     // frame carries an `observe` counter (the Observe seam — collected
     // DURING the checkpoint's own execution pass, no second scan),
     // delivered to any QueryExecutionListener as curation_kept/exact/
     // deduped/clean/head/final row counts — the composite analog of the
     // reference's per-run counters. Spec-pinned monotone non-increasing.
+    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
+      dropTailBuckets, capPerSource, numShards,
+      mat = (df, stage) => Materialize.checkpoint(
+        Observe.withRowMetrics(df, s"curation_$stage")))
+
+  /** [[curate]] with the stage boundaries written through a
+    * [[graft.sources.BucketedSink]] bucketed on `idCol` — the PERSISTED
+    * seam that closes the co-location loss documented at the checkpoint
+    * seam below (a localCheckpoint reports UnknownPartitioning under
+    * AQE, so every keeper/survivor join re-shuffles the wide side once
+    * the id sides outgrow broadcast; a catalog-visible bucket spec keeps
+    * both sides hash-partitioned, so the dedup/decontaminate/head/final
+    * joins run with ZERO Exchange on either side — the ivfBuild/ivfProbe
+    * precedent, PlanSpec-pinned). This is also literally what a
+    * multi-job production run does between stages: each boundary is a
+    * real parquet table under `target`, resumable mid-pipeline.
+    * Output is byte-identical to [[curate]] (spec-pinned) — only the
+    * materialization seam changes.
+    */
+  def curateStaged(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      sink: graft.sources.BucketedSink, target: String,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8): DataFrame =
+    curateStagedTapped(corpus, benchmark, idCol, textCol, sourceCol, sink,
+      target, pplBuckets, dropTailBuckets, capPerSource, numShards)
+
+  /** [[curateStaged]] with a per-stage tap invoked on each boundary
+    * frame BEFORE it is written — the PlanSpec seam: the pre-write frame
+    * is where the co-located join plan (bucketed scans, no Exchange) is
+    * visible; after the write only the read-back table remains.
+    */
+  private[graft] def curateStagedTapped(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      sink: graft.sources.BucketedSink, target: String,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8,
+      tap: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    require(sink.bucketCols == Seq(idCol),
+      s"curateStaged: the sink must bucket on '$idCol' (the join key of " +
+        s"every stage boundary), got ${sink.bucketCols}")
+    val spark = corpus.sparkSession
+    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
+      dropTailBuckets, capPerSource, numShards,
+      mat = (df, stage) => {
+        tap(stage, df)
+        sink.write(Observe.withRowMetrics(df, s"curation_$stage"),
+          target, s"stage_$stage", "parquet")
+        sink.read(spark, target, s"stage_$stage")
+      },
+      // the id SIDES of the boundary joins persist through the same
+      // bucket spec — co-location needs BOTH sides hash-partitioned
+      matIds = (df, stage) => {
+        sink.write(df, target, s"ids_$stage", "parquet")
+        sink.read(spark, target, s"ids_$stage")
+      })
+  }
+
+  /** The shared stage chain behind [[curate]] (checkpoint seam) and
+    * [[curateStaged]] (bucketed-parquet seam). `mat` materializes a
+    * multi-consumer stage frame; `matIds` materializes the id-set side
+    * of a boundary join (identity at the checkpoint seam — those sets
+    * ride broadcast there; bucketed at the persisted seam so the join
+    * is co-located on both sides).
+    */
+  private def chain(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, pplBuckets: Int,
+      dropTailBuckets: Int, capPerSource: Int, numShards: Int,
+      mat: (DataFrame, String) => DataFrame,
+      matIds: (DataFrame, String) => DataFrame = (df, _) => df): DataFrame = {
+    // observe-only stages (not boundary frames): the gate and the output
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"curation_$stage")
 
@@ -120,46 +194,47 @@ object Curation {
     // the bucket spec visible to the planner — the ivfBuild/ivfProbe
     // precedent, PlanSpec-pinned shuffle-free there), which is also
     // what a multi-job production run does between stages.
-    val exact = Materialize.checkpoint(staged(
+    val exact = mat(
       Transforms.firstPerGroup(
         kept.withColumn("_digest", md5(col(textCol).cast("binary"))),
-        Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact"))
+        Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact")
 
     // 2b. near-dup resolution: banded minhash candidates (never
     // all-pairs) → connected components → highest-quality keeper per
     // cluster (partial-aggregable struct-min, no window)
-    val best = Dedup.keepBestPerCluster(
+    val best = matIds(Dedup.keepBestPerCluster(
         exact, idCol, Text.qualityScore(col(textCol)),
         Dedup.connectedComponents(
           Dedup.minhashCandidatePairs(exact, idCol, textCol)))
       .where(col("keep"))
-      .select(col("doc_id").as(idCol))
-    val deduped = Materialize.checkpoint(staged(
-      exact.join(best, Seq(idCol), "left_semi"), "deduped"))
+      .select(col("doc_id").as(idCol)), "best")
+    val deduped = mat(
+      exact.join(best, Seq(idCol), "left_semi"), "deduped")
 
     // 3. span-level decontamination: any doc sharing a winnowed
     // fingerprint with the benchmark drops (n_hits >= 1 by the
     // operator's output contract); benchmark fingerprints broadcast,
     // the corpus pays one map-side winnow pass
-    val clean = Materialize.checkpoint(staged(
-      deduped.join(
-        Text.winnowDecontaminate(deduped, idCol, textCol, benchmark)
-          .select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_anti"), "clean"))
+    val contaminated = matIds(
+      Text.winnowDecontaminate(deduped, idCol, textCol, benchmark)
+        .select(col("doc_id").as(idCol)), "contaminated")
+    val clean = mat(
+      deduped.join(contaminated, Seq(idCol), "left_anti"), "clean")
 
     // 4. LM-perplexity tail drop: bigram LM scored over the SURVIVING
     // corpus (the thresholds see the same distribution they band)
-    val headIds = Text.pplBucket(
+    val headIds = matIds(Text.pplBucket(
         Text.bigramLogProb(clean, idCol, textCol), pplBuckets)
       .where(col("bucket") > dropTailBuckets)
-      .select(col("doc_id").as(idCol))
-    val head = Materialize.checkpoint(staged(
-      clean.join(headIds, Seq(idCol), "left_semi"), "head"))
+      .select(col("doc_id").as(idCol)), "head")
+    val head = mat(
+      clean.join(headIds, Seq(idCol), "left_semi"), "head")
 
     // 5 + 6. per-source cap (cap-bounded aggregator state), then
     // deterministic shard/pos training order over the capped survivors
-    val capped = Text.capPerGroup(head, sourceCol, idCol, capPerSource)
-      .select(col(idCol))
+    val capped = matIds(
+      Text.capPerGroup(head, sourceCol, idCol, capPerSource)
+        .select(col(idCol)), "cap")
     staged(
       Text.shardOrder(head.join(capped, Seq(idCol), "left_semi"),
         idCol, numShards),

@@ -188,6 +188,36 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("curateStaged: the dedup/decontaminate/head boundary joins read " +
+    "co-bucketed tables — ZERO Exchange on either side even with " +
+    "auto-broadcast off (the co-location the checkpoint seam loses)") {
+    val docs = Tables(spark, dir, "documents")
+    val wh = java.nio.file.Files.createTempDirectory("graft_curstp").toString
+    val sink = graft.sources.BucketedSink(4, Seq("doc_id"))
+    val plans = scala.collection.mutable.Map.empty[String, String]
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = ops.Curation.curateStagedTapped(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source", sink, wh,
+        tap = (stage, df) => plans(stage) = planOf(df))
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // `exact` is the digest aggregate over the raw corpus (its shuffle is
+    // the aggregation itself); every LATER boundary is an id-keyed join
+    // of two tables bucketed on doc_id — co-located, no Exchange at all
+    Seq("deduped", "clean", "head").foreach { stage =>
+      val p = plans.getOrElse(stage, fail(s"stage $stage never tapped"))
+      assert(!p.contains("Exchange"),
+        s"boundary join '$stage' must be co-located end to end:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"boundary join '$stage' should be a bucket-co-located join:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"boundary join '$stage' should read bucket-aware scans:\n$p")
+    }
+  }
+
   test("curateIncremental: batch fold against PARQUET-persisted stores — " +
     "the final plan reads checkpoints only, and the returned label store " +
     "update is the ONE map-side relabel pass (broadcast merge map, zero " +

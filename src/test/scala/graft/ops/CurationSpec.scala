@@ -104,6 +104,29 @@ class CurationSpec extends graft.SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("curateStaged (bucketed-parquet seam) is byte-identical to curate " +
+    "(checkpoint seam) — only the materialization changes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_curst").toString
+    val sink = graft.sources.BucketedSink(4, Seq("doc_id"))
+    val base = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+        pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    val staged = Curation.curateStaged(corpus(), bench(), "doc_id", "text",
+        "source", sink, wh, pplBuckets = 2, dropTailBuckets = 0,
+        capPerSource = 10, numShards = 2)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    assert(staged === base, s"seams must agree: $staged vs $base")
+    // the boundaries are REAL resumable parquet tables under the target
+    val reread = sink.read(spark, wh, "stage_head")
+    assert(reread.count() > 0, "stage tables persist and re-read")
+    // a sink bucketed on the wrong column is rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      Curation.curateStaged(corpus(), bench(), "doc_id", "text", "source",
+        graft.sources.BucketedSink(4, Seq("text")), wh)
+    }
+    assert(bad.getMessage.contains("must bucket on"))
+  }
+
   test("empty benchmark: decontamination drops nothing") {
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = Curation.curate(corpus(), noBench, "doc_id", "text", "source",
