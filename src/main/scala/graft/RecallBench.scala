@@ -158,6 +158,26 @@ object RecallBench {
           println(f"IMG recall/$kind@h<=$maxHamming: " +
             f"${hK.toDouble / nK}%.4f ($hK/$nK)")
         }
+        // the exact-verify stage over the SAME candidates: what survives
+        // the mean-centered raster MSE gate — false-pair wipeout is the
+        // headline (the candidate set is 846 → 82k false pairs across
+        // the decade at h <= 6 without it)
+        val (vPairs, nVerified, vSec) = forceCount(
+          Multimodal.verifyImagePairs(media, pairs))
+        val vHits = planted.join(vPairs, Seq("id_a", "id_b"), "left_semi")
+        val vByKind = vHits.groupBy("kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nVHits = vByKind.values.sum
+        println(f"IMG verify@h<=$maxHamming: kept=$nVerified " +
+          f"recall=${nVHits.toDouble / nPlanted}%.4f " +
+          f"false_pairs=${nVerified - nVHits} (was $falsePairs) " +
+          f"time=$vSec%.2f s")
+        plantedByKind.toSeq.sortBy(_._1).foreach { case (kind, nK) =>
+          val hK = vByKind.getOrElse(kind, 0L)
+          println(f"IMG verify_recall/$kind@h<=$maxHamming: " +
+            f"${hK.toDouble / nK}%.4f ($hK/$nK)")
+        }
+        vPairs.unpersist()
         pairs.unpersist(); ()
       }
       spark.stop()

@@ -219,21 +219,25 @@ object Multimodal {
     * dups collapse to one bucket, which is the desired semantics.
     */
   object DHash {
-    def of(img: java.awt.image.BufferedImage): Long = {
-      val w = 9; val h = 8
+    /** 1000×-scaled box-averaged luminance grid, row-major `gh × gw`:
+      * channel sums accumulate in Long (max 255·W·H per cell — no
+      * overflow at any real image size), ONE floor division by the cell
+      * pixel count — the shared fleet-deterministic downscale behind
+      * [[of]] and [[Multimodal.rasterImages]] (one kernel, so the hash
+      * and its verify stage can never disagree on what a cell is).
+      */
+    private[sources] def lumGrid(
+        img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Long] = {
       val sw = img.getWidth; val sh = img.getHeight
-      // 1000×-scaled luminance of the box-averaged cell: channel sums
-      // accumulate in Long (max 255·W·H per cell — no overflow at any
-      // real image size), ONE floor division by the cell pixel count
-      val lum = Array.ofDim[Long](h, w)
+      val lum = new Array[Long](gh * gw)
       var ty = 0
-      while (ty < h) {
-        val y0 = ty * sh / h
-        val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+      while (ty < gh) {
+        val y0 = ty * sh / gh
+        val y1 = math.max(y0 + 1, (ty + 1) * sh / gh)
         var tx = 0
-        while (tx < w) {
-          val x0 = tx * sw / w
-          val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+        while (tx < gw) {
+          val x0 = tx * sw / gw
+          val x1 = math.max(x0 + 1, (tx + 1) * sw / gw)
           var rs = 0L; var gs = 0L; var bs = 0L
           var y = y0
           while (y < y1) {
@@ -246,18 +250,24 @@ object Multimodal {
             y += 1
           }
           val n = (y1 - y0).toLong * (x1 - x0)
-          lum(ty)(tx) = (299L * rs + 587L * gs + 114L * bs) / n
+          lum(ty * gw + tx) = (299L * rs + 587L * gs + 114L * bs) / n
           tx += 1
         }
         ty += 1
       }
+      lum
+    }
+
+    def of(img: java.awt.image.BufferedImage): Long = {
+      val w = 9; val h = 8
+      val lum = lumGrid(img, w, h)
       var bits = 0L
       var k = 0
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w - 1) {
-          if (lum(y)(x) > lum(y)(x + 1)) bits |= (1L << k)
+          if (lum(y * w + x) > lum(y * w + x + 1)) bits |= (1L << k)
           k += 1; x += 1
         }
         y += 1
@@ -318,6 +328,112 @@ object Multimodal {
         .where(col("dhash").isNotNull)
         .select(col("media_id").as("_id"), col("dhash").as("_h")),
       maxHamming, blocks)
+
+  /** Per-image `side × side` downscaled luminance raster (1000×-scaled
+    * Longs — the [[DHash.lumGrid]] kernel, so the raster and the hash
+    * share one deterministic downscale). Non-image/undecodable/null
+    * payloads raster to NULL — decode failures are data, not
+    * exceptions (the [[dHashImages]] contract). Map-side per partition;
+    * payloads never shuffle — only the side²·8-byte rasters leave the
+    * scan.
+    */
+  def rasterImages(media: DataFrame, side: Int): DataFrame = {
+    require(side >= 2 && side <= 64,
+      s"rasterImages: side in [2, 64], got $side")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("raster", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val mt = r.getString(2)
+          val raster: Any =
+            if (mt != "image" || payload == null || payload.isEmpty) null
+            else try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+                .map(img => DHash.lumGrid(img, side, side).toSeq).orNull
+            } catch { case _: Exception => null }
+          Row(id, raster)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** EXACT-verify stage for image near-dup candidates — the minhash
+    * pipeline's exact-Jaccard-verify step applied to the image path
+    * (which previously clustered raw banding candidates: measured 846 →
+    * 82k false pairs across one 13k → 130k decade at h ≤ 6, SCALE.md).
+    * For candidate pairs ONLY, compare mean-centered downscaled-raster
+    * MSE and keep pairs with `mse <= maxMse` (gray-level² units).
+    * Mean-centering makes the verify brightness-invariant, matching the
+    * gradient-based invariance of the dHash that generated the
+    * candidates — a +16-brightness twin verifies at ~0 while unrelated
+    * images that happen to collide in banding measure hundreds. The
+    * default side = 16 matters: at coarser rasters (side 8) two
+    * unrelated NOISE fields average toward each other (measured mse 78
+    * on the spec fixture — under the gate); 16×16 cells keep unrelated
+    * variance an order of magnitude above it.
+    * Undecodable/missing rasters DROP the pair (can't verify → keep
+    * both docs — the conservative curation direction).
+    *
+    * Scale shape: candidates are sub-linear in the corpus by the
+    * banding's construction; only candidate-TOUCHED media decode
+    * (broadcast semi-restriction), decode + downscale run map-side, and
+    * what shuffles is (id, side²·8 B raster) rows — never payloads. The
+    * pair join is candidate-keyed with the raster side size-dispatched
+    * to broadcast.
+    *
+    * Output: `(id_a, id_b, mse)` — the verified subset of `pairs`.
+    */
+  def verifyImagePairs(
+      media: DataFrame, pairs: DataFrame, side: Int = 16,
+      maxMse: Double = 100.0): DataFrame = {
+    require(maxMse >= 0, s"verifyImagePairs: maxMse >= 0, got $maxMse")
+    val touched = graft.Materialize.checkpoint(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("media_id"))
+        .distinct())
+    val sub = media.join(
+      graft.ops.Joins.broadcastIfSmall(touched, Some(touched.count())),
+      Seq("media_id"), "left_semi")
+    val rasters = graft.Materialize.checkpoint(
+      rasterImages(sub, side).where(col("raster").isNotNull))
+    val nRasters = rasters.count()
+    def side2(suffix: String) = graft.ops.Joins.broadcastIfSmall(
+      rasters.select(col("media_id").as(s"id_$suffix"),
+        col("raster").as(s"_r$suffix")), Some(nRasters))
+    val n = lit((side * side).toDouble)
+    // centered MSE in one pass over the cell deltas: d_i = (a_i − b_i)
+    // in gray levels (the grid is 1000×-scaled), then
+    // mse = Σd²/n − (Σd/n)² — algebraically Σ(d − mean d)²/n
+    pairs
+      .join(side2("a"), Seq("id_a"))
+      .join(side2("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        zip_with(col("_ra"), col("_rb"),
+          (x, y) => (x - y).cast("double") / lit(1000.0)).as("_d"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(col("_d"), lit(0.0d), (acc, x) => acc + x).as("_s1"),
+        aggregate(col("_d"), lit(0.0d), (acc, x) => acc + x * x).as("_s2"))
+      .select(col("id_a"), col("id_b"),
+        round(col("_s2") / n - (col("_s1") / n) * (col("_s1") / n), 6)
+          .as("mse"))
+      .where(col("mse") <= maxMse)
+  }
+
+  /** [[nearDupImagePairs]] with the exact-verify stage composed in — the
+    * production image-dedup candidate generator: banding recall, verify
+    * precision.
+    */
+  def nearDupImagePairsVerified(
+      media: DataFrame, maxHamming: Int = 6, blocks: Int = 8,
+      side: Int = 16, maxMse: Double = 100.0): DataFrame =
+    verifyImagePairs(media, nearDupImagePairs(media, maxHamming, blocks),
+      side, maxMse)
 
   /** Build a media table from the documents testdata (text bytes standing
     * in for blobs) — deterministic fixture for specs and queries.

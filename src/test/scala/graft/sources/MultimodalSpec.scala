@@ -202,4 +202,67 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("verifyImagePairs: re-encode verifies at mse 0, a brightness " +
+    "twin verifies near 0 (mean-centered), unrelated images measure far " +
+    "above the gate, undecodable candidates drop — and the verified " +
+    "generator composes banding recall with verify precision") {
+    val base = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 48; x <- 0 until 64)
+      base.setRGB(x, y, rnd.nextInt(1 << 24))
+    val brighter = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val px = base.getRGB(x, y)
+      def up(c: Int) = math.min(255, c + 16)
+      brighter.setRGB(x, y, (up((px >> 16) & 0xFF) << 16) |
+        (up((px >> 8) & 0xFF) << 8) | up(px & 0xFF))
+    }
+    val other = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd2 = new scala.util.Random(99)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, rnd2.nextInt(1 << 24))
+    val rows = java.util.Arrays.asList(
+      Row(1L, pngOf(base), "image"),
+      Row(2L, bmpOf(base), "image"),
+      Row(3L, pngOf(brighter), "image"),
+      Row(4L, pngOf(other), "image"),
+      Row(5L, "corrupt".getBytes("UTF-8"), "image"))
+    val m = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    // hand-planted candidate set: true pairs, a false (banding-fluke
+    // stand-in) pair, and a pair with an undecodable side
+    val cands = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(1L, 5L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val verified = Multimodal.verifyImagePairs(m, cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(verified.keySet === Set((1L, 2L), (1L, 3L)),
+      s"verify must keep true twins only: $verified")
+    assert(verified((1L, 2L)) === 0.0, "re-encode: identical pixels")
+    assert(verified((1L, 3L)) < 20.0,
+      s"brightness twin must center away: ${verified((1L, 3L))}")
+    // the unrelated pair's mse is far above the default gate (measured
+    // directly with the gate open)
+    val open = Multimodal.verifyImagePairs(m, cands, maxMse = 1e9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(open((1L, 4L)) > 100.0,
+      s"unrelated images must not verify: ${open((1L, 4L))}")
+    assert(!open.contains((1L, 5L)), "undecodable side drops the pair")
+    // the composed generator: same candidates as the unverified path
+    // minus everything the verify rejects
+    val composed = Multimodal.nearDupImagePairsVerified(m)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"verified generator keeps the twin family only: $composed")
+  }
 }
