@@ -1133,6 +1133,86 @@ object EventStream {
       }
       .start()
 
+  case class FunnelEvIn(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  case class FunnelReach(user_id: Long, step: Int, event_type: String,
+      ts: java.sql.Timestamp)
+  case class FunnelState(step: Int, lastMs: Long, firstMs: Long)
+
+  /** The stateful twin of [[funnel]] for true streams (the module's
+    * twin convention: every batch operator with per-key state gets one):
+    * `flatMapGroupsWithState` keeps ONE (current step, last-match ts,
+    * first-match ts) row per user — O(users) state, hot-user-safe like
+    * the batch rounds — and emits a [[FunnelReach]] row the moment a
+    * user's chain advances a step. Per-step user counts = one count per
+    * `step` over the output, the batch funnel's `n_users`.
+    *
+    * Ordering contract: within a micro-batch a user's events sort by
+    * (ts, event_type) before the greedy fold; ACROSS batches the fold
+    * consumes arrival order (the at-a-time streaming contract shared
+    * with [[runningCountStateful]]) — greedy matching cannot
+    * retro-match an event that arrives after a later one was already
+    * consumed, so out-of-order delivery ACROSS batches can only lose
+    * matches, never invent them. With per-user in-order delivery the
+    * fold is exactly the batch [[funnel]]'s greedy semantics
+    * (MemoryStream agreement spec-pinned, both window modes).
+    *
+    * `window` must be a fixed-length duration (days/hours/minutes —
+    * no calendar months: the state does millisecond arithmetic).
+    */
+  def funnelStateful(
+      events: Dataset[FunnelEvIn], steps: Seq[String],
+      window: String = "24 hours",
+      wholeFunnelWindow: Boolean = false): Dataset[FunnelReach] = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val windowMs = funnelWindowMs(window)
+    val stepArr = steps.toArray
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[FunnelEvIn],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            if (st.step < stepArr.length && e.event_type == stepArr(st.step)) {
+              val t = e.ts.getTime
+              val deadline =
+                (if (wholeFunnelWindow) st.firstMs else st.lastMs) + windowMs
+              if (st.step == 0) {
+                st = FunnelState(1, t, t)
+                out += FunnelReach(user, 1, stepArr(0), e.ts)
+              } else if (t > st.lastMs && t <= deadline) {
+                st = FunnelState(st.step + 1, t, st.firstMs)
+                out += FunnelReach(user, st.step, stepArr(st.step - 1), e.ts)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[funnelInterval]]'s fixed-duration milliseconds for executor-side
+    * state arithmetic — rejects calendar months (no fixed length).
+    */
+  private def funnelWindowMs(window: String): Long = {
+    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(parsed != null,
+      s"funnel: window '$window' is not a valid interval " +
+        "(expected e.g. '24 hours', '30 minutes')")
+    require(parsed.months == 0,
+      s"funnel (stateful): window '$window' must be a fixed-length " +
+        "duration — calendar months have no millisecond length")
+    val ms = parsed.days * 86400000L + parsed.microseconds / 1000L
+    require(ms > 0, s"funnel: window '$window' must be a positive duration")
+    ms
+  }
+
   case class EvIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class EvCounted(event_id: Long, user_id: Long, running_n: Long)
 

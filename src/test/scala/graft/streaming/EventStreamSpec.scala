@@ -71,6 +71,84 @@ class EventStreamSpec extends SparkSpec {
                             // undercount, user 4 purchased before clicking
   }
 
+  test("funnel window modes: whole-funnel deadline is stricter than " +
+    "per-step; malformed/non-positive windows fail loudly up front") {
+    val events = Seq(
+      // chain legal per-step but step 3 lands past first-match + 1h
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-01 10:50:00"), 1L, "click"),
+      (3L, ts("2024-01-01 11:50:00"), 1L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val steps = Seq("signup", "click", "purchase")
+    def reached(whole: Boolean): Seq[Long] =
+      EventStream.funnel(events, steps, "1 hour",
+        wholeFunnelWindow = whole)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(reached(whole = false) === Seq(1L, 1L, 1L))
+    assert(reached(whole = true) === Seq(1L, 1L, 0L),
+      "whole-funnel mode must cut the chain at first-match + window")
+    val bad = intercept[IllegalArgumentException] {
+      EventStream.funnel(events, steps, "24h")
+    }
+    assert(bad.getMessage.contains("funnel"), bad.getMessage)
+    val neg = intercept[IllegalArgumentException] {
+      EventStream.funnel(events, steps, "-1 hours")
+    }
+    assert(neg.getMessage.contains("positive"), neg.getMessage)
+    val cal = intercept[IllegalArgumentException] {
+      EventStream.funnelStateful(
+        spark.emptyDataset[EventStream.FunnelEvIn], steps, "1 month")
+    }
+    assert(cal.getMessage.contains("fixed-length"), cal.getMessage)
+  }
+
+  test("funnelStateful: MemoryStream micro-batches agree with the batch " +
+    "funnel's per-step user counts, in both window modes") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    def ev(t: String, user: Long, tp: String) =
+      EventStream.FunnelEvIn(user, ts(t), tp)
+    // the batch fixture's users (greedy undercount, boundary cases)
+    // split across two micro-batches at a per-user-coherent cut
+    val batch1 = Seq(
+      ev("2024-01-01 10:00:00", 1, "signup"),
+      ev("2024-01-01 10:30:00", 1, "click"),
+      ev("2024-01-01 09:00:00", 2, "signup"),
+      ev("2024-01-01 09:00:00", 2, "click"), // strict >: excluded
+      ev("2024-01-01 10:00:00", 3, "signup"),
+      ev("2024-01-01 10:01:00", 3, "click"))
+    val batch2 = Seq(
+      ev("2024-01-01 10:45:00", 1, "purchase"),
+      ev("2024-01-01 10:00:00", 2, "click"),
+      ev("2024-01-01 11:00:00", 2, "purchase"), // at window bound: kept
+      ev("2024-01-01 11:00:00", 3, "click"),    // greedy: already matched
+      ev("2024-01-01 11:45:00", 3, "purchase")) // misses earliest click's
+    val all = (batch1 ++ batch2)
+      .map(e => (0L, e.ts, e.user_id, e.event_type))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    for (whole <- Seq(false, true)) {
+      val input = MemoryStream[EventStream.FunnelEvIn]
+      val name = s"funnel_twin_$whole"
+      val q = EventStream.funnelStateful(input.toDS(), steps, "1 hour",
+          wholeFunnelWindow = whole)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+        val streamed = spark.table(name).groupBy("step")
+          .agg(countDistinct("user_id").as("n_users"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val batch = EventStream.funnel(all, steps, "1 hour",
+            wholeFunnelWindow = whole)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+          .filter(_._2 > 0)
+        assert(streamed === batch,
+          s"stateful twin (whole=$whole) must agree: $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
+
   test("hourlyAgg incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
