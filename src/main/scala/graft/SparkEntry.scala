@@ -1524,6 +1524,25 @@ object SparkEntry {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
         "doc_id", "text", "source",
         graft.sources.BucketedSink(8, Seq("doc_id")), wh)
+    }),
+
+    // --- the batch composite with the SEMANTIC decontamination arm
+    // composed in (the full ladder — exact-span winnow THEN
+    // embedding-space paraphrase screen — as ONE chain): embeddings key
+    // vec_id = doc_id; the screen benchmark is the vec_id < 8 query-set
+    // slice at τ = 0.3 (the fixture's non-vacuous point); docs without
+    // an embedding row pass through (at sf0.1 embeddings cover 2k of 5k
+    // docs — the coverage-partial path is exercised by the graded row
+    // itself). ppl thresholds band the SCREENED distribution ---
+    "q_curation_semantic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      Curation.curate(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source",
+        semantic = Some(Curation.Semantic(
+          emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          emb.where(col("vec_id") < 8), threshold = 0.3)))
     })
   )
 
@@ -1683,6 +1702,28 @@ object SparkEntry {
   // winnow/bigram chains) are defined LATER in object-init order — an
   // eager val here would interpolate their still-null references
   private lazy val curationPipelineOracleSql: String =
+    curationOracleSql(semantic = false)
+
+  /** The semantic variant splices the q_embed_decontaminate NOT-EXISTS
+    * chain over the winnow survivors (embeddings keyed vec_id = doc_id;
+    * benchmark = vec_id < 8, tau = 0.3 — the fixture's non-vacuous
+    * point), and the ppl/cap/shard tail runs over the screened frame.
+    */
+  private lazy val curationSemanticOracleSql: String =
+    curationOracleSql(semantic = true)
+
+  private def curationOracleSql(semantic: Boolean): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cosE(a: String, b: String) =
+      s"${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)}))"
+    val semCtes =
+      if (!semantic) ""
+      else "semhit AS (SELECT c.doc_id FROM cleand c JOIN embeddings e ON e.vec_id = c.doc_id " +
+        "WHERE EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id < 8 " +
+        s"AND NOT isnan(${cosE("e.embedding", "b.embedding")}) AND round(${cosE("e.embedding", "b.embedding")}, 6) >= 0.3)), " +
+        "cleand2 AS MATERIALIZED (SELECT * FROM cleand WHERE doc_id NOT IN (SELECT doc_id FROM semhit)), "
+    val src = if (semantic) "cleand2" else "cleand"
 
       "WITH RECURSIVE " +
         "src0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 50), " +
@@ -1705,14 +1746,16 @@ object SparkEntry {
         "bfp AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 50), " +
         "hits AS (SELECT DISTINCT f.doc_id FROM fp f JOIN bfp USING (fp_hash) WHERE f.doc_id >= 50), " +
         "cleand AS MATERIALIZED (SELECT d.* FROM dd d WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)), " +
-        bigramChainSqlOver("cleand", materialized = true) + ", " +
+        semCtes +
+        bigramChainSqlOver(src, materialized = true) + ", " +
         "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl), " +
         "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM bgl CROSS JOIN th), " +
-        "hd0 AS MATERIALIZED (SELECT c.* FROM cleand c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
+        s"hd0 AS MATERIALIZED (SELECT c.* FROM $src c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
         "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10), " +
         "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
         "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
+  }
 
   private def ivfOracleSql(nprobe: Int): String = {
     def dot(a: String, b: String) =
@@ -2477,6 +2520,8 @@ object SparkEntry {
     "q_curation_pipeline" -> curationPipelineOracleSql,
 
     "q_curation_staged" -> curationPipelineOracleSql,
+
+    "q_curation_semantic" -> curationSemanticOracleSql,
 
     // ---- the daily-ingest fold, sequential semantics expressed
     // directly: exact keeper = first batch to see the digest (row_number

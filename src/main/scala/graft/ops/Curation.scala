@@ -87,11 +87,31 @@ object Curation {
     * @param numShards       training shards (stage 6) — size so
     *                        n/shards fits one task's sort
     */
+  /** The SEMANTIC decontamination arm as an optional stage of the chain
+    * (Similarity.semanticDecontaminate composed after winnow — the full
+    * ladder exact-span → fuzzy-minhash → semantic then runs as ONE
+    * pipeline): `embeddings` maps corpus ids (`idCol`-typed, same id
+    * space) to vectors, `benchmark` holds the eval-suite embeddings to
+    * screen against. Corpus docs whose embedding sits within cosine ≥
+    * `threshold` of ANY benchmark embedding drop; docs WITHOUT an
+    * embedding row pass through untouched (coverage-partial embedding
+    * tables are the norm — can't check → keep, the conservative
+    * direction). The ppl thresholds are computed AFTER this stage, so
+    * the bands see the distribution they band. semDeDup stays a
+    * standalone graded operator rather than a chain option: its
+    * cluster space would have to merge with minhash's CC (a multi-signal
+    * union — graded separately as the components rows).
+    */
+  final case class Semantic(
+      embeddings: DataFrame, benchmark: DataFrame,
+      vecCol: String = "embedding", threshold: Double = 0.7)
+
   def curate(
       corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
-      capPerSource: Int = 10, numShards: Int = 8): DataFrame =
+      capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[Semantic] = None): DataFrame =
     // Funnel observability rides the stage jobs for free: each stage
     // frame carries an `observe` counter (the Observe seam — collected
     // DURING the checkpoint's own execution pass, no second scan),
@@ -99,7 +119,7 @@ object Curation {
     // deduped/clean/head/final row counts — the composite analog of the
     // reference's per-run counters. Spec-pinned monotone non-increasing.
     chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
-      dropTailBuckets, capPerSource, numShards,
+      dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")))
 
@@ -122,9 +142,11 @@ object Curation {
       textCol: String, sourceCol: String,
       sink: graft.sources.BucketedSink, target: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
-      capPerSource: Int = 10, numShards: Int = 8): DataFrame =
+      capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[Semantic] = None): DataFrame =
     curateStagedTapped(corpus, benchmark, idCol, textCol, sourceCol, sink,
-      target, pplBuckets, dropTailBuckets, capPerSource, numShards)
+      target, pplBuckets, dropTailBuckets, capPerSource, numShards,
+      semantic)
 
   /** [[curateStaged]] with a per-stage tap invoked on each boundary
     * frame BEFORE it is written — the PlanSpec seam: the pre-write frame
@@ -137,13 +159,14 @@ object Curation {
       sink: graft.sources.BucketedSink, target: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[Semantic] = None,
       tap: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     require(sink.bucketCols == Seq(idCol),
       s"curateStaged: the sink must bucket on '$idCol' (the join key of " +
         s"every stage boundary), got ${sink.bucketCols}")
     val spark = corpus.sparkSession
     chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
-      dropTailBuckets, capPerSource, numShards,
+      dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => {
         tap(stage, df)
         sink.write(Observe.withRowMetrics(df, s"curation_$stage"),
@@ -169,6 +192,7 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String, pplBuckets: Int,
       dropTailBuckets: Int, capPerSource: Int, numShards: Int,
+      semantic: Option[Semantic],
       mat: (DataFrame, String) => DataFrame,
       matIds: (DataFrame, String) => DataFrame = (df, _) => df): DataFrame = {
     // observe-only stages (not boundary frames): the gate and the output
@@ -221,14 +245,31 @@ object Curation {
     val clean = mat(
       deduped.join(contaminated, Seq(idCol), "left_anti"), "clean")
 
+    // 3b. OPTIONAL semantic decontamination (the paraphrase arm):
+    // drop survivors whose embedding sits near a benchmark embedding;
+    // benchmark vectors broadcast, the embedding table is semi-joined
+    // to survivors first so the screen scans survivors only
+    val screened = semantic match {
+      case None => clean
+      case Some(sm) =>
+        val cleanEmb = sm.embeddings
+          .select(col(idCol), col(sm.vecCol))
+          .join(clean.select(col(idCol)), Seq(idCol), "left_semi")
+        val semBad = matIds(
+          Similarity.semanticContaminated(
+            cleanEmb, sm.benchmark, sm.vecCol, sm.threshold)
+            .select(col(idCol)), "sem_hits")
+        mat(clean.join(semBad, Seq(idCol), "left_anti"), "semantic")
+    }
+
     // 4. LM-perplexity tail drop: bigram LM scored over the SURVIVING
     // corpus (the thresholds see the same distribution they band)
     val headIds = matIds(Text.pplBucket(
-        Text.bigramLogProb(clean, idCol, textCol), pplBuckets)
+        Text.bigramLogProb(screened, idCol, textCol), pplBuckets)
       .where(col("bucket") > dropTailBuckets)
       .select(col("doc_id").as(idCol)), "head")
     val head = mat(
-      clean.join(headIds, Seq(idCol), "left_semi"), "head")
+      screened.join(headIds, Seq(idCol), "left_semi"), "head")
 
     // 5 + 6. per-source cap (cap-bounded aggregator state), then
     // deterministic shard/pos training order over the capped survivors

@@ -1174,14 +1174,32 @@ object Similarity {
     */
   def semanticDecontaminate(
       corpus: DataFrame, benchmark: DataFrame,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double): DataFrame =
+    semanticScreen(corpus, benchmark, vecCol, threshold, "left_anti")
+
+  /** The COMPLEMENT of [[semanticDecontaminate]] — the corpus rows that
+    * DO sit within cosine ≥ `threshold` of a benchmark embedding (one
+    * broadcast semi scan, same condition, same NaN guard). This is the
+    * drop-set form a composed pipeline wants: the curation chain
+    * anti-joins these ids off its survivor frame, so docs WITHOUT an
+    * embedding row are untouched (can't check → pass through — the
+    * conservative direction for a coverage-partial embedding table).
+    */
+  def semanticContaminated(
+      corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, threshold: Double): DataFrame =
+    semanticScreen(corpus, benchmark, vecCol, threshold, "left_semi")
+
+  private def semanticScreen(
+      corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, threshold: Double, joinType: String): DataFrame = {
     val b = benchmark.select(col(vecCol).as("_bv"), norm(col(vecCol)).as("_bn"))
     val score = cosineFromNorms(
       dot(col(vecCol), col("_bv")), col("_cn"), col("_bn"))
     corpus
       .withColumn("_cn", norm(col(vecCol)))
       .join(broadcast(b), !isnan(score) && round(score, 6) >= threshold,
-        "left_anti")
+        joinType)
       .drop("_cn")
   }
 

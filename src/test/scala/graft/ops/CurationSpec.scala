@@ -127,6 +127,25 @@ class CurationSpec extends graft.SparkSpec {
     assert(bad.getMessage.contains("must bucket on"))
   }
 
+  test("semantic arm: a survivor whose embedding sits near a benchmark " +
+    "embedding drops after winnow; docs without an embedding row pass " +
+    "through untouched") {
+    val emb = Seq(
+      (102L, Array(1.0f, 0.0f)),  // cos ≈ 0.995 vs the benchmark → drop
+      (100L, Array(0.0f, 1.0f))   // cos ≈ 0.1 → keep
+      // 105/106 have NO embedding row → pass through
+    ).toDF("doc_id", "embedding")
+    val benchEmb = Seq((1L, Array(1.0f, 0.1f))).toDF("doc_id", "embedding")
+    val out = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+      pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2,
+      semantic = Some(Curation.Semantic(emb, benchEmb, threshold = 0.7)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // the base fixture's survivors are {100, 102, 105, 106}; the
+    // semantic screen removes exactly 102
+    assert(ids.size === 3 && ids.contains(100L) && !ids.contains(102L),
+      s"semantic screen must drop 102 only: $ids")
+  }
+
   test("empty benchmark: decontamination drops nothing") {
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = Curation.curate(corpus(), noBench, "doc_id", "text", "source",
