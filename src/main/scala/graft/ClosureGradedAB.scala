@@ -49,11 +49,32 @@ object ClosureGradedAB {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
     val t0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) => force(fn(spark, sfDir)) }
-    println(f"CLOSUREAB suite warm pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    var skipped = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // the warm pass builds JVM/codegen/shuffle context, it does not
+      // grade: a query whose scale guard trips at an off-grading SF
+      // (e.g. the cosine banding SLA at sf1's embedding count) is
+      // skipped, not fatal
+      try force(fn(spark, sfDir))
+      catch { case e: Exception =>
+        skipped += 1
+        System.err.println(s"CLOSUREAB warm skip $name: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    println(f"CLOSUREAB suite warm pass: ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+      (if (skipped > 0) s" ($skipped skipped)" else ""))
 
     def tasks() = reports.TaskTree.tasks(spark, sfDir)
     val variants: Seq[(String, () => DataFrame)] = which match {
+      // the WHOLE flagship report with the closure variant swapped inside
+      // it — the round-13 verdict's ask: close the iterative-vs-doubling
+      // question with a number measured in the report's own context
+      case "budget" => Seq(
+        "report_recursive" -> (() => reports.BudgetReport(
+          tasks(), reports.TaskTree.entries(spark, sfDir))),
+        "report_doubling" -> (() => reports.BudgetReport(
+          tasks(), reports.TaskTree.entries(spark, sfDir),
+          doublingClosure = true)))
       case "breadcrumb" => Seq(
         "doubling" -> (() => ops.Closure.breadcrumbsDoubling(
           tasks(), "task_id", "parent_id", "name")

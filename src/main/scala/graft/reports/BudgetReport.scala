@@ -28,14 +28,28 @@ object BudgetReport {
     *                 name: String, budgeted: Long seconds)
     * @param entries (task_id: String, duration: Long seconds)
     */
-  def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
+  def apply(tasks: DataFrame, entries: DataFrame): DataFrame =
+    apply(tasks, entries, doublingClosure = false)
+
+  /** `doublingClosure` swaps the closure derivation for the O(log depth)
+    * doubling variant — the ClosureGradedAB `budget` case times both
+    * INSIDE the full report at any SF to keep the shipped choice a
+    * measured one (round-8 finding: variant A/Bs outside the graded
+    * context mislead; sf1 numbers in SCALE.md round 14).
+    */
+  def apply(tasks: DataFrame, entries: DataFrame,
+      doublingClosure: Boolean): DataFrame = {
     // Recursive-CTE closure: same UNION ALL shape as the published report's
     // own recursive CTE (SAMPLE-REPORTS.md:59-75) — both assume a forest.
     // Materialized once before the broadcast: the UnionLoop otherwise
     // re-runs inside the broadcast-exchange computation, and the
     // dimension-sized result (|tasks| × depth) is checkpoint-cheap
     // (measured ~0.4s off the report at sf0.1).
-    val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
+    val closure = (if (doublingClosure)
+        Closure.transitiveClosureDoubling(tasks, "task_id", "parent_id")
+          .select(col("descendant_id"), col("ancestor_id"))
+      else
+        Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id"))
       .transform(Materialize.checkpoint)
     // Eager aggregation below the join: 60M fact rows → ≤|tasks| partials
     // (the shuffle carries map-side-combined partial sums, not raw rows).

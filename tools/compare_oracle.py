@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a driver-style correctness JSON
+({query: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) so round evidence can be committed in-round.
 
 Reads <verifyOutDir>/oracle_sql.json, registers every testdata parquet as a
 DuckDB view, runs each oracle SQL, loads the matching Spark parquet result,
@@ -50,16 +54,26 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, rows=False, schema=False, values=False,
+               srows=0, drows=0, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": values, "spark_rows": srows,
+                        "oracle_rows": drows, "err": err}
+
     for name in sorted(oracle):
         spark_dir = Path(out_dir) / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output")
+            record(name, err="no spark output")
             n_fail += 1
             continue
         try:
             duck = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, err=f"oracle error: {e}")
             n_fail += 1
             continue
         spark = pq.read_table(spark_dir)
@@ -67,19 +81,29 @@ def main():
         drows, dcols = rows_of(duck)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            record(name, rows=len(srows) == len(drows),
+                   srows=len(srows), drows=len(drows))
             n_fail += 1
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            record(name, schema=True, srows=len(srows), drows=len(drows))
             n_fail += 1
         elif srows != drows:
             diff = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
             i = diff[0] if diff else -1
             print(f"FAIL {name}: values differ ({len(diff)} rows); "
                   f"first at {i}:\n  spark={srows[i]}\n  duck ={drows[i]}")
+            record(name, rows=True, schema=True,
+                   srows=len(srows), drows=len(drows))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
+            record(name, rows=True, schema=True, values=True,
+                   srows=len(srows), drows=len(drows))
             n_pass += 1
+    if len(sys.argv) > 3:
+        Path(sys.argv[3]).write_text(json.dumps(report, indent=1))
+        print(f"wrote {sys.argv[3]}")
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
