@@ -390,7 +390,8 @@ object Curation {
       textCol: String, sourceCol: String, stores: CurationStores,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
-      metricsTag: String = "curinc")
+      metricsTag: String = "curinc",
+      semantic: Option[Semantic] = None)
       : (DataFrame, CurationStores) = {
     // metricsTag must be unique per batch when two batches' outputs meet
     // in ONE plan (e.g. a union for comparison): Spark rejects duplicate
@@ -451,6 +452,24 @@ object Curation {
           deduped, idCol, textCol, winnowStore), "doc_id"),
         Seq(idCol), "left_anti"), "clean"))
 
+    // 3b. OPTIONAL semantic screen (the batch chain's [[Semantic]] arm,
+    // per batch against the FIXED benchmark embeddings — stateless given
+    // the benchmark, so per-batch ≡ over-the-union; benchmark vectors
+    // broadcast, the embedding table semi-restricted to batch survivors)
+    val screened = semantic match {
+      case None => clean
+      case Some(sm) =>
+        val cleanEmb = sm.embeddings
+          .select(col(idCol), col(sm.vecCol))
+          .join(bc(idsOf(clean, idCol)), Seq(idCol), "left_semi")
+        val semBad = Materialize.checkpoint(
+          Similarity.semanticContaminated(
+            cleanEmb, sm.benchmark, sm.vecCol, sm.threshold)
+            .select(col(idCol)))
+        Materialize.checkpoint(staged(
+          clean.join(bc(semBad), Seq(idCol), "left_anti"), "semantic"))
+    }
+
     // 4. perplexity tail drop against the FIXED model (bootstrap: train
     // on this batch's survivors and ship the artifact forward; a batch
     // with NOTHING scoreable — empty, or all sub-2-token docs — ships no
@@ -458,11 +477,11 @@ object Curation {
     // whole corpus against empty thresholds forever)
     val (model, scored) = stores.ppl match {
       case some @ Some(m) =>
-        (some, Text.bigramLogProbAgainst(clean, idCol, textCol, m.lm))
+        (some, Text.bigramLogProbAgainst(screened, idCol, textCol, m.lm))
       case None =>
-        val lm = Text.bigramCounts(clean, idCol, textCol)
+        val lm = Text.bigramCounts(screened, idCol, textCol)
         val sc = Materialize.checkpoint(
-          Text.bigramLogProbAgainst(clean, idCol, textCol, lm))
+          Text.bigramLogProbAgainst(screened, idCol, textCol, lm))
         if (sc.isEmpty) (None, sc)
         else (Some(PplModel(lm,
           Materialize.checkpoint(Text.pplThresholds(sc, pplBuckets)))), sc)
@@ -474,10 +493,10 @@ object Curation {
           .transform(Materialize.checkpoint)
       // no model = nothing scoreable this batch either (sub-2-token docs
       // drop — the bigramLogProb contract the batch chain shares)
-      case None => idsOf(clean, idCol).limit(0)
+      case None => idsOf(screened, idCol).limit(0)
     }
     val head = Materialize.checkpoint(staged(
-      clean.join(bc(headIds), Seq(idCol), "left_semi"), "head"))
+      screened.join(bc(headIds), Seq(idCol), "left_semi"), "head"))
 
     // 5. rolling per-source admission (earlier batches claim quota
     // first), then 6. per-batch training order over the admitted set

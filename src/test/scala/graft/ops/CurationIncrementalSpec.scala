@@ -208,6 +208,35 @@ class CurationIncrementalSpec extends graft.SparkSpec {
     }
   }
 
+  test("semantic arm rides the fold: per-batch screening against the " +
+    "fixed benchmark embeddings drops the planted near-benchmark doc in " +
+    "ITS batch; docs without embeddings pass; union ≡ batch-level screen") {
+    val a = Seq((100L, doc(0), "s1"), (102L, doc(2), "s1"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((201L, doc(4), "s1"), (203L, doc(6), "s1"))
+      .toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (102L, Array(1.0f, 0.0f)), // batch A: near the benchmark → drop
+      (201L, Array(0.9f, 0.1f)), // batch B: near → drop in ITS batch
+      (100L, Array(0.0f, 1.0f))  // far → keep; 203 has no embedding
+    ).toDF("doc_id", "embedding")
+    val benchEmb = Seq((1L, Array(1.0f, 0.1f))).toDF("doc_id", "embedding")
+    val sem = Some(Curation.Semantic(emb, benchEmb, threshold = 0.7))
+    def runSem(batch: DataFrame, st: Curation.CurationStores) =
+      Curation.curateIncremental(batch, wstore(), "doc_id", "text",
+        "source", st, pplBuckets = 2, dropTailBuckets = 0,
+        capPerSource = 10, numShards = 2, semantic = sem)
+    val (outA, stA) = runSem(a, empty())
+    assert(ids(outA) === Set(100L), s"batch A screens 102: ${ids(outA)}")
+    val (outB, _) = runSem(b, stA)
+    assert(ids(outB) === Set(203L), s"batch B screens 201: ${ids(outB)}")
+    // union equals the batch chain's semantic screen over the union
+    val batchIds = ids(Curation.curate(a.unionByName(b), bench(), "doc_id",
+      "text", "source", pplBuckets = 2, dropTailBuckets = 0,
+      capPerSource = 10, numShards = 2, semantic = sem))
+    assert(ids(outA) ++ ids(outB) === batchIds)
+  }
+
   test("fixed ppl model: batch 1 bootstraps LM + thresholds and batch 2 " +
     "bands against THEM (not its own quantiles); the model rides the " +
     "store unchanged") {
