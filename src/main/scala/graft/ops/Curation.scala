@@ -393,6 +393,30 @@ object Curation {
       metricsTag: String = "curinc",
       semantic: Option[Semantic] = None)
       : (DataFrame, CurationStores) = {
+    val (out, st, _) = curateIncrementalWithDelta(batch, winnowStore,
+      idCol, textCol, sourceCol, stores, pplBuckets, dropTailBuckets,
+      capPerSource, numShards, metricsTag, semantic)
+    (out, st)
+  }
+
+  /** The per-batch APPEND deltas of one fold — what a persisted-store
+    * deployment writes per ingest: the append-only stores (digests,
+    * bands) grow by exactly these frames, while labels/caps/ppl are
+    * version-rewritten dimension-or-store-sized frames carried in
+    * [[CurationStores]]. [[graft.streaming.EventStream.curateStream]]
+    * lands them as `b=<version>` parquet appends.
+    */
+  final case class CurationDelta(newDigests: DataFrame, newBands: DataFrame)
+
+  /** [[curateIncremental]] with the batch's append deltas exposed. */
+  def curateIncrementalWithDelta(
+      batch: DataFrame, winnowStore: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, stores: CurationStores,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8,
+      metricsTag: String = "curinc",
+      semantic: Option[Semantic] = None)
+      : (DataFrame, CurationStores, CurationDelta) = {
     // metricsTag must be unique per batch when two batches' outputs meet
     // in ONE plan (e.g. a union for comparison): Spark rejects duplicate
     // observe names with different results in a single query
@@ -514,6 +538,9 @@ object Curation {
       labels = labelsUpdated.unionByName(singletons),
       ppl = model,
       capCounts = Text.capCountsUpdate(
-        stores.capCounts, admitted, sourceCol, capPerSource)))
+        stores.capCounts, admitted, sourceCol, capPerSource)),
+      CurationDelta(
+        newDigests = exNew.select("digest"),
+        newBands = batchBands))
   }
 }

@@ -380,6 +380,150 @@ object EventStream {
       .start()
   }
 
+  /** The STREAMING twin of the daily-ingest curation composite
+    * ([[graft.ops.Curation.curateIncremental]] driven by foreachBatch —
+    * the module's convention, completing the composite family): each
+    * micro-batch of `(id, text, source)` docs folds through the full
+    * chain against PARQUET-persisted stores under `storeRoot`, admitted
+    * docs land as training-ordered `b=<version>` parquet under
+    * `storeRoot/out`, and the stores advance one version per batch.
+    *
+    * Store layout and crash model — versioned, not swapped-in-place:
+    *  - append-only stores (`digests/`, `bands/`, `out/`) grow one
+    *    `b=<version>` subdir per batch — O(batch) bytes written;
+    *  - version stores (`labels/`, `caps/`, `ppl_lm/`, `ppl_th/`) are
+    *    rewritten whole as `v=<version>` — labels is the one O(store)
+    *    write per batch (the [[clusterMaintenance]] unsharded arm; the
+    *    sharded label store is the at-scale answer there);
+    *  - the LIVE version is the max `_live_<n>` token at the root,
+    *    created ONLY after every write of version n landed. A crash in
+    *    any window leaves residue ABOVE the live version, which the
+    *    next fold deletes before reading — readers and refolds never
+    *    see a torn store.
+    * Replay safety is CONTENT-level, not marker-level: refolding an
+    * already-absorbed batch admits nothing (its digests are in the
+    * store, so every doc exact-blocks; caps/labels updates degrade to
+    * no-ops) — the dedup IS the idempotency. That also covers the
+    * fresh-checkpoint-over-existing-store case that marker protocols
+    * scoped to a checkpoint lose data on ([[ivfPqIngest]]'s note): a
+    * re-fed corpus admits nothing new, by the operator's own semantics.
+    */
+  def curateStream(
+      docs: DataFrame, winnowStore: DataFrame, storeRoot: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[graft.ops.Curation.Semantic] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateFoldBatch(batch, winnowStore, storeRoot, idCol, textCol,
+          sourceCol, pplBuckets, dropTailBuckets, capPerSource, numShards,
+          semantic)
+        ()
+      }
+      .start()
+
+  /** One [[curateStream]] fold, directly callable (the testable body —
+    * and the shape a non-streaming scheduler like a daily cron drives).
+    */
+  private[graft] def curateFoldBatch(
+      batch: DataFrame, winnowStore: DataFrame, storeRoot: String,
+      idCol: String, textCol: String, sourceCol: String,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[graft.ops.Curation.Semantic] = None): Unit = {
+    import graft.ops.Curation
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    // live version = max _live_<n> token; tokens are created atomically
+    // AFTER version n is fully on disk
+    val live: Long = {
+      val names =
+        if (!fs.exists(root)) Array.empty[String]
+        else fs.listStatus(root).map(_.getPath.getName)
+      val ids = names.collect {
+        case n if n.startsWith("_live_") => n.stripPrefix("_live_").toLong
+      }
+      if (ids.isEmpty) -1L else ids.max
+    }
+    val next = live + 1
+    // clear residue of any crashed fold above the live version
+    def sub(parts: String*): org.apache.hadoop.fs.Path =
+      parts.foldLeft(root)((p, c) => new org.apache.hadoop.fs.Path(p, c))
+    Seq("digests", "bands", "out").foreach { d =>
+      fs.globStatus(sub(d, "b=*")).foreach { st =>
+        if (st.getPath.getName.stripPrefix("b=").toLong > live)
+          fs.delete(st.getPath, true)
+      }
+    }
+    Seq("labels", "caps", "ppl_lm", "ppl_th").foreach { d =>
+      fs.globStatus(sub(d, "v=*")).foreach { st =>
+        if (st.getPath.getName.stripPrefix("v=").toLong > live)
+          fs.delete(st.getPath, true)
+      }
+    }
+    // assemble the live stores (empty bootstrap when no version exists)
+    val emptyStores = Curation.CurationStores.empty(spark, sourceCol)
+    def readOr(p: org.apache.hadoop.fs.Path, orElse: DataFrame): DataFrame =
+      if (fs.exists(p)) spark.read.parquet(p.toString) else orElse
+    def readAppends(d: String, orElse: DataFrame, cols: Seq[String]) = {
+      val any = fs.globStatus(sub(d, "b=*")).nonEmpty
+      if (any) spark.read.parquet(sub(d).toString)
+        .select(cols.map(col): _*)
+      else orElse
+    }
+    val stores =
+      if (live < 0) emptyStores
+      else Curation.CurationStores(
+        digests = readAppends("digests", emptyStores.digests, Seq("digest")),
+        bands = readAppends("bands", emptyStores.bands,
+          Seq("_id", "_bno", "_bkey", "_params")),
+        labels = readOr(sub("labels", s"v=$live"), emptyStores.labels),
+        ppl = {
+          val lmP = sub("ppl_lm", s"v=$live")
+          val thP = sub("ppl_th", s"v=$live")
+          if (fs.exists(lmP) && fs.exists(thP))
+            Some(Curation.PplModel(
+              spark.read.parquet(lmP.toString),
+              spark.read.parquet(thP.toString)))
+          else None
+        },
+        capCounts = readOr(sub("caps", s"v=$live"), emptyStores.capCounts))
+    val (out, st, delta) = Curation.curateIncrementalWithDelta(
+      batch, winnowStore, idCol, textCol, sourceCol, stores,
+      pplBuckets, dropTailBuckets, capPerSource, numShards,
+      metricsTag = s"curstream_$next", semantic)
+    def write(df: DataFrame, p: org.apache.hadoop.fs.Path): Unit =
+      df.write.mode("overwrite").parquet(p.toString)
+    write(out.withColumn("batch", lit(next)), sub("out", s"b=$next"))
+    write(delta.newDigests, sub("digests", s"b=$next"))
+    write(delta.newBands, sub("bands", s"b=$next"))
+    write(st.labels, sub("labels", s"v=$next"))
+    write(st.capCounts, sub("caps", s"v=$next"))
+    st.ppl.foreach { m =>
+      write(m.lm, sub("ppl_lm", s"v=$next"))
+      write(m.thresholds, sub("ppl_th", s"v=$next"))
+    }
+    // the commit point: version `next` is live from here on
+    fs.create(sub(s"_live_$next"), true).close()
+    // prune superseded version dirs and stale live tokens (keep the
+    // previous token as a tombstone of history; dirs below `live` are
+    // unreachable and deleted)
+    Seq("labels", "caps", "ppl_lm", "ppl_th").foreach { d =>
+      fs.globStatus(sub(d, "v=*")).foreach { stt =>
+        if (stt.getPath.getName.stripPrefix("v=").toLong < next)
+          fs.delete(stt.getPath, true)
+      }
+    }
+    ()
+  }
+
   /** Streaming IVFADC ingest: each micro-batch of `(id, vec)` rows
     * assigns cells + encodes PQ codes map-side against the CALLER'S two
     * trained models and lands in the bucketed artifact —
