@@ -486,13 +486,22 @@ object EventStream {
           Seq("_id", "_bno", "_bkey", "_params")),
         labels = readOr(sub("labels", s"v=$live"), emptyStores.labels),
         ppl = {
-          val lmP = sub("ppl_lm", s"v=$live")
-          val thP = sub("ppl_th", s"v=$live")
-          if (fs.exists(lmP) && fs.exists(thP))
-            Some(Curation.PplModel(
+          // the model is FIXED after bootstrap, so it is written ONCE at
+          // its bootstrap version and read from the newest version ≤
+          // live rather than rewritten every batch
+          def latest(d: String): Option[org.apache.hadoop.fs.Path] = {
+            val vs = fs.globStatus(sub(d, "v=*"))
+              .map(_.getPath)
+              .filter(_.getName.stripPrefix("v=").toLong <= live)
+            if (vs.isEmpty) None
+            else Some(vs.maxBy(_.getName.stripPrefix("v=").toLong))
+          }
+          (latest("ppl_lm"), latest("ppl_th")) match {
+            case (Some(lmP), Some(thP)) => Some(Curation.PplModel(
               spark.read.parquet(lmP.toString),
               spark.read.parquet(thP.toString)))
-          else None
+            case _ => None
+          }
         },
         capCounts = readOr(sub("caps", s"v=$live"), emptyStores.capCounts))
     val (out, st, delta) = Curation.curateIncrementalWithDelta(
@@ -506,20 +515,96 @@ object EventStream {
     write(delta.newBands, sub("bands", s"b=$next"))
     write(st.labels, sub("labels", s"v=$next"))
     write(st.capCounts, sub("caps", s"v=$next"))
-    st.ppl.foreach { m =>
+    // the model is fixed after bootstrap — write it only the batch that
+    // TRAINED it (stores carried None in, Some out); later versions read
+    // the newest ppl version ≤ live
+    if (stores.ppl.isEmpty) st.ppl.foreach { m =>
       write(m.lm, sub("ppl_lm", s"v=$next"))
       write(m.thresholds, sub("ppl_th", s"v=$next"))
     }
     // the commit point: version `next` is live from here on
     fs.create(sub(s"_live_$next"), true).close()
-    // prune superseded version dirs and stale live tokens (keep the
-    // previous token as a tombstone of history; dirs below `live` are
-    // unreachable and deleted)
-    Seq("labels", "caps", "ppl_lm", "ppl_th").foreach { d =>
+    // prune superseded labels/caps versions (ppl versions are few: one
+    // per bootstrap) and live tokens older than the previous one (the
+    // previous stays as a history tombstone)
+    Seq("labels", "caps").foreach { d =>
       fs.globStatus(sub(d, "v=*")).foreach { stt =>
         if (stt.getPath.getName.stripPrefix("v=").toLong < next)
           fs.delete(stt.getPath, true)
       }
+    }
+    fs.globStatus(sub("_live_*")).foreach { stt =>
+      if (stt.getPath.getName.stripPrefix("_live_").toLong < next - 1)
+        fs.delete(stt.getPath, false)
+    }
+    ()
+  }
+
+  /** Append-store COMPACTION for [[curateStream]]'s root — the periodic
+    * maintenance a long-running ingest owes: each fold reads `digests/`
+    * and `bands/` through partition discovery over one `b=<version>`
+    * subdir per batch, so after 10⁵ batches the per-fold LISTING cost
+    * (and the DFS small-file count) grows linearly even though the data
+    * read does not. Compaction folds every committed `b=*` subdir into a
+    * single `b=<next version>` dir and retires the originals.
+    *
+    * Crash model, same version discipline as the fold: the combined dir
+    * is written ABOVE the live version (discarded as residue if the
+    * token never lands); after the token, the retired subdirs are
+    * deleted — a crash inside THAT window leaves duplicate rows visible
+    * (old dirs + the combined dir), which is CORRECT-but-fat for both
+    * stores (digest/band probes are semi-joins; duplicate band rows
+    * produce duplicate candidate pairs that the generator's `distinct()`
+    * already folds) and is reclaimed by re-running compaction. `out/` is
+    * a sink, never re-read by folds, and is left untouched.
+    */
+  def compactCurationStores(
+      spark: org.apache.spark.sql.SparkSession, storeRoot: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sub(parts: String*): org.apache.hadoop.fs.Path =
+      parts.foldLeft(root)((p, c) => new org.apache.hadoop.fs.Path(p, c))
+    val live: Long = {
+      val ids = fs.listStatus(root).map(_.getPath.getName).collect {
+        case n if n.startsWith("_live_") => n.stripPrefix("_live_").toLong
+      }
+      if (ids.isEmpty) return // nothing committed, nothing to compact
+      ids.max
+    }
+    val next = live + 1
+    // discard residue above live (a crashed fold or compaction)
+    Seq("digests", "bands", "out").foreach { d =>
+      fs.globStatus(sub(d, "b=*")).foreach { st =>
+        if (st.getPath.getName.stripPrefix("b=").toLong > live)
+          fs.delete(st.getPath, true)
+      }
+    }
+    Seq("labels", "caps", "ppl_lm", "ppl_th").foreach { d =>
+      fs.globStatus(sub(d, "v=*")).foreach { st =>
+        if (st.getPath.getName.stripPrefix("v=").toLong > live)
+          fs.delete(st.getPath, true)
+      }
+    }
+    val appendDirs = Seq("digests", "bands")
+      .map(d => d -> fs.globStatus(sub(d, "b=*")).map(_.getPath).toSeq)
+      .filter(_._2.nonEmpty)
+    if (appendDirs.forall(_._2.lengthCompare(1) <= 0)) return // compact already
+    appendDirs.foreach { case (d, dirs) =>
+      spark.read.parquet(dirs.map(_.toString): _*)
+        .write.mode("overwrite").parquet(sub(d, s"b=$next").toString)
+    }
+    // carry the version stores forward so version `next` is complete
+    Seq("labels", "caps", "ppl_lm", "ppl_th").foreach { d =>
+      val src = sub(d, s"v=$live")
+      if (fs.exists(src))
+        spark.read.parquet(src.toString)
+          .write.mode("overwrite").parquet(sub(d, s"v=$next").toString)
+    }
+    fs.create(sub(s"_live_$next"), true).close()
+    appendDirs.foreach { case (d, dirs) => dirs.foreach(fs.delete(_, true)) }
+    Seq("labels", "caps").foreach { d =>
+      val old = sub(d, s"v=$live")
+      if (fs.exists(sub(d, s"v=$next"))) { fs.delete(old, true); () }
     }
     ()
   }

@@ -219,6 +219,31 @@ class EventStreamSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$root/labels/v=*"))
       .map(_.getPath.getName).toSeq
     assert(labelVersions === Seq("v=2"), labelVersions.mkString(","))
+    // the fixed ppl model was written once (its bootstrap version), not
+    // rewritten per batch
+    val pplVersions = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/ppl_lm/v=*"))
+      .map(_.getPath.getName).toSeq
+    assert(pplVersions === Seq("v=0"), pplVersions.mkString(","))
+
+    // compaction folds the per-batch append dirs into one and the next
+    // fold behaves identically on the compacted store
+    EventStream.compactCurationStores(spark, root)
+    val digestDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/digests/b=*"))
+      .map(_.getPath.getName).toSeq
+    assert(digestDirs.length === 1, digestDirs.mkString(","))
+    assert(spark.read.parquet(s"$root/digests").count() === nDigests,
+      "compaction preserves the digest set")
+    val b3 = Seq((300L, doc(0), "s3"), (301L, doc(8), "s3"))
+    EventStream.curateFoldBatch(
+      b3.toDF("doc_id", "text", "source"), ws, root, "doc_id", "text",
+      "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+      numShards = 2)
+    val after = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after === got.keySet + 301L,
+      s"fold on the compacted store: 300 exact-blocks, 301 admits: $after")
   }
 
   test("hourlyAgg incrementalizes: same results via MemoryStream") {
