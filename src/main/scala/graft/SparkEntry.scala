@@ -1526,6 +1526,19 @@ object SparkEntry {
         graft.sources.BucketedSink(8, Seq("doc_id")), wh)
     }),
 
+    // --- retrieval evaluation metrics: the measurement half of the ANN
+    // ladder as an OPERATOR — per-query recall@5 / MRR / binary nDCG@5
+    // of the SRP-LSH ranking against the brute-force truth (both
+    // already-graded rankings; the metrics make approximation quality a
+    // first-class, oracle-checked quantity instead of a bench printout)
+    "q_ann_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.retrievalMetrics(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5), 5)
+    }),
+
     // --- the batch composite with the SEMANTIC decontamination arm
     // composed in (the full ladder — exact-span winnow THEN
     // embedding-space paraphrase screen — as ONE chain): embeddings key
@@ -1756,6 +1769,58 @@ object SparkEntry {
         "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
   }
+
+  /** The brute-force cosine top-k twin — shared by `q_embed_topk` and
+    * (as the TRUTH side) `q_ann_metrics`.
+    */
+  private def bruteTopkOracleSql: String =
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+      "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      "list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score " +
+      "FROM q JOIN embeddings c ON q.query_id <> c.vec_id) " +
+      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"
+
+  /** The SRP-LSH top-k twin (±1-plane bucket derivation mirroring
+    * Similarity.srpBucket) — shared by `q_lsh_topk` and (as the RESULTS
+    * side) `q_ann_metrics`.
+    */
+  private def lshTopkOracleSql: String = {
+    def proj(v: String, h: Int) =
+      s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+    val bucketExpr = (0 until 4).map(h =>
+      s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
+      .mkString(" + ")
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM bucketed WHERE vec_id < 8), " +
+      "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
+      "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
+      "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"
+  }
+
+  /** Retrieval-metrics twin: the LSH ranking evaluated against the
+    * brute-force truth, both chains inlined as CTE subqueries; the
+    * metric arithmetic mirrors Similarity.retrievalMetrics operand for
+    * operand (max(1/rank) for MRR, 1/log2(rank+1) DCG terms, the
+    * generate_series IDCG fold, round-6 everywhere).
+    */
+  private def annMetricsOracleSql: String =
+    s"WITH res0 AS ($lshTopkOracleSql), tru AS ($bruteTopkOracleSql), " +
+      "rel AS (SELECT query_id, neighbor_id FROM tru WHERE rank <= 5), " +
+      "reln AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1), " +
+      "hits AS (SELECT r.query_id, r.rank FROM (SELECT * FROM res0 WHERE rank <= 5) r JOIN rel USING (query_id, neighbor_id)), " +
+      "agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits, max(1.0 / rank) AS mrr0, " +
+      "SUM(1.0 / log2(CAST(rank + 1 AS DOUBLE))) AS dcg FROM hits GROUP BY 1), " +
+      "idcg AS (SELECT query_id, n_relevant, list_reduce(list_transform(generate_series(1, CAST(n_relevant AS INT)), i -> 1.0 / log2(CAST(i + 1 AS DOUBLE))), (a, b) -> a + b) AS idcg FROM reln) " +
+      "SELECT i.query_id, i.n_relevant, COALESCE(a.n_hits, 0) AS n_hits, " +
+      "round(CAST(COALESCE(a.n_hits, 0) AS DOUBLE) / i.n_relevant, 6) AS recall, " +
+      "round(COALESCE(a.mrr0, 0), 6) AS mrr, " +
+      "round(COALESCE(a.dcg, 0) / i.idcg, 6) AS ndcg " +
+      "FROM idcg i LEFT JOIN agg a USING (query_id)"
 
   private def ivfOracleSql(nprobe: Int): String = {
     def dot(a: String, b: String) =
@@ -2456,14 +2521,7 @@ object SparkEntry {
         "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id " +
         "WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.1"),
 
-    "q_embed_topk" -> (
-      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
-        "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
-        "list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b) / " +
-        "(sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) * " +
-        "sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score " +
-        "FROM q JOIN embeddings c ON q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"),
+    "q_embed_topk" -> bruteTopkOracleSql,
 
     "q_lang_id" -> (
       s"WITH toks AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
@@ -2522,6 +2580,8 @@ object SparkEntry {
     "q_curation_staged" -> curationPipelineOracleSql,
 
     "q_curation_semantic" -> curationSemanticOracleSql,
+
+    "q_ann_metrics" -> annMetricsOracleSql,
 
     // ---- the daily-ingest fold, sequential semantics expressed
     // directly: exact keeper = first batch to see the digest (row_number
@@ -2757,22 +2817,7 @@ object SparkEntry {
         "UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2) " +
         "UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)"),
 
-    "q_lsh_topk" -> {
-      // same ±1-plane bucket derivation as Similarity.srpBucket, DuckDB-side
-      def proj(v: String, h: Int) =
-        s"list_reduce(list_transform(generate_series(0, len($v) - 1), i -> CAST($v[i + 1] AS DOUBLE) * (CASE WHEN substr(md5('$h:' || i), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
-      val bucketExpr = (0 until 4).map(h =>
-        s"(CASE WHEN ${proj("embedding", h)} > 0 THEN ${1 << h} ELSE 0 END)")
-        .mkString(" + ")
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      s"WITH bucketed AS (SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM bucketed WHERE vec_id < 8), " +
-        "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
-        s"${dot("q.qv", "c.embedding")} / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")})) AS score " +
-        "FROM q JOIN bucketed c ON q.bkt = c.bkt AND q.query_id <> c.vec_id) " +
-        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored WHERE score IS NOT NULL) WHERE rank <= 5"
-    },
+    "q_lsh_topk" -> lshTopkOracleSql,
 
     // the bloom prefilter is a pure optimization: the oracle is the plain join
     "q_bloom_join" ->

@@ -1172,6 +1172,53 @@ object Similarity {
     * cosine gate in this file, so the DuckDB twin reproduces the
     * survivor set exactly.
     */
+  /** Retrieval-evaluation metrics — recall@k, MRR and binary-relevance
+    * nDCG@k per query — for an approximate ranking (`results`) against
+    * an exact one (`truth`), both in the (query_id, neighbor_id, rank)
+    * [[scoreRank]] shape. This is the measurement half every ANN ladder
+    * owes: the RecallBench harnesses report corpus aggregates; this is
+    * the OPERATOR form a pipeline runs per evaluation batch (and the
+    * per-query frame those aggregates mean over).
+    *
+    *  - relevant set = truth rows with rank ≤ k (so |relevant| ≤ k and
+    *    recall@k = hits / |relevant| — the truth side defines its own
+    *    depth; queries absent from `results` score 0 across the board);
+    *  - MRR = 1 / (first relevant rank), 0 when no hit (the standard
+    *    convention);
+    *  - nDCG@k with binary gains: DCG = Σ_hits 1/log₂(rank+1), IDCG =
+    *    Σ_{i=1..|relevant|} 1/log₂(i+1).
+    *
+    * Scale shape: both inputs are |queries| × k frames — one equi-join
+    * on (query, neighbor), two partial-aggregable per-query aggregates,
+    * no window, nothing corpus-sized. Metrics round to 6dp (the cosine
+    * gate discipline) so the DuckDB twin reproduces them exactly.
+    */
+  def retrievalMetrics(
+      results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k >= 1, got $k")
+    val rel = truth.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val relN = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = results.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(rel, Seq("query_id", "neighbor_id"))
+    val agg = hits.groupBy("query_id").agg(
+      count(lit(1)).as("_nh"),
+      max(lit(1.0) / col("rank")).as("_mrr"), // 1/min(rank) = max(1/rank)
+      sum(lit(1.0) / log2(col("rank") + lit(1))).as("_dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), col("n_relevant").cast("int")),
+      lit(0.0d), (acc, i) => acc + lit(1.0) / log2(i + lit(1)))
+    relN.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("_nh"), lit(0L)).as("n_hits"),
+        round(coalesce(col("_nh"), lit(0L)).cast("double") /
+          col("n_relevant"), 6).as("recall"),
+        round(coalesce(col("_mrr"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
   def semanticDecontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       vecCol: String, threshold: Double): DataFrame =
