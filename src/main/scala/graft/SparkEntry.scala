@@ -355,6 +355,15 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Text.langId(col("text")).as("pred_lang"))),
 
+    // --- lang-id CALIBRATION: the heuristic measured against the
+    // corpus's labeled lang column as a confusion matrix — classifier
+    // accuracy as an oracle-checked quantity, not a claim ---
+    "q_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))),
+
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
@@ -1770,6 +1779,21 @@ object SparkEntry {
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
   }
 
+  /** The lang-id twin (`pred(doc_id, pred_lang)` shape) — shared by
+    * `q_lang_id` and the `q_lang_confusion` calibration row.
+    */
+  private def langIdOracleSql: String =
+    s"WITH toks AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
+      "sc AS (SELECT doc_id, " +
+      "len(list_filter(ts, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
+      "len(list_filter(ts, x -> x IN ('der','die','und','ist','das'))) AS s_de, " +
+      "len(list_filter(ts, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
+      "len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS s_fr, " +
+      "len(list_filter(ts, x -> x IN ('的','是','了','在','我'))) AS s_zh " +
+      "FROM toks), " +
+      "m AS (SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM sc) " +
+      "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' ELSE 'zh' END AS pred_lang FROM m"
+
   /** The brute-force cosine top-k twin — shared by `q_embed_topk` and
     * (as the TRUTH side) `q_ann_metrics`.
     */
@@ -2523,17 +2547,13 @@ object SparkEntry {
 
     "q_embed_topk" -> bruteTopkOracleSql,
 
-    "q_lang_id" -> (
-      s"WITH toks AS (SELECT doc_id, ${docTokensOf("lower(text)")} AS ts FROM documents), " +
-        "sc AS (SELECT doc_id, " +
-        "len(list_filter(ts, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
-        "len(list_filter(ts, x -> x IN ('der','die','und','ist','das'))) AS s_de, " +
-        "len(list_filter(ts, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
-        "len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS s_fr, " +
-        "len(list_filter(ts, x -> x IN ('的','是','了','在','我'))) AS s_zh " +
-        "FROM toks), " +
-        "m AS (SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM sc) " +
-        "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' ELSE 'zh' END AS pred_lang FROM m"),
+    "q_lang_id" -> langIdOracleSql,
+
+    // calibration = the lang-id twin grouped against the labeled column
+    "q_lang_confusion" -> (
+      s"WITH pred AS ($langIdOracleSql) " +
+        "SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2"),
 
     "q_quality_score" -> (
       s"WITH b AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len, " +
