@@ -406,7 +406,8 @@ object Curation {
     * [[CurationStores]]. [[graft.streaming.EventStream.curateStream]]
     * lands them as `b=<version>` parquet appends.
     */
-  final case class CurationDelta(newDigests: DataFrame, newBands: DataFrame)
+  final case class CurationDelta(
+      newDigests: DataFrame, newBands: DataFrame, newEdges: DataFrame)
 
   /** [[curateIncremental]] with the batch's append deltas exposed. */
   def curateIncrementalWithDelta(
@@ -541,6 +542,14 @@ object Curation {
         stores.capCounts, admitted, sourceCol, capPerSource)),
       CurationDelta(
         newDigests = exNew.select("digest"),
-        newBands = batchBands))
+        newBands = batchBands,
+        // the batch's contribution to the LABEL graph: candidate pairs
+        // plus a self-edge per unpaired survivor (self-edges register
+        // singletons in a CC store — endpoints self-label, the loop
+        // itself contracts away), so a sharded label store fed ONLY
+        // these edges reproduces the in-fold labels store exactly
+        newEdges = pairs.select(col("id_a"), col("id_b"))
+          .unionByName(singletons.select(
+            col("id").as("id_a"), col("id").as("id_b")))))
   }
 }

@@ -408,13 +408,29 @@ object EventStream {
     * scoped to a checkpoint lose data on ([[ivfPqIngest]]'s note): a
     * re-fed corpus admits nothing new, by the operator's own semantics.
     */
+  /** `shardedLabels = Some(n)`: the label store lives as the n-shard
+    * component-keyed store (`labels_sharded/`) instead of the
+    * whole-store `v=<version>` rewrite — per-batch label writes become
+    * O(touched shards), removing the composite's one remaining
+    * O(store)-per-batch term (the [[shardLabelStore]] trade). Because
+    * the sharded store is self-recovering rather than versioned, its
+    * ingestion is a POST-COMMIT catch-up: the batch's label edges land
+    * as `edges/b=<version>` inside the commit, and each fold first
+    * drives the store up to the live version (`_folded_<n>` tokens;
+    * refolds are idempotent — already-merged edges contract to dropped
+    * self-loops). Folding the store BEFORE the commit token would open
+    * a data-loss window: a crash after the fold would leave the
+    * replayed batch blocked by its own labels while its output was
+    * discarded as residue.
+    */
   def curateStream(
       docs: DataFrame, winnowStore: DataFrame, storeRoot: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", sourceCol: String = "source",
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
-      semantic: Option[graft.ops.Curation.Semantic] = None)
+      semantic: Option[graft.ops.Curation.Semantic] = None,
+      shardedLabels: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -422,7 +438,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateFoldBatch(batch, winnowStore, storeRoot, idCol, textCol,
           sourceCol, pplBuckets, dropTailBuckets, capPerSource, numShards,
-          semantic)
+          semantic, shardedLabels)
         ()
       }
       .start()
@@ -435,7 +451,8 @@ object EventStream {
       idCol: String, textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
-      semantic: Option[graft.ops.Curation.Semantic] = None): Unit = {
+      semantic: Option[graft.ops.Curation.Semantic] = None,
+      shardedLabels: Option[Int] = None): Unit = {
     import graft.ops.Curation
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(storeRoot)
@@ -456,7 +473,7 @@ object EventStream {
     // clear residue of any crashed fold above the live version
     def sub(parts: String*): org.apache.hadoop.fs.Path =
       parts.foldLeft(root)((p, c) => new org.apache.hadoop.fs.Path(p, c))
-    Seq("digests", "bands", "out").foreach { d =>
+    Seq("digests", "bands", "out", "edges").foreach { d =>
       fs.globStatus(sub(d, "b=*")).foreach { st =>
         if (st.getPath.getName.stripPrefix("b=").toLong > live)
           fs.delete(st.getPath, true)
@@ -478,7 +495,18 @@ object EventStream {
         .select(cols.map(col): _*)
       else orElse
     }
-    val stores =
+    def shardedLabelsDf(n: Int): DataFrame = {
+      // drive the sharded store up to the live version FIRST (post-commit
+      // catch-up — see curateStream's shardedLabels note), then read it
+      catchUpShardedLabels(spark, fs, root, live, n)
+      val dirS = sub("labels_sharded").toString
+      recoverShardedStore(fs, dirS)
+      val shards = listShards(fs, dirS).live.toSeq.sorted
+      if (shards.nonEmpty)
+        spark.read.parquet(shards.map(shardDir(dirS, _)): _*)
+      else emptyStores.labels
+    }
+    val baseStores =
       if (live < 0) emptyStores
       else Curation.CurationStores(
         digests = readAppends("digests", emptyStores.digests, Seq("digest")),
@@ -504,6 +532,10 @@ object EventStream {
           }
         },
         capCounts = readOr(sub("caps", s"v=$live"), emptyStores.capCounts))
+    val stores = shardedLabels match {
+      case Some(n) => baseStores.copy(labels = shardedLabelsDf(n))
+      case None => baseStores
+    }
     val (out, st, delta) = Curation.curateIncrementalWithDelta(
       batch, winnowStore, idCol, textCol, sourceCol, stores,
       pplBuckets, dropTailBuckets, capPerSource, numShards,
@@ -513,7 +545,8 @@ object EventStream {
     write(out.withColumn("batch", lit(next)), sub("out", s"b=$next"))
     write(delta.newDigests, sub("digests", s"b=$next"))
     write(delta.newBands, sub("bands", s"b=$next"))
-    write(st.labels, sub("labels", s"v=$next"))
+    if (shardedLabels.isEmpty) write(st.labels, sub("labels", s"v=$next"))
+    else write(delta.newEdges, sub("edges", s"b=$next"))
     write(st.capCounts, sub("caps", s"v=$next"))
     // the model is fixed after bootstrap — write it only the batch that
     // TRAINED it (stores carried None in, Some out); later versions read
@@ -535,6 +568,45 @@ object EventStream {
     }
     fs.globStatus(sub("_live_*")).foreach { stt =>
       if (stt.getPath.getName.stripPrefix("_live_").toLong < next - 1)
+        fs.delete(stt.getPath, false)
+    }
+    shardedLabels.foreach(catchUpShardedLabels(spark, fs, root, next, _))
+    ()
+  }
+
+  /** Drive the sharded label store up to version `upTo`: fold each
+    * committed-but-unfolded `edges/b=<m>` log in order, stamping a
+    * `_folded_<m>` token per version and retiring the log (dead weight
+    * once folded). Refolds after a crash in ANY window are idempotent:
+    * already-merged edges contract to dropped self-loops in the
+    * quotient, and the touched-shard rewrite reproduces the same bytes.
+    */
+  private def catchUpShardedLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, upTo: Long, numShards: Int): Unit = {
+    def at(parts: String*): org.apache.hadoop.fs.Path =
+      parts.foldLeft(root)((p, c) => new org.apache.hadoop.fs.Path(p, c))
+    val folded = {
+      val ids = fs.listStatus(root).map(_.getPath.getName).collect {
+        case n if n.startsWith("_folded_") => n.stripPrefix("_folded_").toLong
+      }
+      if (ids.isEmpty) -1L else ids.max
+    }
+    ((folded + 1) to upTo).foreach { m =>
+      val log = at("edges", s"b=$m")
+      if (fs.exists(log)) {
+        foldShardedBatch(
+          spark.read.parquet(log.toString),
+          at("labels_sharded").toString, numShards)
+        ()
+      }
+      fs.create(at(s"_folded_$m"), true).close()
+      fs.delete(log, true)
+      ()
+    }
+    fs.globStatus(at("_folded_*")).foreach { stt =>
+      if (stt.getPath.getName.stripPrefix("_folded_").toLong < upTo - 1)
         fs.delete(stt.getPath, false)
     }
     ()

@@ -246,6 +246,71 @@ class EventStreamSpec extends SparkSpec {
       s"fold on the compacted store: 300 exact-blocks, 301 admits: $after")
   }
 
+  test("curateStream with SHARDED labels: O(touched-shard) label writes " +
+    "reproduce the versioned-store admissions exactly — including " +
+    "singleton-then-paired blocking through the store — and the " +
+    "post-commit catch-up refolds idempotently after a lost token") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Int): String =
+      s"the alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i " +
+        s"hotel$i india$i juliet$i"
+    val bench = Seq((1L, "the benchmark sentence copied verbatim into " +
+      "the corpus document")).toDF("doc_id", "text")
+    val ws = graft.ops.Text.winnowStore(bench, "doc_id", "text")
+    val b1 = Seq((100L, doc(0), "s1"), (101L, doc(1), "s1"),
+      (102L, doc(2), "s2"))
+    // 201 near-dups the SINGLETON 101; 202 exact-dups 100; 203 fresh
+    val b2 = Seq((201L, doc(1) + " kilo1", "s1"), (202L, doc(0), "s1"),
+      (203L, doc(3), "s2"))
+    def runBoth(sharded: Option[Int]): (Set[Long], String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cursh").toString
+      Seq(b1, b2).foreach { b =>
+        EventStream.curateFoldBatch(
+          b.toDF("doc_id", "text", "source"), ws, root, "doc_id", "text",
+          "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+          numShards = 2, shardedLabels = sharded)
+      }
+      (spark.read.parquet(s"$root/out").select("doc_id")
+        .as[Long].collect().toSet, root)
+    }
+    val (plain, _) = runBoth(None)
+    val (sharded, root) = runBoth(Some(4))
+    assert(sharded === plain, s"label seams must agree: $sharded vs $plain")
+    assert(!sharded.contains(201L) && !sharded.contains(202L),
+      s"near-dup of a shipped singleton and the exact dup must block: $sharded")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the edges logs are retired once folded; the sharded store exists
+    assert(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/edges/b=*")).isEmpty,
+      "folded edges logs must be retired")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/labels_sharded")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/labels")),
+      "no versioned label dir in sharded mode")
+    // crash-sim: lose the newest _folded_ token AND replant the edges
+    // log (as if the crash hit between the fold and the token) — the
+    // next fold's catch-up refolds idempotently and admissions stand
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter(_.getName == "_folded_1")
+      .foreach(p => fs.delete(p, false))
+    val (_, _, delta) = graft.ops.Curation.curateIncrementalWithDelta(
+      b2.toDF("doc_id", "text", "source"), ws, "doc_id", "text", "source",
+      graft.ops.Curation.CurationStores.empty(spark, "source"),
+      pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+      numShards = 2, metricsTag = "cursh_replant")
+    delta.newEdges.write.mode("overwrite").parquet(s"$root/edges/b=1")
+    val b3 = Seq((300L, doc(5), "s3"))
+    EventStream.curateFoldBatch(
+      b3.toDF("doc_id", "text", "source"), ws, root, "doc_id", "text",
+      "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+      numShards = 2, shardedLabels = Some(4))
+    val after = spark.read.parquet(s"$root/out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(after === plain + 300L,
+      s"refolded edges must not change admissions: $after")
+  }
+
   test("hourlyAgg incrementalizes: same results via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
