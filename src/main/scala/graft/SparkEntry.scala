@@ -479,6 +479,38 @@ object SparkEntry {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
           .as("had_email"))),
 
+    // --- canonical text cleanup (Text.cleanText): NFC composition via
+    // the native nfc_normalize expression + control strip + whitespace
+    // collapse — the ftfy-lite stage before any content hash. The
+    // corpus fixture is clean ASCII, so the row appends a deterministic
+    // dirty tail (decomposed e+U+0301, a BEL byte, a tab, doubled
+    // spaces) to every doc on BOTH engines — the transform is exercised
+    // on every row, never vacuously identity ---
+    "q_unicode_clean" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" Cafe\u0301 \u0007tab\there  "))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.cleanText(dirty).as("clean"),
+        (length(dirty) - length(Text.cleanText(dirty)))
+          .as("removed_chars"))
+    }),
+
+    // --- linear (fastText-style) quality classifier gate: mean token
+    // weight + bias through the rational sigmoid — the trained-model
+    // scoring pass of a GPT-3/CCNet-shaped quality filter, as one
+    // codegen'd map-side expression (weights broadcast as a literal
+    // map; no join, no shuffle, no UDF) ---
+    "q_quality_classifier" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.classifierScore(
+          col("text"), classifierWeights.toMap, classifierBias)
+          .as("score"),
+        (Text.classifierScore(
+          col("text"), classifierWeights.toMap, classifierBias) >= 0.5)
+          .as("keep"))),
+
     // --- corpus composition stats: per-source doc count, mean length,
     // language entropy (one pass over (source,lang) counts;
     // H = ln(N) - Σ n·ln(n)/N) ---
@@ -1374,6 +1406,14 @@ object SparkEntry {
     "q_cap_per_group" -> ((s, dir) =>
       Text.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 20)),
 
+    // --- TOKEN-budget per-source cap: the data-mix sampler denominated
+    // in what training actually consumes — each source keeps docs in
+    // the shared seeded-rank order until 400 cumulative tokens
+    // (inclusive prefix-sum; prefix truncation, growth-stable) ---
+    "q_cap_tokens" -> ((s, dir) =>
+      Text.capTokensPerGroup(
+        t(s, dir, "documents"), "source", "doc_id", "text", 400L)),
+
     // --- ROLLING per-source admission: yesterday's corpus (doc_id <
     // 250) fills the counts store through the plain batch cap; today's
     // batch admits only into the remaining per-source quota. The store
@@ -1565,6 +1605,20 @@ object SparkEntry {
         semantic = Some(Curation.Semantic(
           emb.select(col("vec_id").as("doc_id"), col("embedding")),
           emb.where(col("vec_id") < 8), threshold = 0.3)))
+    }),
+
+    // --- per-document curation provenance: the audit twin of the
+    // composite — every corpus doc labeled with the FIRST stage that
+    // rejected it (or 'kept'), derived as nested-subset diffs of the
+    // chain's own stage boundaries. "Where did my documents go" as an
+    // oracle-checked operator instead of log archaeology; row count =
+    // |corpus| by construction (the anti-vacuous invariant is the
+    // operator's own contract) ---
+    "q_curation_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curateProvenance(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source")
     })
   )
 
@@ -1621,6 +1675,20 @@ object SparkEntry {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   private def docTokensOf(e: String) =
     s"list_filter(string_split_regex($e, '\\s+'), x -> x <> '')"
+
+  /** The q_quality_classifier model artifact — ONE definition renders
+    * both the Spark literal map and the DuckDB CASE arms, so the two
+    * engines score the identical model (the decode-map precedent, P4).
+    * In production this table is a trained classifier's vocab→weight
+    * export; weights here are hand-set over the fixture vocabulary so
+    * scores and keep decisions are non-trivially distributed.
+    */
+  private val classifierWeights: Seq[(String, Double)] = Seq(
+    "spark" -> 1.25, "fast" -> 0.9, "merge" -> 0.6, "window" -> 0.5,
+    "sort" -> 0.35, "hash" -> 0.3, "agg" -> 0.2, "scan" -> 0.1,
+    "slow" -> -1.1, "batch" -> -0.45, "value" -> -0.3, "line" -> -0.25,
+    "part" -> -0.15, "key" -> -0.1, "row" -> 0.05, "table" -> 0.15)
+  private val classifierBias = -0.02
 
   /** CTE chain of the bigram-LM twins, ending in
     * `bgl(doc_id, n_bigrams, logprob)` — adjacent token pairs, corpus
@@ -1734,7 +1802,38 @@ object SparkEntry {
   private lazy val curationSemanticOracleSql: String =
     curationOracleSql(semantic = true)
 
-  private def curationOracleSql(semantic: Boolean): String = {
+  /** Provenance twin: the SAME stage CTE chain, but instead of the
+    * shard/pos tail it labels every corpus doc with the FIRST stage that
+    * rejected it — the CASE arms walk the boundaries in chain order, so
+    * precedence matches the Spark side's nested-subset diffs. (The
+    * `semantic` arm is absent here because the graded row runs the
+    * non-semantic chain; in dd-but-hit docs `IN hits` ≡ dd ∩ hits,
+    * which is exactly the deduped→clean diff.)
+    */
+  private lazy val curationProvenanceOracleSql: String =
+    curationCtes(semantic = false) + " " +
+      "SELECT s.doc_id, CASE " +
+      "WHEN s.doc_id NOT IN (SELECT doc_id FROM gk) THEN 'quality' " +
+      "WHEN s.doc_id NOT IN (SELECT doc_id FROM ex) THEN 'exact_dup' " +
+      "WHEN s.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'near_dup' " +
+      "WHEN s.doc_id IN (SELECT doc_id FROM hits) THEN 'contaminated' " +
+      "WHEN s.doc_id NOT IN (SELECT doc_id FROM hd0) THEN 'ppl_tail' " +
+      "WHEN s.doc_id NOT IN (SELECT doc_id FROM capids) THEN 'capped' " +
+      "ELSE 'kept' END AS reason FROM src0 s"
+
+  private def curationOracleSql(semantic: Boolean): String =
+    curationCtes(semantic) + ", " +
+      "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
+      "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
+      "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
+
+  /** The stage CTE chain shared by the composite twins — everything up
+    * through `capids` (each boundary a named, MATERIALIZED-where-
+    * multiply-read CTE), so the shard/pos tail (`curationOracleSql`) and
+    * the per-doc reason tail (`curationProvenanceOracleSql`) splice over
+    * the same frames.
+    */
+  private def curationCtes(semantic: Boolean): String = {
     def dotE(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cosE(a: String, b: String) =
@@ -1773,10 +1872,7 @@ object SparkEntry {
         "th AS (SELECT list_transform(quantile_cont(logprob, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), t -> round(t, 6)) AS thl FROM bgl), " +
         "bkt AS (SELECT doc_id, CAST(1 + len(list_filter(thl, t -> t < logprob)) AS INT) AS bucket FROM bgl CROSS JOIN th), " +
         s"hd0 AS MATERIALIZED (SELECT c.* FROM $src c JOIN bkt b USING (doc_id) WHERE b.bucket >= 2), " +
-        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10), " +
-        "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
-        "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
-        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
+        "capids AS (SELECT doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn FROM hd0) WHERE rn <= 10)"
   }
 
   /** The lang-id twin (`pred(doc_id, pred_lang)` shape) — shared by
@@ -2216,6 +2312,15 @@ object SparkEntry {
         "ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 20"),
 
+    // fixed-width hex sorts lexicographically = numerically, so the
+    // string rank here IS the Spark side's conv(...,16,10) order
+    "q_cap_tokens" -> (
+      s"WITH r AS (SELECT source, doc_id, CAST(len($docTokens) AS BIGINT) AS n_tokens, " +
+        "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents), " +
+        "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
+        "SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400"),
+
     // rolling admission: prior batch fills per-source counts, today's
     // ranks (same seeded-md5 order) admit while rn <= cap - n_kept
     "q_cap_incremental" -> {
@@ -2601,6 +2706,8 @@ object SparkEntry {
 
     "q_curation_semantic" -> curationSemanticOracleSql,
 
+    "q_curation_provenance" -> curationProvenanceOracleSql,
+
     "q_ann_metrics" -> annMetricsOracleSql,
 
     // ---- the daily-ingest fold, sequential semantics expressed
@@ -2680,6 +2787,30 @@ object SparkEntry {
         "'\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted, " +
         "text <> regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS had_email " +
         "FROM documents"),
+
+    // the same deterministic dirty tail (decomposed e+combining-acute,
+    // BEL, tab, doubled spaces), DuckDB's own nfc_normalize, and
+    // hex-escaped char classes valid in BOTH regex dialects
+    "q_unicode_clean" -> (
+      "WITH d AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(7) || 'tab' || chr(9) || 'here  ' AS dirty FROM documents), " +
+        "c AS (SELECT doc_id, dirty, trim(regexp_replace(regexp_replace(nfc_normalize(dirty), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM d) " +
+        "SELECT doc_id, clean, CAST(length(dirty) - length(clean) AS INT) AS removed_chars FROM c"),
+
+    // CASE arms rendered from the same classifierWeights table the Spark
+    // side broadcasts; every literal CAST to DOUBLE (DuckDB parses bare
+    // decimals as DECIMAL — decimal arithmetic would diverge from the
+    // Spark side's IEEE fold), and list_reduce folds in the same token
+    // order as Spark's aggregate(), so z is bit-identical pre-round
+    "q_quality_classifier" -> {
+      val arms = classifierWeights.map { case (w, v) =>
+        s"WHEN '$w' THEN CAST($v AS DOUBLE)"
+      }.mkString(" ")
+      s"WITH tk AS (SELECT doc_id, list_transform(${docTokensOf("lower(text)")}, t -> CASE t $arms ELSE CAST(0.0 AS DOUBLE) END) AS ws FROM documents), " +
+        s"sz AS (SELECT doc_id, CAST($classifierBias AS DOUBLE) + (CASE WHEN len(ws) > 0 THEN list_reduce(ws, (x, y) -> x + y) / CAST(len(ws) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS z FROM tk) " +
+        "SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score, " +
+        "round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) >= 0.5 AS keep FROM sz"
+    },
 
     "q_repetition_score" -> (
       s"WITH toks AS (SELECT doc_id, text, $docTokens AS ts FROM documents), " +

@@ -51,6 +51,14 @@ object GraftExtensions {
           "rolling_hash(text, window): window must be an integer literal")
       }),
     (
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NfcNormalize(text)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text): exactly one string argument")
+      }),
+    (
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => args match {

@@ -181,6 +181,66 @@ object Curation {
       })
   }
 
+  /** Per-document audit of the batch chain: WHY did each corpus doc
+    * survive or drop — `(idCol, reason)`, one row per input doc, where
+    * `reason` is the FIRST stage that rejected it (`quality`,
+    * `exact_dup`, `near_dup`, `contaminated`, `semantic`, `ppl_tail`,
+    * `capped`) or `kept`. This is the answer to the question every
+    * curation run gets asked in production — "where did my documents
+    * go" — as an oracle-checkable operator instead of log archaeology;
+    * the reference's per-run fetch counters (dlt_fetch_timecamp.py's
+    * skip-and-continue logging) are the same need one abstraction lower.
+    *
+    * Built ON the chain, not beside it: [[chain]]'s `tapBoundary` hook
+    * hands back each stage-boundary frame (post-checkpoint, so each is
+    * a block read, not a recompute), and the reasons are the pairwise
+    * set differences of consecutive boundaries — id-only anti-joins
+    * unioned once, so precedence is structural (the frames are nested
+    * subsets) rather than a wide conditional. Scale shape: every arm
+    * joins id-only projections of already-materialized frames; the
+    * union is one job. The `kept` arm's ids equal [[curate]]'s output
+    * ids by construction (spec-pinned).
+    */
+  def curateProvenance(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      pplBuckets: Int = 10, dropTailBuckets: Int = 1,
+      capPerSource: Int = 10, numShards: Int = 8,
+      semantic: Option[Semantic] = None): DataFrame = {
+    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    // run the chain at the checkpoint seam; every boundary lands in
+    // `frames` already materialized (the final shard order is lazy and
+    // never executed — provenance doesn't consume it)
+    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
+      dropTailBuckets, capPerSource, numShards, semantic,
+      mat = (df, stage) => Materialize.checkpoint(
+        Observe.withRowMetrics(df, s"curation_$stage")),
+      tapBoundary = (stage, df) => frames(stage) = df)
+    def ids(stage: String): DataFrame = frames(stage).select(col(idCol))
+    // The mat'ed boundaries (exact/deduped/clean/screened/head) are
+    // checkpointed blocks — reading their id column twice is cheap.
+    // `kept` (the un-materialized map-side gate) and `admitted` (the
+    // lazy pre-shard semi-join) each feed TWO arms below, so their
+    // id-only projections are materialized here once.
+    frames("kept") = Materialize.checkpoint(ids("kept"))
+    frames("admitted") = Materialize.checkpoint(ids("admitted"))
+    // Consecutive boundaries are nested subsets, so each diff is
+    // exactly "first rejected here".
+    def dropped(r: String, in: DataFrame, surviving: DataFrame) =
+      in.join(surviving, Seq(idCol), "left_anti")
+        .withColumn("reason", lit(r))
+    Seq(
+      dropped("quality", corpus.select(col(idCol)), ids("kept")),
+      dropped("exact_dup", ids("kept"), ids("exact")),
+      dropped("near_dup", ids("exact"), ids("deduped")),
+      dropped("contaminated", ids("deduped"), ids("clean")),
+      dropped("semantic", ids("clean"), ids("screened")),
+      dropped("ppl_tail", ids("screened"), ids("head")),
+      dropped("capped", ids("head"), ids("admitted")),
+      ids("admitted").withColumn("reason", lit("kept"))
+    ).reduce(_.unionByName(_))
+  }
+
   /** The shared stage chain behind [[curate]] (checkpoint seam) and
     * [[curateStaged]] (bucketed-parquet seam). `mat` materializes a
     * multi-consumer stage frame; `matIds` materializes the id-set side
@@ -194,7 +254,8 @@ object Curation {
       dropTailBuckets: Int, capPerSource: Int, numShards: Int,
       semantic: Option[Semantic],
       mat: (DataFrame, String) => DataFrame,
-      matIds: (DataFrame, String) => DataFrame = (df, _) => df): DataFrame = {
+      matIds: (DataFrame, String) => DataFrame = (df, _) => df,
+      tapBoundary: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // observe-only stages (not boundary frames): the gate and the output
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"curation_$stage")
@@ -202,6 +263,7 @@ object Curation {
     // 1. quality gate — map-side, rides the corpus scan; feeds exactly
     // one consumer (the digest aggregate) so it is NOT materialized
     val kept = staged(Text.gopherFilter(corpus, textCol), "kept")
+    tapBoundary("kept", kept)
 
     // 2a. exact dedup: one digest-keyed partial aggregate, min-id keeper
     // keeps its own payload row. Materialized: the frame feeds the pair
@@ -222,6 +284,7 @@ object Curation {
       Transforms.firstPerGroup(
         kept.withColumn("_digest", md5(col(textCol).cast("binary"))),
         Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact")
+    tapBoundary("exact", exact)
 
     // 2b. near-dup resolution: banded minhash candidates (never
     // all-pairs) → connected components → highest-quality keeper per
@@ -234,6 +297,7 @@ object Curation {
       .select(col("doc_id").as(idCol)), "best")
     val deduped = mat(
       exact.join(best, Seq(idCol), "left_semi"), "deduped")
+    tapBoundary("deduped", deduped)
 
     // 3. span-level decontamination: any doc sharing a winnowed
     // fingerprint with the benchmark drops (n_hits >= 1 by the
@@ -244,6 +308,7 @@ object Curation {
         .select(col("doc_id").as(idCol)), "contaminated")
     val clean = mat(
       deduped.join(contaminated, Seq(idCol), "left_anti"), "clean")
+    tapBoundary("clean", clean)
 
     // 3b. OPTIONAL semantic decontamination (the paraphrase arm):
     // drop survivors whose embedding sits near a benchmark embedding;
@@ -261,6 +326,7 @@ object Curation {
             .select(col(idCol)), "sem_hits")
         mat(clean.join(semBad, Seq(idCol), "left_anti"), "semantic")
     }
+    tapBoundary("screened", screened)
 
     // 4. LM-perplexity tail drop: bigram LM scored over the SURVIVING
     // corpus (the thresholds see the same distribution they band)
@@ -270,15 +336,17 @@ object Curation {
       .select(col("doc_id").as(idCol)), "head")
     val head = mat(
       screened.join(headIds, Seq(idCol), "left_semi"), "head")
+    tapBoundary("head", head)
 
     // 5 + 6. per-source cap (cap-bounded aggregator state), then
     // deterministic shard/pos training order over the capped survivors
     val capped = matIds(
       Text.capPerGroup(head, sourceCol, idCol, capPerSource)
         .select(col(idCol)), "cap")
+    val admitted = head.join(capped, Seq(idCol), "left_semi")
+    tapBoundary("admitted", admitted)
     staged(
-      Text.shardOrder(head.join(capped, Seq(idCol), "left_semi"),
-        idCol, numShards),
+      Text.shardOrder(admitted, idCol, numShards),
       "final")
   }
 

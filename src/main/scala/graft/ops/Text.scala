@@ -205,6 +205,54 @@ object Text {
       .otherwise(round((lenScore + alphaRatio + stopScore) / lit(3.0), 6))
   }
 
+  /** Canonical text cleanup before any content-keyed operator runs:
+    * Unicode NFC composition ([[graft.functions.NfcNormalize]] — native
+    * codegen expression, same name/semantics as DuckDB's built-in), then
+    * strip non-whitespace C0/DEL control characters, then collapse every
+    * whitespace run to a single space and trim. The ftfy-lite stage every
+    * crawl pipeline runs first: decomposed "e"+U+0301 vs composed "é"
+    * and stray control bytes otherwise split exact-dedup digests,
+    * shingles and winnow fingerprints over byte-identical-looking text.
+    * Pure map-side, rides the corpus scan, whole-stage-codegen end to
+    * end. The char classes are hex-escaped so the Java (Spark) and RE2
+    * (DuckDB twin) regex dialects agree symbol for symbol.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        call_function("nfc_normalize", text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
+  /** Linear (fastText-style) document-quality classifier score: mean
+    * token weight + bias squashed to (0,1). The production pattern is a
+    * trained model's vocab→weight table applied at scan speed (the
+    * GPT-3/CCNet quality-classifier gate); here the weights arrive as a
+    * literal map so the whole thing is one codegen'd map-side
+    * expression — no join, no shuffle, no UDF. Out-of-vocab tokens
+    * weigh 0 (they dilute the mean — the bag-of-words contract).
+    *
+    * The squash is the RATIONAL sigmoid `0.5·(1 + z/(1+|z|))` rather
+    * than the logistic `1/(1+e^-z)`: same monotone (0,1) shape and the
+    * same 0.5-at-0 decision point, but pure IEEE arithmetic — `exp`
+    * differs in the last ulp across libm implementations, which is
+    * exactly the kind of engine-portability hazard the bigram-LM
+    * operator documents (its ln() goes through integer units for the
+    * same reason). The fold is sequential in token order on both
+    * engines, so scores compare bit-for-bit before the display round.
+    */
+  def classifierScore(
+      text: Column, weights: Map[String, Double], bias: Double): Column = {
+    require(weights.nonEmpty, "classifierScore: empty weight table")
+    val wm = typedLit(weights)
+    val ts = tokens(lower(text))
+    val sum = aggregate(ts, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wm, t), lit(0.0)))
+    val z = lit(bias) +
+      when(size(ts) > 0, sum / size(ts).cast("double")).otherwise(lit(0.0))
+    round(lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z))), 6)
+  }
+
   /** TF-IDF per (doc, token) with sklearn-style smoothing:
     * `idf = ln((N+1)/(df+1)) + 1`, `tfidf = tf · idf`, rounded to 6 for
     * engine-portable comparison.
@@ -1068,6 +1116,43 @@ object Text {
       .select(col("_grp").as(groupCol),
         explode(col("_top")).as("_t"))
       .select(col(groupCol), col("_t._2").as(idCol))
+  }
+
+  /** Token-budget per-group cap: keep each group's docs in the cap
+    * family's shared seeded-rank order while the group's cumulative
+    * token count stays within `budget` — training mixes are denominated
+    * in TOKENS, not documents, so this is the sampler a real data-mix
+    * plan runs per source (capPerGroup's doc-count form is the k-bounded
+    * special case). Semantics: inclusive prefix-sum ≤ budget — prefix
+    * truncation, NOT best-fit (a later smaller doc never reclaims the
+    * gap a larger one left), so membership is a pure function of the
+    * doc's own rank prefix and stays stable as the corpus grows —
+    * the same growth-stability contract as hashSplit.
+    *
+    * Shape: one shuffle on the group key + a per-group sort (the window
+    * cumsum — pack_sequences' documented shape; Spark external-sorts
+    * within partitions, so a hot group spills rather than OOMs). A
+    * budget-bounded Aggregator (the TopKAggregator trick — local
+    * prefix-sums can only UNDERESTIMATE the global prefix, so
+    * partitions may prune at `budget` before the shuffle) is the
+    * map-side-reduced variant when budget/min-doc-tokens is small;
+    * at token-denominated production budgets its buffer is
+    * budget-bounded, not k-bounded, so the window is the honest
+    * default.
+    */
+  def capTokensPerGroup(
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
+      budget: Long, seed: String = "cap:"): DataFrame = {
+    require(budget >= 1, s"capTokensPerGroup: budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(capRank(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_ntok", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("_ntok")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col(groupCol), col(idCol),
+        col("_ntok").as("n_tokens"), col("cum_tokens"))
   }
 
   // ONE definition of the cap family's seeded 48-bit rank (see

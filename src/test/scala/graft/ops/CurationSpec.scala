@@ -180,4 +180,59 @@ class CurationSpec extends graft.SparkSpec {
     assert(capped.count() === 2)
     assert(bySource.exists(Set(100L, 102L)) && bySource.exists(Set(105L, 106L)))
   }
+
+  test("curateProvenance: one row per corpus doc, first-drop reason per " +
+    "planted stage, kept arm equals curate's survivor set") {
+    def reasons(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "reason").as[(Long, String)].collect().toMap
+    val m = reasons(Curation.curateProvenance(corpus(), bench(), "doc_id",
+      "text", "source", pplBuckets = 2, dropTailBuckets = 0,
+      capPerSource = 10, numShards = 2))
+    assert(m.size === 7, s"one row per corpus doc: $m")
+    assert(m(103L) === "quality")
+    assert(m(101L) === "exact_dup")
+    assert(m(104L) === "contaminated")
+    assert(Seq(100L, 102L, 105L, 106L).forall(m(_) == "kept"), m.toString)
+    val kept = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+        pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10, numShards = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.collect { case (id, "kept") => id }.toSet === kept,
+      "the kept arm IS curate's output id set")
+  }
+
+  test("curateProvenance: ppl_tail / capped / semantic / near_dup arms " +
+    "fire under the knobs that enable their stages") {
+    def reasons(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "reason").as[(Long, String)].collect().toMap
+    // dropTailBuckets = 1 → the short docs' band drops; capPerSource = 1
+    // → one survivor per source (fixture analysis in the knob test above)
+    val m = reasons(Curation.curateProvenance(corpus(), bench(), "doc_id",
+      "text", "source", pplBuckets = 2, dropTailBuckets = 1,
+      capPerSource = 1, numShards = 2))
+    assert(m(100L) === "ppl_tail" && m(102L) === "ppl_tail", m.toString)
+    assert(Seq(105L, 106L).map(m).sorted === Seq("capped", "kept"),
+      s"cap 1 keeps exactly one of the two long s2 docs: $m")
+    // semantic arm: the embedding fixture that drops 102 in the curate
+    // semantic test labels it 'semantic' here (winnow ran first — 104
+    // stays 'contaminated', the FIRST-stage precedence)
+    val emb = Seq((102L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val benchEmb = Seq((1L, Array(1.0f, 0.1f))).toDF("doc_id", "embedding")
+    val ms = reasons(Curation.curateProvenance(corpus(), bench(), "doc_id",
+      "text", "source", pplBuckets = 2, dropTailBuckets = 0,
+      capPerSource = 10, numShards = 2,
+      semantic = Some(Curation.Semantic(emb, benchEmb, threshold = 0.7))))
+    assert(ms(102L) === "semantic" && ms(104L) === "contaminated", ms.toString)
+    // near_dup arm: append one token to a copy — every minhash band
+    // collides (the extra shingles don't displace any per-seed minimum),
+    // so the pair clusters and keep-best drops exactly one of the two
+    val nd = corpus().union(Seq(
+      (107L, docLong(7), "s3"),
+      (108L, docLong(7) + " papa7", "s3")).toDF("doc_id", "text", "source"))
+    val mn = reasons(Curation.curateProvenance(nd, bench(), "doc_id",
+      "text", "source", pplBuckets = 2, dropTailBuckets = 0,
+      capPerSource = 10, numShards = 2))
+    assert(Seq(107L, 108L).map(mn).sorted === Seq("kept", "near_dup"),
+      s"one of the planted near-dups must drop: $mn")
+  }
 }

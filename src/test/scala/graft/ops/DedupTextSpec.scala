@@ -62,6 +62,50 @@ class DedupTextSpec extends SparkSpec {
     assert(out.toSeq == Seq(3, 0))
   }
 
+  test("cleanText: NFC-composes, strips non-whitespace control chars, " +
+    "collapses whitespace runs, trims; already-clean ASCII is identity") {
+    val df = Seq(
+      "Cafe\u0301 au lait",            // decomposed -> composed
+      "a\u0001b\u0007 c",              // C0 controls stripped
+      "  a \t b\n\nc  ",              // runs collapse, edges trim
+      "already clean ascii"
+    ).toDF("t")
+    val out = df.select(Text.cleanText($"t").as("c")).as[String].collect()
+    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(1) === "ab c")
+    assert(out(2) === "a b c")
+    assert(out(3) === "already clean ascii")
+    // the native expression behind it: already-NFC input returns the
+    // SAME UTF8String (the ASCII hot path never re-materializes)
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(graft.functions.NfcNormalize.normalize(s) eq s)
+    assert(graft.functions.NfcNormalize
+      .normalize(org.apache.spark.unsafe.types.UTF8String
+        .fromString("é")).toString === "é")
+  }
+
+  test("classifierScore: mean-weight linear gate — empty/OOV text scores " +
+    "the bias point, positive vocab lifts above 0.5, OOV tokens dilute") {
+    val w = Map("good" -> 1.0, "bad" -> -1.0)
+    val df = Seq(
+      ("", 1), ("zzz qqq", 2), ("good good", 3), ("bad", 4),
+      ("good zzz zzz zzz", 5)).toDF("t", "i")
+    val out = df
+      .select($"i", Text.classifierScore($"t", w, bias = 0.0).as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(out(1) === 0.5 && out(2) === 0.5) // no signal → bias point
+    assert(out(3) > 0.5 && out(4) < 0.5)
+    assert(out(5) > 0.5 && out(5) < out(3),
+      "OOV tokens dilute the mean toward the bias point")
+    // bias shifts the decision point; empty weight table is rejected
+    val b = df.where($"i" === 1)
+      .select(Text.classifierScore($"t", w, bias = 2.0).as("s"))
+      .as[Double].head()
+    assert(b > 0.5)
+    intercept[IllegalArgumentException](
+      Text.classifierScore($"t", Map.empty, 0.0))
+  }
+
   test("langId picks marker language, und when none") {
     val df = Seq(
       "the cat and the hat is here",
@@ -904,11 +948,11 @@ class DedupTextSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Text.gopherStats(df, "doc_id", "text")
       .orderBy("doc_id").collect()
-    assert(out(0).getAs[Int]("n_words") === 10)
-    assert(out(0).getAs[Double]("mean_word_len") === 3.9) // 39 chars / 10
-    assert(out(0).getAs[Double]("alpha_word_frac") === 1.0)
-    assert(out(0).getAs[Int]("stop_hits") === 2) // the, the
-    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(0) === "Caf\u00e9 au lait")
     assert(!out(1).getAs[Boolean]("keep"))
     assert(!out(2).getAs[Boolean]("keep")) // 17 words, mean (40+7)/17 < 2
   }
@@ -1328,6 +1372,31 @@ class DedupTextSpec extends SparkSpec {
     assert(otherSeed.count(_._1 == "hot") == 5)
     intercept[IllegalArgumentException](
       Text.capPerGroup(docs, "source", "doc_id", 0))
+  }
+
+  test("capTokensPerGroup: admits in rank order until the token budget, " +
+    "inclusive prefix-sum semantics, small group whole, budget guard") {
+    // every doc is 4 tokens → budget 10 admits exactly the first 2 docs
+    // of the hot group (cum 4, 8; the third would hit 12 > 10)
+    val docs = ((1L to 50L).map(i => (i, "hot", "w x y z")) ++
+      Seq((200L, "cold", "a b"), (201L, "cold", "c d")))
+      .toDF("doc_id", "source", "text")
+    val got = Text.capTokensPerGroup(docs, "source", "doc_id", "text", 10L)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.count(_._1 == "hot") == 2, got.mkString(","))
+    // cold group fits whole (2 + 2 = 4 <= 10), cumulative sums dense
+    assert(got.filter(_._1 == "cold").map(_._4).sorted.toSeq == Seq(2L, 4L))
+    // the admitted hot docs are the rank-order prefix: re-running with a
+    // LARGER budget yields a superset (prefix-truncation growth rule)
+    val wider = Text.capTokensPerGroup(docs, "source", "doc_id", "text", 20L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._2).toSet.subsetOf(wider))
+    // boundary doc that exactly lands on the budget is KEPT (inclusive)
+    val exact = Text.capTokensPerGroup(docs, "source", "doc_id", "text", 8L)
+    assert(exact.where(col("source") === "hot").count() == 2)
+    intercept[IllegalArgumentException](
+      Text.capTokensPerGroup(docs, "source", "doc_id", "text", 0L))
   }
 
   test("capPerGroupIncremental: rolling admission — batch 1 vs an empty " +
