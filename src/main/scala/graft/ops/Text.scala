@@ -228,9 +228,12 @@ object Text {
     * token weight + bias squashed to (0,1). The production pattern is a
     * trained model's vocab→weight table applied at scan speed (the
     * GPT-3/CCNet quality-classifier gate); here the weights arrive as a
-    * literal map so the whole thing is one codegen'd map-side
-    * expression — no join, no shuffle, no UDF. Out-of-vocab tokens
-    * weigh 0 (they dilute the mean — the bag-of-words contract).
+    * literal map so the whole thing is one map-side expression — no
+    * join, no shuffle, no UDF (the fold is a Catalyst higher-order
+    * function: CodegenFallback like every HOF, but it rides the
+    * scan-project pipeline — PlanSpec pins one scan, zero Exchange).
+    * Out-of-vocab tokens weigh 0 (they dilute the mean — the
+    * bag-of-words contract).
     *
     * The squash is the RATIONAL sigmoid `0.5·(1 + z/(1+|z|))` rather
     * than the logistic `1/(1+e^-z)`: same monotone (0,1) shape and the

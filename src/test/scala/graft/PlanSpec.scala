@@ -396,6 +396,37 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(fPlan).size === 1, fPlan)
   }
 
+  test("cleanText and classifierScore run at scan speed: zero Exchange, " +
+    "one scan, no UDF; cleanText alone stays whole-stage-codegen") {
+    val docs = Tables(spark, dir, "documents")
+    val plan = planOf(docs.select(col("doc_id"),
+      graft.ops.Text.cleanText(col("text")).as("clean"),
+      graft.ops.Text.classifierScore(
+        col("text"), Map("the" -> 0.5, "a" -> -0.5), 0.1).as("score")))
+    assert(!plan.contains("Exchange"), s"map-side ops must not shuffle:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"no UDF fence expected:\n$plan")
+    // the classifier's fold is a Catalyst higher-order function —
+    // CodegenFallback by Spark design (all HOFs are), which keeps the
+    // combined Project un-starred. cleanText has no HOF: its projection
+    // must carry the whole-stage-codegen star (nfc_normalize doGenCode)
+    val cleanOnly = planOf(docs.select(col("doc_id"),
+      graft.ops.Text.cleanText(col("text")).as("clean")))
+    assert("""\*\(\d+\) Project""".r.findFirstIn(cleanOnly).isDefined,
+      s"cleanText projection must stay inside codegen:\n$cleanOnly")
+  }
+
+  test("capTokensPerGroup: ONE exchange (the group key), budget filter " +
+    "applied before the output projection") {
+    val docs = Tables(spark, dir, "documents")
+    val plan = planOf(graft.ops.Text.capTokensPerGroup(
+      docs, "source", "doc_id", "text", 400L))
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"token cap must shuffle exactly once, on the group key:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("keep-best resolution uses a partial-aggregable struct-min, no Window") {
     val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7)).toDF("doc_id", "q")
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
