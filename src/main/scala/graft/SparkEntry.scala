@@ -1414,6 +1414,15 @@ object SparkEntry {
       Text.capTokensPerGroup(
         t(s, dir, "documents"), "source", "doc_id", "text", 400L)),
 
+    // --- the MIXTURE PLAN materialized (DoReMi/Pile shape): weights
+    // over four sources share a 2000-token total; per-source budgets
+    // allocated once driver-side (mixtureBudgets — the single source
+    // of truth the twin's VALUES table renders), unlisted sources drop ---
+    "q_mixture_tokens" -> ((s, dir) =>
+      Text.mixtureByTokens(
+        t(s, dir, "documents"), "source", "doc_id", "text",
+        mixtureTokenWeights.toMap, mixtureTokenTotal)),
+
     // --- ROLLING per-source admission: yesterday's corpus (doc_id <
     // 250) fills the counts store through the plain batch cap; today's
     // batch admits only into the remaining per-source quota. The store
@@ -1689,6 +1698,14 @@ object SparkEntry {
     "slow" -> -1.1, "batch" -> -0.45, "value" -> -0.3, "line" -> -0.25,
     "part" -> -0.15, "key" -> -0.1, "row" -> 0.05, "table" -> 0.15)
   private val classifierBias = -0.02
+
+  /** q_mixture_tokens fixture: four-source mixture over a 2000-token
+    * total. Budgets derive through `Text.mixtureBudgets` for BOTH the
+    * Spark query and the twin's VALUES table.
+    */
+  private val mixtureTokenWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  private val mixtureTokenTotal = 2000L
 
   /** CTE chain of the bigram-LM twins, ending in
     * `bgl(doc_id, n_bigrams, logprob)` — adjacent token pairs, corpus
@@ -2320,6 +2337,22 @@ object SparkEntry {
         "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
         "SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400"),
+
+    // the VALUES table renders Text.mixtureBudgets over the SAME weight
+    // fixture the Spark side uses — allocation arithmetic runs once
+    "q_mixture_tokens" -> {
+      val values = graft.ops.Text
+        .mixtureBudgets(mixtureTokenWeights.toMap, mixtureTokenTotal)
+        .toSeq.sortBy(_._1)
+        .map { case (g, b) => s"('$g', CAST($b AS BIGINT))" }
+        .mkString(", ")
+      s"WITH b(source, budget) AS (SELECT * FROM (VALUES $values)), " +
+        s"r AS (SELECT d.source, d.doc_id, CAST(len($docTokens) AS BIGINT) AS n_tokens, " +
+        "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents d JOIN b USING (source)), " +
+        "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
+        "SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens FROM c JOIN b USING (source) WHERE c.cum_tokens <= b.budget"
+    },
 
     // rolling admission: prior batch fills per-source counts, today's
     // ranks (same seeded-md5 order) admit while rn <= cap - n_kept

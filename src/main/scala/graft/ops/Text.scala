@@ -1158,6 +1158,54 @@ object Text {
         col("_ntok").as("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-group token budgets for a mixture plan: weights normalized by
+    * their own sum, each group's share of `totalTokens` floored to a
+    * whole token. Driver-side plain arithmetic on the (model-artifact-
+    * sized) weight table — computed ONCE here so the operator and any
+    * external twin allocate identically.
+    */
+  def mixtureBudgets(
+      weights: Map[String, Double], totalTokens: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "mixtureBudgets: empty weight table")
+    require(weights.values.forall(_ > 0),
+      s"mixtureBudgets: weights must be > 0, got $weights")
+    require(totalTokens >= 1,
+      s"mixtureBudgets: totalTokens must be >= 1, got $totalTokens")
+    val z = weights.values.sum
+    weights.map { case (g, w) =>
+      (g, math.floor(w / z * totalTokens).toLong)
+    }
+  }
+
+  /** Materialize a training data-mix plan (the DoReMi/Pile shape): given
+    * mixture weights over sources and a TOTAL token budget, keep each
+    * source's rank-order prefix up to its weight's share of the budget
+    * ([[mixtureBudgets]] → [[capTokensPerGroup]] semantics per group).
+    * Sources absent from the weight table are dropped (weight 0) —
+    * a mixture IS a whitelist. Same scale shape as the token cap: the
+    * budget table is model-artifact-sized and broadcasts; one shuffle
+    * on the group key + per-group window cumsum.
+    */
+  def mixtureByTokens(
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
+      weights: Map[String, Double], totalTokens: Long,
+      seed: String = "cap:"): DataFrame = {
+    val budgets = mixtureBudgets(weights, totalTokens)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bdf = budgets.toSeq.sortBy(_._1).toDF(groupCol, "_budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(capRank(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(bdf), Seq(groupCol))
+      .withColumn("_ntok", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("_ntok")).over(w))
+      .where(col("cum_tokens") <= col("_budget"))
+      .select(col(groupCol), col(idCol),
+        col("_ntok").as("n_tokens"), col("cum_tokens"))
+  }
+
   // ONE definition of the cap family's seeded 48-bit rank (see
   // capPerGroup's doc for why 12 hex chars) — shared by the batch cap
   // and the incremental admission so the two orders can never fork

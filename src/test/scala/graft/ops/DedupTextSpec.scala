@@ -1399,6 +1399,30 @@ class DedupTextSpec extends SparkSpec {
       Text.capTokensPerGroup(docs, "source", "doc_id", "text", 0L))
   }
 
+  test("mixtureByTokens: budgets = normalized weight shares (floored), " +
+    "unlisted sources drop, per-source admission honors its own budget") {
+    // weights 3:1 over 16 total → budgets 12 and 4; each doc is 4 tokens
+    val b = Text.mixtureBudgets(Map("a" -> 0.75, "b" -> 0.25), 16L)
+    assert(b === Map("a" -> 12L, "b" -> 4L))
+    // unnormalized weights allocate identically (normalization is by sum)
+    assert(Text.mixtureBudgets(Map("a" -> 3.0, "b" -> 1.0), 16L) === b)
+    val docs = ((1L to 10L).map(i => (i, "a", "w x y z")) ++
+      (20L to 29L).map(i => (i, "b", "w x y z")) ++
+      Seq((99L, "unlisted", "w x y z"))).toDF("doc_id", "source", "text")
+    val got = Text.mixtureByTokens(docs, "source", "doc_id", "text",
+        Map("a" -> 0.75, "b" -> 0.25), 16L)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "a") == 3)  // 12 tokens / 4 per doc
+    assert(got.count(_._1 == "b") == 1)  // 4 tokens
+    assert(!got.exists(_._1 == "unlisted"), "mixture is a whitelist")
+    // guards: empty table, non-positive weight, zero budget
+    intercept[IllegalArgumentException](Text.mixtureBudgets(Map.empty, 10L))
+    intercept[IllegalArgumentException](
+      Text.mixtureBudgets(Map("a" -> 0.0), 10L))
+    intercept[IllegalArgumentException](
+      Text.mixtureBudgets(Map("a" -> 1.0), 0L))
+  }
+
   test("capPerGroupIncremental: rolling admission — batch 1 vs an empty " +
     "store ≡ the batch cap, batch 2 gets only the remaining quota, full " +
     "groups admit nothing, and parameter drift fails loudly") {
