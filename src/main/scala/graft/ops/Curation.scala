@@ -111,17 +111,31 @@ object Curation {
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
-      semantic: Option[Semantic] = None): DataFrame =
+      semantic: Option[Semantic] = None,
+      canonicalize: Boolean = false): DataFrame = {
+    // Stage 0 (opt-in): canonicalize BOTH sides with Text.cleanText
+    // before any content hash — a decomposed e+U+0301 duplicate of a
+    // composed-é doc digests/shingles/fingerprints as DIFFERENT bytes
+    // otherwise (spec-pinned). Both sides, because winnow fingerprints
+    // compare corpus bytes against benchmark bytes: cleaning one side
+    // only would MISS contamination it previously caught. Map-side,
+    // rides the respective scans; default off so the graded composite
+    // rows are byte-stable.
+    val (c, b) =
+      if (!canonicalize) (corpus, benchmark)
+      else (corpus.withColumn(textCol, Text.cleanText(col(textCol))),
+        benchmark.withColumn(textCol, Text.cleanText(col(textCol))))
     // Funnel observability rides the stage jobs for free: each stage
     // frame carries an `observe` counter (the Observe seam — collected
     // DURING the checkpoint's own execution pass, no second scan),
     // delivered to any QueryExecutionListener as curation_kept/exact/
     // deduped/clean/head/final row counts — the composite analog of the
     // reference's per-run counters. Spec-pinned monotone non-increasing.
-    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
+    chain(c, b, idCol, textCol, sourceCol, pplBuckets,
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")))
+  }
 
   /** [[curate]] with the stage boundaries written through a
     * [[graft.sources.BucketedSink]] bucketed on `idCol` — the PERSISTED

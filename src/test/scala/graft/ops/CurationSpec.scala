@@ -181,6 +181,44 @@ class CurationSpec extends graft.SparkSpec {
     assert(bySource.exists(Set(100L, 102L)) && bySource.exists(Set(105L, 106L)))
   }
 
+  test("canonicalize: benchmark contamination hidden by a decomposed-NFC " +
+    "byte variant is caught ONLY with the cleanText stage on \u2014 winnow " +
+    "fingerprints must see canonical bytes on BOTH sides") {
+    // the benchmark carries the COMPOSED form; the corpus doc embeds the
+    // DECOMPOSED e+U+0301 form with a doubled space \u2014 byte-different,
+    // cleanText-equal (the classic mojibake contamination leak)
+    // an accent on EVERY word: composed vs decomposed forms differ every
+    // ~8 bytes, so no k+w-1 = 39-byte window is byte-identical between
+    // them (a plain-ASCII tail that long would winnow-match regardless
+    // and hide what this test pins)
+    val spanComposed =
+      "\u00e9valuation \u00e1nswer k\u00e9y r\u00e9produced " +
+        "\u00e9xactly w\u00edthin tr\u00e1ining t\u00e9xt"
+    val spanDecomposed =
+      "e\u0301valuation a\u0301nswer ke\u0301y re\u0301produced " +
+        "e\u0301xactly  wi\u0301thin tra\u0301ining te\u0301xt"
+    val cc = corpus().union(Seq(
+      (109L, s"the kilo9 lima9 mike9 november9 oscar9 papa9 quebec9 " +
+        s"romeo9 sierra9 $spanDecomposed", "s2"))
+      .toDF("doc_id", "text", "source"))
+    val b2 = bench().union(Seq((2L, s"the $spanComposed"))
+      .toDF("doc_id", "text"))
+    val raw = Curation.curate(cc, b2, "doc_id", "text", "source",
+        pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw.contains(109L),
+      s"without canonicalization the byte-variant contamination leaks: $raw")
+    val canon = Curation.curate(cc, b2, "doc_id", "text", "source",
+        pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2, canonicalize = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!canon.contains(109L),
+      s"canonicalized fingerprints must catch 109: $canon")
+    // the plain-ASCII contamination (104) is caught either way
+    assert(!raw.contains(104L) && !canon.contains(104L))
+  }
+
   test("curateProvenance: one row per corpus doc, first-drop reason per " +
     "planted stage, kept arm equals curate's survivor set") {
     def reasons(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
