@@ -106,13 +106,25 @@ object Curation {
       embeddings: DataFrame, benchmark: DataFrame,
       vecCol: String = "embedding", threshold: Double = 0.7)
 
+  /** The trained-classifier quality gate as an optional stage-1 arm
+    * ([[Text.classifierScore]] composed INTO the chain): docs scoring
+    * below `threshold` drop alongside the Gopher rules — both are
+    * map-side predicates on the same corpus scan, so the gate adds zero
+    * jobs and zero shuffles. The weight table is the model artifact a
+    * production run ships (GPT-3/CCNet's quality-filter shape).
+    */
+  final case class Classifier(
+      weights: Map[String, Double], bias: Double = 0.0,
+      threshold: Double = 0.5)
+
   def curate(
       corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
       semantic: Option[Semantic] = None,
-      canonicalize: Boolean = false): DataFrame = {
+      canonicalize: Boolean = false,
+      classifier: Option[Classifier] = None): DataFrame = {
     // Stage 0 (opt-in): canonicalize BOTH sides with Text.cleanText
     // before any content hash — a decomposed e+U+0301 duplicate of a
     // composed-é doc digests/shingles/fingerprints as DIFFERENT bytes
@@ -134,7 +146,8 @@ object Curation {
     chain(c, b, idCol, textCol, sourceCol, pplBuckets,
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
-        Observe.withRowMetrics(df, s"curation_$stage")))
+        Observe.withRowMetrics(df, s"curation_$stage")),
+      classifier = classifier)
   }
 
   /** [[curate]] with the stage boundaries written through a
@@ -220,7 +233,8 @@ object Curation {
       textCol: String, sourceCol: String,
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
-      semantic: Option[Semantic] = None): DataFrame = {
+      semantic: Option[Semantic] = None,
+      classifier: Option[Classifier] = None): DataFrame = {
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
     // run the chain at the checkpoint seam; every boundary lands in
     // `frames` already materialized (the final shard order is lazy and
@@ -229,7 +243,8 @@ object Curation {
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")),
-      tapBoundary = (stage, df) => frames(stage) = df)
+      tapBoundary = (stage, df) => frames(stage) = df,
+      classifier = classifier)
     def ids(stage: String): DataFrame = frames(stage).select(col(idCol))
     // The mat'ed boundaries (exact/deduped/clean/screened/head) are
     // checkpointed blocks — reading their id column twice is cheap.
@@ -238,13 +253,23 @@ object Curation {
     // id-only projections are materialized here once.
     frames("kept") = Materialize.checkpoint(ids("kept"))
     frames("admitted") = Materialize.checkpoint(ids("admitted"))
+    if (classifier.isDefined)
+      frames("gopher") = Materialize.checkpoint(ids("gopher"))
     // Consecutive boundaries are nested subsets, so each diff is
     // exactly "first rejected here".
     def dropped(r: String, in: DataFrame, surviving: DataFrame) =
       in.join(surviving, Seq(idCol), "left_anti")
         .withColumn("reason", lit(r))
-    Seq(
-      dropped("quality", corpus.select(col(idCol)), ids("kept")),
+    // with a classifier gate the stage-1 boundary splits in two: gopher
+    // rejections read 'quality', classifier rejections 'classifier'
+    // (the intermediate gopher boundary is tapped only then)
+    val gateArms =
+      if (classifier.isEmpty)
+        Seq(dropped("quality", corpus.select(col(idCol)), ids("kept")))
+      else Seq(
+        dropped("quality", corpus.select(col(idCol)), ids("gopher")),
+        dropped("classifier", ids("gopher"), ids("kept")))
+    (gateArms ++ Seq(
       dropped("exact_dup", ids("kept"), ids("exact")),
       dropped("near_dup", ids("exact"), ids("deduped")),
       dropped("contaminated", ids("deduped"), ids("clean")),
@@ -252,7 +277,7 @@ object Curation {
       dropped("ppl_tail", ids("screened"), ids("head")),
       dropped("capped", ids("head"), ids("admitted")),
       ids("admitted").withColumn("reason", lit("kept"))
-    ).reduce(_.unionByName(_))
+    )).reduce(_.unionByName(_))
   }
 
   /** The shared stage chain behind [[curate]] (checkpoint seam) and
@@ -269,14 +294,26 @@ object Curation {
       semantic: Option[Semantic],
       mat: (DataFrame, String) => DataFrame,
       matIds: (DataFrame, String) => DataFrame = (df, _) => df,
-      tapBoundary: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      tapBoundary: (String, DataFrame) => Unit = (_, _) => (),
+      classifier: Option[Classifier] = None): DataFrame = {
     // observe-only stages (not boundary frames): the gate and the output
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"curation_$stage")
 
     // 1. quality gate — map-side, rides the corpus scan; feeds exactly
-    // one consumer (the digest aggregate) so it is NOT materialized
-    val kept = staged(Text.gopherFilter(corpus, textCol), "kept")
+    // one consumer (the digest aggregate) so it is NOT materialized.
+    // The optional classifier arm is a second predicate on the SAME
+    // scan (zero extra jobs); the intermediate gopher boundary is
+    // tapped only then, so provenance can tell the two gates apart.
+    val gated = Text.gopherFilter(corpus, textCol)
+    val kept = classifier match {
+      case None => staged(gated, "kept")
+      case Some(cf) =>
+        tapBoundary("gopher", gated)
+        staged(gated.where(
+          Text.classifierScore(col(textCol), cf.weights, cf.bias) >=
+            cf.threshold), "kept")
+    }
     tapBoundary("kept", kept)
 
     // 2a. exact dedup: one digest-keyed partial aggregate, min-id keeper

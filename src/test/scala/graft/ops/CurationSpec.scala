@@ -219,6 +219,27 @@ class CurationSpec extends graft.SparkSpec {
     assert(!raw.contains(104L) && !canon.contains(104L))
   }
 
+  test("classifier gate: a gopher-passing doc scoring under the threshold " +
+    "drops at stage 1; provenance tells the two gates apart") {
+    // every base-fixture doc starts with 'the'; weighting it negative
+    // fails them all, so weight a token unique to 102 instead
+    val cf = Curation.Classifier(
+      Map("charlie2" -> -10.0), bias = 0.1, threshold = 0.5)
+    val out = Curation.curate(corpus(), bench(), "doc_id", "text", "source",
+        pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2, classifier = Some(cf))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(102L) && out.contains(100L),
+      s"the classifier must drop 102 only: $out")
+    val m = Curation.curateProvenance(corpus(), bench(), "doc_id", "text",
+        "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2, classifier = Some(cf))
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(m(102L) === "classifier" && m(103L) === "quality",
+      s"gate reasons must split: $m")
+    assert(m.size === 7, "still one row per corpus doc")
+  }
+
   test("curateProvenance: one row per corpus doc, first-drop reason per " +
     "planted stage, kept arm equals curate's survivor set") {
     def reasons(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
