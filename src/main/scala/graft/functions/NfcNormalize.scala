@@ -56,11 +56,16 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Already-NFC input (the ASCII/web-text hot path) returns the SAME
-    * UTF8String — no copy, no String round-trip beyond the quick-check
-    * scan.
+  /** Already-NFC input returns the SAME UTF8String. Two tiers of fast
+    * path: pure-ASCII (the web-crawl bulk) is decided by
+    * `isFullAscii()` on the raw bytes — no String materialization at
+    * all; non-ASCII input pays one `toString` for the
+    * `Normalizer.isNormalized` quick-check (a scan that short-circuits
+    * at the first character with a non-zero NFC quick-check property)
+    * and re-encodes only when composition actually changes something.
     */
   def normalize(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -503,6 +503,16 @@ object Curation {
     * as broadcast artifacts, cap counts semi-restricted to batch groups
     * then broadcast. Everything else is batch-sized. PlanSpec pins the
     * no-store-Exchange claims.
+    *
+    * The batch chain's optional STATELESS gates compose here by caller
+    * pre-transform — semantically identical because both run before any
+    * stateful stage: canonicalization is
+    * `batch.withColumn(textCol, Text.cleanText(col(textCol)))` (and the
+    * winnow store MUST be built from a cleanText'ed benchmark — the
+    * byte-canonicalization contract is two-sided), the classifier gate
+    * is `batch.where(Text.classifierScore(...) >= t)`. They are not
+    * parameters here so the fold's surface stays the persisted-store
+    * contract alone.
     */
   def curateIncremental(
       batch: DataFrame, winnowStore: DataFrame, idCol: String,

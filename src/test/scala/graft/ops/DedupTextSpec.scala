@@ -948,11 +948,11 @@ class DedupTextSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Text.gopherStats(df, "doc_id", "text")
       .orderBy("doc_id").collect()
-    assert(out(0) === "Caf\u00e9 au lait")
-    assert(out(0) === "Caf\u00e9 au lait")
-    assert(out(0) === "Caf\u00e9 au lait")
-    assert(out(0) === "Caf\u00e9 au lait")
-    assert(out(0) === "Caf\u00e9 au lait")
+    assert(out(0).getAs[Int]("n_words") === 10)
+    assert(out(0).getAs[Double]("mean_word_len") === 3.9) // 39 chars / 10
+    assert(out(0).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(0).getAs[Int]("stop_hits") === 2) // the, the
+    assert(out(0).getAs[Boolean]("keep"))
     assert(!out(1).getAs[Boolean]("keep"))
     assert(!out(2).getAs[Boolean]("keep")) // 17 words, mean (40+7)/17 < 2
   }
