@@ -1616,6 +1616,21 @@ object SparkEntry {
           emb.where(col("vec_id") < 8), threshold = 0.3)))
     }),
 
+    // --- the batch composite with the CLASSIFIER gate composed in
+    // (Curation.Classifier — the trained-model quality filter as a
+    // second stage-1 predicate on the same corpus scan; the standalone
+    // row grades the score, this row grades its COMPOSITION with the
+    // rest of the chain: the ppl thresholds band the gated
+    // distribution, the cap sees the gated groups) ---
+    "q_curation_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curate(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", "source",
+        classifier = Some(Curation.Classifier(
+          classifierWeights.toMap, classifierBias, threshold = 0.5)))
+    }),
+
     // --- per-document curation provenance: the audit twin of the
     // composite — every corpus doc labeled with the FIRST stage that
     // rejected it (or 'kept'), derived as nested-subset diffs of the
@@ -1698,6 +1713,22 @@ object SparkEntry {
     "slow" -> -1.1, "batch" -> -0.45, "value" -> -0.3, "line" -> -0.25,
     "part" -> -0.15, "key" -> -0.1, "row" -> 0.05, "table" -> 0.15)
   private val classifierBias = -0.02
+
+  /** The classifier-score twin as a reusable CTE chain ending in
+    * `csz(doc_id, z)` — shared by the standalone `q_quality_classifier`
+    * row and the gated-composite twin (`q_curation_classifier`). CASE
+    * arms render from the same classifierWeights table the Spark side
+    * broadcasts; every literal CASTs to DOUBLE (bare decimals parse as
+    * DECIMAL in DuckDB) and list_reduce folds in Spark's token order,
+    * so z is bit-identical pre-round.
+    */
+  private def classifierScoreCtes(src: String): String = {
+    val arms = classifierWeights.map { case (w, v) =>
+      s"WHEN '$w' THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    s"cst AS (SELECT doc_id, list_transform(${docTokensOf("lower(text)")}, t -> CASE t $arms ELSE CAST(0.0 AS DOUBLE) END) AS ws FROM $src), " +
+      s"csz AS (SELECT doc_id, CAST($classifierBias AS DOUBLE) + (CASE WHEN len(ws) > 0 THEN list_reduce(ws, (x, y) -> x + y) / CAST(len(ws) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS z FROM cst)"
+  }
 
   /** q_mixture_tokens fixture: four-source mixture over a 2000-token
     * total. Budgets derive through `Text.mixtureBudgets` for BOTH the
@@ -1838,8 +1869,17 @@ object SparkEntry {
       "WHEN s.doc_id NOT IN (SELECT doc_id FROM capids) THEN 'capped' " +
       "ELSE 'kept' END AS reason FROM src0 s"
 
-  private def curationOracleSql(semantic: Boolean): String =
-    curationCtes(semantic) + ", " +
+  /** The CLASSIFIER-GATED composite twin: the same chain with the
+    * q_quality_classifier score spliced in as a second stage-1
+    * predicate (kept = gopher ∧ score ≥ 0.5 — the
+    * `Curation.Classifier` arm).
+    */
+  private lazy val curationClassifierOracleSql: String =
+    curationOracleSql(semantic = false, classifierGate = true)
+
+  private def curationOracleSql(
+      semantic: Boolean, classifierGate: Boolean = false): String =
+    curationCtes(semantic, classifierGate) + ", " +
       "sh2 AS (SELECT h.doc_id, CAST(concat('0x', substr(md5('shard:' || CAST(h.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard, " +
       "substr(md5('shard:' || 'pos:' || CAST(h.doc_id AS VARCHAR)), 1, 12) AS rk FROM hd0 h JOIN capids USING (doc_id)) " +
       "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos FROM sh2"
@@ -1850,7 +1890,8 @@ object SparkEntry {
     * the per-doc reason tail (`curationProvenanceOracleSql`) splice over
     * the same frames.
     */
-  private def curationCtes(semantic: Boolean): String = {
+  private def curationCtes(
+      semantic: Boolean, classifierGate: Boolean = false): String = {
     def dotE(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cosE(a: String, b: String) =
@@ -1867,7 +1908,11 @@ object SparkEntry {
         "src0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 50), " +
         gopherStatsCtesOver("src0") + ", " +
         s"gk AS (SELECT doc_id FROM gs WHERE $gopherKeepSql), " +
-        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)), " +
+        (if (!classifierGate) ""
+         else classifierScoreCtes("src0") + ", " +
+           "cgk AS (SELECT doc_id FROM csz WHERE round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) >= 0.5), ") +
+        "kept AS (SELECT s.* FROM src0 s JOIN gk USING (doc_id)" +
+        (if (classifierGate) " JOIN cgk USING (doc_id)" else "") + "), " +
         "exg AS (SELECT md5(text) AS dg, min(doc_id) AS kid FROM kept GROUP BY 1), " +
         "ex AS MATERIALIZED (SELECT k.* FROM kept k JOIN exg ON k.doc_id = exg.kid), " +
         minhashPairsCtesOver("ex") + ", " +
@@ -2741,6 +2786,8 @@ object SparkEntry {
 
     "q_curation_provenance" -> curationProvenanceOracleSql,
 
+    "q_curation_classifier" -> curationClassifierOracleSql,
+
     "q_ann_metrics" -> annMetricsOracleSql,
 
     // ---- the daily-ingest fold, sequential semantics expressed
@@ -2835,15 +2882,10 @@ object SparkEntry {
     // decimals as DECIMAL — decimal arithmetic would diverge from the
     // Spark side's IEEE fold), and list_reduce folds in the same token
     // order as Spark's aggregate(), so z is bit-identical pre-round
-    "q_quality_classifier" -> {
-      val arms = classifierWeights.map { case (w, v) =>
-        s"WHEN '$w' THEN CAST($v AS DOUBLE)"
-      }.mkString(" ")
-      s"WITH tk AS (SELECT doc_id, list_transform(${docTokensOf("lower(text)")}, t -> CASE t $arms ELSE CAST(0.0 AS DOUBLE) END) AS ws FROM documents), " +
-        s"sz AS (SELECT doc_id, CAST($classifierBias AS DOUBLE) + (CASE WHEN len(ws) > 0 THEN list_reduce(ws, (x, y) -> x + y) / CAST(len(ws) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS z FROM tk) " +
+    "q_quality_classifier" -> (
+      s"WITH ${classifierScoreCtes("documents")} " +
         "SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score, " +
-        "round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) >= 0.5 AS keep FROM sz"
-    },
+        "round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) >= 0.5 AS keep FROM csz"),
 
     "q_repetition_score" -> (
       s"WITH toks AS (SELECT doc_id, text, $docTokens AS ts FROM documents), " +
