@@ -1414,6 +1414,20 @@ object SparkEntry {
       Text.capTokensPerGroup(
         t(s, dir, "documents"), "source", "doc_id", "text", 400L)),
 
+    // --- TOPIC-balanced sampling (the cluster-rebalance curation
+    // technique): k-means cells as topics (the q_kmeans_assign chain,
+    // k = ceil(sqrt n)) + the seeded per-group cap — caps any one
+    // semantic cluster's share of the training mix regardless of how
+    // the SOURCES are balanced (near-dup farms concentrate in cells) ---
+    "q_topic_cap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Text.capPerGroup(
+        Similarity.kmeansRefineAssign(emb, "vec_id", "embedding", k)
+          .select(col("vec_id"), col("cell")),
+        "cell", "vec_id", 20, seed = "topic:")
+    }),
+
     // --- the MIXTURE PLAN materialized (DoReMi/Pile shape): weights
     // over four sources share a 2000-token total; per-source budgets
     // allocated once driver-side (mixtureBudgets — the single source
@@ -2382,6 +2396,30 @@ object SparkEntry {
         "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
         "SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400"),
+
+    // the q_kmeans_assign cells chain feeding the seeded per-group cap
+    // (fixed-width hex rank sorts lexicographically = numerically)
+    "q_topic_cap" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+        "WHERE _srn <= (SELECT k FROM kk)), " +
+        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN cents c), " +
+        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
+        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
+        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
+        s"a1 AS (SELECT v.vec_id, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
+        "FROM embeddings v CROSS JOIN mc m), " +
+        "cl2 AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1) " +
+        "SELECT cell, vec_id FROM (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell " +
+        "ORDER BY substr(md5('topic:' || CAST(vec_id AS VARCHAR)), 1, 12), vec_id) AS crn FROM cl2) WHERE crn <= 20"
+    },
 
     // the VALUES table renders Text.mixtureBudgets over the SAME weight
     // fixture the Spark side uses — allocation arithmetic runs once
