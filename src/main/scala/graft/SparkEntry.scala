@@ -483,12 +483,12 @@ object SparkEntry {
     // the native nfc_normalize expression + control strip + whitespace
     // collapse — the ftfy-lite stage before any content hash. The
     // corpus fixture is clean ASCII, so the row appends a deterministic
-    // dirty tail (decomposed e+U+0301, a BEL byte, a tab, doubled
-    // spaces) to every doc on BOTH engines — the transform is exercised
+    // dirty tail (decomposed e+U+0301, a BEL byte, a word-separating
+    // form feed, a tab, doubled spaces) to every doc on BOTH engines — the transform is exercised
     // on every row, never vacuously identity ---
     "q_unicode_clean" -> ((s, dir) => {
       val dirty = concat(col("text"),
-        lit(" Cafe\u0301 \u0007tab\there  "))
+        lit(" Cafe\u0301 \u0007page\u000Cfeed\there  "))
       t(s, dir, "documents").select(
         col("doc_id"),
         Text.cleanText(dirty).as("clean"),
@@ -1744,6 +1744,35 @@ object SparkEntry {
       s"csz AS (SELECT doc_id, CAST($classifierBias AS DOUBLE) + (CASE WHEN len(ws) > 0 THEN list_reduce(ws, (x, y) -> x + y) / CAST(len(ws) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS z FROM cst)"
   }
 
+  /** The kmeans-cells twin chain (first-k-by-id seeds → one refined
+    * mean step → final assignment), ending in `a1(vec_id[, embedding],
+    * cid, rn)` with the final cell at `rn = 1` — ONE definition shared
+    * by `q_kmeans_assign`, `q_semdedup` and `q_topic_cap`, so the three
+    * graded oracles cannot drift on seed selection, mean rounding, or
+    * tie-breaking. k = ceil(sqrt(count(*))) — the law point the Spark
+    * side computes (sqrt is IEEE-exact-rounded, both engines agree on
+    * the integer).
+    */
+  private def kmeansCellsCtes(withEmbedding: Boolean): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val emb = if (withEmbedding) "v.embedding, " else ""
+    "kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+      "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
+      "WHERE _srn <= (SELECT k FROM kk)), " +
+      s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
+      "FROM embeddings v CROSS JOIN cents c), " +
+      "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
+      "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
+      "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
+      "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
+      s"a1 AS (SELECT v.vec_id, ${emb}m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
+      "FROM embeddings v CROSS JOIN mc m)"
+  }
+
   /** q_mixture_tokens fixture: four-source mixture over a 2000-token
     * total. Budgets derive through `Text.mixtureBudgets` for BOTH the
     * Spark query and the twin's VALUES table.
@@ -2397,36 +2426,20 @@ object SparkEntry {
         "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
         "SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400"),
 
-    // the q_kmeans_assign cells chain feeding the seeded per-group cap
+    // the shared cells chain feeding the seeded per-group cap
     // (fixed-width hex rank sorts lexicographically = numerically)
-    "q_topic_cap" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      def cos(a: String, b: String) =
-        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
-        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
-        "WHERE _srn <= (SELECT k FROM kk)), " +
-        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN cents c), " +
-        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
-        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
-        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
-        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
-        s"a1 AS (SELECT v.vec_id, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN mc m), " +
+    "q_topic_cap" -> (
+      s"WITH ${kmeansCellsCtes(withEmbedding = false)}, " +
         "cl2 AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1) " +
         "SELECT cell, vec_id FROM (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell " +
-        "ORDER BY substr(md5('topic:' || CAST(vec_id AS VARCHAR)), 1, 12), vec_id) AS crn FROM cl2) WHERE crn <= 20"
-    },
+        "ORDER BY substr(md5('topic:' || CAST(vec_id AS VARCHAR)), 1, 12), vec_id) AS crn FROM cl2) WHERE crn <= 20"),
 
     // the VALUES table renders Text.mixtureBudgets over the SAME weight
     // fixture the Spark side uses — allocation arithmetic runs once
     "q_mixture_tokens" -> {
       val values = graft.ops.Text
         .mixtureBudgets(mixtureTokenWeights.toMap, mixtureTokenTotal)
-        .toSeq.sortBy(_._1)
+        .toSeq.filter(_._2 > 0).sortBy(_._1) // zero-floored drop, like the op
         .map { case (g, b) => s"('$g', CAST($b AS BIGINT))" }
         .mkString(", ")
       s"WITH b(source, budget) AS (SELECT * FROM (VALUES $values)), " +
@@ -2910,9 +2923,9 @@ object SparkEntry {
     // BEL, tab, doubled spaces), DuckDB's own nfc_normalize, and
     // hex-escaped char classes valid in BOTH regex dialects
     "q_unicode_clean" -> (
-      "WITH d AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(7) || 'tab' || chr(9) || 'here  ' AS dirty FROM documents), " +
-        "c AS (SELECT doc_id, dirty, trim(regexp_replace(regexp_replace(nfc_normalize(dirty), " +
-        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM d) " +
+      "WITH d AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(7) || 'page' || chr(12) || 'feed' || chr(9) || 'here  ' AS dirty FROM documents), " +
+        "c AS (SELECT doc_id, dirty, trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(dirty), " +
+        "'[\\x0B\\x0C]', ' ', 'g'), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM d) " +
         "SELECT doc_id, clean, CAST(length(dirty) - length(clean) AS INT) AS removed_chars FROM c"),
 
     // CASE arms rendered from the same classifierWeights table the Spark
@@ -3206,51 +3219,20 @@ object SparkEntry {
     // query-side rn <= 2 is the only delta vs the single-probe twin
     "q_ivf_multiprobe" -> ivfOracleSql(2),
 
-    "q_kmeans_assign" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      def cos(a: String, b: String) =
-        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      // k = ceil(sqrt(count(*))) seeds, like q_semdedup's chain
-      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
-        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _srn FROM embeddings) " +
-        "WHERE _srn <= (SELECT k FROM kk)), " +
-        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN cents c), " +
-        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
-        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
-        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
-        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
-        // graded projection = (vec_id, cell): mean-derived scores are
-        // not bit-portable across engines (see the Spark-side note)
-        s"a1 AS (SELECT v.vec_id, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN mc m) " +
-        "SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1"
-    },
+    // graded projection = (vec_id, cell): mean-derived scores are
+    // not bit-portable across engines (see the Spark-side note)
+    "q_kmeans_assign" -> (
+      s"WITH ${kmeansCellsCtes(withEmbedding = false)} " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1"),
 
+    // the shared cells chain feeding within-cell greedy-by-id pruning
+    // at cosine >= 0.4
     "q_semdedup" -> {
       def dot(a: String, b: String) =
         s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
       def cos(a: String, b: String) =
         s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-      // the q_kmeans_assign chain (seeds -> refined means -> assignment)
-      // feeding within-cell greedy-by-id pruning at cosine >= 0.4.
-      // k = ceil(sqrt(count(*))) — the same law the Spark side computes
-      // (sqrt is IEEE-exact-rounded, so both engines agree on the
-      // integer); seeds = first-k-by-id exactly as before
-      "WITH kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
-        "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS _rn FROM embeddings) " +
-        "WHERE _rn <= (SELECT k FROM kk)), " +
-        s"asg AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "c.cv")}, 9) DESC, c.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN cents c), " +
-        "cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1), " +
-        "e AS (SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x FROM cells), " +
-        "m AS (SELECT cell, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v FROM e GROUP BY 1, 2), " +
-        "mc AS (SELECT cell AS cid, list(v ORDER BY pos) AS mv FROM m GROUP BY cell), " +
-        s"a1 AS (SELECT v.vec_id, v.embedding, m.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${cos("v.embedding", "m.mv")}, 9) DESC, m.cid) AS rn " +
-        "FROM embeddings v CROSS JOIN mc m), " +
+      s"WITH ${kmeansCellsCtes(withEmbedding = true)}, " +
         "f AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1), " +
         s"sh AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.4) " +
         "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM f WHERE vec_id NOT IN (SELECT vec_id FROM sh)"

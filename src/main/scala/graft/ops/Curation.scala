@@ -234,12 +234,19 @@ object Curation {
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
       semantic: Option[Semantic] = None,
-      classifier: Option[Classifier] = None): DataFrame = {
+      classifier: Option[Classifier] = None,
+      canonicalize: Boolean = false): DataFrame = {
+    // the audit must reproduce EXACTLY the run it explains — same
+    // stage-0 canonicalization transform as [[curate]], both sides
+    val (corpus0, benchmark0) =
+      if (!canonicalize) (corpus, benchmark)
+      else (corpus.withColumn(textCol, Text.cleanText(col(textCol))),
+        benchmark.withColumn(textCol, Text.cleanText(col(textCol))))
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
     // run the chain at the checkpoint seam; every boundary lands in
     // `frames` already materialized (the final shard order is lazy and
     // never executed — provenance doesn't consume it)
-    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
+    chain(corpus0, benchmark0, idCol, textCol, sourceCol, pplBuckets,
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")),

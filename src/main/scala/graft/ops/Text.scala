@@ -208,20 +208,26 @@ object Text {
   /** Canonical text cleanup before any content-keyed operator runs:
     * Unicode NFC composition ([[graft.functions.NfcNormalize]] — native
     * codegen expression, same name/semantics as DuckDB's built-in), then
-    * strip non-whitespace C0/DEL control characters, then collapse every
-    * whitespace run to a single space and trim. The ftfy-lite stage every
-    * crawl pipeline runs first: decomposed "e"+U+0301 vs composed "é"
-    * and stray control bytes otherwise split exact-dedup digests,
-    * shingles and winnow fingerprints over byte-identical-looking text.
-    * Pure map-side, rides the corpus scan, whole-stage-codegen end to
-    * end. The char classes are hex-escaped so the Java (Spark) and RE2
-    * (DuckDB twin) regex dialects agree symbol for symbol.
+    * normalize controls — the WHITESPACE-CLASS controls VT/FF become a
+    * space (they separate words; deleting them would MERGE the words
+    * around a form feed), every other C0/DEL control is stripped — then
+    * collapse every whitespace run to a single space and trim. The
+    * ftfy-lite stage every crawl pipeline runs first: decomposed
+    * "e"+U+0301 vs composed "é" and stray control bytes otherwise split
+    * exact-dedup digests, shingles and winnow fingerprints over
+    * byte-identical-looking text. Pure map-side, rides the corpus scan,
+    * whole-stage-codegen end to end. The char classes are hex-escaped
+    * (VT/FF get their own class rather than riding a `\s` whose
+    * membership DIFFERS between Java and RE2 — RE2's \s excludes \x0B)
+    * so the two regex dialects agree symbol for symbol.
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        call_function("nfc_normalize", text),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        regexp_replace(
+          call_function("nfc_normalize", text),
+          "[\\x0B\\x0C]", " "),
+        "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
       "[ \\t\\n\\r]+", " "))
 
   /** Linear (fastText-style) document-quality classifier score: mean
@@ -1147,6 +1153,18 @@ object Text {
       docs: DataFrame, groupCol: String, idCol: String, textCol: String,
       budget: Long, seed: String = "cap:"): DataFrame = {
     require(budget >= 1, s"capTokensPerGroup: budget must be >= 1, got $budget")
+    tokenBudgetAdmit(docs, groupCol, idCol, textCol, lit(budget), seed)
+  }
+
+  /** The shared admission body of the token-budget family
+    * ([[capTokensPerGroup]] — one scalar budget; [[mixtureByTokens]] —
+    * a per-group budget column): seeded-rank window cumsum, inclusive
+    * prefix-sum filter, `(group, id, n_tokens, cum_tokens)` output.
+    * ONE definition so the two admission rules can never drift.
+    */
+  private def tokenBudgetAdmit(
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
+      budget: Column, seed: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(capRank(col(idCol), seed), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1182,9 +1200,13 @@ object Text {
     * source's rank-order prefix up to its weight's share of the budget
     * ([[mixtureBudgets]] → [[capTokensPerGroup]] semantics per group).
     * Sources absent from the weight table are dropped (weight 0) —
-    * a mixture IS a whitelist. Same scale shape as the token cap: the
-    * budget table is model-artifact-sized and broadcasts; one shuffle
-    * on the group key + per-group window cumsum.
+    * a mixture IS a whitelist — and so is a source whose share FLOORS
+    * to zero tokens (a 0-token budget must behave like an unlisted
+    * source; without the filter a zero-token document would satisfy
+    * `cum 0 <= budget 0` and slip into the mix). Same scale shape as
+    * the token cap: the budget table is model-artifact-sized and
+    * broadcasts; one shuffle on the group key + per-group window
+    * cumsum.
     */
   def mixtureByTokens(
       docs: DataFrame, groupCol: String, idCol: String, textCol: String,
@@ -1193,17 +1215,10 @@ object Text {
     val budgets = mixtureBudgets(weights, totalTokens)
     val spark = docs.sparkSession
     import spark.implicits._
-    val bdf = budgets.toSeq.sortBy(_._1).toDF(groupCol, "_budget")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(capRank(col(idCol), seed), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .join(broadcast(bdf), Seq(groupCol))
-      .withColumn("_ntok", size(tokens(col(textCol))).cast("long"))
-      .withColumn("cum_tokens", sum(col("_ntok")).over(w))
-      .where(col("cum_tokens") <= col("_budget"))
-      .select(col(groupCol), col(idCol),
-        col("_ntok").as("n_tokens"), col("cum_tokens"))
+    val bdf = budgets.toSeq.filter(_._2 > 0).sortBy(_._1)
+      .toDF(groupCol, "_budget")
+    tokenBudgetAdmit(docs.join(broadcast(bdf), Seq(groupCol)),
+      groupCol, idCol, textCol, col("_budget"), seed)
   }
 
   // ONE definition of the cap family's seeded 48-bit rank (see

@@ -217,6 +217,17 @@ class CurationSpec extends graft.SparkSpec {
       s"canonicalized fingerprints must catch 109: $canon")
     // the plain-ASCII contamination (104) is caught either way
     assert(!raw.contains(104L) && !canon.contains(104L))
+    // the audit twin reproduces the SAME run it explains: with the flag
+    // the leak reads 'contaminated', without it 'kept' — an audit of a
+    // canonicalize=true run on raw bytes would contradict the run
+    def reasonOf(canonical: Boolean): String =
+      Curation.curateProvenance(cc, b2, "doc_id", "text", "source",
+          pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+          numShards = 2, canonicalize = canonical)
+        .where(col("doc_id") === 109L)
+        .select("reason").as[String].head()
+    assert(reasonOf(canonical = true) === "contaminated")
+    assert(reasonOf(canonical = false) === "kept")
   }
 
   test("classifier gate: a gopher-passing doc scoring under the threshold " +

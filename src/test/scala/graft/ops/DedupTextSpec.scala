@@ -66,15 +66,18 @@ class DedupTextSpec extends SparkSpec {
     "collapses whitespace runs, trims; already-clean ASCII is identity") {
     val df = Seq(
       "Cafe\u0301 au lait",            // decomposed -> composed
-      "a\u0001b\u0007 c",              // C0 controls stripped
+      "a\u0001b\u0007 c",              // non-ws C0 controls stripped
       "  a \t b\n\nc  ",              // runs collapse, edges trim
-      "already clean ascii"
+      "already clean ascii",
+      "page\u000Cfeed\u000Bbreak"      // VT/FF SEPARATE words, not merge
     ).toDF("t")
     val out = df.select(Text.cleanText($"t").as("c")).as[String].collect()
     assert(out(0) === "Caf\u00e9 au lait")
     assert(out(1) === "ab c")
     assert(out(2) === "a b c")
     assert(out(3) === "already clean ascii")
+    assert(out(4) === "page feed break",
+      "whitespace-class controls must become spaces, not deletions")
     // the native expression behind it: already-NFC input returns the
     // SAME UTF8String (the ASCII hot path never re-materializes)
     val s = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
@@ -1415,6 +1418,15 @@ class DedupTextSpec extends SparkSpec {
     assert(got.count(_._1 == "a") == 3)  // 12 tokens / 4 per doc
     assert(got.count(_._1 == "b") == 1)  // 4 tokens
     assert(!got.exists(_._1 == "unlisted"), "mixture is a whitelist")
+    // a weight whose share FLOORS to zero tokens drops the source like
+    // an unlisted one — without the filter a zero-token doc would pass
+    // `cum 0 <= budget 0` and slip into the mix
+    val docsZ = docs.union(Seq((30L, "c", "")).toDF("doc_id", "source", "text"))
+    val zb = Text.mixtureByTokens(docsZ, "source", "doc_id", "text",
+        Map("a" -> 0.999, "c" -> 0.0001), 16L)
+      .select("source").as[String].collect()
+    assert(!zb.contains("c"), s"zero-floored budget must drop the source: ${zb.toSeq}")
+    assert(zb.nonEmpty)
     // guards: empty table, non-positive weight, zero budget
     intercept[IllegalArgumentException](Text.mixtureBudgets(Map.empty, 10L))
     intercept[IllegalArgumentException](
