@@ -654,4 +654,74 @@ object ClosureProps extends Properties("graft") {
       }.toSet
       got == expected
     }
+
+  // ---- curation provenance: the audit partitions the corpus ----
+
+  /** Duplicate-heavy random corpora over a 5-text pool (pool text 4
+    * carries the benchmark span → 'contaminated'), with occasional
+    * too-short docs ('quality') and two sources.
+    */
+  private def poolText(b: Int): String =
+    s"the alpha$b bravo$b charlie$b delta$b echo$b foxtrot$b golf$b " +
+      s"hotel$b india$b juliet$b"
+  private val provSpan =
+    "benchmark sentence copied verbatim into the corpus document"
+  private val provCorpusGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 14)
+    rows <- Gen.listOfN(n, for {
+      base <- Gen.choose(0, 4)
+      short <- Gen.frequency(4 -> false, 1 -> true)
+      src <- Gen.oneOf("s1", "s2")
+    } yield (base, short, src))
+  } yield rows.zipWithIndex.map { case ((b, sh, src), i) =>
+    val text =
+      if (sh) "x y"
+      else if (b == 4) s"the kilo$i lima$i mike$i november$i oscar$i " +
+        s"papa$i quebec$i romeo$i sierra$i $provSpan"
+      else poolText(b)
+    (100L + i, text, src)
+  }
+
+  property("curateProvenance partitions the corpus: one row per doc, " +
+    "legal reasons only, kept arm = curate's survivor ids — on random " +
+    "duplicate-heavy corpora") =
+    forAll(provCorpusGen) { rows =>
+      val corpus = rows.toDF("doc_id", "text", "source")
+      val bench = Seq((1L, s"the $provSpan")).toDF("doc_id", "text")
+      val prov = Curation.curateProvenance(corpus, bench, "doc_id",
+          "text", "source", pplBuckets = 2, dropTailBuckets = 0,
+          capPerSource = 10, numShards = 2)
+        .select("doc_id", "reason").as[(Long, String)].collect()
+      val legal = Set("quality", "exact_dup", "near_dup", "contaminated",
+        "semantic", "ppl_tail", "capped", "kept")
+      val kept = Curation.curate(corpus, bench, "doc_id", "text",
+          "source", pplBuckets = 2, dropTailBuckets = 0,
+          capPerSource = 10, numShards = 2)
+        .select("doc_id").as[Long].collect().toSet
+      prov.length == rows.length &&
+        prov.map(_._1).toSet == rows.map(_._1).toSet &&
+        prov.forall(r => legal(r._2)) &&
+        prov.collect { case (id, "kept") => id }.toSet == kept
+    }
+
+  // ---- cleanText: idempotent, canonical-equivalence-invariant ----
+
+  private val dirtyCharGen: Gen[Char] = Gen.frequency(
+    6 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
+    1 -> Gen.const('\u00e9'), 1 -> Gen.const('\u0301'),
+    1 -> Gen.const('\u0007'), 1 -> Gen.const('\u000C'))
+  private val dirtyGen: Gen[String] =
+    Gen.listOf(dirtyCharGen).map(_.mkString)
+
+  property("cleanText is idempotent and invariant under canonical " +
+    "decomposition (clean(NFD(s)) = clean(s)) on random dirty strings") =
+    forAll(dirtyGen) { s =>
+      val nfd = java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFD)
+      val out = Seq(s, nfd).toDF("t")
+        .select(Text.cleanText(col("t")).as("c")).as[String].collect()
+      val again = Seq(out(0)).toDF("t")
+        .select(Text.cleanText(col("t")).as("c")).as[String].head()
+      out(0) == out(1) && again == out(0)
+    }
 }
