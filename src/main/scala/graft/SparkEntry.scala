@@ -1753,11 +1753,19 @@ object SparkEntry {
     * side computes (sqrt is IEEE-exact-rounded, both engines agree on
     * the integer).
     */
+  /** ONE cosine rendering for the kmeans-cells family (the chain's two
+    * assignment ranks AND q_semdedup's within-cell similarity test) —
+    * a rounding/cast tweak to one copy would otherwise move cell
+    * assignment and the similarity threshold apart on near-threshold
+    * pairs only.
+    */
+  private def sqlVecDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def sqlVecCos(a: String, b: String): String =
+    s"${sqlVecDot(a, b)} / (sqrt(${sqlVecDot(a, a)}) * sqrt(${sqlVecDot(b, b)}))"
+
   private def kmeansCellsCtes(withEmbedding: Boolean): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-    def cos(a: String, b: String) =
-      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    def cos(a: String, b: String) = sqlVecCos(a, b)
     val emb = if (withEmbedding) "v.embedding, " else ""
     "kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
       "cents AS (SELECT vec_id AS cid, embedding AS cv FROM " +
@@ -2437,9 +2445,11 @@ object SparkEntry {
     // the VALUES table renders Text.mixtureBudgets over the SAME weight
     // fixture the Spark side uses — allocation arithmetic runs once
     "q_mixture_tokens" -> {
+      // mixtureBudgets owns the zero-floored-drop rule and rejects an
+      // all-zero allocation, so this list is never empty
       val values = graft.ops.Text
         .mixtureBudgets(mixtureTokenWeights.toMap, mixtureTokenTotal)
-        .toSeq.filter(_._2 > 0).sortBy(_._1) // zero-floored drop, like the op
+        .toSeq.sortBy(_._1)
         .map { case (g, b) => s"('$g', CAST($b AS BIGINT))" }
         .mkString(", ")
       s"WITH b(source, budget) AS (SELECT * FROM (VALUES $values)), " +
@@ -3226,17 +3236,12 @@ object SparkEntry {
         "SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1"),
 
     // the shared cells chain feeding within-cell greedy-by-id pruning
-    // at cosine >= 0.4
-    "q_semdedup" -> {
-      def dot(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-      def cos(a: String, b: String) =
-        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    // at cosine >= 0.4 (same sqlVecCos as the chain's assignment ranks)
+    "q_semdedup" -> (
       s"WITH ${kmeansCellsCtes(withEmbedding = true)}, " +
         "f AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1), " +
-        s"sh AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.4) " +
-        "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM f WHERE vec_id NOT IN (SELECT vec_id FROM sh)"
-    },
+        s"sh AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cell = b.cell AND a.vec_id < b.vec_id AND round(${sqlVecCos("a.embedding", "b.embedding")}, 6) >= 0.4) " +
+        "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM f WHERE vec_id NOT IN (SELECT vec_id FROM sh)"),
 
     "q_embed_normalize" -> {
       val normE =

@@ -124,31 +124,22 @@ object Curation {
       capPerSource: Int = 10, numShards: Int = 8,
       semantic: Option[Semantic] = None,
       canonicalize: Boolean = false,
-      classifier: Option[Classifier] = None): DataFrame = {
-    // Stage 0 (opt-in): canonicalize BOTH sides with Text.cleanText
-    // before any content hash — a decomposed e+U+0301 duplicate of a
-    // composed-é doc digests/shingles/fingerprints as DIFFERENT bytes
-    // otherwise (spec-pinned). Both sides, because winnow fingerprints
-    // compare corpus bytes against benchmark bytes: cleaning one side
-    // only would MISS contamination it previously caught. Map-side,
-    // rides the respective scans; default off so the graded composite
-    // rows are byte-stable.
-    val (c, b) =
-      if (!canonicalize) (corpus, benchmark)
-      else (corpus.withColumn(textCol, Text.cleanText(col(textCol))),
-        benchmark.withColumn(textCol, Text.cleanText(col(textCol))))
+      classifier: Option[Classifier] = None): DataFrame =
+    // Stage 0 (the opt-in cleanText canonicalization of BOTH sides)
+    // lives in [[chain]] — one definition, shared with the audit twin.
+    // Default off so the graded composite rows are byte-stable.
+    //
     // Funnel observability rides the stage jobs for free: each stage
     // frame carries an `observe` counter (the Observe seam — collected
     // DURING the checkpoint's own execution pass, no second scan),
     // delivered to any QueryExecutionListener as curation_kept/exact/
     // deduped/clean/head/final row counts — the composite analog of the
     // reference's per-run counters. Spec-pinned monotone non-increasing.
-    chain(c, b, idCol, textCol, sourceCol, pplBuckets,
+    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")),
-      classifier = classifier)
-  }
+      classifier = classifier, canonicalize = canonicalize)
 
   /** [[curate]] with the stage boundaries written through a
     * [[graft.sources.BucketedSink]] bucketed on `idCol` — the PERSISTED
@@ -234,24 +225,21 @@ object Curation {
       pplBuckets: Int = 10, dropTailBuckets: Int = 1,
       capPerSource: Int = 10, numShards: Int = 8,
       semantic: Option[Semantic] = None,
-      classifier: Option[Classifier] = None,
-      canonicalize: Boolean = false): DataFrame = {
-    // the audit must reproduce EXACTLY the run it explains — same
-    // stage-0 canonicalization transform as [[curate]], both sides
-    val (corpus0, benchmark0) =
-      if (!canonicalize) (corpus, benchmark)
-      else (corpus.withColumn(textCol, Text.cleanText(col(textCol))),
-        benchmark.withColumn(textCol, Text.cleanText(col(textCol))))
+      canonicalize: Boolean = false,
+      classifier: Option[Classifier] = None): DataFrame = {
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
     // run the chain at the checkpoint seam; every boundary lands in
     // `frames` already materialized (the final shard order is lazy and
-    // never executed — provenance doesn't consume it)
-    chain(corpus0, benchmark0, idCol, textCol, sourceCol, pplBuckets,
+    // never executed — provenance doesn't consume it). The audit
+    // reproduces EXACTLY the run it explains by construction: stage 0
+    // (canonicalize) and every gate live in the ONE shared [[chain]],
+    // and the parameter order here mirrors [[curate]]'s.
+    chain(corpus, benchmark, idCol, textCol, sourceCol, pplBuckets,
       dropTailBuckets, capPerSource, numShards, semantic,
       mat = (df, stage) => Materialize.checkpoint(
         Observe.withRowMetrics(df, s"curation_$stage")),
       tapBoundary = (stage, df) => frames(stage) = df,
-      classifier = classifier)
+      classifier = classifier, canonicalize = canonicalize)
     def ids(stage: String): DataFrame = frames(stage).select(col(idCol))
     // The mat'ed boundaries (exact/deduped/clean/screened/head) are
     // checkpointed blocks — reading their id column twice is cheap.
@@ -295,24 +283,38 @@ object Curation {
     * is co-located on both sides).
     */
   private def chain(
-      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      corpusIn: DataFrame, benchmarkIn: DataFrame, idCol: String,
       textCol: String, sourceCol: String, pplBuckets: Int,
       dropTailBuckets: Int, capPerSource: Int, numShards: Int,
       semantic: Option[Semantic],
       mat: (DataFrame, String) => DataFrame,
       matIds: (DataFrame, String) => DataFrame = (df, _) => df,
       tapBoundary: (String, DataFrame) => Unit = (_, _) => (),
-      classifier: Option[Classifier] = None): DataFrame = {
+      classifier: Option[Classifier] = None,
+      canonicalize: Boolean = false): DataFrame = {
     // observe-only stages (not boundary frames): the gate and the output
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"curation_$stage")
+
+    // 0. (opt-in) canonicalize BOTH sides with Text.cleanText before any
+    // content hash — a decomposed e+U+0301 duplicate of a composed-é doc
+    // digests/shingles/fingerprints as DIFFERENT bytes otherwise
+    // (spec-pinned). Both sides, because winnow fingerprints compare
+    // corpus bytes against benchmark bytes: cleaning one side only would
+    // MISS contamination it previously caught. Map-side, rides the
+    // respective scans. ONE definition here so curate and its audit twin
+    // (curateProvenance) canonicalize identically by construction.
+    val (corpus0, benchmark0) =
+      if (!canonicalize) (corpusIn, benchmarkIn)
+      else (corpusIn.withColumn(textCol, Text.cleanText(col(textCol))),
+        benchmarkIn.withColumn(textCol, Text.cleanText(col(textCol))))
 
     // 1. quality gate — map-side, rides the corpus scan; feeds exactly
     // one consumer (the digest aggregate) so it is NOT materialized.
     // The optional classifier arm is a second predicate on the SAME
     // scan (zero extra jobs); the intermediate gopher boundary is
     // tapped only then, so provenance can tell the two gates apart.
-    val gated = Text.gopherFilter(corpus, textCol)
+    val gated = Text.gopherFilter(corpus0, textCol)
     val kept = classifier match {
       case None => staged(gated, "kept")
       case Some(cf) =>
@@ -362,7 +364,7 @@ object Curation {
     // operator's output contract); benchmark fingerprints broadcast,
     // the corpus pays one map-side winnow pass
     val contaminated = matIds(
-      Text.winnowDecontaminate(deduped, idCol, textCol, benchmark)
+      Text.winnowDecontaminate(deduped, idCol, textCol, benchmark0)
         .select(col("doc_id").as(idCol)), "contaminated")
     val clean = mat(
       deduped.join(contaminated, Seq(idCol), "left_anti"), "clean")

@@ -1178,9 +1178,14 @@ object Text {
 
   /** Per-group token budgets for a mixture plan: weights normalized by
     * their own sum, each group's share of `totalTokens` floored to a
-    * whole token. Driver-side plain arithmetic on the (model-artifact-
-    * sized) weight table — computed ONCE here so the operator and any
-    * external twin allocate identically.
+    * whole token. A group whose share floors to ZERO is dropped here —
+    * the allocator, not its consumers, owns the "0-token budget behaves
+    * like an unlisted source" rule (a 0 budget downstream would admit
+    * zero-token docs via `cum 0 <= 0`). Rejects an allocation where
+    * EVERY share floors to zero (the caller asked for a mixture that
+    * admits nothing — loud beats empty). Driver-side plain arithmetic
+    * on the (model-artifact-sized) weight table — computed ONCE here so
+    * the operator and any external twin allocate identically.
     */
   def mixtureBudgets(
       weights: Map[String, Double], totalTokens: Long): Map[String, Long] = {
@@ -1190,9 +1195,13 @@ object Text {
     require(totalTokens >= 1,
       s"mixtureBudgets: totalTokens must be >= 1, got $totalTokens")
     val z = weights.values.sum
-    weights.map { case (g, w) =>
+    val budgets = weights.map { case (g, w) =>
       (g, math.floor(w / z * totalTokens).toLong)
-    }
+    }.filter(_._2 > 0)
+    require(budgets.nonEmpty,
+      s"mixtureBudgets: every share of $totalTokens tokens floors to " +
+        s"zero over $weights — the mixture would admit nothing")
+    budgets
   }
 
   /** Materialize a training data-mix plan (the DoReMi/Pile shape): given
@@ -1201,11 +1210,9 @@ object Text {
     * ([[mixtureBudgets]] → [[capTokensPerGroup]] semantics per group).
     * Sources absent from the weight table are dropped (weight 0) —
     * a mixture IS a whitelist — and so is a source whose share FLOORS
-    * to zero tokens (a 0-token budget must behave like an unlisted
-    * source; without the filter a zero-token document would satisfy
-    * `cum 0 <= budget 0` and slip into the mix). Same scale shape as
-    * the token cap: the budget table is model-artifact-sized and
-    * broadcasts; one shuffle on the group key + per-group window
+    * to zero tokens ([[mixtureBudgets]] owns that rule). Same scale
+    * shape as the token cap: the budget table is model-artifact-sized
+    * and broadcasts; one shuffle on the group key + per-group window
     * cumsum.
     */
   def mixtureByTokens(
@@ -1215,8 +1222,7 @@ object Text {
     val budgets = mixtureBudgets(weights, totalTokens)
     val spark = docs.sparkSession
     import spark.implicits._
-    val bdf = budgets.toSeq.filter(_._2 > 0).sortBy(_._1)
-      .toDF(groupCol, "_budget")
+    val bdf = budgets.toSeq.sortBy(_._1).toDF(groupCol, "_budget")
     tokenBudgetAdmit(docs.join(broadcast(bdf), Seq(groupCol)),
       groupCol, idCol, textCol, col("_budget"), seed)
   }

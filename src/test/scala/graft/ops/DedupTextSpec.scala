@@ -1427,12 +1427,15 @@ class DedupTextSpec extends SparkSpec {
       .select("source").as[String].collect()
     assert(!zb.contains("c"), s"zero-floored budget must drop the source: ${zb.toSeq}")
     assert(zb.nonEmpty)
-    // guards: empty table, non-positive weight, zero budget
+    // guards: empty table, non-positive weight, zero budget, and an
+    // allocation where EVERY share floors to zero (loud, not empty)
     intercept[IllegalArgumentException](Text.mixtureBudgets(Map.empty, 10L))
     intercept[IllegalArgumentException](
       Text.mixtureBudgets(Map("a" -> 0.0), 10L))
     intercept[IllegalArgumentException](
       Text.mixtureBudgets(Map("a" -> 1.0), 0L))
+    intercept[IllegalArgumentException](
+      Text.mixtureBudgets(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 2L))
   }
 
   test("capPerGroupIncremental: rolling admission — batch 1 vs an empty " +

@@ -709,7 +709,8 @@ object ClosureProps extends Properties("graft") {
   private val dirtyCharGen: Gen[Char] = Gen.frequency(
     6 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
     1 -> Gen.const('\u00e9'), 1 -> Gen.const('\u0301'),
-    1 -> Gen.const('\u0007'), 1 -> Gen.const('\u000C'))
+    1 -> Gen.const('\u0007'), 1 -> Gen.const('\u000C'),
+    1 -> Gen.const('\u000B'))
   private val dirtyGen: Gen[String] =
     Gen.listOf(dirtyCharGen).map(_.mkString)
 
