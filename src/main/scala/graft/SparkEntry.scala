@@ -483,12 +483,14 @@ object SparkEntry {
     // the native nfc_normalize expression + control strip + whitespace
     // collapse — the ftfy-lite stage before any content hash. The
     // corpus fixture is clean ASCII, so the row appends a deterministic
-    // dirty tail (decomposed e+U+0301, a BEL byte, a word-separating
-    // form feed, a tab, doubled spaces) to every doc on BOTH engines — the transform is exercised
-    // on every row, never vacuously identity ---
+    // dirty tail (decomposed e+U+0301, a BEL sitting BETWEEN a base char
+    // and a combining mark — the control-strip-before-NFC ordering case,
+    // an NBSP, a word-separating form feed, a C1 cp1252-mojibake byte
+    // U+0092, a tab, doubled spaces) to every doc on BOTH engines — the
+    // transform is exercised on every row, never vacuously identity ---
     "q_unicode_clean" -> ((s, dir) => {
       val dirty = concat(col("text"),
-        lit(" Cafe\u0301 \u0007page\u000Cfeed\there  "))
+        lit(" Cafe\u0301 x\u0007\u0301 \u00A0page\u000Cfeed\u0092\there  "))
       t(s, dir, "documents").select(
         col("doc_id"),
         Text.cleanText(dirty).as("clean"),
@@ -2428,7 +2430,7 @@ object SparkEntry {
     // fixed-width hex sorts lexicographically = numerically, so the
     // string rank here IS the Spark side's conv(...,16,10) order
     "q_cap_tokens" -> (
-      s"WITH r AS (SELECT source, doc_id, CAST(len($docTokens) AS BIGINT) AS n_tokens, " +
+      s"WITH r AS (SELECT source, doc_id, COALESCE(CAST(len($docTokens) AS BIGINT), 0) AS n_tokens, " +
         "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents), " +
         "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
@@ -2453,7 +2455,7 @@ object SparkEntry {
         .map { case (g, b) => s"('$g', CAST($b AS BIGINT))" }
         .mkString(", ")
       s"WITH b(source, budget) AS (SELECT * FROM (VALUES $values)), " +
-        s"r AS (SELECT d.source, d.doc_id, CAST(len($docTokens) AS BIGINT) AS n_tokens, " +
+        s"r AS (SELECT d.source, d.doc_id, COALESCE(CAST(len($docTokens) AS BIGINT), 0) AS n_tokens, " +
         "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12) AS rk FROM documents d JOIN b USING (source)), " +
         "c AS (SELECT source, doc_id, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM r) " +
@@ -2930,12 +2932,17 @@ object SparkEntry {
         "FROM documents"),
 
     // the same deterministic dirty tail (decomposed e+combining-acute,
-    // BEL, tab, doubled spaces), DuckDB's own nfc_normalize, and
-    // hex-escaped char classes valid in BOTH regex dialects
+    // BEL between base char and combining mark, NBSP, C1 residue, tab,
+    // doubled spaces), DuckDB's own nfc_normalize, and hex-escaped char
+    // classes valid in BOTH regex dialects — stage ORDER mirrors
+    // Text.cleanText exactly: whitespace-map, control-strip, THEN NFC
+    // (so the mark freed by the stripped BEL composes), then collapse
     "q_unicode_clean" -> (
-      "WITH d AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(7) || 'page' || chr(12) || 'feed' || chr(9) || 'here  ' AS dirty FROM documents), " +
-        "c AS (SELECT doc_id, dirty, trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(dirty), " +
-        "'[\\x0B\\x0C]', ' ', 'g'), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM d) " +
+      "WITH d AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' x' || chr(7) || chr(769) || ' ' || chr(160) || 'page' || chr(12) || 'feed' || chr(146) || chr(9) || 'here  ' AS dirty FROM documents), " +
+        "c AS (SELECT doc_id, dirty, trim(regexp_replace(nfc_normalize(regexp_replace(regexp_replace(dirty, " +
+        "'[\\x0B\\x0C\\x{0085}\\x{00A0}\\x{2028}\\x{2029}]', ' ', 'g'), " +
+        "'[\\x00-\\x08\\x0E-\\x1F\\x7F\\x{0080}-\\x{0084}\\x{0086}-\\x{009F}]', '', 'g')), " +
+        "'[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM d) " +
         "SELECT doc_id, clean, CAST(length(dirty) - length(clean) AS INT) AS removed_chars FROM c"),
 
     // CASE arms rendered from the same classifierWeights table the Spark

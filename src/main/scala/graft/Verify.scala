@@ -30,7 +30,16 @@ object Verify {
     sys.env.get("SPARK_GRAFT_MATERIALIZE_DIR")
       .foreach(spark.conf.set(Materialize.DirKey, _))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b — iterate on a subset without paying the
+    // full 150+-query surface; the driver never sets it, so round
+    // evidence always covers everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ns) => SparkEntry.queries.filter(kv => ns(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

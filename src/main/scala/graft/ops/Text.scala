@@ -205,29 +205,42 @@ object Text {
       .otherwise(round((lenScore + alphaRatio + stopScore) / lit(3.0), 6))
   }
 
-  /** Canonical text cleanup before any content-keyed operator runs:
-    * Unicode NFC composition ([[graft.functions.NfcNormalize]] — native
-    * codegen expression, same name/semantics as DuckDB's built-in), then
-    * normalize controls — the WHITESPACE-CLASS controls VT/FF become a
-    * space (they separate words; deleting them would MERGE the words
-    * around a form feed), every other C0/DEL control is stripped — then
-    * collapse every whitespace run to a single space and trim. The
-    * ftfy-lite stage every crawl pipeline runs first: decomposed
+  /** Canonical text cleanup before any content-keyed operator runs.
+    * Order matters for the canonical-bytes contract: controls are
+    * normalized FIRST, NFC composition runs SECOND — a stripped control
+    * sitting between a base char and its combining mark (`a`+BEL+U+0301)
+    * must leave `a`+U+0301 *before* NFC runs so it composes to `á`;
+    * NFC-then-strip leaves an uncomposed pair and the cleaner stops
+    * being idempotent (clean∘clean ≠ clean). Stages:
+    *
+    *   1. word-separating "whitespace" controls become a space — VT/FF
+    *      plus the Unicode line/space separators NEL U+0085, NBSP
+    *      U+00A0, LS U+2028, PS U+2029 (deleting them would MERGE the
+    *      words around a form feed or a non-breaking space);
+    *   2. every other C0/DEL/C1 control is stripped — C1 U+0080–U+009F
+    *      is the classic cp1252-mojibake residue in crawl text;
+    *   3. Unicode NFC composition ([[graft.functions.NfcNormalize]] —
+    *      native codegen expression, same name/semantics as DuckDB's
+    *      built-in);
+    *   4. collapse every whitespace run to a single space, trim.
+    *
+    * The ftfy-lite stage every crawl pipeline runs first: decomposed
     * "e"+U+0301 vs composed "é" and stray control bytes otherwise split
     * exact-dedup digests, shingles and winnow fingerprints over
     * byte-identical-looking text. Pure map-side, rides the corpus scan,
     * whole-stage-codegen end to end. The char classes are hex-escaped
-    * (VT/FF get their own class rather than riding a `\s` whose
-    * membership DIFFERS between Java and RE2 — RE2's \s excludes \x0B)
-    * so the two regex dialects agree symbol for symbol.
+    * (`\x{...}` is valid in BOTH Java regex and RE2; a bare `\s` is
+    * not portable — RE2's \s excludes \x0B) so the two regex dialects
+    * agree symbol for symbol.
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(
+      call_function("nfc_normalize",
         regexp_replace(
-          call_function("nfc_normalize", text),
-          "[\\x0B\\x0C]", " "),
-        "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+          regexp_replace(
+            text,
+            "[\\x0B\\x0C\\x{0085}\\x{00A0}\\x{2028}\\x{2029}]", " "),
+          "[\\x00-\\x08\\x0E-\\x1F\\x7F\\x{0080}-\\x{0084}\\x{0086}-\\x{009F}]", "")),
       "[ \\t\\n\\r]+", " "))
 
   /** Linear (fastText-style) document-quality classifier score: mean
@@ -1169,7 +1182,15 @@ object Text {
       .orderBy(capRank(col(idCol), seed), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("_ntok", size(tokens(col(textCol))).cast("long"))
+      // NULL text must count as 0 tokens, not NULL: size(tokens(NULL))
+      // is NULL (or -1 under legacy sizeOfNull) and a NULL addend nulls
+      // the running window sum for EVERY later doc in the group — one
+      // null doc would silently evict its whole group's tail from the
+      // admission. The explicit isNull guard is robust to either
+      // sizeOfNull convention.
+      .withColumn("_ntok",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(tokens(col(textCol))).cast("long")))
       .withColumn("cum_tokens", sum(col("_ntok")).over(w))
       .where(col("cum_tokens") <= budget)
       .select(col(groupCol), col(idCol),

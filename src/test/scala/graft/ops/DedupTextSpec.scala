@@ -1402,6 +1402,23 @@ class DedupTextSpec extends SparkSpec {
       Text.capTokensPerGroup(docs, "source", "doc_id", "text", 0L))
   }
 
+  test("capTokensPerGroup: a NULL-text doc counts 0 tokens and cannot " +
+    "poison its group's cumulative sum (every later doc still admitted)") {
+    // null doc ranks SOMEWHERE in the seeded order; whatever its slot,
+    // the other three 2-token docs must all be admitted under budget 6
+    // (a NULL addend would null cum_tokens for every doc after it)
+    val docs = Seq(
+      (1L, "g", "a b"), (2L, "g", null.asInstanceOf[String]),
+      (3L, "g", "c d"), (4L, "g", "e f"))
+      .toDF("doc_id", "source", "text")
+    val got = Text.capTokensPerGroup(docs, "source", "doc_id", "text", 6L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 4, got.mkString(","))
+    assert(got.find(_._1 == 2L).get._2 == 0L)
+    assert(got.map(_._3).max == 6L)
+  }
+
   test("mixtureByTokens: budgets = normalized weight shares (floored), " +
     "unlisted sources drop, per-source admission honors its own budget") {
     // weights 3:1 over 16 total → budgets 12 and 4; each doc is 4 tokens

@@ -710,7 +710,13 @@ object ClosureProps extends Properties("graft") {
     6 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
     1 -> Gen.const('\u00e9'), 1 -> Gen.const('\u0301'),
     1 -> Gen.const('\u0007'), 1 -> Gen.const('\u000C'),
-    1 -> Gen.const('\u000B'))
+    1 -> Gen.const('\u000B'),
+    // C1 mojibake residue, NBSP, NEL — the round-15 extension of the
+    // strip/whitespace classes; a control char landing BETWEEN a base
+    // char and U+0301 is the strip-before-NFC ordering case the fixed
+    // stage order must survive
+    1 -> Gen.const('\u0092'), 1 -> Gen.const('\u00A0'),
+    1 -> Gen.const('\u0085'))
   private val dirtyGen: Gen[String] =
     Gen.listOf(dirtyCharGen).map(_.mkString)
 
