@@ -150,6 +150,13 @@ object PipelineMain {
   private val transports =
     new java.util.concurrent.ConcurrentHashMap[String, TimeCampClient.Transport]()
   transports.put("stub", stubTransport)
+  // The PRODUCTION transport: JDK HttpClient against the live
+  // `envConfig` (base URL + bearer headers are read per call, so a
+  // `.env` loaded in main() — or a test overriding envConfig — takes
+  // effect without re-registration). The instance is tiny; the
+  // underlying pooled HttpClient is the shared lazy singleton.
+  transports.put("http", (url, params) =>
+    graft.sources.HttpTransport.fromConfig(envConfig).get(url, params))
 
   def registerTransport(key: String, t: TimeCampClient.Transport): Unit =
     transports.put(key, t)
