@@ -190,6 +190,31 @@ object BpeEncode {
     out
   }
 
+  /** Map one pre-token's UTF-8 bytes through the bytes→unicode
+    * alphabet — the symbol string the merge loop (and the trainer)
+    * operates on.
+    */
+  private def mapBytes(tok: String): String = {
+    val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Stages 1+2 only (pre-tokenizer regex + byte alphabet), no merge
+    * loop — the [[BpePretokenize]] expression body, and the exact code
+    * path `encode` itself pre-tokenizes with.
+    */
+  def preTokenize(text: UTF8String): ArrayData = {
+    val s = text.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = preTokenizer.matcher(s)
+    while (m.find()) out += UTF8String.fromString(mapBytes(m.group()))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Shared by eval and codegen. */
   def encode(text: UTF8String, table: Table): ArrayData = {
     val s = text.toString

@@ -120,6 +120,14 @@ object GraftExtensions {
             "array<string> of 'left right' merge lines")
       }),
     (
+      new FunctionIdentifier("bpe_pretokenize"),
+      new ExpressionInfo(classOf[BpePretokenize].getName, "bpe_pretokenize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => BpePretokenize(text)
+        case _ => throw new IllegalArgumentException(
+          "bpe_pretokenize(text): exactly one string argument")
+      }),
+    (
       new FunctionIdentifier("vec_sub_at"),
       new ExpressionInfo(classOf[VecSubAt].getName, "vec_sub_at"),
       (args: Seq[Expression]) => args match {

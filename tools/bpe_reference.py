@@ -75,6 +75,66 @@ def encode(text, merge_lines):
     return tokens
 
 
+U2B = {c: b for b, c in B2U.items()}
+
+
+def train(texts, num_merges, min_pair_freq=2):
+    """Greedy BPE merge learning over `texts` -- the independent twin of
+    graft.ops.BpeTrain (both arms). Selection rule, kept in EXACT
+    lockstep with the Scala trainers: highest summed pair frequency,
+    ties broken by the lexicographically SMALLEST "left right" pair
+    string (code-point order == the Scala side's BMP string order),
+    stop when the best frequency < min_pair_freq. Returns merges.txt
+    lines in learned order.
+    """
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        for m in PRE.findall(t):
+            words[tuple(B2U[b] for b in m.encode("utf-8"))] += 1
+    merges = []
+    for _ in range(num_merges):
+        counts = Counter()
+        for word, f in words.items():
+            for i in range(len(word) - 1):
+                counts[word[i] + " " + word[i + 1]] += f
+        if not counts:
+            break
+        best = min(counts, key=lambda k: (-counts[k], k))
+        if counts[best] < min_pair_freq:
+            break
+        merges.append(best)
+        a, b = best.split(" ", 1)
+        ab = a + b
+        new_words = Counter()
+        for word, f in words.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_words[tuple(out)] += f
+        words = new_words
+    return merges
+
+
+# Fixture corpus for the trainer golden: repeated words force a
+# deterministic merge order; singletons exercise the min_pair_freq
+# stop; multi-byte text exercises the byte alphabet end to end.
+TRAIN_CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "a cat and the hat",
+    "low lower lowest low low",
+    "new newer newest new",
+    "caf\u00e9 caf\u00e9 crema",
+    "unique singleton tokens appear once",
+]
+
+
 if __name__ == "__main__":
     # the spec's fixed merges table: enough structure to exercise rank
     # priority, multi-step merges, the G-space marker, and digits
@@ -107,3 +167,9 @@ if __name__ == "__main__":
     for text in CASES:
         toks = encode(text, MERGES)
         print(f"{json.dumps(text)} -> {json.dumps(toks, ensure_ascii=False)}")
+    print("--- trainer golden (TRAIN_CORPUS, num_merges=24, min_pair_freq=2) ---")
+    learned = train(TRAIN_CORPUS, 24)
+    print(json.dumps(learned, ensure_ascii=False))
+    print("--- re-encode with learned merges ---")
+    for text in TRAIN_CORPUS[:2]:
+        print(f"{json.dumps(text)} -> {json.dumps(encode(text, learned), ensure_ascii=False)}")
