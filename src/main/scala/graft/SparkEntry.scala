@@ -513,6 +513,15 @@ object SparkEntry {
           col("text"), classifierWeights.toMap, classifierBias) >= 0.5)
           .as("keep"))),
 
+    // --- TRAINING the quality classifier: multinomial Naive Bayes over
+    // token counts (seed class = doc_id < 100, the q_dsir_weights
+    // labeling convention) — one token-keyed partial-agg shuffle + a
+    // broadcast totals row; Laplace-smoothed log-likelihood-ratio
+    // weights in integer 1e-9 units (the unigram-LM cross-engine
+    // discipline: quantize each ln, THEN subtract) ---
+    "q_classifier_train" -> ((s, dir) =>
+      Text.nbTrain(t(s, dir, "documents"), "text", col("doc_id") < 100)),
+
     // --- corpus composition stats: per-source doc count, mean length,
     // language entropy (one pass over (source,lang) counts;
     // H = ln(N) - Σ n·ln(n)/N) ---
@@ -2954,6 +2963,19 @@ object SparkEntry {
       s"WITH ${classifierScoreCtes("documents")} " +
         "SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score, " +
         "round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) >= 0.5 AS keep FROM csz"),
+
+    // NB trainer twin: pure count aggregation + the quantize-each-ln-
+    // then-subtract integer-unit rule — bit-exact cross-engine like the
+    // unigram-LM rows
+    "q_classifier_train" -> (
+      s"WITH tok AS (SELECT doc_id < 100 AS s, unnest(${docTokensOf("lower(text)")}) AS token FROM documents), " +
+        "c AS (SELECT token, CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c_seed, " +
+        "CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c_crawl FROM tok GROUP BY 1), " +
+        "t AS (SELECT SUM(c_seed) AS ts, SUM(c_crawl) AS tc, COUNT(*) AS v FROM c) " +
+        "SELECT token, c_seed, c_crawl, " +
+        "CAST(floor(ln(CAST(c_seed + 1 AS DOUBLE) / CAST(ts + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) " +
+        "- CAST(floor(ln(CAST(c_crawl + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w_units " +
+        "FROM c CROSS JOIN t"),
 
     "q_repetition_score" -> (
       s"WITH toks AS (SELECT doc_id, text, $docTokens AS ts FROM documents), " +

@@ -275,6 +275,73 @@ object Text {
     round(lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z))), 6)
   }
 
+  /** TRAIN the quality classifier's weight table in-engine: multinomial
+    * Naive Bayes over token occurrence counts (the fastText-recipe
+    * seed-vs-crawl gate of GPT-3 §2.2 / CCNet, reduced to the NB form
+    * whose training is pure count aggregation — unlike SGD, every
+    * number here is exactly reproducible by any engine).
+    *
+    * `isSeed` labels the positive (high-quality) class. Per token:
+    * Laplace-smoothed class-conditional log-likelihood ratio
+    * `w = ln((c_seed+1)/(T_seed+V)) − ln((c_crawl+1)/(T_crawl+V))`
+    * with `T_c` the class's total token occurrences and `V` the joint
+    * vocabulary size. Emitted in integer 1e-9 units (`w_units`, each ln
+    * floor(+0.5)-quantized BEFORE the subtraction) — the
+    * [[unigramLogProb]] cross-engine discipline: transcendentals differ
+    * in the last ulp across libms, integer units do not.
+    *
+    * Shape: one tokenize pass (through [[spread]]), ONE shuffle keyed
+    * on token (map-side partial agg — shuffled volume is |vocab|, not
+    * |occurrences|), then a broadcast one-row totals join. The output
+    * is the vocab-sized model artifact [[nbModel]] collects; at web
+    * scale keep it as a table and join it in place of the literal-map
+    * [[classifierScore]].
+    */
+  def nbTrain(docs: DataFrame, textCol: String, isSeed: Column): DataFrame = {
+    val tok = spread(docs)
+      .select(isSeed.as("_seed"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("_seed"), lit(1L)).otherwise(lit(0L))).as("c_seed"),
+      sum(when(col("_seed"), lit(0L)).otherwise(lit(1L))).as("c_crawl"))
+    val totals = counts.agg(
+      sum("c_seed").as("_ts"), sum("c_crawl").as("_tc"),
+      count(lit(1)).as("_v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_seed"), col("c_crawl"),
+        (floor(log((col("c_seed") + 1).cast("double") /
+            (col("_ts") + col("_v")).cast("double")) * 1e9 + 0.5)
+          .cast("long") -
+          floor(log((col("c_crawl") + 1).cast("double") /
+            (col("_tc") + col("_v")).cast("double")) * 1e9 + 0.5)
+            .cast("long")).as("w_units"))
+  }
+
+  /** Collect [[nbTrain]]'s table into the `(weights, bias)` pair
+    * [[classifierScore]] consumes — the driver-model-artifact seam
+    * (vocab-sized, like a centroid pull; guarded by `maxVocab`). Bias =
+    * the class-prior log ratio `ln(n_seed/n_crawl)` over DOCUMENT
+    * counts, in the same quantize-then-subtract units.
+    */
+  def nbModel(docs: DataFrame, textCol: String, isSeed: Column,
+      maxVocab: Int = 1_000_000): (Map[String, Double], Double) = {
+    val rows = nbTrain(docs, textCol, isSeed).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"nbModel: vocabulary exceeds $maxVocab — raise maxVocab or keep " +
+        "the weights as a table and score by join")
+    val weights = rows.map(r =>
+      r.getString(0) -> r.getLong(3) / 1e9).toMap
+    val Array(nSeed, nCrawl) = docs
+      .agg(sum(when(isSeed, lit(1L)).otherwise(lit(0L))),
+        sum(when(isSeed, lit(0L)).otherwise(lit(1L))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nSeed > 0 && nCrawl > 0,
+      s"nbModel: both classes must be non-empty, got seed=$nSeed crawl=$nCrawl")
+    val bias = (math.floor(math.log(nSeed.toDouble / (nSeed + nCrawl)) * 1e9 + 0.5) -
+      math.floor(math.log(nCrawl.toDouble / (nSeed + nCrawl)) * 1e9 + 0.5)) / 1e9
+    (weights, bias)
+  }
+
   /** TF-IDF per (doc, token) with sklearn-style smoothing:
     * `idf = ln((N+1)/(df+1)) + 1`, `tfidf = tf · idf`, rounded to 6 for
     * engine-portable comparison.

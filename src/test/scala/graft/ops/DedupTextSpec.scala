@@ -109,6 +109,46 @@ class DedupTextSpec extends SparkSpec {
       Text.classifierScore($"t", Map.empty, 0.0))
   }
 
+  test("nbTrain/nbModel: Laplace-smoothed NB weights separate a planted " +
+    "seed/crawl fixture end to end through classifierScore") {
+    // seed class: research-register tokens; crawl class: spam-register.
+    // 'shared' appears equally in both — its weight must sit near 0.
+    val docs = Seq(
+      (1L, "science research method shared", true),
+      (2L, "research data method shared", true),
+      (3L, "science method data", true),
+      (4L, "click buy now shared", false),
+      (5L, "buy cheap click shared", false),
+      (6L, "click now cheap", false)).toDF("doc_id", "text", "seed")
+    val table = Text.nbTrain(docs, "text", $"seed")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // counts: 'research' 2/0, 'click' 0/3, 'shared' 2/2
+    assert(table("research")._1 === 2L && table("research")._2 === 0L)
+    assert(table("click")._1 === 0L && table("click")._2 === 3L)
+    assert(table("research")._3 > 0L && table("click")._3 < 0L)
+    // balanced classes and equal counts: |w(shared)| small vs the others
+    assert(math.abs(table("shared")._3) < table("research")._3 / 4)
+    // hand-check one weight: w = ln((c_s+1)/(T_s+V)) - ln((c_c+1)/(T_c+V)),
+    // quantized each side; T_s=11, T_c=11, V=9
+    val expected =
+      (math.floor(math.log(3.0 / 20.0) * 1e9 + 0.5) -
+        math.floor(math.log(1.0 / 20.0) * 1e9 + 0.5)).toLong
+    assert(table("research")._3 === expected)
+    // the collected model drives classifierScore: unseen docs of each
+    // register land on the right side of 0.5
+    val (w, bias) = Text.nbModel(docs, "text", $"seed")
+    assert(bias === 0.0) // balanced doc priors
+    val scores = Seq(("research method data", 1), ("buy click cheap", 2))
+      .toDF("t", "i")
+      .select($"i", Text.classifierScore($"t", w, bias).as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(scores(1) > 0.5 && scores(2) < 0.5)
+    // single-class input is rejected loudly
+    intercept[IllegalArgumentException](
+      Text.nbModel(docs.where($"seed"), "text", $"seed"))
+  }
+
   test("langId picks marker language, und when none") {
     val df = Seq(
       "the cat and the hat is here",
