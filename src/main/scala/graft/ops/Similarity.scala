@@ -838,6 +838,49 @@ object Similarity {
         vecCol)
     }
 
+  /** Deterministic hash-sample of a corpus: keep rows whose seeded
+    * md5-prefix (first 8 hex chars, a uniform 32-bit draw — the
+    * q_sample_hash / mixture-sampling device) falls below `frac` of the
+    * hex space. Reproducible across runs, engines, and partitionings —
+    * unlike `DataFrame.sample`, whose RNG is split-dependent. Pure
+    * map-side filter; `frac >= 1` short-circuits to the corpus itself
+    * (the 8-hex-char comparison cannot express the closed upper bound).
+    */
+  def hashSampled(corpus: DataFrame, idCol: String, frac: Double,
+      seed: String = "km:"): DataFrame = {
+    require(frac > 0, s"frac must be > 0, got $frac")
+    if (frac >= 1.0) corpus
+    else {
+      val bound = f"${math.floor(frac * 4294967296.0).toLong}%08x"
+      corpus.where(substring(
+        md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8) < lit(bound))
+    }
+  }
+
+  /** [[kmeansFit]] trained on a deterministic [[hashSampled]] fraction
+    * of the corpus — the 100 TB Lloyd path. Full-corpus training costs
+    * O(iters · n · k · d) assignment work, and at the ⌈√n⌉ law point
+    * that is O(iters · n^1.5 · d); centroids are means, so a uniform
+    * sample's means converge at O(1/√(n·frac)) per cell — at web scale
+    * a 1–10% sample moves cell boundaries by less than the quantize
+    * step while cutting trainer cost 10–100×. The FULL corpus is still
+    * assigned in the one existing map-side pass (`withCell` /
+    * `ivfTopKFrom(kmeansFitSampled(...))`), so only TRAINING sees the
+    * sample. Deterministic end to end: the sample is a pure function of
+    * (seed, id), seeding stays first-k-by-id within the sample.
+    */
+  def kmeansFitSampled(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4, frac: Double = 0.1,
+      seed: String = "km:"): Seq[(Long, Seq[Double])] = {
+    // cache the sample: seeding + every Lloyd round re-scans it, and
+    // without the cache each scan re-reads (and re-filters) the corpus
+    val sample = hashSampled(corpus, idCol, frac, seed)
+    val materialized = if (frac >= 1.0) sample else sample.cache()
+    try kmeansFit(materialized, idCol, vecCol, k, iters)
+    finally if (frac < 1.0) { materialized.unpersist(); () }
+  }
+
   /** Cosine k-means inertia of a centroid model over a corpus:
     * Σ (1 − cos(x, nearest center)) — the quality number seeding
     * strategies compare on. One map-side pass (argmax cell + one dot

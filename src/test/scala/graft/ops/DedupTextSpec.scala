@@ -304,6 +304,56 @@ class DedupTextSpec extends SparkSpec {
     assert(early.last.maxShift <= 1e-9)
   }
 
+  test("kmeansFitSampled: deterministic hash-sample trainer — frac=1 is " +
+    "exactly kmeansFit, a 20% sample recovers the planted clusters and " +
+    "its full-corpus assignment matches the full-trained model") {
+    // three tight direction-clusters, ids interleaved mod 3 so any hash
+    // sample draws from all of them
+    val vecs = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Seq.tabulate(3)(j => if (j == c) 1.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + 0.02f * ((i + j) % 4) })
+    }.toDF("vec_id", "embedding")
+    vecs.cache(); vecs.count()
+
+    // hashSampled: deterministic, map-side, ~frac of rows; frac>=1 is
+    // the corpus itself (the 8-hex-char bound cannot express 2^32)
+    val s1 = Similarity.hashSampled(vecs, "vec_id", 0.2)
+      .select("vec_id").as[Long].collect().toSet
+    val s2 = Similarity.hashSampled(vecs, "vec_id", 0.2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(s1.size > 30 && s1.size < 90, s"20% of 300: got ${s1.size}")
+    assert(Similarity.hashSampled(vecs, "vec_id", 1.0).count() === 300)
+    // a different seed draws a different (still deterministic) sample
+    assert(Similarity.hashSampled(vecs, "vec_id", 0.2, "km2:")
+      .select("vec_id").as[Long].collect().toSet !== s1)
+
+    val full = Similarity.kmeansFit(vecs, "vec_id", "embedding", 3, 4)
+    assert(Similarity.kmeansFitSampled(vecs, "vec_id", "embedding", 3, 4,
+      frac = 1.0) === full)
+    val sampled = Similarity.kmeansFitSampled(vecs, "vec_id", "embedding",
+      3, 4, frac = 0.2)
+    assert(sampled ===
+      Similarity.kmeansFitSampled(vecs, "vec_id", "embedding", 3, 4, 0.2))
+    assert(sampled.size === 3)
+    // quality: sample-trained centroids assign the FULL corpus into the
+    // same partition as full-trained ones (cells may be renamed; the
+    // grouping must agree), and inertia degrades by at most 5%
+    def partition(model: Seq[(Long, Seq[Double])]): Map[Long, Set[Long]] =
+      Similarity.withCell(vecs, "vec_id", "embedding", model)
+        .select(col("vec_id").cast("long"), col("_cell").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(partition(sampled).values.toSet === partition(full).values.toSet,
+      "sample-trained model must induce the same clustering")
+    val iFull = Similarity.inertia(vecs, "vec_id", "embedding", full)
+    val iSampled = Similarity.inertia(vecs, "vec_id", "embedding", sampled)
+    assert(iSampled <= iFull * 1.05,
+      f"sampled-trainer inertia $iSampled%.4f vs full $iFull%.4f")
+  }
+
   test("denser SRP points only DROP pairs: bucket bits are prefixes, so " +
     "pairs@6 planes is a subset of pairs@4 planes") {
     val emb = spark.read
