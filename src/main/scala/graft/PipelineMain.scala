@@ -66,7 +66,9 @@ object PipelineMain {
       from: String = "yesterday", to: String = "yesterday",
       output: String = "./timecamp_data", format: String = "csv",
       datasets: Seq[String] = Seq("entries"), transportKey: String = "stub",
-      sink: String = "file", formatSet: Boolean = false)
+      sink: String = "file", formatSet: Boolean = false,
+      compactStores: Option[String] = None,
+      compactIvfPq: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -80,6 +82,10 @@ object PipelineMain {
           .filter(_.nonEmpty).toSeq))
       case "--transport" :: v :: t => loop(t, c.copy(transportKey = v))
       case "--sink" :: v :: t => loop(t, c.copy(sink = v))
+      case "--compact-stores" :: v :: t =>
+        loop(t, c.copy(compactStores = Some(v)))
+      case "--compact-ivfpq" :: v :: t =>
+        loop(t, c.copy(compactIvfPq = Some(v)))
       case "--debug" :: t => loop(t, c)
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
@@ -482,11 +488,61 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val counts = try run(spark, c) catch {
-        case e: IllegalArgumentException =>
-          System.err.println(e.getMessage); sys.exit(1)
+      if (c.compactStores.nonEmpty || c.compactIvfPq.nonEmpty) {
+        try runMaintenance(spark, c) catch {
+          case e: IllegalArgumentException =>
+            System.err.println(e.getMessage); sys.exit(1)
+        }
+      } else {
+        val counts = try run(spark, c) catch {
+          case e: IllegalArgumentException =>
+            System.err.println(e.getMessage); sys.exit(1)
+        }
+        counts.foreach { case (ds, n) => println(s"[pipeline] $ds: $n rows") }
       }
-      counts.foreach { case (ds, n) => println(s"[pipeline] $ds: $n rows") }
     } finally spark.stop()
+  }
+
+  /** Store-maintenance mode — the vacuum entry point a long-running
+    * deployment schedules instead of a dataset run. Wires the two
+    * library compactions behind one CLI, preserving their own
+    * crash-safety disciplines (versioned two-phase swap for the
+    * curation stores, new-table-then-flip for the IVFADC artifact):
+    *
+    *  - `--compact-stores <root>` — fold the [[graft.streaming.EventStream.curateStream]]
+    *    append stores' per-batch `b=*` subdirs into one
+    *    ([[graft.streaming.EventStream.compactCurationStores]]): the
+    *    per-fold partition-LISTING cost and DFS small-file count grow
+    *    linearly with batch count even though the data read does not.
+    *  - `--compact-ivfpq <warehouse>:<fromTable>:<toTable>:<numBuckets>[:<prefix>]`
+    *    — rewrite a streamed IVFADC codes artifact into dense buckets
+    *    ([[graft.ops.Similarity.ivfPqCompact]]); the CLI enforces the
+    *    library's from≠to contract, the operator flips probes to the
+    *    new table afterwards.
+    *
+    * Both flags may be combined; either alone is a valid maintenance
+    * run. Dataset/date flags are ignored in this mode.
+    */
+  def runMaintenance(spark: SparkSession, c: Config): Unit = {
+    c.compactStores.foreach { root =>
+      graft.streaming.EventStream.compactCurationStores(spark, root)
+      println(s"[maintenance] compacted curation stores at $root")
+    }
+    c.compactIvfPq.foreach { sp =>
+      val parts = sp.split(":", -1)
+      require(parts.length == 4 || parts.length == 5,
+        "--compact-ivfpq expects <warehouse>:<fromTable>:<toTable>:" +
+          s"<numBuckets>[:<tablePrefix>], got '$sp'")
+      val buckets = try parts(3).toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--compact-ivfpq numBuckets must be an integer, got '${parts(3)}'")
+      }
+      require(buckets >= 1, s"--compact-ivfpq numBuckets must be >= 1, got $buckets")
+      val prefix = if (parts.length == 5) parts(4) else "ivfpq"
+      graft.ops.Similarity.ivfPqCompact(
+        spark, parts(0), parts(1), parts(2), buckets, prefix)
+      println(s"[maintenance] compacted IVFADC ${parts(1)} -> ${parts(2)} " +
+        s"(${buckets} buckets) in ${parts(0)}")
+    }
   }
 }

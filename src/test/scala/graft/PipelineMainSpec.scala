@@ -162,4 +162,81 @@ class PipelineMainSpec extends SparkSpec {
     assert(PipelineMain.parseUserSettings("[]", Seq("1"), "disabled_user")
       === Seq("1" -> null))
   }
+
+  test("--compact-stores maintenance CLI: ingest 3 batches, compact via " +
+    "the CLI, fold batch 4 — outputs identical to the never-compacted " +
+    "sequence") {
+    import spark.implicits._
+    def doc(i: Int): String =
+      s"the alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i " +
+        s"hotel$i india$i juliet$i"
+    val bench = Seq((1L, "benchmark sentence for the winnow store fixture"))
+      .toDF("doc_id", "text")
+    val ws = graft.ops.Text.winnowStore(bench, "doc_id", "text")
+    val batches = Seq(
+      Seq((100L, doc(0), "s1"), (101L, doc(1), "s1")),
+      Seq((200L, doc(0), "s2"), (201L, doc(2), "s2")), // 200 dups 100
+      Seq((300L, doc(3), "s1"), (301L, doc(4), "s3")),
+      Seq((400L, doc(1), "s3"), (401L, doc(5), "s2"))) // 400 dups 101
+    val rootA = Files.createTempDirectory("cstore_cli").toString
+    val rootB = Files.createTempDirectory("cstore_plain").toString
+    def fold(root: String, b: Seq[(Long, String, String)]): Unit =
+      graft.streaming.EventStream.curateFoldBatch(
+        b.toDF("doc_id", "text", "source"), ws, root, "doc_id", "text",
+        "source", pplBuckets = 2, dropTailBuckets = 0, capPerSource = 10,
+        numShards = 2)
+    batches.take(3).foreach { b => fold(rootA, b); fold(rootB, b) }
+
+    // the CLI path end to end: parseArgs -> maintenance mode
+    val c = PipelineMain.parseArgs(Array("--compact-stores", rootA))
+    assert(c.compactStores === Some(rootA) && c.compactIvfPq === None)
+    PipelineMain.runMaintenance(spark, c)
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$rootA/digests/b=*")).length === 1, "append dirs folded into one")
+
+    fold(rootA, batches(3)); fold(rootB, batches(3))
+    def outOf(root: String) = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outOf(rootA) === outOf(rootB),
+      "fold-after-compact must equal the uncompacted sequence")
+    assert(!outOf(rootA).contains(400L), "cross-batch dup blocked " +
+      "through the compacted store")
+    assert(spark.read.parquet(s"$rootA/digests").count() ===
+      spark.read.parquet(s"$rootB/digests").count())
+  }
+
+  test("--compact-ivfpq maintenance CLI: parse, validate, and rewrite " +
+    "the artifact to a new table with identical probe results") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f))
+    }.toDF("vec_id", "embedding")
+    val wh = Files.createTempDirectory("ivfpq_cli").toString
+    val model = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, ks = 4, iters = 1)
+    val cents = Similarity.ivfPqBuild(vecs, "vec_id", "embedding", 2,
+      model, 4, wh, "st")
+    def probe(table: String) = Similarity.ivfPqProbe(vecs.limit(3),
+      Similarity.ivfAssigned(spark, wh, table, "ivfpq"),
+      "vec_id", "embedding", 3, cents, model)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe("st")
+
+    val c = PipelineMain.parseArgs(
+      Array("--compact-ivfpq", s"$wh:st:st_c:4"))
+    PipelineMain.runMaintenance(spark, c)
+    val after = probe("st_c")
+    assert(after === before, "compacted table must probe identically")
+
+    // malformed specs fail loudly, from==to enforced by the library
+    intercept[IllegalArgumentException](PipelineMain.runMaintenance(spark,
+      PipelineMain.parseArgs(Array("--compact-ivfpq", "a:b:c"))))
+    intercept[IllegalArgumentException](PipelineMain.runMaintenance(spark,
+      PipelineMain.parseArgs(Array("--compact-ivfpq", "a:b:c:x"))))
+    intercept[IllegalArgumentException](PipelineMain.runMaintenance(spark,
+      PipelineMain.parseArgs(Array("--compact-ivfpq", s"$wh:st:st:4"))))
+  }
 }
