@@ -68,7 +68,8 @@ object PipelineMain {
       datasets: Seq[String] = Seq("entries"), transportKey: String = "stub",
       sink: String = "file", formatSet: Boolean = false,
       compactStores: Option[String] = None,
-      compactIvfPq: Option[String] = None)
+      compactIvfPq: Option[String] = None,
+      debug: Boolean = false)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -86,7 +87,7 @@ object PipelineMain {
         loop(t, c.copy(compactStores = Some(v)))
       case "--compact-ivfpq" :: v :: t =>
         loop(t, c.copy(compactIvfPq = Some(v)))
-      case "--debug" :: t => loop(t, c)
+      case "--debug" :: t => loop(t, c.copy(debug = true))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
     }
@@ -479,6 +480,10 @@ object PipelineMain {
     // `--transport` reads `envConfig.baseUrl` / `.headers`; the offline
     // stub ignores it.
     envConfig = TimeCampConfig.fromEnv()
+    // reference logging setup (common/logger.py:5-46 via common/api.py:18):
+    // rotating logs/sync.log at INFO + console at DEBUG/INFO per --debug
+    graft.sources.PipelineLogger.active =
+      new graft.sources.PipelineLogger(debug = c.debug)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .withExtensions(new graft.functions.GraftExtensions)

@@ -48,6 +48,9 @@ object TimeCampClient {
           .orElse(retryAfterFromBody(r.body))
           .map(_ * 1000L)
           .getOrElse(5000L * n)
+        PipelineLogger.active.warning(
+          s"API request returned ${r.status}; retrying in ${delayMs / 1000.0} " +
+            s"seconds (attempt ${n + 1}/$MaxAttempts)")
         sleep(delayMs)
         attempt(n + 1)
       }
@@ -120,7 +123,8 @@ object TimeCampClient {
       try Some(fetch(b))
       catch {
         case e: Exception =>
-          System.err.println(s"[timecamp] batch $b failed, skipping: ${e.getMessage}")
+          PipelineLogger.active.warning(
+            s"batch $b failed, skipping: ${e.getMessage}")
           None
       }
     }
