@@ -89,7 +89,7 @@ object PlantedRecallBench {
         f"= (p=$p, L=$l), model=${Similarity.expectedBandedRecall(threshold, p, l)}%.4f")
       measure(s"banded_sla_p${p}x$l",
         Similarity.cosineNearDupPairsBanded(
-          emb, "vec_id", "embedding", threshold, sla, n))
+          emb, "vec_id", "embedding", threshold, sla, n, maxBands = 512))
     }
     spark.stop()
   }

@@ -670,9 +670,17 @@ object SparkEntry {
     // count is law-sized at every SF the driver grades ---
     "q_dedup_embed_banded" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // maxBands raised KNOWINGLY (the bandsFor guard's sanctioned
+      // path): the 0.95-SLA law answer grows with the decade — 11
+      // bands at sf0.1 (n=2k), 74 at sf1 (20k), ~300 at sf10 — and the
+      // DuckDB twin derives the same uncapped count, so the default
+      // 64-band cap would fail THIS row's Spark side at sf1 while the
+      // twin runs (round-15 sf1 sweep). Cost stays linear in bands
+      // (hash rows per vector); the cap still protects library callers
+      // who did not opt in.
       Similarity.cosineNearDupPairsBanded(
         emb, "vec_id", "embedding", 0.4,
-        targetRecall = 0.95, n = emb.count())
+        targetRecall = 0.95, n = emb.count(), maxBands = 512)
     }),
 
     // --- incremental embedding ingest: batch (vec_id % 5 = 0) vs the

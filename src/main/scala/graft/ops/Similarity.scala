@@ -202,8 +202,9 @@ object Similarity {
     */
   def cosineNearDupPairsBanded(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, targetRecall: Double, n: Long): DataFrame = {
-    val (p, l) = bandsFor(threshold, targetRecall, n)
+      threshold: Double, targetRecall: Double, n: Long,
+      maxBands: Int): DataFrame = {
+    val (p, l) = bandsFor(threshold, targetRecall, n, maxBands = maxBands)
     cosineNearDupPairsBanded(corpus, idCol, vecCol, threshold, p, l)
   }
 

@@ -515,7 +515,7 @@ class DedupTextSpec extends SparkSpec {
     val n = corpus.count()
     assert(Similarity.bandsFor(0.9, 0.95, n) === ((2, 3)))
     val pairs = Similarity.cosineNearDupPairsBanded(
-      corpus, "vec_id", "embedding", 0.9, 0.95, n)
+      corpus, "vec_id", "embedding", 0.9, 0.95, n, maxBands = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = truth.count(pairs.contains).toDouble / truth.size
     assert(recall >= 0.90,
