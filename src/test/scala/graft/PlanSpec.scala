@@ -417,6 +417,26 @@ class PlanSpec extends SparkSpec {
       s"cleanText projection must stay inside codegen:\n$cleanOnly")
   }
 
+  test("nbTrain: ONE token-keyed exchange with map-side partial agg, " +
+    "totals joined by broadcast, no UDF") {
+    val docs = Tables(spark, dir, "documents")
+    val plan = planOf(graft.ops.Text.nbTrain(docs, "text",
+      col("doc_id") < 100))
+    // the token counts shuffle once; the one-row totals re-enter via
+    // BroadcastExchange (scalars, never a shuffled join). AQE may plan
+    // the totals' own agg as a second small exchange — the contract is
+    // on the token key: exactly one HASH-partitioned Exchange.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"nbTrain must not shuffle beyond the token key + totals agg:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      s"totals row must broadcast:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"map-side partial agg expected:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"no UDF fence expected:\n$plan")
+  }
+
   test("capTokensPerGroup: ONE exchange (the group key), budget filter " +
     "applied before the output projection") {
     val docs = Tables(spark, dir, "documents")

@@ -731,4 +731,56 @@ object ClosureProps extends Properties("graft") {
         .select(Text.cleanText(col("t")).as("c")).as[String].head()
       out(0) == out(1) && again == out(0)
     }
+
+  // ---- NB trainer: exact label-swap antisymmetry ----
+
+  private val labeledDocsGen: Gen[Seq[(String, Boolean)]] = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(n, for {
+      nw <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(nw, Gen.oneOf("alpha", "beta", "Gamma", "d", "ee"))
+      lbl <- Gen.oneOf(true, false)
+    } yield (ws.mkString(" "), lbl))
+    // both classes non-empty (nbTrain itself allows one-sided count
+    // tables; the swap property needs both labels realized)
+    if docs.exists(_._2) && docs.exists(!_._2)
+  } yield docs
+
+  property("nbTrain label swap negates every w_units EXACTLY and swaps " +
+    "the count columns (quantize-then-subtract integer symmetry)") =
+    forAll(labeledDocsGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case ((t, l), i) => (i.toLong, t, l) }
+        .toDF("id", "text", "seed")
+      def table(isSeed: org.apache.spark.sql.Column) =
+        Text.nbTrain(df, "text", isSeed)
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val fwd = table(col("seed"))
+      val swp = table(!col("seed"))
+      fwd.keySet == swp.keySet && fwd.forall { case (t, (cs, cc, w)) =>
+        swp(t) == ((cc, cs, -w))
+      }
+    }
+
+  // ---- BPE trainer: the two arms agree on random corpora ----
+
+  private val bpeCorpusGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 6)
+    docs <- Gen.listOfN(n, for {
+      nw <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(nw, Gen.oneOf(
+        "aba", "abab", "bc", "bcbc", "ca", "caca", "x"))
+    } yield ws.mkString(" "))
+  } yield docs
+
+  property("BpeTrain driver and distributed arms learn IDENTICAL merge " +
+    "tables on random corpora (selection rule cannot drift)") =
+    forAll(bpeCorpusGen) { docs =>
+      val df = docs.toDF("text")
+      val a = BpeTrain.train(df, "text", numMerges = 4)
+      val b = BpeTrain.trainDistributed(df, "text", numMerges = 4,
+        checkpointEvery = 8)
+      a == b
+    }
 }
