@@ -51,6 +51,15 @@ object GraftExtensions {
           "rolling_hash(text, window): window must be an integer literal")
       }),
     (
+      new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFp(text, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fp(text, k, w): k and w must be integer literals")
+      }),
+    (
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {

@@ -908,15 +908,20 @@ object Text {
     *
     * Output: one row per kept fingerprint — (doc_id, pos, fp_hash),
     * pos = 0-based byte offset of the k-gram. Entirely MAP-SIDE: the
-    * per-window argmin runs inside the row's own arrays (slice /
-    * array_min / reverse / array_position — all codegen'd built-ins),
-    * no shuffle at any corpus size; only the (id, pos, 8-byte hash)
-    * fingerprint rows leave the scan (~2/(w+1) × text bytes). Docs
-    * shorter than k + w − 1 bytes produce no fingerprints (no full
-    * hash window exists). Engine-portable: KR values are exact BIGINTs
-    * both engines (the q_rolling_hash precedent), and rightmost-tie =
-    * `w − position(reverse(window), min)` is the same integer
-    * arithmetic in both.
+    * per-window sliding minimum runs inside the native
+    * [[graft.functions.WinnowFp]] expression (one O(n) monotonic-deque
+    * pass per doc — replaced the composed
+    * slice/array_min/reverse/array_position formulation, which was
+    * O(n·w) with four array allocations per window and dominated the
+    * sf1 bench); no shuffle at any corpus size; only the (id, pos,
+    * 8-byte hash) fingerprint rows leave the scan (~2/(w+1) × text
+    * bytes). Docs shorter than k + w − 1 bytes produce no fingerprints
+    * (no full hash window exists). Engine-portable: each pick packs
+    * into ONE BIGINT, pos·2³¹ + hash (KR hash < 1e9+7 < 2³¹, exact in
+    * both engines — the q_rolling_hash precedent), and the DuckDB twin
+    * reproduces rightmost-tie as `w − position(reverse(window), min)`
+    * with the same integer arithmetic; PropertiesSpec pins the native
+    * picks against an independent brute-force re-derivation.
     */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
@@ -924,28 +929,12 @@ object Text {
     require(k >= 1 && w >= 1, s"winnow: need k >= 1 and w >= 1, got $k/$w")
     // Column-level invocation, not expr() string interpolation: a
     // column name needing backticks would fail (or worse, reparse) in
-    // a SQL fragment
-    val h = call_function("rolling_hash", col(textCol), lit(k))
-    // each pick packs into ONE BIGINT, pos·2³¹ + hash (KR hash < 1e9+7
-    // < 2³¹): distinct over plain BIGINTs instead of structs — DuckDB's
-    // list_distinct cannot histogram a STRUCT, and both engines then
-    // dedup the identical integers
-    val fps = { hc: Column =>
-      // window starts are 1-based over the hash array; guard n < w
-      // explicitly — sequence(1, 0) generates DESCENDING in Spark
-      when(size(hc) >= w,
-        array_distinct(transform(
-          sequence(lit(1), size(hc) - w + 1),
-          i => {
-            val win = slice(hc, i, lit(w))
-            val mn = array_min(win)
-            (i + lit(w) - array_position(reverse(win), mn) - 1)
-              .cast("long") * lit(2147483648L) + mn
-          })))
-        .otherwise(array().cast("array<bigint>"))
-    }
+    // a SQL fragment. NULL text → NULL array → explode emits no rows,
+    // same zero rows the previous when/otherwise-empty guard produced.
     spread(docs)
-      .select(col(idCol).as("doc_id"), explode(fps(h)).as("_c"))
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("winnow_fp", col(textCol), lit(k), lit(w)))
+          .as("_c"))
       .select(col("doc_id"),
         shiftright(col("_c"), 31).as("pos"),
         col("_c").bitwiseAND(lit(2147483647L)).as("fp_hash"))

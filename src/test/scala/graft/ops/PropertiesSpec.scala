@@ -763,6 +763,46 @@ object ClosureProps extends Properties("graft") {
       }
     }
 
+  // ---- winnow_fp: native deque pass == brute-force definition ----
+
+  /** Independent re-derivation of the winnow picks straight from the
+    * paper's definition (per-window scan for the rightmost minimum,
+    * then distinct) — deliberately O(n·w) and structurally unlike the
+    * expression's monotonic deque, so a deque bug cannot hide.
+    */
+  private def winnowBrute(s: String, k: Int, w: Int): Seq[Long] = {
+    val h = graft.functions.RollingHash.hashes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), k)
+    if (h.length < w) Seq.empty
+    else {
+      val picks = (0 to h.length - w).map { i =>
+        val win = h.slice(i, i + w)
+        val mn = win.min
+        val p = i + win.lastIndexOf(mn)
+        p.toLong * 2147483648L + h(p)
+      }
+      picks.distinct
+    }
+  }
+
+  private val winnowTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    // a tiny alphabet forces hash ties and repeated substrings — the
+    // rightmost-tie and dedup paths, not just the generic min path
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', 'é'))
+  } yield cs.mkString
+
+  property("winnow_fp native expression == brute-force rightmost-min " +
+    "definition (picks, order, dedup) on tie-heavy random text") =
+    forAll(winnowTextGen, Gen.choose(1, 6), Gen.choose(1, 5)) {
+      (s, k, w) =>
+        val native = Seq(s).toDF("t")
+          .select(call_function("winnow_fp", col("t"), lit(k), lit(w))
+            .as("fp"))
+          .as[Seq[Long]].head()
+        native == winnowBrute(s, k, w)
+    }
+
   // ---- BPE trainer: the two arms agree on random corpora ----
 
   private val bpeCorpusGen: Gen[Seq[String]] = for {
