@@ -60,6 +60,14 @@ object GraftExtensions {
           "winnow_fp(text, k, w): k and w must be integer literals")
       }),
     (
+      new FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ts, Literal(n: Int, IntegerType)) => TokenShingles(ts, n)
+        case _ => throw new IllegalArgumentException(
+          "token_shingles(tokens, n): n must be an integer literal")
+      }),
+    (
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {

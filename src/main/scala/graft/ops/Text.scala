@@ -109,26 +109,20 @@ object Text {
 
   /** Word n-gram shingles as an array column (for MinHash/Jaccard dedup).
     *
-    * Implemented as a zip_with fold over n shifted slices of the token
-    * array rather than an index lambda: a lambda that captures the token
-    * expression would re-evaluate the regex tokenization once per element
-    * (O(T²) splits per row); slices evaluate the tokens a fixed n+2 times.
+    * Delegates to the native [[graft.functions.TokenShingles]] expression
+    * — one `UTF8String.concatWs` byte pass per window, whole-stage
+    * codegen, tokens evaluated exactly once. (The previous composed
+    * `zip_with` fold over n shifted slices ran as CodegenFallback —
+    * interpreted lambda per element — and copied ~n²/2 of the output
+    * bytes through n−1 intermediate arrays; a PropertiesSpec pin keeps
+    * the two formulations value-identical.)
     */
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(tokens(text), n)
 
-  /** Shingles over an already-tokenized array column. Prefer materializing
-    * the token array in its own projection and passing the attribute here —
-    * each slice below re-evaluates `ts`, which is free for an attribute but
-    * a repeated regex split for an inline tokens(text) expression.
-    */
-  def shinglesOfTokens(ts: Column, n: Int): Column = {
-    val win = size(ts) - (n - 1)
-    val joined = (2 to n).foldLeft(slice(ts, lit(1), win)) { (acc, k) =>
-      zip_with(acc, slice(ts, lit(k), win), (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(joined)
-  }
+  /** Shingles over an already-tokenized array column. */
+  def shinglesOfTokens(ts: Column, n: Int): Column =
+    call_function("token_shingles", ts, lit(n))
 
   /** Heuristic language ID from character/stopword statistics. The signal
     * set is deliberately tiny and deterministic so the DuckDB oracle can

@@ -803,6 +803,39 @@ object ClosureProps extends Properties("graft") {
         native == winnowBrute(s, k, w)
     }
 
+  // ---- token_shingles: native == the retired composed formulation ----
+
+  /** The exact composed column expression `shinglesOfTokens` used before
+    * the native expression replaced it — kept here verbatim as the
+    * independent semantics oracle (short-array concat_ws branch, null
+    * propagation through the window concat, all of it).
+    */
+  private def shinglesComposed(ts: org.apache.spark.sql.Column, n: Int) = {
+    val win = size(ts) - (n - 1)
+    val joined = (2 to n).foldLeft(slice(ts, lit(1), win)) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k), win), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(joined)
+  }
+
+  private val tokenArrayGen: Gen[Seq[Option[String]]] = for {
+    n <- Gen.choose(0, 12)
+    ts <- Gen.listOfN(n, Gen.frequency(
+      9 -> Gen.oneOf("a", "bb", "ccc", "déf", "", "x1").map(Option(_)),
+      1 -> Gen.const(Option.empty[String])))
+  } yield ts
+
+  property("token_shingles native expression == the composed " +
+    "zip_with-fold formulation (short arrays, empties, null tokens)") =
+    forAll(tokenArrayGen, Gen.choose(1, 5)) { (ts, n) =>
+      val df = Seq(Tuple1(ts)).toDF("ts")
+      val both = df.select(
+        call_function("token_shingles", col("ts"), lit(n)).as("nat"),
+        shinglesComposed(col("ts"), n).as("old"))
+        .as[(Seq[Option[String]], Seq[Option[String]])].head()
+      both._1 == both._2
+    }
+
   // ---- BPE trainer: the two arms agree on random corpora ----
 
   private val bpeCorpusGen: Gen[Seq[String]] = for {
