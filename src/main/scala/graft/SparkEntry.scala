@@ -1311,6 +1311,16 @@ object SparkEntry {
         .select(col("doc_id"), col("token"),
           col("tf").as("n_tf"), col("df").as("n_df"), col("tfidf"))),
 
+    // --- BM25 top-k lexical retrieval: the lexical arm of the retrieval
+    // ladder beside the embedding ANN rows (quality-source mining,
+    // retrieval decontamination probes); query set = the q_ann_metrics
+    // doc_id < 8 convention, scores in exact integer 1e-9 units ---
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.bm25TopK(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 8), "doc_id", "text", 5)
+    }),
+
     // --- CCNet-style quality signal: mean in-corpus unigram log-prob per
     // doc (the self-contained stand-in for LM-perplexity filtering) ---
     "q_unigram_logprob" -> ((s, dir) =>
@@ -2366,6 +2376,29 @@ object SparkEntry {
         "SELECT doc_id, tf.token, n_tf, n_df, " +
         "round(n_tf * (ln(CAST(n + 1 AS DOUBLE) / CAST(n_df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf " +
         "FROM tf JOIN df USING (token) CROSS JOIN n"),
+
+    // BM25: per-term score quantized to INTEGER 1e-9 units with
+    // floor(+0.5) (the unigram_logprob discipline — sums amplify ulp
+    // divergence), integer-exact per-(query, doc) sum, rank over the
+    // integers with ties to the smaller doc id — mirrors the Spark side
+    // bit-exactly (k1 = 1.2, b = 0.75, idf = ln(1+(N-df+0.5)/(df+0.5)))
+    "q_bm25_topk" -> (
+      s"WITH tok AS (SELECT doc_id, unnest(${docTokensOf("lower(text)")}) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, SUM(dl) AS tt FROM dl), " +
+        s"qt AS (SELECT doc_id AS query_id, unnest(list_distinct(${docTokensOf("lower(text)")})) AS token FROM documents WHERE doc_id < 8), " +
+        "sc AS (SELECT query_id, tf.doc_id, SUM(CAST(floor(" +
+        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tt AS DOUBLE) / CAST(n AS DOUBLE)))) " +
+        "* 1e9 + 0.5) AS BIGINT)) AS units " +
+        "FROM tf JOIN qt USING (token) JOIN df USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, units, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY units DESC, doc_id ASC) AS r FROM sc) " +
+        "SELECT query_id, doc_id, CAST(r AS INT) AS rank, units / 1e9 AS score " +
+        "FROM rk WHERE r <= 5"),
 
     // per-token ln p quantized to INTEGER 1e-9 units with floor(+0.5)
     // (round(x,9) half-tie semantics differ per engine and sums amplify

@@ -372,6 +372,74 @@ object Text {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson & Zaragoza 2009; the
+    * Lucene-practical idf) — the LEXICAL arm of the retrieval ladder
+    * beside the embedding ANN family: quality-source mining ("find the
+    * corpus docs most like this seed set"), retrieval-based
+    * decontamination probes, and the recall baseline BEIR-style evals
+    * measure dense retrievers against.
+    *
+    * Per (query, doc): score = Σ over shared tokens of
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`; top-k docs per query by score
+    * DESC, ties to the smaller doc id. N = docs with ≥ 1 token; avgdl =
+    * total tokens / N; query-term multiplicity collapses to the distinct
+    * term set (the Lucene convention).
+    *
+    * Float discipline (the [[unigramLogProb]] rule — SUMS amplify
+    * per-term ulp divergence): each per-term score quantizes to an exact
+    * INTEGER count of 1e-9 units with floor(+0.5), the per-(query, doc)
+    * sum runs on those integers (exact in any engine, any order), the
+    * [[graft.functions.TopKAggregator]] ranks on the integer units
+    * (exact in its Double channel up to 2⁵³), and the emitted score is
+    * `units / 1e9`.
+    *
+    * Scale shape: the [[tfidf]] two-shuffle skeleton (tf on (doc, token),
+    * df on token, both map-side partial; dl reuses tf's exchange via
+    * ReuseExchange) plus one broadcast of the query term set — a query
+    * set is small by construction (the [[graft.ops.Similarity]] topK
+    * contract), so candidate generation is a map-side semi-filter of tf
+    * and ONLY candidate rows reach the dl join and the |queries|-keyed
+    * top-k exchange (k rows per partition per query, never a corpus
+    * sort). The df side rides [[vocabSide]]'s broadcast escape hatch.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val tf = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum("dl").as("_tt"))
+    val qt = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(array_distinct(tokens(lower(col(qTextCol))))).as("token"))
+    val avgdl = col("_tt").cast("double") / col("_n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
+    val term = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val units = floor(term * 1e9 + 0.5).cast("long")
+    val topk = graft.functions.TopKAggregator.topK(k)
+    tf.join(broadcast(qt), Seq("token"))
+      .join(vocabSide(df_), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(units).as("_units"))
+      .groupBy("query_id")
+      .agg(topk(col("_units").cast("double"), col("doc_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("query_id"), col("_t._2").as("doc_id"),
+        (col("_i") + 1).cast("int").as("rank"),
+        (col("_t._1") / 1e9).as("score"))
+  }
+
   /** In-corpus unigram log-probability per document — the from-scratch
     * version of the CCNet/KenLM perplexity quality filter (Wenzek et al.
     * 2020 score against a pretrained LM; with no model download the

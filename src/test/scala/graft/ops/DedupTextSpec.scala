@@ -1626,4 +1626,50 @@ class DedupTextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got == Map(100L -> 1, 101L -> 3, 102L -> 5))
   }
+
+  test("bm25TopK: rare-term idf outranks stopword matches, repeated-term " +
+    "tf beats single occurrence, length normalization demotes the padded " +
+    "twin, ranks are dense from 1 with ties to the smaller id") {
+    val corpus = Seq(
+      // 10: contains the rare query term once
+      (10L, "zebra walks in the field"),
+      // 11: same terms and length as 10 but zebra twice (higher tf with
+      // everything else equal) → strictly dominates 10
+      (11L, "zebra meets the zebra field"),
+      // 12: the rare term once but PADDED long → length-normalized below 10
+      (12L, "zebra " + ("filler words here again more " * 6).trim),
+      // 13: shares only the stopword-ish common term "the"
+      (13L, "the cat sleeps on the mat"),
+      // 14: no overlap at all → absent from results
+      (14L, "completely unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "the zebra")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.map(_._3).toSeq == (1 to got.length), "dense ranks from 1")
+    val order = got.map(_._2).toSeq
+    // every term-sharing doc present exactly once; no-overlap doc absent
+    assert(order.toSet == Set(10L, 11L, 12L, 13L) && !order.contains(14L))
+    // tf: doc 11 (zebra×2) above doc 10 (zebra×1)
+    assert(order.indexOf(11L) < order.indexOf(10L))
+    // length normalization: padded doc 12 below doc 10
+    assert(order.indexOf(10L) < order.indexOf(12L))
+    // scores strictly non-increasing and positive
+    val scores = got.map(_._4).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+    // k truncation + query-term multiplicity collapses: "zebra zebra"
+    // scores identically to "zebra"
+    val q2 = Seq((1L, "zebra zebra")).toDF("doc_id", "text")
+    val q1 = Seq((1L, "zebra")).toDF("doc_id", "text")
+    val a = Text.bm25TopK(corpus, "doc_id", "text", q2, "doc_id", "text", 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val b = Text.bm25TopK(corpus, "doc_id", "text", q1, "doc_id", "text", 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(a == b && a.length == 2)
+    intercept[IllegalArgumentException](
+      Text.bm25TopK(corpus, "doc_id", "text", q1, "doc_id", "text", 0))
+  }
 }
