@@ -60,6 +60,14 @@ object GraftExtensions {
           "winnow_fp(text, k, w): k and w must be integer literals")
       }),
     (
+      new FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WsTokens(text)
+        case _ => throw new IllegalArgumentException(
+          "ws_tokens(text): exactly one string argument")
+      }),
+    (
       new FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (args: Seq[Expression]) => args match {

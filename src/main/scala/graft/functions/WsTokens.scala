@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whitespace tokenization as a native Catalyst expression.
+  *
+  * `ws_tokens(text)` → Array[String]: every maximal run of
+  * non-whitespace bytes, whitespace = the ASCII class Java regex `\s`
+  * matches by default — space, \t, \n, \x0B, \f, \r (identically RE2's
+  * `\s`, so the DuckDB twins' `string_split_regex(text, '\s+')` +
+  * empty-filter sees the same token stream).
+  *
+  * Byte-identical to the composed `filter(split(text, "\\s+"), t => t
+  * <> '')` the whole text family was built on (leading separators'
+  * empty first element and trailing empties both vanish with the
+  * maximal-run definition; NULL text → NULL). Why native: this is the
+  * single hottest primitive in the engine — every tokenize/shingle/
+  * minhash/LM/gopher pass starts here — and the composed form pays
+  * three taxes per row: `StringSplit` materializes a `java.lang.String`
+  * and runs a `java.util.regex` matcher over it, the result converts
+  * back to UTF8Strings, and the `ArrayFilter` higher-order wrapper is
+  * CodegenFallback, fencing every downstream expression in the
+  * projection out of whole-stage codegen. This expression is one branchy
+  * byte scan over the raw UTF-8 (safe: the six whitespace bytes never
+  * occur inside a multi-byte UTF-8 sequence), no Java String, no regex,
+  * full `doGenCode` — and its consumers' projections stay inside one
+  * generated loop (CodegenBudgetSpec pins the shingle pass).
+  */
+case class WsTokens(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ws_tokens"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ws_tokens expects a string, got ${child.dataType.simpleString}")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    WsTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WsTokens.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.tokenize($c);")
+  }
+}
+
+object WsTokens {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  def tokenize(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // count first: exact-size output array, no builder resizing
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        count += 1
+        while (i < n && !isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    if (count == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out(m) = UTF8String.fromBytes(bytes, start, i - start)
+        m += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

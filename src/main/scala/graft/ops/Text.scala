@@ -63,11 +63,14 @@ object Text {
     }
   }
 
-  /** Whitespace tokenization. `filter(..., _ <> '')` guards leading/trailing
-    * whitespace producing empty tokens.
+  /** Whitespace tokenization — the native
+    * [[graft.functions.WsTokens]] byte scan (one pass, no Java String,
+    * no regex, no CodegenFallback fence; byte-identical to the retired
+    * `filter(split(text, "\\s+"), _ =!= "")` formulation, ScalaCheck-
+    * pinned against it in PropertiesSpec).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    call_function("ws_tokens", text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

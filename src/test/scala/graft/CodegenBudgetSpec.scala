@@ -34,7 +34,16 @@ class CodegenBudgetSpec extends SparkSpec {
     * concatenated generated source for content assertions.
     */
   private def compiledCode(df: DataFrame, what: String): String = {
-    val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
+    // codegenStringSeq does not recurse into an AdaptiveSparkPlanExec
+    // wrapper (shuffle-bearing plans): callers run one action first so
+    // the adaptive plan is FINAL, then the compiled stages are collected
+    // from the unwrapped physical plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val subtrees = codegenStringSeq(plan)
     assert(subtrees.nonEmpty, s"$what: no whole-stage codegen subtree")
     subtrees.foreach { case (subtree, _, stats) =>
       assert(stats.maxMethodCodeSize < jitMethodLimit,
@@ -134,5 +143,35 @@ class CodegenBudgetSpec extends SparkSpec {
       "residual projection is not on the native vec_sub_at loop")
     assert(code.contains("VecArgminL2.argmin"),
       "encode projection is not on the native vec_argmin_l2 loop")
+  }
+
+  test("the winnow fingerprint pass at the production (k=32, w=8) point " +
+    "stays inside whole-stage codegen on the native one-pass deque loop") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = graft.ops.Text.winnowFingerprints(docs, "doc_id", "text")
+    // spread()'s redistribution puts an Exchange under the projection, so
+    // the plan is adaptive — finalize THIS dataset's own QueryExecution
+    // with an action (a write would execute a separate QueryExecution and
+    // leave this one's adaptive plan un-finalized) or there are no
+    // whole-stage subtrees to compile yet
+    fps.collect()
+    val code = compiledCode(fps, "winnow fingerprints")
+    assert(code.contains("WinnowFp") && code.contains(".fingerprints("),
+      "winnow projection is not on the native winnow_fp one-pass loop")
+    // the retired composed formulation's signature pieces must be gone
+    assert(!code.contains("ZipWith") && !code.contains("ArrayTransform"),
+      "a higher-order fallback crept back into the winnow pass")
+  }
+
+  test("the 3-token shingle pass stays inside whole-stage codegen on the " +
+    "native token_shingles window join (no zip_with fallback)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.ops.Text.shingles(col("text"), 3)).as("s"))
+    val code = compiledCode(sh, "token shingles")
+    assert(code.contains("TokenShingles") && code.contains(".shingle("),
+      "shingle projection is not on the native token_shingles loop")
+    assert(!code.contains("ZipWith"),
+      "the CodegenFallback zip_with fold crept back into the shingle pass")
   }
 }

@@ -803,6 +803,27 @@ object ClosureProps extends Properties("graft") {
         native == winnowBrute(s, k, w)
     }
 
+  // ---- ws_tokens: native byte scan == the retired composed split ----
+
+  private val dirtyTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.oneOf('a', 'b', 'Z', '1', 'é', '中', '.'),
+      4 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+      1 -> Gen.oneOf(' ', ' ')))  // NOT \s: must stay in-token
+  } yield cs.mkString
+
+  property("ws_tokens native expression == filter(split(text, \\s+), " +
+    "_ <> '') on whitespace-heavy text (leading/trailing runs, unicode " +
+    "non-breaking spaces stay in-token, empty string)") =
+    forAll(dirtyTextGen) { s =>
+      val both = Seq(s).toDF("t").select(
+        call_function("ws_tokens", col("t")).as("nat"),
+        filter(split(col("t"), "\\s+"), t => t =!= "").as("old"))
+        .as[(Seq[String], Seq[String])].head()
+      both._1 == both._2
+    }
+
   // ---- token_shingles: native == the retired composed formulation ----
 
   /** The exact composed column expression `shinglesOfTokens` used before
