@@ -125,7 +125,7 @@ object Bench {
     val rounds = (1 to runs).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        name -> (try {
+        val res = (try {
           if (failName.contains(name))
             throw new RuntimeException("deliberate SPARK_GRAFT_FAIL")
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -133,6 +133,20 @@ object Bench {
         } catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         })
+        // Release this query's materialized blocks OUTSIDE its timing.
+        // Materialize.checkpoint's localCheckpoint blocks are registered
+        // persistent and are NEVER reused across queries — left in place,
+        // 155 queries' worth of block residue squeezes the block manager
+        // and late checkpoint-heavy queries measure eviction pressure
+        // instead of their own cost (q_dedup_embed_banded read 20-24 s
+        // in full-suite position vs 9 s isolated before this cleanup;
+        // WHICH query paid depended on map iteration order, so adding a
+        // query 'regressed' an unrelated one). A real deployment runs
+        // one pipeline per job and its blocks die with it — per-query
+        // release is the honest analog.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> res
       }
     }
     val results = selected.keys.map { name =>
