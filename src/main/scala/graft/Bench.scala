@@ -113,6 +113,14 @@ object Bench {
     // projection-only queries down to bare row counts and time nothing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    // Session-scoped fixtures (q_dedup_clusters_incremental's store
+    // frames) must exist BEFORE the first round's persistent-RDD
+    // snapshot: built inside a timed round they'd be released by the
+    // per-query cleanup below and every later round of that query would
+    // fail on the truncated checkpoint lineage — the round-15 bench's
+    // one unexplained regression (its "min" was the cold bootstrap
+    // round). Untimed, like the table warmup above.
+    SparkEntry.prepare(spark, sfDir, selected.keySet)
     // A failed attempt must NOT enter the min: a query that throws fast
     // would otherwise record a near-zero "time" that silently improves the
     // artifact the project is graded on. Each round records Right(sec) or
@@ -124,6 +132,7 @@ object Bench {
     val failName = sys.env.get("SPARK_GRAFT_FAIL")
     val rounds = (1 to runs).map { _ =>
       selected.map { case (name, fn) =>
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val res = (try {
           if (failName.contains(name))
@@ -143,9 +152,18 @@ object Bench {
         // WHICH query paid depended on map iteration order, so adding a
         // query 'regressed' an unrelated one). A real deployment runs
         // one pipeline per job and its blocks die with it — per-query
-        // release is the honest analog.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // release is the honest analog. Scoped to the RDD ids this query
+        // REGISTERED (snapshot diff), not every persistent RDD in the
+        // context: a future warmup-cached table or cross-query shared
+        // frame added to Bench would otherwise be silently evicted after
+        // the first query and every later timing would re-pay its build.
+        // blocking=true: the release already runs outside the timed
+        // region, and an async removal would overlap the NEXT query's
+        // timing — the exact interference this cleanup exists to remove.
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = true)
+          }
         name -> res
       }
     }
@@ -173,13 +191,34 @@ object Bench {
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(msg)) => s"\"$k\":${jstr(msg)}" }
       .mkString("{", ",", "}")
+    // PARTIAL failures must surface too: a query that succeeds in round 1
+    // and throws in rounds 2..N still records a "min" — silently timing
+    // one round when N were asked (exactly how the round-15 fixture
+    // regression hid). Emitted as query → first error of a failed round.
+    val partialErrors = results.collect {
+      case (k, Right(_)) if rounds.exists(_(k).isLeft) =>
+        val n = rounds.count(_(k).isLeft)
+        val msg = rounds.flatMap(_(k).swap.toOption).head
+        s"\"$k\":${jstr(s"$n/$runs rounds failed: $msg")}"
+    }.mkString("{", ",", "}")
     val ok = results.values.collect { case Right(v) => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.values.count(_.isLeft)
+    // Composite/core split: the six curation-composite showcase rows are
+    // ~40% of the suite's wall time (and their DuckDB twins cost 22-26 s
+    // EACH), so a single grand total drowns round-over-round regression
+    // audits of the other ~150 rows in composite noise. Emit both
+    // subtotals in the same line — one field read per audit.
+    val compositeRows = Set(
+      "q_curation_pipeline", "q_curation_incremental", "q_curation_staged",
+      "q_curation_semantic", "q_curation_classifier", "q_curation_provenance")
+    val compositeTotal = results.collect {
+      case (k, Right(v)) if compositeRows(k) => v }.sum
+    val coreTotal = total - compositeTotal
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","agg":"min_of_$runs","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","agg":"min_of_$runs","queries":$qs,"errors":$errors,"partial_errors":$partialErrors,"sf":"$sfDir"}"""
     val totalLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":$nErr,"agg":"min_of_$runs","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core":${f3(coreTotal)},"composite":${f3(compositeTotal)},"n_queries":${ok.size},"n_errors":$nErr,"agg":"min_of_$runs","sf":"$sfDir"}"""
     println(perQueryLine)
     println(totalLine)
     // The driver captures only the TAIL of stdout — round 14's BENCH

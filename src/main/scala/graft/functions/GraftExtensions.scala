@@ -76,6 +76,15 @@ object GraftExtensions {
           "token_shingles(tokens, n): n must be an integer literal")
       }),
     (
+      new FunctionIdentifier("classifier_score"),
+      new ExpressionInfo(classOf[ClassifierScore].getName, "classifier_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ts, wm, b) => ClassifierScore(ts, wm, b)
+        case _ => throw new IllegalArgumentException(
+          "classifier_score(tokens, weights, bias): weights must be a " +
+            "foldable map<string,double>, bias a foldable double")
+      }),
+    (
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {

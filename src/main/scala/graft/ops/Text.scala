@@ -243,13 +243,19 @@ object Text {
   /** Linear (fastText-style) document-quality classifier score: mean
     * token weight + bias squashed to (0,1). The production pattern is a
     * trained model's vocab→weight table applied at scan speed (the
-    * GPT-3/CCNet quality-classifier gate); here the weights arrive as a
-    * literal map so the whole thing is one map-side expression — no
-    * join, no shuffle, no UDF (the fold is a Catalyst higher-order
-    * function: CodegenFallback like every HOF, but it rides the
-    * scan-project pipeline — PlanSpec pins one scan, zero Exchange).
-    * Out-of-vocab tokens weigh 0 (they dilute the mean — the
-    * bag-of-words contract).
+    * GPT-3/CCNet quality-classifier gate); the weights ship as a
+    * plan-time model artifact so the whole thing is one map-side
+    * expression — no join, no shuffle, no UDF
+    * ([[graft.functions.ClassifierScore]], a native codegen expression:
+    * the weight map is parsed ONCE per plan into a hashed vocab table
+    * and each row pays one generated loop over its tokens — O(tokens)
+    * hashed probes. The retired Catalyst-HOF fold was CodegenFallback,
+    * fencing the curation composites' hottest scan out of whole-stage
+    * codegen, AND its `element_at` on an array-backed map literal was a
+    * linear vocab scan per token — O(tokens × |vocab|).
+    * ClassifierScoreExprSpec pins the two forms byte-identical; PlanSpec
+    * pins one scan, zero Exchange). Out-of-vocab tokens weigh 0 (they
+    * dilute the mean — the bag-of-words contract).
     *
     * The squash is the RATIONAL sigmoid `0.5·(1 + z/(1+|z|))` rather
     * than the logistic `1/(1+e^-z)`: same monotone (0,1) shape and the
@@ -263,13 +269,8 @@ object Text {
   def classifierScore(
       text: Column, weights: Map[String, Double], bias: Double): Column = {
     require(weights.nonEmpty, "classifierScore: empty weight table")
-    val wm = typedLit(weights)
-    val ts = tokens(lower(text))
-    val sum = aggregate(ts, lit(0.0),
-      (acc, t) => acc + coalesce(element_at(wm, t), lit(0.0)))
-    val z = lit(bias) +
-      when(size(ts) > 0, sum / size(ts).cast("double")).otherwise(lit(0.0))
-    round(lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z))), 6)
+    round(call_function("classifier_score",
+      tokens(lower(text)), typedLit(weights), lit(bias)), 6)
   }
 
   /** TRAIN the quality classifier's weight table in-engine: multinomial
@@ -395,7 +396,16 @@ object Text {
     * sum runs on those integers (exact in any engine, any order), the
     * [[graft.functions.TopKAggregator]] ranks on the integer units
     * (exact in its Double channel up to 2⁵³), and the emitted score is
-    * `units / 1e9`.
+    * `units / 1e9`. Residual assumption the integer discipline canNOT
+    * remove: the quantization step itself evaluates `ln` (inside idf)
+    * and one double multiply/divide chain on each engine, so a 1-ulp
+    * `Math.log` vs DuckDB-`ln` divergence landing a term EXACTLY on a
+    * 0.5e-9 unit boundary would flip that term's integer by 1 — what the
+    * discipline guarantees is that such a flip stays ±1 unit on one term
+    * instead of compounding through the sum and the rank. No boundary
+    * case has surfaced through sf1; if a scale factor ever does, grade
+    * the oracle compare with a ±1-unit tolerance on `_units` rather than
+    * weakening the floor(+0.5) quantizer.
     *
     * Scale shape: the [[tfidf]] two-shuffle skeleton (tf on (doc, token),
     * df on token, both map-side partial; dl reuses tf's exchange via

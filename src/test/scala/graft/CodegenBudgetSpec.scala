@@ -163,6 +163,22 @@ class CodegenBudgetSpec extends SparkSpec {
       "a higher-order fallback crept back into the winnow pass")
   }
 
+  test("the classifier-score gate stays inside whole-stage codegen on the " +
+    "native hashed-vocab loop (no aggregate-HOF fallback)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val weights = Seq.tabulate(64)(i => s"w$i" -> (i - 32) / 8.0).toMap
+    val scored = docs.select(col("doc_id"),
+      graft.ops.Text.classifierScore(col("text"), weights, bias = -0.25)
+        .as("score"))
+    val code = compiledCode(scored, "classifier score")
+    assert(code.contains("ClassifierScore") && code.contains(".score("),
+      "classifier projection is not on the native classifier_score loop")
+    // the retired composed formulation's CodegenFallback fold must be gone
+    assert(!code.contains("ArrayAggregate"),
+      "the CodegenFallback aggregate-HOF fold crept back into the " +
+        "classifier gate")
+  }
+
   test("the 3-token shingle pass stays inside whole-stage codegen on the " +
     "native token_shingles window join (no zip_with fallback)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -35,4 +35,32 @@ class EntryFixtureSpec extends SparkSpec {
     assert(run(sessB, dir).count() > 0)
     SparkEntry.purgeFixtures(_ eq sessB) // leave no cross-suite residue
   }
+
+  test("prepare stages the fixture so a Bench-style scoped release " +
+    "(unpersist everything registered after the snapshot) cannot " +
+    "destroy it between rounds — the round-15 silent-regression shape") {
+    val run = SparkEntry.queries("q_dedup_clusters_incremental")
+    val sessC = spark.newSession()
+    sessC.conf.set("spark.sql.shuffle.partitions", "4")
+    SparkEntry.purgeFixtures(_ eq sessC)
+    val baseline = sessC.sparkContext.getPersistentRDDs.keySet
+    // prepare = Bench's untimed staging; fixture RDDs registered HERE
+    SparkEntry.prepare(sessC, dir, Set("q_dedup_clusters_incremental"))
+    assert(SparkEntry.incrementalFixtures.keySet.asScala.exists(_._1 eq sessC))
+    val preexisting = sessC.sparkContext.getPersistentRDDs.keySet
+    // round 1 runs the query, then the harness releases everything the
+    // round registered (checkpoints inside connectedComponentsIncremental)
+    assert(run(sessC, dir).count() > 0)
+    sessC.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!preexisting.contains(id)) rdd.unpersist(blocking = true)
+    }
+    // round 2 must still succeed on the intact fixture: before the
+    // prepare hook this threw on the truncated checkpoint lineage
+    assert(run(sessC, dir).count() > 0)
+    SparkEntry.purgeFixtures(_ eq sessC)
+    // release every block this test staged, fixture included (hygiene)
+    sessC.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+    }
+  }
 }
