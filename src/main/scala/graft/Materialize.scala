@@ -70,6 +70,22 @@ object Materialize {
   def checkpoint(df: DataFrame): DataFrame =
     materialize(df, spark => spark.conf.get(ModeKey, "local"))
 
+  /** [[checkpoint]] that also returns the frame's ROW COUNT at zero
+    * extra cost: the checkpoint is taken LAZILY and the count() is the
+    * forcing action — one job, exactly like the eager form (whose own
+    * materializer is an internal count it throws away). Exists for the
+    * broadcast-dispatch pattern around every incremental-fold frame
+    * (`broadcastIfSmall(df, Some(df.count()))` after an eager
+    * checkpoint = a SECOND job per frame, ~8 per `curateIncremental`
+    * fold — pure scheduler overhead that compounds across batches and
+    * that a static-width `Joins.fitsBroadcast(n, rowBytes)` dispatch on
+    * this count eliminates entirely; PlanSpec pins the fold's job
+    * count). Under `persist` the count that already forced the blocks
+    * is simply returned instead of discarded.
+    */
+  def checkpointCounted(df: DataFrame): (DataFrame, Long) =
+    materializeCounted(df, spark => spark.conf.get(ModeKey, "local"))
+
   /** [[checkpoint]] for frames produced INSIDE an iterative fixpoint loop
     * (transitive closure, breadcrumbs, CC label propagation): `persist`
     * does not truncate lineage, so under that mode a loop's plan grows
@@ -111,46 +127,80 @@ object Materialize {
     lastReliable = sc.getCheckpointDir.map(d =>
       (new java.lang.ref.WeakReference(sc), "", d))
 
+  /** [[checkpoint]]'s mode dispatch with the row count returned: the
+    * checkpoint is marked lazily and `count()` on the returned frame is
+    * the forcing action (Spark materializes a marked RDD when the first
+    * job over it completes), so this is ONE job — the same job the
+    * eager form pays, with its result kept instead of discarded.
+    */
+  private def materializeCounted(
+      df: DataFrame,
+      modeFor: org.apache.spark.sql.SparkSession => String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    // force via the PHYSICAL rdd count, not Dataset.count(): the SQL
+    // count plans a partial/final aggregate whose exchange is its own
+    // AQE job (2 jobs), while rdd.count() is the very job the eager
+    // checkpoint's internal materializer runs (1) — same work, value kept
+    def force(cp: DataFrame): (DataFrame, Long) =
+      (cp, cp.queryExecution.toRdd.count())
+    modeFor(spark) match {
+      case "local" =>
+        force(df.localCheckpoint(eager = false))
+      case "reliable" =>
+        ensureReliableDir(spark)
+        force(df.checkpoint(eager = false))
+      case "persist" =>
+        force(df.persist(StorageLevel.MEMORY_AND_DISK_2))
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|persist, got '$other'")
+    }
+  }
+
+  /** The `reliable`-mode checkpoint-directory handshake, shared by the
+    * eager and counted materializers.
+    *
+    * Set ONCE per (context, conf value), not per call: setCheckpointDir
+    * mkdirs a fresh UUID subdirectory every invocation — per-iteration
+    * calls in the closure/CC loops would issue one namenode round-trip
+    * per round and scatter artifacts over dozens of directories. Gate on
+    * the CONTEXT's own state too: a recreated context starts with no
+    * checkpoint dir regardless of what was pushed before. A caller's
+    * direct setCheckpointDir(...) ALWAYS wins — DirKey is the fallback —
+    * including when DirKey changes afterwards: the seam re-pushes only
+    * while the context's current dir is the one the seam itself last
+    * set. (Two sessions over one context with DIFFERENT DirKey values
+    * are genuinely conflicting config — checkpoint dirs are per-context
+    * state; each push then flips the dir, so configure one DirKey per
+    * context. getCheckpointDir is a local getter; per-call cost is nil.)
+    */
+  private def ensureReliableDir(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    spark.conf.getOption(DirKey) match {
+      case Some(dir) =>
+        val current = sc.getCheckpointDir
+        val seamSet = lastReliable.collect {
+          case (c, pushed, result) if c.get eq sc => (pushed, result)
+        }
+        val seamOwnsCurrent =
+          current.isDefined && seamSet.exists(_._2 == current.get)
+        if (current.isEmpty ||
+            (seamOwnsCurrent && seamSet.exists(_._1 != dir))) {
+          sc.setCheckpointDir(dir)
+          lastReliable = Some((new java.lang.ref.WeakReference(sc), dir,
+            sc.getCheckpointDir.getOrElse(dir)))
+        }
+      case None if sc.getCheckpointDir.nonEmpty => ()
+      case None => throw new IllegalStateException(
+        s"$ModeKey=reliable requires SparkContext.setCheckpointDir(...) or $DirKey")
+    }
+  }
+
   private def materialize(df: DataFrame, modeFor: org.apache.spark.sql.SparkSession => String): DataFrame = {
     val spark = df.sparkSession
     modeFor(spark) match {
       case "local" => df.localCheckpoint(eager = true)
       case "reliable" =>
-        val sc = spark.sparkContext
-        spark.conf.getOption(DirKey) match {
-          case Some(dir) =>
-            // Set ONCE per (context, conf value), not per call:
-            // setCheckpointDir mkdirs a fresh UUID subdirectory every
-            // invocation — per-iteration calls in the closure/CC loops
-            // would issue one namenode round-trip per round and scatter
-            // artifacts over dozens of directories. Gate on the CONTEXT's
-            // own state too: a recreated context starts with no
-            // checkpoint dir regardless of what was pushed before. A
-            // caller's direct setCheckpointDir(...) ALWAYS wins — DirKey
-            // is the fallback — including when DirKey changes afterwards:
-            // the seam re-pushes only while the context's current dir is
-            // the one the seam itself last set. (Two sessions over one
-            // context with DIFFERENT DirKey values are genuinely
-            // conflicting config — checkpoint dirs are per-context state;
-            // each push then flips the dir, so configure one DirKey per
-            // context. getCheckpointDir is a local getter; per-call cost
-            // is nil.)
-            val current = sc.getCheckpointDir
-            val seamSet = lastReliable.collect {
-              case (c, pushed, result) if c.get eq sc => (pushed, result)
-            }
-            val seamOwnsCurrent =
-              current.isDefined && seamSet.exists(_._2 == current.get)
-            if (current.isEmpty ||
-                (seamOwnsCurrent && seamSet.exists(_._1 != dir))) {
-              sc.setCheckpointDir(dir)
-              lastReliable = Some((new java.lang.ref.WeakReference(sc), dir,
-                sc.getCheckpointDir.getOrElse(dir)))
-            }
-          case None if sc.getCheckpointDir.nonEmpty => ()
-          case None => throw new IllegalStateException(
-            s"$ModeKey=reliable requires SparkContext.setCheckpointDir(...) or $DirKey")
-        }
+        ensureReliableDir(spark)
         df.checkpoint(eager = true)
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)

@@ -563,20 +563,30 @@ object Curation {
       Observe.withRowMetrics(df, s"${metricsTag}_$stage")
     def idsOf(df: DataFrame, c: String): DataFrame =
       df.select(col(c).as(idCol))
-    // size-dispatched broadcast for batch-bounded id sets; counts are
-    // cheap (every hinted frame below is checkpointed first)
-    def bc(df: DataFrame): DataFrame =
-      Joins.broadcastIfSmall(df, Some(df.count()))
+    // Size-dispatched broadcast for the fold's narrow id/label frames.
+    // Every dispatched frame below is materialized through
+    // `checkpointCounted` (the count IS the forcing action — one job,
+    // the same job the eager checkpoint paid, its result kept), and the
+    // per-row width is STATIC (schema defaultSize + row overhead:
+    // single-id or id+label columns, never text), so the dispatch runs
+    // NO job at all — the retired `broadcastIfSmall(df,
+    // Some(df.count()))` form issued one count job per frame, ~8 per
+    // fold, pure scheduler overhead compounding across ingest batches
+    // (PlanSpec pins the fold's action count).
+    def bcn(df: DataFrame, rows: Long): DataFrame =
+      if (Joins.fitsBroadcast(batch.sparkSession, rows,
+          Joins.staticRowBytes(df))) broadcast(df)
+      else df
 
     // 1. quality gate — stateless, rides the batch scan
     val kept = staged(Text.gopherFilter(batch, textCol), "kept")
 
     // 2a. exact dedup against the digest store (store streams, zero
     // store shuffle — exactIncremental's contract)
-    val exNew = Materialize.checkpoint(
+    val (exNew, nExNew) = Materialize.checkpointCounted(
       Dedup.exactIncremental(kept, idCol, textCol, stores.digests))
     val batchExact = Materialize.checkpoint(staged(
-      kept.join(bc(idsOf(exNew, "keeper_id")), Seq(idCol), "left_semi"),
+      kept.join(bcn(idsOf(exNew, "keeper_id"), nExNew), Seq(idCol), "left_semi"),
       "exact"))
 
     // 2b. near-dup: band the batch ONCE (probe + store append share the
@@ -590,26 +600,27 @@ object Curation {
       Dedup.connectedComponentsIncrementalParts(stores.labels, pairs)
     // components that existed in the store before this batch, under
     // their POST-merge labels — each already shipped a keeper
-    val blocked = Materialize.checkpoint(
+    val (blocked, nBlocked) = Materialize.checkpointCounted(
       storeComps.join(bcMerged, col("c") === col("_old"), "left")
         .select(coalesce(col("_new"), col("c")).as("_bcomp")).distinct())
     val kb = Dedup.keepBestPerCluster(
       batchExact, idCol, Text.qualityScore(col(textCol)), newRows)
-    val admittedDedup = kb.where(col("keep"))
-      .join(bc(blocked), col("cluster") === col("_bcomp"), "left_anti")
-      .select(col("doc_id").as(idCol))
-      .transform(Materialize.checkpoint)
+    val (admittedDedup, nAdmittedDedup) = Materialize.checkpointCounted(
+      kb.where(col("keep"))
+        .join(bcn(blocked, nBlocked), col("cluster") === col("_bcomp"), "left_anti")
+        .select(col("doc_id").as(idCol)))
     val deduped = Materialize.checkpoint(staged(
-      batchExact.join(bc(admittedDedup), Seq(idCol), "left_semi"),
+      batchExact.join(bcn(admittedDedup, nAdmittedDedup), Seq(idCol), "left_semi"),
       "deduped"))
     // store completeness: unpaired batch survivors enter self-labeled
+    val (pairedIds, nPairedIds) = Materialize.checkpointCounted(
+      newRows.select(col("id").as(idCol)))
     val singletons = idsOf(batchExact, idCol)
-      .join(bc(Materialize.checkpoint(newRows.select(col("id").as(idCol)))),
-        Seq(idCol), "left_anti")
+      .join(bcn(pairedIds, nPairedIds), Seq(idCol), "left_anti")
       .select(col(idCol).as("id"), col(idCol).as("component"))
 
     // 3. span decontamination against the persisted benchmark store
-    val clean = Materialize.checkpoint(staged(
+    val (clean, nClean) = Materialize.checkpointCounted(staged(
       deduped.join(
         idsOf(Text.winnowDecontaminateAgainst(
           deduped, idCol, textCol, winnowStore), "doc_id"),
@@ -624,13 +635,14 @@ object Curation {
       case Some(sm) =>
         val cleanEmb = sm.embeddings
           .select(col(idCol), col(sm.vecCol))
-          .join(bc(idsOf(clean, idCol)), Seq(idCol), "left_semi")
-        val semBad = Materialize.checkpoint(
+          .join(bcn(idsOf(clean, idCol), nClean), Seq(idCol), "left_semi")
+        val (semBad, nSemBad) = Materialize.checkpointCounted(
           Similarity.semanticContaminated(
             cleanEmb, sm.benchmark, sm.vecCol, sm.threshold)
             .select(col(idCol)))
         Materialize.checkpoint(staged(
-          clean.join(bc(semBad), Seq(idCol), "left_anti"), "semantic"))
+          clean.join(bcn(semBad, nSemBad), Seq(idCol), "left_anti"),
+          "semantic"))
     }
 
     // 4. perplexity tail drop against the FIXED model (bootstrap: train
@@ -649,26 +661,27 @@ object Curation {
         else (Some(PplModel(lm,
           Materialize.checkpoint(Text.pplThresholds(sc, pplBuckets)))), sc)
     }
-    val headIds = model match {
-      case Some(m) => Text.pplBucketAgainst(scored, m.thresholds, pplBuckets)
+    val (headIds, nHeadIds) = model match {
+      case Some(m) => Materialize.checkpointCounted(
+        Text.pplBucketAgainst(scored, m.thresholds, pplBuckets)
           .where(col("bucket") > dropTailBuckets)
-          .transform(df => idsOf(df, "doc_id"))
-          .transform(Materialize.checkpoint)
+          .transform(df => idsOf(df, "doc_id")))
       // no model = nothing scoreable this batch either (sub-2-token docs
       // drop — the bigramLogProb contract the batch chain shares)
-      case None => idsOf(screened, idCol).limit(0)
+      case None => (idsOf(screened, idCol).limit(0), 0L)
     }
     val head = Materialize.checkpoint(staged(
-      screened.join(bc(headIds), Seq(idCol), "left_semi"), "head"))
+      screened.join(bcn(headIds, nHeadIds), Seq(idCol), "left_semi"), "head"))
 
     // 5. rolling per-source admission (earlier batches claim quota
     // first), then 6. per-batch training order over the admitted set
-    val admitted = Materialize.checkpoint(
+    val (admitted, nAdmitted) = Materialize.checkpointCounted(
       Text.capPerGroupIncremental(
         head, sourceCol, idCol, capPerSource, stores.capCounts))
     val out = staged(
       Text.shardOrder(
-        head.join(bc(idsOf(admitted, idCol)), Seq(idCol), "left_semi"),
+        head.join(bcn(idsOf(admitted, idCol), nAdmitted),
+          Seq(idCol), "left_semi"),
         idCol, numShards),
       "final")
     (out, CurationStores(

@@ -294,16 +294,24 @@ object Dedup {
       seenDigests: DataFrame): DataFrame = {
     // materialized: the group frame feeds the probe side AND the final
     // anti-join (uncached, the batch digest shuffle would run twice)
-    val groups = Materialize.checkpoint(exactGroups(newDocs, idCol, textCol))
-    val nGroups = groups.count()
+    // counted checkpoint: the count IS the forcing action (one job, not
+    // an eager checkpoint plus a second count job per ingest batch)
+    val (groups, nGroups) =
+      Materialize.checkpointCounted(exactGroups(newDocs, idCol, textCol))
     // null-SAFE joins throughout: md5(NULL text) is a null digest, and
     // plain equality never matches null against null — the null-text
     // group would re-enter the corpus once per ingest batch forever
     // (while collapsing correctly WITHIN each batch)
+    // digest probe dispatch is fully static (fixed-width rows, count
+    // from the counted checkpoint) — no sampling job on the batch path
+    val digestRowBytes = 120L // 32-hex UTF8String + row overhead
+    val digestProbe = groups.select(col("digest"))
     val hits = seenDigests.select(col("digest").as("_seen"))
       .join(
-        graft.ops.Joins.broadcastIfSmall(
-          groups.select(col("digest")), Some(nGroups)),
+        if (graft.ops.Joins.fitsBroadcast(
+            newDocs.sparkSession, nGroups, digestRowBytes))
+          broadcast(digestProbe)
+        else digestProbe,
         col("_seen") <=> col("digest"), "left_semi")
     // `hits` is ≤ |batch groups| by construction (semi-join of the store
     // against the batch digest set), so it must carry a broadcast hint
@@ -316,7 +324,6 @@ object Dedup {
     // and samples its TRUE size — store∩batch is usually tiny even when
     // the batch is huge, so the backfill stays at one store shuffle
     // instead of adding a second batch-sized exchange.
-    val digestRowBytes = 120L // 32-hex UTF8String + row overhead
     val hinted =
       if (graft.ops.Joins.fitsBroadcast(
           newDocs.sparkSession, nGroups, digestRowBytes))

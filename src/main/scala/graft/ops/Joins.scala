@@ -73,6 +73,19 @@ object Joins {
     rows <= maxRows && rows * rowBytes <= maxBytes
   }
 
+  /** Static per-row byte estimate for a frame of FIXED-WIDTH-ish
+    * columns (ids, labels, digests — never text/array payloads), for
+    * [[fitsBroadcast]] dispatch without a sampling job: schema
+    * `defaultSize` per column plus JVM/Tungsten row overhead. For the
+    * narrow frames this is used on (1-2 id columns), defaultSize's
+    * string estimate (20 B) plus the overhead constant lands within 2×
+    * of the sampled truth — and the byte gate errs recoverable (skipping
+    * a broadcast AQE can still apply, never a driver OOM), while the
+    * 2M-row gate independently bounds hash-table entries.
+    */
+  def staticRowBytes(df: DataFrame): Long =
+    df.schema.map(_.dataType.defaultSize.toLong).sum + 64L
+
   def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
     val conf = dim.sparkSession.conf
     val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong

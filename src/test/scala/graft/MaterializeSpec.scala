@@ -33,6 +33,66 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("checkpointCounted: ONE job total (the count IS the forcing " +
+    "action), correct count, lineage truncated — in all three modes") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsOf(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        body
+        // flush the async bus: poll until the count is stable for 500 ms
+        var last = -1
+        var stableSince = System.nanoTime()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            (jobs.get() != last ||
+              System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+          if (jobs.get() != last) { last = jobs.get(); stableSince = System.nanoTime() }
+          Thread.sleep(50)
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // local (default): lazy localCheckpoint forced by the count — 1 job,
+    // where the eager checkpoint + a separate dispatch count() paid 2
+    withMode(None) {
+      var out: (org.apache.spark.sql.DataFrame, Long) = null
+      val n = jobsOf { out = Materialize.checkpointCounted(frame()) }
+      assert(n === 1, s"checkpointCounted(local) launched $n jobs, want 1")
+      assert(out._2 === 100)
+      assert(out._1.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+      assert(out._1.count() === 100)
+    }
+    // persist: the forcing count is returned instead of discarded
+    withMode(Some("persist")) {
+      var out: (org.apache.spark.sql.DataFrame, Long) = null
+      val n = jobsOf { out = Materialize.checkpointCounted(frame()) }
+      assert(n === 1, s"checkpointCounted(persist) launched $n jobs, want 1")
+      assert(out._2 === 100)
+      assert(out._1.storageLevel === StorageLevel.MEMORY_AND_DISK_2)
+      out._1.unpersist(blocking = true)
+    }
+    // reliable: checkpoint files land in the dir; count correct (the DFS
+    // write recomputes the frame inside the SAME job — Spark's standard
+    // reliable-checkpoint double-pass, identical to the eager form)
+    withMode(Some("reliable")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cnt").toString
+      spark.conf.set(Materialize.DirKey, dir)
+      val (df, cnt) = Materialize.checkpointCounted(frame())
+      assert(cnt === 100)
+      assert(df.count() === 100)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"expected checkpoint files under $dir")
+    }
+  }
+
   test("reliable mode requires a dir, then writes checkpoint files to it") {
     withMode(Some("reliable")) {
       // no SparkContext checkpoint dir and no conf fallback → explicit error,

@@ -276,6 +276,59 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("curateIncremental: broadcast dispatch issues NO count job — the " +
+    "only driver actions during a fold are the materializing counts " +
+    "(checkpointCounted), never a second per-frame probe") {
+    val docs = Tables(spark, dir, "documents")
+    val ws = ops.Text.winnowStore(
+      docs.where(col("doc_id") < 50), "doc_id", "text")
+    val b = docs.where(col("doc_id") >= 50)
+    // Spark 4 job properties carry no callsite, so the pin is the raw
+    // JOB COUNT of one fold against empty stores (suites run
+    // sequentially in the forked test JVM — no foreign jobs interleave).
+    // Each materialization is exactly ONE job (checkpointCounted's
+    // forcing count / the eager checkpoint's internal count) plus the
+    // plans' own exchange/broadcast jobs; the retired dispatch
+    // (`broadcastIfSmall(df, Some(df.count()))`) added one count job per
+    // hinted frame and a sampling collect on top — ~10 extra jobs, well
+    // past the headroom below.
+    val jobGroups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobGroups.add(Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ops.Curation.curateIncremental(
+        b, ws, "doc_id", "text", "source",
+        ops.Curation.CurationStores.empty(spark, "source"),
+        metricsTag = "curinc_jobs")
+      // listener delivery is async but FIFO: run a group-tagged sentinel
+      // action and wait until IT arrives — every fold job precedes it
+      spark.sparkContext.setJobGroup("curinc_jobs_sentinel", "sentinel")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!jobGroups.toArray.exists(_ == "curinc_jobs_sentinel") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val foldJobs = jobGroups.toArray
+        .takeWhile(_ != "curinc_jobs_sentinel").length
+      // measured 117 at sf0.001 under AQE (each exchange/broadcast stage
+      // is its own job); the retired dispatch added ~16 (one count + one
+      // sampling collect per hinted frame, 8 frames) — the bound sits
+      // between the two. A legitimate plan change that crosses it should
+      // re-baseline CONSCIOUSLY, with this arithmetic in hand.
+      val bound = 126
+      assert(foldJobs <= bound,
+        s"one curateIncremental fold launched $foldJobs jobs (> $bound): " +
+          "a per-frame count/sampling probe crept back into the " +
+          "broadcast dispatch")
+      assert(foldJobs > 0, "listener saw no fold jobs — harness broken")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("scoreRank keeps the window's rank contract on the edges: NaN " +
     "ranks greatest, NULL scores drop, ties break to the smaller id") {
     import spark.implicits._
