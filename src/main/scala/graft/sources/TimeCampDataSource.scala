@@ -35,6 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * skip-and-continue: a failed (user, chunk) partition yields zero rows
   * with a warning rather than failing the scan (`common/api.py:293-296`).
   *
+  * Request pacing: the reference is ONE process and its 429 handling
+  * assumes serial pressure (`common/api.py:34-56`); this connector's
+  * fan-out would stampede the API with one concurrent request per
+  * partition. Set the `ratelimit.rps` reader option (or the
+  * `spark.graft.ratelimit.rps` session conf) to the per-EXECUTOR request
+  * budget — `apiBudget / numExecutors` — and every partition thread in a
+  * JVM serializes through one fixed-interval pacer ([[RateLimiter]]),
+  * bounding the cluster-aggregate rate by the API budget. Unset = no
+  * pacing.
+  *
   * Rows: (user_id, date, application_id, duration_seconds) — the flattened
   * shape the reference emits per activity record.
   */
@@ -103,7 +113,11 @@ object TimeCampDataSource {
   }
 
   private case class ActivityPartition(
-      userId: String, dates: Seq[String], transportKey: String)
+      userId: String, dates: Seq[String], transportKey: String,
+      // per-executor request pacing (RateLimiter.RpsKey), resolved at
+      // PLAN time and shipped in the partition: executors see options
+      // only through their partition descriptor
+      ratelimitRps: Option[Double])
     extends InputPartition
 
   private class ActivitiesTable(props: Map[String, String])
@@ -128,10 +142,18 @@ object TimeCampDataSource {
           val dates = Iterator.iterate(from)(_.plusDays(1))
             .takeWhile(!_.isAfter(to)).map(_.toString).toSeq
           val key = opts.getOrElse("transport", "default")
+          // request pacing: reader option wins, session conf is the
+          // deployment default (resolved here on the driver — executors
+          // only ever see the partition descriptor)
+          val rps = opts.get("ratelimit.rps").map(_.toDouble)
+            .orElse(org.apache.spark.sql.SparkSession.active.conf
+              .getOption(RateLimiter.RpsKey).map(_.toDouble))
+          require(rps.forall(_ > 0),
+            s"${RateLimiter.RpsKey} must be > 0, got ${rps.get}")
           // the reference's fan-out plan, now as Spark partitions
           TimeCampClient.activityBatches(users, dates)
             .map { case (u, chunk) =>
-              ActivityPartition(u, chunk, key): InputPartition
+              ActivityPartition(u, chunk, key, rps): InputPartition
             }.toArray
         }
 
@@ -142,7 +164,12 @@ object TimeCampDataSource {
               new PartitionReader[InternalRow] {
                 private val rows: Iterator[InternalRow] = {
                   val fetched = try {
-                    val transport = transportFor(part.transportKey)
+                    val raw = transportFor(part.transportKey)
+                    // pace BEFORE retrying wraps it: every attempt of the
+                    // retry loop is a real request against the API budget
+                    val transport = part.ratelimitRps
+                      .map(r => RateLimiter.throttled(part.transportKey, r, raw))
+                      .getOrElse(raw)
                     val params = Map("user_id" -> part.userId) ++
                       part.dates.zipWithIndex.map { case (d, i) =>
                         s"dates[$i]" -> d

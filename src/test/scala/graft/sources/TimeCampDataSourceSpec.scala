@@ -85,4 +85,63 @@ class TimeCampDataSourceSpec extends SparkSpec {
     assert(TimeCampDataSource.parseActivities(
       """[{"user_id":{"id":1},"date":"2024-01-01"}]""") === Seq.empty)
   }
+
+  test("ratelimit.rps paces the AGGREGATE request rate across 8 parallel " +
+    "partitions — no scan-start stampede (the reference's serial-pressure " +
+    "assumption, restored for the executor fan-out)") {
+    // counting stub: record each request's arrival nanos
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val counting: TimeCampClient.Transport = (url, params) => {
+      arrivals.add(System.nanoTime())
+      stubTransport()(url, params)
+    }
+    TimeCampDataSource.registerTransport("stub-paced", counting)
+    // 8 users × 1 chunk = 8 partitions; local[4] runs up to 4 at once.
+    // 20 rps → 50 ms spacing → 8 requests span ≥ 350 ms. Unpaced, the
+    // same scan issues its first 4 concurrently within single-digit ms.
+    val df = spark.read.format("graft.sources.TimeCampDataSource")
+      .option("users", (1 to 8).mkString(","))
+      .option("from", "2024-01-01").option("to", "2024-01-03")
+      .option("transport", "stub-paced")
+      .option("ratelimit.rps", "20")
+      .load()
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 24) // 8 users × 3 days — pacing changes no rows
+    val ts = arrivals.toArray.map(_.asInstanceOf[java.lang.Long].longValue).sorted
+    assert(ts.length === 8, s"expected 8 requests, saw ${ts.length}")
+    val spanMs = (ts.last - ts.head) / 1e6
+    // 7 inter-request gaps × 50 ms = 350 ms minimum; generous floor for
+    // scheduler jitter (sleep only ever lengthens gaps, never shortens)
+    assert(spanMs >= 300.0,
+      f"8 paced requests spanned $spanMs%.0f ms — expected >= 300 ms at 20 rps")
+    // every consecutive gap honors the interval (fixed-slot pacer, not
+    // an average that lets bursts through), asserted at a
+    // half-interval floor: sleep overshoot on request i inflates its
+    // arrival and can compress the MEASURED gap to i+1 below the true
+    // 50 ms slot spacing — but an unpaced burst reads ~0-2 ms, far under
+    val gaps = ts.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
+    assert(gaps.forall(_ >= 25.0),
+      s"burst through the pacer: gaps ${gaps.map(g => f"$g%.1f").mkString(", ")} ms")
+  }
+
+  test("the throttled transport paces RETRIES too — each attempt is a " +
+    "request against the API budget") {
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    var calls = 0
+    val flaky: TimeCampClient.Transport = (url, params) => {
+      arrivals.add(System.nanoTime())
+      calls += 1
+      if (calls < 3) TimeCampClient.Response(429, """{"retry_after": 0}""")
+      else TimeCampClient.Response(200, "[]")
+    }
+    val paced = RateLimiter.throttled("retry-budget-test", 20.0, flaky)
+    val r = TimeCampClient.get(paced, sleep = _ => ())("/x", Map.empty)
+    assert(r.status === 200)
+    val ts = arrivals.toArray.map(_.asInstanceOf[java.lang.Long].longValue).sorted
+    assert(ts.length === 3)
+    // retry_after=0 and a no-op retry sleep: only the pacer spaces the
+    // attempts, so both gaps must carry the 50 ms interval
+    assert(ts.sliding(2).forall(p => (p(1) - p(0)) / 1e6 >= 25.0),
+      "retry attempts bypassed the pacer")
+  }
 }
