@@ -43,6 +43,9 @@ final case class BigQuerySink(
     s"writeMethod must be direct|indirect, got: $writeMethod")
   require(writeMethod == "direct" || temporaryGcsBucket.nonEmpty,
     "indirect writeMethod stages through GCS and needs temporaryGcsBucket")
+  require(clusteringFields.size <= 4,
+    s"BigQuery clustering allows at most 4 fields, got " +
+      s"${clusteringFields.size} (${clusteringFields.mkString(",")})")
 
   /** Connector options for one table write; `target` = `project.dataset`. */
   def options(target: String, table: String): Map[String, String] = {

@@ -42,6 +42,61 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("RECORDED CONNECTOR SPEC: every option BigQuerySink can emit is an " +
+    "exact key of the public spark-bigquery-connector surface, with the " +
+    "documented value shapes — the seam cannot drift from the connector " +
+    "it targets") {
+    // Recorded from the public GoogleCloudDataproc/spark-bigquery-connector
+    // README (the jar itself is not available in this offline build):
+    //   table               "project.dataset.table" dotted reference
+    //   writeMethod         "direct" (Storage Write API, per-executor
+    //                       streams) | "indirect" (GCS staging + load job)
+    //   temporaryGcsBucket  bucket NAME (no gs:// scheme); REQUIRED for
+    //                       indirect, meaningless for direct
+    //   partitionField      a single column name
+    //   clusteredFields     comma-separated column names, AT MOST 4
+    //                       (BigQuery's clustering limit)
+    // A key rename here must be a CONSCIOUS act against the connector
+    // docs, never a refactor side-effect: the saver is injected in specs,
+    // so nothing else offline would catch an option the real jar ignores.
+    val recordedKeys = Set(
+      "table", "writeMethod", "temporaryGcsBucket", "partitionField",
+      "clusteredFields")
+    val dottedTable = """[^.\s]+\.[^.\s]+\.[^.\s]+""".r
+
+    def check(sink: BigQuerySink, target: String, table: String): Unit = {
+      val opts = sink.options(target, table)
+      val unknown = opts.keySet.diff(recordedKeys)
+      assert(unknown.isEmpty,
+        s"options not in the recorded connector spec: $unknown")
+      assert(dottedTable.matches(opts("table")),
+        s"table must be the dotted project.dataset.table form: ${opts("table")}")
+      assert(Set("direct", "indirect").contains(opts("writeMethod")))
+      opts.get("temporaryGcsBucket").foreach(b =>
+        assert(!b.contains("://"), s"bucket NAME expected, got URI: $b"))
+      opts.get("clusteredFields").foreach { cf =>
+        val fields = cf.split(",")
+        assert(fields.length <= 4 && fields.forall(_.nonEmpty), cf)
+      }
+    }
+    // the full surface, both write methods
+    check(BigQuerySink(saver = (_, _, _) => ()), "proj.ds", "entries")
+    check(BigQuerySink(
+      writeMethod = "indirect", temporaryGcsBucket = Some("stage-bkt"),
+      partitionField = Some("date"),
+      clusteringFields = Seq("user_id", "task_id", "group_id", "app_id"),
+      saver = (_, _, _) => ()), "proj.ds", "entries")
+    // shapes the connector would reject are refused at CONSTRUCTION, not
+    // discovered in production: a 5th clustering field breaches
+    // BigQuery's documented limit
+    val e = intercept[IllegalArgumentException] {
+      BigQuerySink(
+        clusteringFields = Seq("a", "b", "c", "d", "e"),
+        saver = (_, _, _) => ())
+    }
+    assert(e.getMessage.contains("4"))
+  }
+
   test("BigQuerySink round-trips through a recording saver") {
     val dir = Files.createTempDirectory("bqsink").toString
     var captured: (Map[String, String], String) = null
