@@ -199,13 +199,23 @@ object SparkEntry {
     }),
 
     // --- §2.4 aggregations ---
+    // revenue goes through INTEGER 1e-6 units (floor(x*1e6+0.5) in
+    // double, summed as BIGINT), not a per-row decimal cast: the
+    // double→decimal conversion rounds at different ulps across engines
+    // (Spark BigDecimal-exact HALF_UP vs DuckDB's scaled-double round),
+    // and at sf10's 60M rows the per-row drift accumulated to a visible
+    // 6e-5 in the exact decimal sums (CORRECTNESS_sf10_subset_r16 found
+    // it; sf0.01–sf1 happened to agree). floor(+0.5) of the SAME double
+    // product is bit-identical everywhere — the unigramLogProb
+    // discipline applied to money. sum_qty stays a plain double sum:
+    // integer-valued quantities sum exactly below 2^53.
     "q_groupby_sum" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          (sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            * 1e6 + 0.5).cast("long")).cast("double") / 1e6).as("revenue"),
           count(lit(1)).as("cnt"))),
 
     "q_distinct" -> ((s, dir) =>
@@ -2701,7 +2711,7 @@ object SparkEntry {
         "WHERE r_name = 'ASIA' GROUP BY 1"),
 
     "q_groupby_sum" ->
-      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2",
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2",
 
     "q_distinct" ->
       "SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL AND l_suppkey <> 0",

@@ -57,22 +57,26 @@ def main():
     report = {}
 
     def record(name, rows=False, schema=False, values=False,
-               srows=0, drows=0, err=None):
+               srows=0, drows=0, err=None, sec=None):
         report[name] = {"rows_match": rows, "schema_match": schema,
                         "hash_match": values, "spark_rows": srows,
-                        "oracle_rows": drows, "err": err}
+                        "oracle_rows": drows, "err": err,
+                        "oracle_sec": sec}
 
+    import time as _time
     for name in sorted(oracle):
         spark_dir = Path(out_dir) / name
         if not spark_dir.exists():
-            print(f"FAIL {name}: no spark output")
+            print(f"FAIL {name}: no spark output", flush=True)
             record(name, err="no spark output")
             n_fail += 1
             continue
         try:
+            _t0 = _time.time()
             duck = con.execute(oracle[name]).arrow()
+            dsec = round(_time.time() - _t0, 3)
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
             record(name, err=f"oracle error: {e}")
             n_fail += 1
             continue
@@ -80,26 +84,26 @@ def main():
         srows, scols = rows_of(spark)
         drows, dcols = rows_of(duck)
         if scols != dcols:
-            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}", flush=True)
             record(name, rows=len(srows) == len(drows),
-                   srows=len(srows), drows=len(drows))
+                   srows=len(srows), drows=len(drows), sec=dsec)
             n_fail += 1
         elif len(srows) != len(drows):
-            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
-            record(name, schema=True, srows=len(srows), drows=len(drows))
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}", flush=True)
+            record(name, schema=True, srows=len(srows), drows=len(drows), sec=dsec)
             n_fail += 1
         elif srows != drows:
             diff = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
             i = diff[0] if diff else -1
             print(f"FAIL {name}: values differ ({len(diff)} rows); "
-                  f"first at {i}:\n  spark={srows[i]}\n  duck ={drows[i]}")
+                  f"first at {i}:\n  spark={srows[i]}\n  duck ={drows[i]}", flush=True)
             record(name, rows=True, schema=True,
-                   srows=len(srows), drows=len(drows))
+                   srows=len(srows), drows=len(drows), sec=dsec)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows, duck {dsec}s)", flush=True)
             record(name, rows=True, schema=True, values=True,
-                   srows=len(srows), drows=len(drows))
+                   srows=len(srows), drows=len(drows), sec=dsec)
             n_pass += 1
     if len(sys.argv) > 3:
         Path(sys.argv[3]).write_text(json.dumps(report, indent=1))
