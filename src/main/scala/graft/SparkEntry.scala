@@ -209,13 +209,23 @@ object SparkEntry {
     // product is bit-identical everywhere — the unigramLogProb
     // discipline applied to money. sum_qty stays a plain double sum:
     // integer-valued quantities sum exactly below 2^53.
+    // The SUM of units is widened to decimal(38,0), not LONG: the
+    // biggest group reaches ~3.6e10 units/row × rows, which crosses
+    // Long.MaxValue around sf≈85–150 — ANSI mode would throw there and
+    // legacy mode would wrap silently, while DuckDB's SUM(BIGINT)
+    // already widens to HUGEINT. Per-row double→decimal conversion is
+    // exact (the floor() value is an integer < 2^53), the decimal sum
+    // is exact to 1e38, and both engines round the same exact integer
+    // to the nearest double at the end — still bit-identical, no
+    // scale-factor ceiling.
     "q_groupby_sum" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           (sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            * 1e6 + 0.5).cast("long")).cast("double") / 1e6).as("revenue"),
+            * 1e6 + 0.5).cast("decimal(38,0)")).cast("double") / 1e6)
+            .as("revenue"),
           count(lit(1)).as("cnt"))),
 
     "q_distinct" -> ((s, dir) =>
@@ -534,17 +544,26 @@ object SparkEntry {
 
     // --- corpus composition stats: per-source doc count, mean length,
     // language entropy (one pass over (source,lang) counts;
-    // H = ln(N) - Σ n·ln(n)/N) ---
+    // H = ln(N) - Σ n·ln(n)/N). The Σ n·ln(n) accumulation rides the
+    // integer-units discipline like the LM family: each ln(n) is
+    // quantized to 1e-9 units (floor(x·1e9+0.5), an exact integer in
+    // double), multiplied by n in EXACT decimal arithmetic, and summed
+    // exactly — the q_groupby_sum sf10 ulp bug proved raw cross-engine
+    // double sums eventually drift a decade up, and this was the last
+    // graded row off the discipline. Cardinality is tiny (~10 langs per
+    // source) but the fix costs nothing and removes the class of risk.
     "q_corpus_stats" -> ((s, dir) => {
       val byLang = t(s, dir, "documents")
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      val nLnUnits = col("n").cast("decimal(20,0)") *
+        floor(log(col("n").cast("double")) * 1e9 + 0.5).cast("decimal(20,0)")
       byLang.groupBy(col("source"))
         .agg(sum(col("n")).as("n_docs"),
           round(sum(col("chars")).cast("double") / sum(col("n")), 4)
             .as("mean_chars"),
           round(log(sum(col("n")).cast("double")) -
-            sum(col("n").cast("double") * log(col("n").cast("double"))) /
+            sum(nLnUnits).cast("double") / 1e9 /
               sum(col("n")).cast("double"), 6).as("lang_entropy"))
     }),
 
@@ -3124,7 +3143,7 @@ object SparkEntry {
       "WITH bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n, SUM(n_chars) AS chars FROM documents GROUP BY 1, 2) " +
         "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, " +
         "round(CAST(SUM(chars) AS DOUBLE) / SUM(n), 4) AS mean_chars, " +
-        "round(ln(CAST(SUM(n) AS DOUBLE)) - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE), 6) AS lang_entropy " +
+        "round(ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST(n AS HUGEINT) * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e9 / CAST(SUM(n) AS DOUBLE), 6) AS lang_entropy " +
         "FROM bl GROUP BY 1"),
 
     "q_binary_meta" ->

@@ -42,10 +42,15 @@ object StreamScaleBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // section = cc (default, the cluster-maintenance legs) | ivfpq (the
-    // streaming IVFADC ingest + compact leg over the embeddings table)
+    // streaming IVFADC ingest + compact leg over the embeddings table) |
+    // curate (the curateStream label-store regimes, flat vs sharded)
     val section = if (args.length > 2) args(2) else "cc"
     if (section == "ivfpq") {
       ivfPqLeg(spark, sfDir, numBatches, cpus.toInt)
+      spark.stop(); return
+    }
+    if (section == "curate") {
+      curateLeg(spark, sfDir, math.max(4, numBatches))
       spark.stop(); return
     }
 
@@ -200,6 +205,101 @@ object StreamScaleBench {
       s"C=$batchC) = $selShards shards (footprint-aware)")
     shardedLeg(s"sharded-trickle-sel$selShards", selShards, trickleBatches)
     spark.stop()
+  }
+
+  /** The curateStream label-store regimes: the FULL streaming curation
+    * fold (exact/minhash/CC dedup, winnow decontamination, ppl banding,
+    * caps) over the corpus — one bootstrap batch, then `numBatches`
+    * trickle batches of ~20 docs, the steady state of a daily ingest
+    * once the backlog is drained. Measures per batch the fold wall time
+    * and the LABEL-STORE bytes written:
+    *
+    *  - **flat** (`shardedLabels = None`): the documented
+    *    O(store)-per-batch soft spot — every fold rewrites the whole
+    *    `labels/v=<n>` dir whatever the batch size;
+    *  - **sharded** (`shardedLabels = Some(256)`): the batch's label
+    *    edges land as an O(batch) `edges/b=<n>` log inside the commit
+    *    and the post-commit catch-up rewrites only the shards whose
+    *    components the batch touched — rewrite bytes ∝ batch footprint,
+    *    not store size (the [[graft.streaming.EventStream.shardLabelStore]]
+    *    trade, here measured on the COMPOSITE rather than the
+    *    cluster-maintenance operator).
+    */
+  private def curateLeg(
+      spark: SparkSession, sfDir: String, trickleBatches: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+    val ws = graft.ops.Text.winnowStore(
+      docs.where(col("doc_id") < 50), "doc_id", "text")
+    val corpus = docs.where(col("doc_id") >= 50)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val trickleSize = 20
+    val bootstrap = corpus.dropRight(trickleBatches * trickleSize)
+    val trickles = (0 until trickleBatches).map { b =>
+      corpus.takeRight(trickleBatches * trickleSize)
+        .slice(b * trickleSize, (b + 1) * trickleSize)
+    }
+    println(s"STREAMSCALE curate corpus=${corpus.length} docs " +
+      s"bootstrap=${bootstrap.length} + $trickleBatches × $trickleSize trickle")
+
+    def leg(name: String, sharded: Option[Int]): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_curstream_$name").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_curstream_ck_$name").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytesOf(d: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      // (mtime, bytes) per shard — a flipped mtime marks a swap rewrite
+      def shardStat(): Map[Int, (Long, Long)] = sharded match {
+        case None => Map.empty
+        case Some(n) => (0 until n).map { k =>
+          val p = new org.apache.hadoop.fs.Path(graft.streaming.EventStream
+            .shardDir(s"$root/labels_sharded", k))
+          k -> (if (fs.exists(p))
+            (fs.getFileStatus(p).getModificationTime,
+              fs.getContentSummary(p).getLength)
+          else (-1L, 0L))
+        }.toMap
+      }
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.EventStream.curateStream(
+        input.toDS().toDF("doc_id", "text", "source"), ws, root, ckpt,
+        shardedLabels = sharded)
+      try {
+        (bootstrap +: trickles).zipWithIndex.foreach { case (b, i) =>
+          val before = shardStat()
+          input.addData(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(b): _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (written, total) = sharded match {
+            case None =>
+              // versioned arm: the whole labels/v=<n> dir is this
+              // batch's write (prior versions are pruned at commit)
+              val lb = bytesOf("labels"); (lb, lb)
+            case Some(_) =>
+              val after = shardStat()
+              (after.collect {
+                case (k, s) if before(k)._1 != s._1 => s._2 }.sum,
+                after.values.map(_._2).sum)
+          }
+          val pct = if (total == 0) 0.0 else 100.0 * written / total
+          println(f"STREAMSCALE curate-$name batch=$i docs=${b.length} " +
+            f"fold=$sec%.2f s label_bytes_written=$written " +
+            f"($pct%.0f%% of store)")
+        }
+      } finally q.stop()
+    }
+
+    leg("labels-flat", None)
+    leg("labels-sharded256", Some(256))
   }
 
   /** Streaming IVFADC ingest leg: the embeddings corpus streams in

@@ -157,11 +157,17 @@ object ClassifierScore {
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val e = w.map.get(arr.getUTF8String(i))
-          // unconditional add of weight-or-0.0: bit-identical to the
-          // retired fold's `acc + coalesce(element_at, 0.0)` even at
-          // the -0.0 edge
-          acc += (if (e == null) 0.0 else e.doubleValue())
+          // NULL elements contribute 0.0 (the composed form's
+          // coalesce(element_at, ...) arm) — the tokenizer never emits
+          // them, but the function is SQL-registered so user-built
+          // arrays with NULL slots must not read undefined bytes
+          if (!arr.isNullAt(i)) {
+            val e = w.map.get(arr.getUTF8String(i))
+            // unconditional add of weight-or-0.0: bit-identical to the
+            // retired fold's `acc + coalesce(element_at, 0.0)` even at
+            // the -0.0 edge
+            acc += (if (e == null) 0.0 else e.doubleValue())
+          }
           i += 1
         }
         z += acc / n.toDouble

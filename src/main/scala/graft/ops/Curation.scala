@@ -567,7 +567,8 @@ object Curation {
     // Every dispatched frame below is materialized through
     // `checkpointCounted` (the count IS the forcing action — one job,
     // the same job the eager checkpoint paid, its result kept), and the
-    // per-row width is STATIC (schema defaultSize + row overhead:
+    // per-row width is STATIC (schema width + row overhead, with
+    // string columns charged a conservative wide-id constant:
     // single-id or id+label columns, never text), so the dispatch runs
     // NO job at all — the retired `broadcastIfSmall(df,
     // Some(df.count()))` form issued one count job per frame, ~8 per

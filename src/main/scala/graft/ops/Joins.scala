@@ -76,15 +76,27 @@ object Joins {
   /** Static per-row byte estimate for a frame of FIXED-WIDTH-ish
     * columns (ids, labels, digests — never text/array payloads), for
     * [[fitsBroadcast]] dispatch without a sampling job: schema
-    * `defaultSize` per column plus JVM/Tungsten row overhead. For the
-    * narrow frames this is used on (1-2 id columns), defaultSize's
-    * string estimate (20 B) plus the overhead constant lands within 2×
-    * of the sampled truth — and the byte gate errs recoverable (skipping
-    * a broadcast AQE can still apply, never a driver OOM), while the
-    * 2M-row gate independently bounds hash-table entries.
+    * `defaultSize` per column plus JVM/Tungsten row overhead.
+    *
+    * Variable-width columns (string/binary) do NOT use `defaultSize`
+    * (20 B): an UNDERestimate errs the dangerous direction — 2M rows of
+    * URL-length ids would pass the byte gate at a computed ~170 MB
+    * while the real driver collect approaches 1 GB. Each such column is
+    * charged a conservative 96 B (32-hex digest + UTF8String/offset
+    * overhead, ~2× a UUID string's heap cost), so wide-string frames
+    * fail the gate and fall back to a plain shuffle join — the
+    * recoverable direction (AQE can still broadcast off runtime stats;
+    * the driver never OOMs). Fixed-width columns keep `defaultSize`,
+    * which is exact for them.
     */
   def staticRowBytes(df: DataFrame): Long =
-    df.schema.map(_.dataType.defaultSize.toLong).sum + 64L
+    df.schema.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => 96L
+        case dt => dt.defaultSize.toLong
+      }
+    }.sum + 64L
 
   def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
     val conf = dim.sparkSession.conf

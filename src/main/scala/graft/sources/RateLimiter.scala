@@ -43,24 +43,53 @@ object RateLimiter {
     require(permitsPerSec > 0, s"rps must be > 0, got $permitsPerSec")
     private val intervalNanos = (1e9 / permitsPerSec).toLong
     private var nextFreeNanos = Long.MinValue
+    private var cooldownUntilNanos = Long.MinValue
 
-    /** Reserve the next request slot; returns the nanos the caller must
-      * still wait (0 when the slot is already due). Atomic under the
-      * bucket lock; the sleep happens OUTSIDE the lock so a long wait
-      * never blocks other threads from reserving their later slots.
+    /** Reserve the next request slot; returns its ABSOLUTE start nanos.
+      * Atomic under the bucket lock; the sleep happens OUTSIDE the lock
+      * so a long wait never blocks other threads from reserving their
+      * later slots.
       */
     private[sources] def reserve(nowNanos: Long): Long = synchronized {
       val start = math.max(nowNanos, nextFreeNanos)
       nextFreeNanos = start + intervalNanos
-      start - nowNanos
+      start
+    }
+
+    /** Shared 429 cooldown: one partition's Retry-After is published to
+      * EVERY thread in the bucket, so siblings stop spending request
+      * slots into a storm the server already told us about — the
+      * reference's serial client sees each Retry-After before its next
+      * request (`common/api.py:44-56`); without this, N parallel
+      * partitions each had to draw their own 429 first. Pushing
+      * `nextFreeNanos` makes all future reservations queue after the
+      * cooldown; already-reserved slots are forfeited in [[acquire]].
+      */
+    private[sources] def noteCooldown(untilNanos: Long): Unit =
+      synchronized {
+        if (untilNanos > cooldownUntilNanos) cooldownUntilNanos = untilNanos
+        if (untilNanos > nextFreeNanos) nextFreeNanos = untilNanos
+      }
+
+    private def clearedCooldown(startNanos: Long): Boolean = synchronized {
+      startNanos >= cooldownUntilNanos
     }
 
     def acquire(): Unit = {
-      val waitNanos = reserve(System.nanoTime())
-      if (waitNanos > 0) {
-        val ms = waitNanos / 1000000L
-        val ns = (waitNanos % 1000000L).toInt
-        Thread.sleep(ms, ns)
+      var start = reserve(System.nanoTime())
+      var cleared = false
+      while (!cleared) {
+        val waitNanos = start - System.nanoTime()
+        if (waitNanos > 0) {
+          val ms = waitNanos / 1000000L
+          val ns = (waitNanos % 1000000L).toInt
+          Thread.sleep(ms, ns)
+        }
+        // a sibling's 429 may have published a cooldown while we slept;
+        // a slot that now falls inside the window is forfeit (it would
+        // be a request INTO the known storm) — re-reserve after it
+        cleared = clearedCooldown(start)
+        if (!cleared) start = reserve(System.nanoTime())
       }
     }
   }
@@ -74,14 +103,30 @@ object RateLimiter {
     buckets.computeIfAbsent((key, permitsPerSec),
       _ => new Bucket(permitsPerSec))
 
-  /** Gate a transport behind the JVM-wide pacer for `key`. */
+  /** Gate a transport behind the JVM-wide pacer for `key`. A 429
+    * response with a concrete Retry-After (header, then JSON body —
+    * the client's own precedence) publishes a shared cooldown into the
+    * bucket: sibling partition threads stop spending slots until it
+    * expires instead of each discovering the storm with its own 429.
+    * A 429 WITHOUT a Retry-After publishes nothing — there is no
+    * server-stated window to share, and the caller's linear backoff
+    * (TimeCampClient.get) plus per-slot pacing already bound the rate.
+    */
   def throttled(
       key: String, permitsPerSec: Double,
       transport: TimeCampClient.Transport): TimeCampClient.Transport = {
     val bucket = bucketFor(key, permitsPerSec)
     (url, params) => {
       bucket.acquire()
-      transport(url, params)
+      val r = transport(url, params)
+      if (r.status == 429) {
+        val retryAfterSec = r.retryAfterHeader
+          .orElse(TimeCampClient.retryAfterFromBody(r.body))
+        retryAfterSec.filter(_ > 0).foreach { sec =>
+          bucket.noteCooldown(System.nanoTime() + sec * 1000000000L)
+        }
+      }
+      r
     }
   }
 }

@@ -43,6 +43,10 @@ final case class BigQuerySink(
     s"writeMethod must be direct|indirect, got: $writeMethod")
   require(writeMethod == "direct" || temporaryGcsBucket.nonEmpty,
     "indirect writeMethod stages through GCS and needs temporaryGcsBucket")
+  require(writeMethod == "indirect" || temporaryGcsBucket.isEmpty,
+    "direct writeMethod streams via the Storage Write API and takes no " +
+      "temporaryGcsBucket — a bucket here means the caller expected " +
+      "indirect staging semantics the direct path will silently skip")
   require(clusteringFields.size <= 4,
     s"BigQuery clustering allows at most 4 fields, got " +
       s"${clusteringFields.size} (${clusteringFields.mkString(",")})")

@@ -104,4 +104,31 @@ class ClassifierScoreSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("foldable") ||
       e.getMessage.contains("classifier_score"))
   }
+
+  test("NULL array ELEMENTS weigh 0.0 and still count toward the mean — " +
+    "the composed form's coalesce(element_at, ...) arm; the function is " +
+    "SQL-registered, so user-built arrays with NULL slots must not read " +
+    "undefined bytes") {
+    val wm = typedLit(Map("good" -> 1.5, "bad" -> -2.0))
+    // the null slot depends on the row so the array is NOT foldable —
+    // constant folding must not hide the codegen path from the test
+    val df = Seq(Tuple1(1)).toDF("i")
+    val arr = array(lit("good"),
+      when($"i" === 0, lit("x")).otherwise(lit(null).cast("string")),
+      lit("bad"))
+    // the retired composed form over the SAME array (null slot included)
+    val composedSum = aggregate(arr, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wm, t), lit(0.0)))
+    val zc = lit(0.25) +
+      when(size(arr) > 0, composedSum / size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    val composed = lit(0.5) * (lit(1.0) + zc / (lit(1.0) + abs(zc)))
+    val Array(native, twin) = df.select(
+      call_function("classifier_score", arr, wm, lit(0.25)).as("n"),
+      composed.as("c")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val z = 0.25 + (1.5 + 0.0 + -2.0) / 3.0
+    val expect = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+    assert(native === expect)
+    assert(native === twin)
+  }
 }

@@ -30,13 +30,22 @@ class SinkSpec extends SparkSpec {
     assert(opts("clusteredFields") === "user_id,task_id")
   }
 
-  test("direct writeMethod needs no staging bucket; indirect requires one") {
+  test("writeMethod × temporaryGcsBucket combinations validate BOTH " +
+    "directions: indirect requires the bucket, direct forbids it") {
     assert(BigQuerySink().options("p.d", "t") ===
       Map("table" -> "p.d.t", "writeMethod" -> "direct"))
+    // indirect stages through GCS — no bucket is an unrunnable config
     val e = intercept[IllegalArgumentException] {
       BigQuerySink(writeMethod = "indirect", saver = (_, _, _) => ())
     }
     assert(e.getMessage.contains("temporaryGcsBucket"))
+    // direct streams via the Storage Write API — a bucket means the
+    // caller expected staging semantics the direct path silently skips
+    val e2 = intercept[IllegalArgumentException] {
+      BigQuerySink(temporaryGcsBucket = Some("stray-bkt"),
+        saver = (_, _, _) => ())
+    }
+    assert(e2.getMessage.contains("direct"))
     intercept[IllegalArgumentException] {
       BigQuerySink(writeMethod = "streaming", saver = (_, _, _) => ())
     }
@@ -52,7 +61,9 @@ class SinkSpec extends SparkSpec {
     //   writeMethod         "direct" (Storage Write API, per-executor
     //                       streams) | "indirect" (GCS staging + load job)
     //   temporaryGcsBucket  bucket NAME (no gs:// scheme); REQUIRED for
-    //                       indirect, meaningless for direct
+    //                       indirect, FORBIDDEN for direct (a bucket on
+    //                       the direct path signals a config mixup —
+    //                       rejected at construction)
     //   partitionField      a single column name
     //   clusteredFields     comma-separated column names, AT MOST 4
     //                       (BigQuery's clustering limit)

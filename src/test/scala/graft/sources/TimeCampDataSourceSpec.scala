@@ -144,4 +144,39 @@ class TimeCampDataSourceSpec extends SparkSpec {
     assert(ts.sliding(2).forall(p => (p(1) - p(0)) / 1e6 >= 25.0),
       "retry attempts bypassed the pacer")
   }
+
+  test("one partition's 429 Retry-After cools down EVERY sibling thread " +
+    "in the bucket — no further requests until the server-stated window " +
+    "expires (the reference's serial pressure, shared across the fan-out)") {
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stormEndNanos = 0L
+    val stormy: TimeCampClient.Transport = (_, _) => {
+      arrivals.add(System.nanoTime())
+      if (calls.incrementAndGet() == 1) {
+        // the FIRST request (earliest pacer slot) draws the 429; the
+        // cooldown the wrapper publishes starts from ~now
+        stormEndNanos = System.nanoTime() + 1000000000L
+        TimeCampClient.Response(429, "busy", retryAfterHeader = Some(1L))
+      } else TimeCampClient.Response(200, "[]")
+    }
+    // 20 rps → 50 ms slots: threads 2..6 hold slots 50-250 ms after the
+    // first, all well inside the 1 s cooldown — unshared, each would
+    // fire into the storm; shared, every one must forfeit and re-reserve
+    val paced = RateLimiter.throttled("cooldown-shared-test", 20.0, stormy)
+    val threads = (1 to 6).map(_ => new Thread(() => {
+      paced("/x", Map.empty); ()
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(15000))
+    val ts = arrivals.toArray.map(_.asInstanceOf[java.lang.Long].longValue).sorted
+    assert(ts.length === 6, s"expected 6 requests, saw ${ts.length}")
+    // zero requests between the 429 and cooldown expiry (small floor for
+    // sleep-wakeup jitter; an unshared limiter would land 5 requests
+    // 50-250 ms in)
+    val after429 = ts.drop(1)
+    assert(after429.forall(_ >= stormEndNanos - 50000000L),
+      s"requests fired into the known storm: " +
+        after429.map(t => f"${(t - ts.head) / 1e6}%.0f ms").mkString(", "))
+  }
 }
