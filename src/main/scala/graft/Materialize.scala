@@ -86,6 +86,26 @@ object Materialize {
   def checkpointCounted(df: DataFrame): (DataFrame, Long) =
     materializeCounted(df, spark => spark.conf.get(ModeKey, "local"))
 
+  /** [[checkpoint]] whose forcing action is the CALLER's own aggregate:
+    * the checkpoint is taken lazily and `force` (an action over the
+    * returned frame — e.g. a convergence-signature agg) materializes it.
+    * One job where eager-checkpoint-then-aggregate ran two AND scanned
+    * the fresh blocks a second time — the fixpoint loops (star CC, label
+    * propagation) pay that pattern once per round, so the per-round
+    * saving compounds. Same machinery as [[checkpointCounted]] (whose
+    * forcing action is just fixed to a count).
+    */
+  def checkpointForced[T](df: DataFrame)(force: DataFrame => T): (DataFrame, T) =
+    materializeForced(df, spark => spark.conf.get(ModeKey, "local"))(force)
+
+  /** [[checkpointForced]] with [[checkpointIterative]]'s mode dispatch —
+    * for forcing actions INSIDE an iterative fixpoint loop, where
+    * `persist` (no lineage truncation) must fall through to a
+    * truncating mode.
+    */
+  def checkpointIterativeForced[T](df: DataFrame)(force: DataFrame => T): (DataFrame, T) =
+    materializeForced(df, iterativeMode)(force)
+
   /** [[checkpoint]] for frames produced INSIDE an iterative fixpoint loop
     * (transitive closure, breadcrumbs, CC label propagation): `persist`
     * does not truncate lineage, so under that mode a loop's plan grows
@@ -98,22 +118,27 @@ object Materialize {
     * [[checkpoint]], where `persist` is the right trade.
     */
   def checkpointIterative(df: DataFrame): DataFrame =
-    materialize(df, { spark =>
-      spark.conf.get(ModeKey, "local") match {
-        case "persist" =>
-          val durable = spark.conf.getOption(DirKey).nonEmpty ||
-            spark.sparkContext.getCheckpointDir.nonEmpty
-          if (durable) "reliable"
-          else {
-            org.slf4j.LoggerFactory.getLogger("graft.Materialize").warn(
-              s"$ModeKey=persist does not truncate lineage; iterative " +
-                "operator falling back to mode=local (set a checkpoint " +
-                s"dir or $DirKey for a durable loop)")
-            "local"
-          }
-        case m => m
-      }
-    })
+    materialize(df, iterativeMode)
+
+  /** [[checkpointIterative]]'s mode dispatch: `persist` does not truncate
+    * lineage, so iterative callers fall through to a truncating mode.
+    */
+  private def iterativeMode(
+      spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get(ModeKey, "local") match {
+      case "persist" =>
+        val durable = spark.conf.getOption(DirKey).nonEmpty ||
+          spark.sparkContext.getCheckpointDir.nonEmpty
+        if (durable) "reliable"
+        else {
+          org.slf4j.LoggerFactory.getLogger("graft.Materialize").warn(
+            s"$ModeKey=persist does not truncate lineage; iterative " +
+              "operator falling back to mode=local (set a checkpoint " +
+              s"dir or $DirKey for a durable loop)")
+          "local"
+        }
+      case m => m
+    }
 
   /** Test hook: record the context's CURRENT checkpoint dir as seam-set
     * (with a sentinel conf value no real DirKey equals), handing dir
@@ -135,22 +160,32 @@ object Materialize {
     */
   private def materializeCounted(
       df: DataFrame,
-      modeFor: org.apache.spark.sql.SparkSession => String): (DataFrame, Long) = {
-    val spark = df.sparkSession
+      modeFor: org.apache.spark.sql.SparkSession => String): (DataFrame, Long) =
     // force via the PHYSICAL rdd count, not Dataset.count(): the SQL
     // count plans a partial/final aggregate whose exchange is its own
     // AQE job (2 jobs), while rdd.count() is the very job the eager
     // checkpoint's internal materializer runs (1) — same work, value kept
-    def force(cp: DataFrame): (DataFrame, Long) =
-      (cp, cp.queryExecution.toRdd.count())
+    materializeForced(df, modeFor)(_.queryExecution.toRdd.count())
+
+  /** The lazy-checkpoint-plus-caller-forcing-action core behind
+    * [[checkpointCounted]] / [[checkpointForced]]: mark the checkpoint
+    * lazily, run `force` (which materializes the marked RDD as its job
+    * completes), return the checkpointed frame and the action's result.
+    */
+  private def materializeForced[T](
+      df: DataFrame,
+      modeFor: org.apache.spark.sql.SparkSession => String)(
+      force: DataFrame => T): (DataFrame, T) = {
+    val spark = df.sparkSession
+    def run(cp: DataFrame): (DataFrame, T) = (cp, force(cp))
     modeFor(spark) match {
       case "local" =>
-        force(df.localCheckpoint(eager = false))
+        run(df.localCheckpoint(eager = false))
       case "reliable" =>
         ensureReliableDir(spark)
-        force(df.checkpoint(eager = false))
+        run(df.checkpoint(eager = false))
       case "persist" =>
-        force(df.persist(StorageLevel.MEMORY_AND_DISK_2))
+        run(df.persist(StorageLevel.MEMORY_AND_DISK_2))
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|persist, got '$other'")
     }

@@ -561,6 +561,14 @@ object Curation {
     // observe names with different results in a single query
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"${metricsTag}_$stage")
+    // Label every stage's jobs in the UI/listeners (guide: name your
+    // jobs): a fold runs dozens of small actions and an unlabeled job
+    // list is unattributable. Thread-local, cleared after each stage.
+    def step[T](stage: String)(body: => T): T = {
+      val sc = batch.sparkSession.sparkContext
+      sc.setJobDescription(s"$metricsTag/$stage")
+      try body finally sc.setJobDescription(null)
+    }
     def idsOf(df: DataFrame, c: String): DataFrame =
       df.select(col(c).as(idCol))
     // Size-dispatched broadcast for the fold's narrow id/label frames.
@@ -584,48 +592,50 @@ object Curation {
 
     // 2a. exact dedup against the digest store (store streams, zero
     // store shuffle — exactIncremental's contract)
-    val (exNew, nExNew) = Materialize.checkpointCounted(
-      Dedup.exactIncremental(kept, idCol, textCol, stores.digests))
-    val batchExact = Materialize.checkpoint(staged(
+    val (exNew, nExNew) = step("exact_probe")(Materialize.checkpointCounted(
+      Dedup.exactIncremental(kept, idCol, textCol, stores.digests)))
+    val batchExact = step("exact")(Materialize.checkpoint(staged(
       kept.join(bcn(idsOf(exNew, "keeper_id"), nExNew), Seq(idCol), "left_semi"),
-      "exact"))
+      "exact")))
 
     // 2b. near-dup: band the batch ONCE (probe + store append share the
     // frame), candidates against the band store, then the incremental
     // component merge; admission = best-quality batch doc per component
     // that holds NO pre-batch store member
-    val batchBands = Dedup.bandTableOf(batchExact, idCol, textCol)
-    val pairs = Dedup.minhashIncrementalCandidatesFromBands(
-      batchBands, stores.bands)
+    val batchBands = step("band")(Dedup.bandTableOf(batchExact, idCol, textCol))
+    val pairs = step("cands")(Dedup.minhashIncrementalCandidatesFromBands(
+      batchBands, stores.bands))
     val (labelsUpdated, bcMerged, newRows, storeComps) =
-      Dedup.connectedComponentsIncrementalParts(stores.labels, pairs)
+      step("cc_merge")(
+        Dedup.connectedComponentsIncrementalParts(stores.labels, pairs))
     // components that existed in the store before this batch, under
     // their POST-merge labels — each already shipped a keeper
-    val (blocked, nBlocked) = Materialize.checkpointCounted(
+    val (blocked, nBlocked) = step("blocked")(Materialize.checkpointCounted(
       storeComps.join(bcMerged, col("c") === col("_old"), "left")
-        .select(coalesce(col("_new"), col("c")).as("_bcomp")).distinct())
+        .select(coalesce(col("_new"), col("c")).as("_bcomp")).distinct()))
     val kb = Dedup.keepBestPerCluster(
       batchExact, idCol, Text.qualityScore(col(textCol)), newRows)
-    val (admittedDedup, nAdmittedDedup) = Materialize.checkpointCounted(
-      kb.where(col("keep"))
-        .join(bcn(blocked, nBlocked), col("cluster") === col("_bcomp"), "left_anti")
-        .select(col("doc_id").as(idCol)))
-    val deduped = Materialize.checkpoint(staged(
+    val (admittedDedup, nAdmittedDedup) = step("keep_best")(
+      Materialize.checkpointCounted(
+        kb.where(col("keep"))
+          .join(bcn(blocked, nBlocked), col("cluster") === col("_bcomp"), "left_anti")
+          .select(col("doc_id").as(idCol))))
+    val deduped = step("deduped")(Materialize.checkpoint(staged(
       batchExact.join(bcn(admittedDedup, nAdmittedDedup), Seq(idCol), "left_semi"),
-      "deduped"))
+      "deduped")))
     // store completeness: unpaired batch survivors enter self-labeled
-    val (pairedIds, nPairedIds) = Materialize.checkpointCounted(
-      newRows.select(col("id").as(idCol)))
+    val (pairedIds, nPairedIds) = step("paired_ids")(
+      Materialize.checkpointCounted(newRows.select(col("id").as(idCol))))
     val singletons = idsOf(batchExact, idCol)
       .join(bcn(pairedIds, nPairedIds), Seq(idCol), "left_anti")
       .select(col(idCol).as("id"), col(idCol).as("component"))
 
     // 3. span decontamination against the persisted benchmark store
-    val (clean, nClean) = Materialize.checkpointCounted(staged(
+    val (clean, nClean) = step("winnow")(Materialize.checkpointCounted(staged(
       deduped.join(
         idsOf(Text.winnowDecontaminateAgainst(
           deduped, idCol, textCol, winnowStore), "doc_id"),
-        Seq(idCol), "left_anti"), "clean"))
+        Seq(idCol), "left_anti"), "clean")))
 
     // 3b. OPTIONAL semantic screen (the batch chain's [[Semantic]] arm,
     // per batch against the FIXED benchmark embeddings — stateless given
@@ -633,7 +643,7 @@ object Curation {
     // broadcast, the embedding table semi-restricted to batch survivors)
     val screened = semantic match {
       case None => clean
-      case Some(sm) =>
+      case Some(sm) => step("semantic") {
         val cleanEmb = sm.embeddings
           .select(col(idCol), col(sm.vecCol))
           .join(bcn(idsOf(clean, idCol), nClean), Seq(idCol), "left_semi")
@@ -644,6 +654,7 @@ object Curation {
         Materialize.checkpoint(staged(
           clean.join(bcn(semBad, nSemBad), Seq(idCol), "left_anti"),
           "semantic"))
+      }
     }
 
     // 4. perplexity tail drop against the FIXED model (bootstrap: train
@@ -651,18 +662,20 @@ object Curation {
     // with NOTHING scoreable — empty, or all sub-2-token docs — ships no
     // model, so the next real batch bootstraps instead of banding the
     // whole corpus against empty thresholds forever)
-    val (model, scored) = stores.ppl match {
+    val (model, scored) = step("ppl_model")(stores.ppl match {
       case some @ Some(m) =>
         (some, Text.bigramLogProbAgainst(screened, idCol, textCol, m.lm))
       case None =>
         val lm = Text.bigramCounts(screened, idCol, textCol)
-        val sc = Materialize.checkpoint(
+        // counted checkpoint: the count doubles as the emptiness probe
+        // (the retired eager-checkpoint-then-isEmpty shape was two jobs)
+        val (sc, nSc) = Materialize.checkpointCounted(
           Text.bigramLogProbAgainst(screened, idCol, textCol, lm))
-        if (sc.isEmpty) (None, sc)
+        if (nSc == 0L) (None, sc)
         else (Some(PplModel(lm,
           Materialize.checkpoint(Text.pplThresholds(sc, pplBuckets)))), sc)
-    }
-    val (headIds, nHeadIds) = model match {
+    })
+    val (headIds, nHeadIds) = step("ppl_band")(model match {
       case Some(m) => Materialize.checkpointCounted(
         Text.pplBucketAgainst(scored, m.thresholds, pplBuckets)
           .where(col("bucket") > dropTailBuckets)
@@ -670,15 +683,15 @@ object Curation {
       // no model = nothing scoreable this batch either (sub-2-token docs
       // drop — the bigramLogProb contract the batch chain shares)
       case None => (idsOf(screened, idCol).limit(0), 0L)
-    }
-    val head = Materialize.checkpoint(staged(
-      screened.join(bcn(headIds, nHeadIds), Seq(idCol), "left_semi"), "head"))
+    })
+    val head = step("head")(Materialize.checkpoint(staged(
+      screened.join(bcn(headIds, nHeadIds), Seq(idCol), "left_semi"), "head")))
 
     // 5. rolling per-source admission (earlier batches claim quota
     // first), then 6. per-batch training order over the admitted set
-    val (admitted, nAdmitted) = Materialize.checkpointCounted(
+    val (admitted, nAdmitted) = step("cap")(Materialize.checkpointCounted(
       Text.capPerGroupIncremental(
-        head, sourceCol, idCol, capPerSource, stores.capCounts))
+        head, sourceCol, idCol, capPerSource, stores.capCounts)))
     val out = staged(
       Text.shardOrder(
         head.join(bcn(idsOf(admitted, idCol), nAdmitted),

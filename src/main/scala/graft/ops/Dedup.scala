@@ -975,30 +975,43 @@ object Dedup {
     // exactly as the batch formulations keep it.
     val eRaw = rawPairFrame(newEdges)
     val e = nonNullPairs(eRaw)
+    // NOT materialized: single consumer (the endpointRaw store join) over
+    // the already-checkpointed eRaw — an eager checkpoint here was one
+    // extra job per ingest batch.
     val ids = nonNullEndpoints(eRaw)
-      .transform(Materialize.checkpoint)
     // batch endpoint → its store row if any. Materialized: this join is
     // the fold's ONE store scan, and both the label coalesce and the
     // store-component set below derive from it — recomputing it would
-    // scan the store twice per batch.
-    val endpointRaw = ids.join(labels, Seq("id"), "left")
-      .select(col("id"), col("component"))
-      .transform(Materialize.checkpoint)
+    // scan the store twice per batch. Counted: the count (batch endpoint
+    // cardinality) sizes the broadcast dispatch of the la/lb sides below
+    // at zero extra jobs.
+    val (endpointRaw, nEndpoints) = Materialize.checkpointCounted(
+      ids.join(labels, Seq("id"), "left")
+        .select(col("id"), col("component")))
     // batch endpoint → its current label (own id when not yet labeled)
     val endpointLbl = endpointRaw
       .select(col("id"), coalesce(col("component"), col("id")).as("_lbl"))
+    // batch-sized and fixed-width-ish → broadcast when they fit the
+    // gates, so the quotient build streams the edge side with zero
+    // label-side Exchange (above the gates the shuffle joins return)
+    def bcl(df: DataFrame): DataFrame =
+      if (Joins.fitsBroadcast(newEdges.sparkSession, nEndpoints,
+          Joins.staticRowBytes(df))) broadcast(df)
+      else df
     val la = endpointLbl.select(col("id").as("id_a"), col("_lbl").as("_la"))
     val lb = endpointLbl.select(col("id").as("id_b"), col("_lbl").as("_lb"))
     // contract each new edge through the endpoints' labels; edges inside
     // one existing component collapse to dropped self-loops
-    val quotient = e.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+    val quotient = e.join(bcl(la), Seq("id_a")).join(bcl(lb), Seq("id_b"))
       .select(col("_la").as("id_a"), col("_lb").as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .distinct()
-    val merged = connectedComponentsStar(quotient)
-      .select(col("id").as("_old"), col("component").as("_new"))
-      .transform(Materialize.checkpoint)
-    val bcMerged = Joins.broadcastIfSmall(merged, Some(merged.count()))
+    // counted checkpoint: the count IS the forcing action (one job, not
+    // an eager checkpoint plus a count job per ingest batch)
+    val (merged, nMerged) = Materialize.checkpointCounted(
+      connectedComponentsStar(quotient)
+        .select(col("id").as("_old"), col("component").as("_new")))
+    val bcMerged = Joins.broadcastIfSmall(merged, Some(nMerged))
     // brand-new ids enter with their own id as label unless the quotient
     // merged them into something
     val newRows = endpointRaw.where(col("component").isNull).select(col("id"))
@@ -1051,21 +1064,27 @@ object Dedup {
     // materialized — twice the dominant cost for a direct caller with
     // an expensive candidate chain).
     val raw = rawPairFrame(pairs)
-    // Canonical (hi > lo) directed edges, self-loops dropped (a null
-    // endpoint fails =!= and drops here — the shared CC null contract).
-    var edges = raw
-      .where(col("id_a") =!= col("id_b"))
-      .select(greatest(col("id_a"), col("id_b")).as("hi"),
-        least(col("id_a"), col("id_b")).as("lo"))
-      .distinct()
-      .transform(Materialize.checkpointIterative)
     // Node set remembered up front: star contraction erases isolated
     // structure, but every NON-NULL input node must appear in the
     // output (the shared CC null contract: null is not an id — without
     // the filter a half-null pair leaks a (null, null) row).
+    // NOT materialized: single consumer (the final labeling join), and
+    // its lineage is one explode+distinct over the already-checkpointed
+    // `raw` — an eager checkpoint here was one extra job per CC call
+    // for a frame nothing reads twice.
     val nodes = nonNullEndpoints(raw)
-      .transform(Materialize.checkpoint)
 
+    // Per-round broadcast dispatch for the node-sized `mins` side of each
+    // star join: node count ≤ 2×edge count, and the live edge count is
+    // free from the previous round's signature — when it fits the gates
+    // the join runs map-side against streaming edges (zero mins-side
+    // Exchange; each exchange is its own AQE stage-job). Above the gates
+    // the shuffle join returns — the standard size law.
+    var edgeBound = 0L
+    def bcMins(mins: DataFrame): DataFrame =
+      if (Joins.fitsBroadcast(pairs.sparkSession, 2L * edgeBound,
+          Joins.staticRowBytes(mins))) broadcast(mins)
+      else mins
     // large-star: every node u connects its STRICTLY LARGER neighbors to
     // m(u) = min(Γ(u) ∪ {u}); keeps (hi > lo) orientation by construction.
     def largeStar(e: DataFrame): DataFrame = {
@@ -1073,7 +1092,7 @@ object Dedup {
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("_mv"))
         .select(col("u"), least(col("u"), col("_mv")).as("m"))
-      sym.join(mins, "u")
+      sym.join(bcMins(mins), "u")
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .where(col("hi") =!= col("lo"))
@@ -1083,7 +1102,7 @@ object Dedup {
     // to the minimum smaller neighbor.
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
-      val viaNeighbors = e.join(mins, "hi")
+      val viaNeighbors = e.join(bcMins(mins), "hi")
         .where(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
       val self = mins.select(col("hi"), col("m").as("lo"))
@@ -1106,12 +1125,27 @@ object Dedup {
         sum(xxhash64(col("lo")).cast("decimal(38,0)")),
         sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")))
         .head().toSeq
-    var prev = signature(edges)
+    // The signature aggregate IS each round's forcing action
+    // (checkpointIterativeForced): the retired eager-checkpoint-then-
+    // signature shape paid two jobs per round plus a second scan of the
+    // fresh blocks. The emptiness check rides the signature's count
+    // field instead of a separate isEmpty job.
+    val (edges0, sig0) = Materialize.checkpointIterativeForced(
+      // Canonical (hi > lo) directed edges, self-loops dropped (a null
+      // endpoint fails =!= and drops here — the shared CC null contract).
+      raw.where(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("hi"),
+          least(col("id_a"), col("id_b")).as("lo"))
+        .distinct())(signature)
+    var edges = edges0
+    var prev = sig0
     var round = 0
-    var converged = edges.isEmpty
+    var converged = prev.head == 0L
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).transform(Materialize.checkpointIterative)
-      val sig = signature(edges)
+      edgeBound = prev.head.asInstanceOf[Long]
+      val (next, sig) = Materialize.checkpointIterativeForced(
+        smallStar(largeStar(edges)))(signature)
+      edges = next
       converged = sig == prev
       prev = sig
       round += 1
@@ -1122,6 +1156,8 @@ object Dedup {
     // persisted store with no diagnostic. Fail loudly instead; star
     // contraction needs O(log²) rounds, so hitting the cap means the
     // caller passed a tiny maxRounds, not a real graph.
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-debug] star rounds=$round converged=$converged")
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not reach its fixpoint in " +
@@ -1172,10 +1208,9 @@ object Dedup {
         .select(col("id").as("a"), col("id").as("b")))
       .distinct()
       .transform(Materialize.checkpoint)
-    var labels = edges.select(col("a").as("id"))
+    val labels0 = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .transform(Materialize.checkpointIterative)
     // Convergence = a round that changed NOTHING: the signature is
     // Σ xxhash64(id, component), equal across consecutive rounds iff the
     // label state is unchanged (w.h.p. — two different states colliding
@@ -1185,24 +1220,46 @@ object Dedup {
     // read as "converged before round one" and no-op'd the whole
     // clustering with every doc its own component. One cheap scan over
     // the just-materialized checkpoint, no extra shuffle.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(xxhash64(col("id"), col("component"))
-        .cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
+    // The checksum aggregate IS each round's forcing action
+    // (checkpointIterativeForced): eager-checkpoint-then-labelSum was
+    // two jobs per round plus a second scan of the fresh blocks. The
+    // init probe also returns the NODE COUNT (one extra agg field, no
+    // extra job) — it sizes the per-round broadcast dispatch below.
+    def labelProbe(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("id"), col("component")).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+    val (l0, (nNodes, s0)) =
+      Materialize.checkpointIterativeForced(labels0)(labelProbe)
+    var labels = l0
+    var prevSum = s0
     var round = 0
     var converged = prevSum.isEmpty // empty edge set: trivially converged
+    // The label frame is node-sized and fixed-width; when it fits the
+    // broadcast gates the per-round join runs map-side against streaming
+    // edges — zero label-side Exchange per round (each exchange is its
+    // own AQE stage-job, so this halves the loop's job count). Above the
+    // gates (web-scale graphs) the shuffle join returns — the dispatch
+    // is the same size law as every other broadcast seam here.
+    val bcLabels = Joins.fitsBroadcast(
+      pairs.sparkSession, nNodes, Joins.staticRowBytes(labels0))
     while (!converged && round < maxRounds) {
-      labels = edges
-        .join(labels.withColumnRenamed("id", "b")
-          .withColumnRenamed("component", "_nl"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("_nl")).as("component"))
-        .transform(Materialize.checkpointIterative)
-      val s = labelSum(labels)
+      val lbl = labels.withColumnRenamed("id", "b")
+        .withColumnRenamed("component", "_nl")
+      val (next, (_, s)) = Materialize.checkpointIterativeForced(
+        edges
+          .join(if (bcLabels) broadcast(lbl) else lbl, Seq("b"))
+          .groupBy(col("a").as("id"))
+          .agg(min(col("_nl")).as("component")))(labelProbe)
+      labels = next
       converged = s == prevSum
       prevSum = s
       round += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-debug] labelProp rounds=$round converged=$converged")
     (labels, converged, p)
   }
 

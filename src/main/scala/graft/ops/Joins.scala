@@ -104,8 +104,23 @@ object Joins {
     val maxBytes =
       conf.get(MaxBroadcastBytesKey, (256L * 1024 * 1024).toString).toLong
     val n = countHint.getOrElse(dim.count())
+    val fixedWidth = dim.schema.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    })
     if (n > maxRows) dim
-    else {
+    // Fixed-width schemas (id/label/hash frames — the common dispatch
+    // targets) need no sampling job: staticRowBytes is EXACT for them,
+    // so the byte gate decides from the schema alone. Variable-width
+    // frames keep the sampled estimate — a static per-string constant
+    // can underestimate long payloads, the driver-OOM direction.
+    else if (fixedWidth) {
+      if (n * staticRowBytes(dim) <= maxBytes) broadcast(dim) else dim
+    } else {
       val sample =
         dim.rdd.mapPartitions(_.take(SampleRowsPerPartition)).collect()
       val estBytes =
