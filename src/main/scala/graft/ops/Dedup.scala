@@ -1006,12 +1006,46 @@ object Dedup {
       .select(col("_la").as("id_a"), col("_lb").as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .distinct()
-    // counted checkpoint: the count IS the forcing action (one job, not
-    // an eager checkpoint plus a count job per ingest batch)
-    val (merged, nMerged) = Materialize.checkpointCounted(
-      connectedComponentsStar(quotient)
-        .select(col("id").as("_old"), col("component").as("_new")))
-    val bcMerged = Joins.broadcastIfSmall(merged, Some(nMerged))
+    // The quotient graph is BATCH-bounded by construction (nodes = the
+    // current labels of batch endpoints), and its merge map must fit the
+    // broadcast gates anyway — the whole fold contract hinges on
+    // bcMerged broadcasting. Below those same gates (and for integral
+    // ids, where local ordering provably equals Spark's), the clustering
+    // therefore runs as a driver-side min-union-find over the collected
+    // edges: identical labels (min reachable id), TWO jobs total where
+    // the distributed star pass paid ~25 small stage-jobs per ingest
+    // batch on a graph of a few hundred rows. Above the gates — or for
+    // non-integral id types — the distributed star pass runs unchanged;
+    // the collected edges are already checkpointed blocks, so the
+    // fallback never recomputes the quotient derivation.
+    val integralIds = quotient.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    val (qck, nQ) = Materialize.checkpointCounted(quotient)
+    val bcMerged =
+      if (integralIds && Joins.fitsBroadcast(
+          newEdges.sparkSession, nQ, Joins.staticRowBytes(quotient))) {
+        val comp = localMinComponents(qck.collect().map(r =>
+          (r.get(0).asInstanceOf[Number].longValue(),
+            r.get(1).asInstanceOf[Number].longValue())))
+        val spark = newEdges.sparkSession
+        val idType = quotient.schema("id_a").dataType
+        import spark.implicits._
+        broadcast(comp.toSeq.toDF("_old", "_new")
+          .select(col("_old").cast(idType).as("_old"),
+            col("_new").cast(idType).as("_new")))
+      } else {
+        // counted checkpoint: the count IS the forcing action (one job,
+        // not an eager checkpoint plus a count job per ingest batch)
+        val (merged, nMerged) = Materialize.checkpointCounted(
+          connectedComponentsStar(qck)
+            .select(col("id").as("_old"), col("component").as("_new")))
+        Joins.broadcastIfSmall(merged, Some(nMerged))
+      }
     // brand-new ids enter with their own id as label unless the quotient
     // merged them into something
     val newRows = endpointRaw.where(col("component").isNull).select(col("id"))
@@ -1024,6 +1058,36 @@ object Dedup {
     val storeComps = endpointRaw.where(col("component").isNotNull)
       .select(col("component").as("c")).distinct()
     (bcMerged, newRows, storeComps)
+  }
+
+  /** Driver-side connected components over an edge list with MIN-id
+    * representatives — the local twin of [[connectedComponentsStar]] for
+    * quotient graphs under the broadcast size gates. Path-compressed
+    * union-find, union by smaller root, so every node resolves to its
+    * component's minimum id — exactly the distributed pass's labeling.
+    * Deterministic (pure function of the edge SET; iteration order
+    * cannot change a min).
+    */
+  private[ops] def localMinComponents(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
   }
 
   /** THE shared CC null contract, in one place for every formulation

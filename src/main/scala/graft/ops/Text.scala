@@ -360,12 +360,9 @@ object Text {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))
-    // spread: the tokenize+explode runs pre-shuffle in scan partitions
-    val tf = spread(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    // map-side per-doc tf ([[tokenTf]]) — no instance-level shuffle;
+    // materialized once for its two consumers (df aggregate + the join)
+    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(vocabSide(df_), Seq("token"))
       .crossJoin(broadcast(n))
@@ -421,11 +418,11 @@ object Text {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
-    val tf = spread(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    // map-side per-doc tf ([[tokenTf]]) — no instance-level shuffle;
+    // materialized once for its THREE consumers (df, dl, the main join):
+    // unmaterialized, the tokenize pass and its widest exchange ran once
+    // per consumer (measured: the tf subtree executed 3× per call)
+    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), sum("dl").as("_tt"))
@@ -474,11 +471,9 @@ object Text {
     * disagree on 15/500 sf0.01 docs by 1e-6 — integer units: 0.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = spread(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    // map-side per-doc tf ([[tokenTf]]) — no instance-level shuffle;
+    // materialized once for its two consumers (freq aggregate + the join)
+    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
     val freq = tf.groupBy("token").agg(sum("tf").as("freq"))
     val total = freq.select(sum("freq").as("_t"))
     tf.join(vocabSide(freq), Seq("token"))
@@ -522,7 +517,10 @@ object Text {
     */
   def bigramLogProb(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = bigramTf(docs, idCol, textCol)
+    // materialized once for its two consumers (the c2 aggregate + the
+    // scoring join) — unmaterialized, the tokenize+run-length pass runs
+    // per consumer
+    val bg = Materialize.checkpoint(bigramTf(docs, idCol, textCol))
     val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     bg
@@ -544,6 +542,25 @@ object Text {
     * and [[bigramLogProbAgainst]]. Docs with fewer than 2 tokens emit
     * nothing (no bigrams), matching the drop contract of all three.
     */
+  /** Per-doc token term frequencies `(doc_id, token, tf)` — the shared
+    * tokenize+explode+partial-agg pass behind [[tfidf]], [[bm25TopK]],
+    * [[unigramLogProb]] and [[dsirLogRatio]]. Kept as the hash-agg
+    * shape deliberately: a sorted-array run-length variant (the
+    * [[bigramTf]] trick) was A/B-measured SLOWER here — one string
+    * array_sort per doc costs more than the map-side partial agg saves,
+    * because unigram tokens partial-combine far better than bigram
+    * structs. Callers with several consumers materialize the result
+    * once — unmaterialized, the tokenize pass and its exchange ran once
+    * per consumer (measured 3× in bm25TopK).
+    */
+  private[ops] def tokenTf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+
   private def bigramTf(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Per-doc bigram term frequencies computed ENTIRELY MAP-SIDE: sort
@@ -750,14 +767,13 @@ object Text {
   def dsirLogRatio(
       docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame): DataFrame = {
-    def tfOf(d: DataFrame) = spread(d)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-    val tf = tfOf(docs)
+    // map-side per-doc tf ([[tokenTf]]); the corpus side is materialized
+    // once for its two consumers (rawFreq + the join), the seed-set side
+    // is small by contract and recomputes its one cheap pass
+    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
     val rawFreq = tf.groupBy("token").agg(sum("tf").as("rfreq"))
-    val tgtFreq = tfOf(target).groupBy("token").agg(sum("tf").as("tfreq"))
+    val tgtFreq = tokenTf(target, idCol, textCol)
+      .groupBy("token").agg(sum("tf").as("tfreq"))
     val scalars = rawFreq
       .agg(sum("rfreq").as("_rt"), count(lit(1)).as("_v"))
       .crossJoin(broadcast(tgtFreq.select(sum("tfreq").as("_tt"))))
@@ -1504,14 +1520,23 @@ object Text {
         .select(col("_grp"), posexplode(col("_top")).as(Seq("_i", "_t")))
         .select(col("_grp"), (col("_i") + 1).as("_pos"),
           col("_t._2").as("_id")))
-    val batchGroups = batchTop.select(col("_grp")).distinct()
+    // counted checkpoints + static-width dispatch: the retired
+    // broadcastIfSmall(unmaterialized) calls each ran the distinct/join
+    // lineage once for the count and AGAIN for the width sample — four
+    // extra jobs per ingest batch for frames whose width is statically
+    // bounded (source name + counter)
+    def bc(df: DataFrame, rows: Long): DataFrame =
+      if (graft.ops.Joins.fitsBroadcast(batch.sparkSession, rows,
+          graft.ops.Joins.staticRowBytes(df))) broadcast(df)
+      else df
+    val (batchGroups, nGroups) = Materialize.checkpointCounted(
+      batchTop.select(col("_grp")).distinct())
     // store streams; only batch-group rows survive into the quota join
-    val relevant = Materialize.checkpoint(
+    val (relevant, nRelevant) = Materialize.checkpointCounted(
       counts.select(col(groupCol).as("_grp"), col("n_kept"))
-        .join(graft.ops.Joins.broadcastIfSmall(batchGroups),
-          Seq("_grp"), "left_semi"))
+        .join(bc(batchGroups, nGroups), Seq("_grp"), "left_semi"))
     batchTop
-      .join(graft.ops.Joins.broadcastIfSmall(relevant), Seq("_grp"), "left")
+      .join(bc(relevant, nRelevant), Seq("_grp"), "left")
       .where(col("_pos") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
       .select(col("_grp").as(groupCol), col("_id").as(idCol))
   }

@@ -93,6 +93,43 @@ class ComponentsSpec extends SparkSpec {
       10L -> 1L, 11L -> 1L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("localMinComponents equals the distributed star pass on random graphs") {
+    // the size-gated driver union-find must reproduce the star labeling
+    // exactly — min reachable id per node — on arbitrary edge sets,
+    // including chains (diameter), merged stars, and isolated pairs
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val edges = Array.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val local = Dedup.localMinComponents(edges)
+      val starDf = Dedup.connectedComponentsStar(
+        edges.toSeq.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      assert(local === starDf)
+    }
+    // explicit long chain: union-find path compression must still yield
+    // the global min, not a chain-local one
+    val chain = (1L until 30L).map(i => (i, i + 1)).toArray
+    assert(Dedup.localMinComponents(chain) ===
+      (1L to 30L).map(_ -> 1L).toMap)
+  }
+
+  test("incremental merge takes the distributed star path above the gates " +
+      "and still equals from-scratch CC") {
+    // force the quotient below-gate fast path OFF by shrinking the row
+    // gate to zero — the star arm must produce identical labels
+    val oldEdges = Seq((2L, 1L), (10L, 11L)).toDF("id_a", "id_b")
+    val newEdges = Seq((3L, 10L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldEdges)
+    spark.conf.set(Joins.MaxBroadcastRowsKey, "0")
+    try {
+      val inc = Dedup.connectedComponentsIncremental(labels, newEdges)
+        .as[(Long, Long)].collect().toMap
+      assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 1L, 11L -> 1L))
+    } finally spark.conf.unset(Joins.MaxBroadcastRowsKey)
+  }
+
   test("tfidf: common tokens score lower than rare ones") {
     val docs = Seq(
       (1L, "apple banana apple"),
