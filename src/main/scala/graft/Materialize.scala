@@ -106,6 +106,14 @@ object Materialize {
   def checkpointIterativeForced[T](df: DataFrame)(force: DataFrame => T): (DataFrame, T) =
     materializeForced(df, iterativeMode)(force)
 
+  /** [[checkpointCounted]] with [[checkpointIterative]]'s mode dispatch —
+    * for fixpoint loops whose convergence test is a row count (closure
+    * frontiers, doubling hop tables): the count IS the forcing action,
+    * one job per round where eager-checkpoint-then-isEmpty ran two.
+    */
+  def checkpointIterativeCounted(df: DataFrame): (DataFrame, Long) =
+    materializeForced(df, iterativeMode)(_.queryExecution.toRdd.count())
+
   /** [[checkpoint]] for frames produced INSIDE an iterative fixpoint loop
     * (transitive closure, breadcrumbs, CC label propagation): `persist`
     * does not truncate lineage, so under that mode a loop's plan grows

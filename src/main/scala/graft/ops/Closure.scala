@@ -54,18 +54,23 @@ object Closure {
     // union of those materialized RDDs, so its plan stays shallow without
     // paying one extra materialization job per iteration.
     var result = self.transform(Materialize.checkpointIterative)
-    var frontier = edges
-      .select(col("_e_id").as("descendant_id"), col("_e_parent").as("ancestor_id"))
-      .transform(Materialize.checkpointIterative)
+    // counted iterative checkpoints: the frontier count doubles as the
+    // loop guard (one job per round; the retired isEmpty probe was a
+    // second)
+    var (frontier, nFrontier) = Materialize.checkpointIterativeCounted(
+      edges.select(col("_e_id").as("descendant_id"),
+        col("_e_parent").as("ancestor_id")))
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && nFrontier > 0) {
       result = result.unionByName(frontier)
-      frontier = frontier
-        .join(edges, frontier("ancestor_id") === edges("_e_id"))
-        .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
-        .distinct()
-        .join(result, Seq("descendant_id", "ancestor_id"), "left_anti")
-        .transform(Materialize.checkpointIterative)
+      val (next, n) = Materialize.checkpointIterativeCounted(
+        frontier
+          .join(edges, frontier("ancestor_id") === edges("_e_id"))
+          .select(frontier("descendant_id"), edges("_e_parent").as("ancestor_id"))
+          .distinct()
+          .join(result, Seq("descendant_id", "ancestor_id"), "left_anti"))
+      frontier = next
+      nFrontier = n
       depth += 1
     }
     result
@@ -116,12 +121,14 @@ object Closure {
       .select(col(idCol).as("descendant_id"), col(idCol).as("ancestor_id"),
         lit(0L).as("_dist"))
       .transform(Materialize.checkpointIterative)
-    var hop = nodes
-      .select(col(idCol).as("_h_from"), col(parentCol).as("_h_to"))
-      .where(col(parentCol).isNotNull)
-      .transform(Materialize.checkpointIterative)
+    // counted iterative checkpoints: the hop count doubles as the loop
+    // guard (one job per round; the retired isEmpty probe was a second)
+    var (hop, nHop) = Materialize.checkpointIterativeCounted(
+      nodes
+        .select(col(idCol).as("_h_from"), col(parentCol).as("_h_to"))
+        .where(col(parentCol).isNotNull))
     var span = 1L // hop distance this round
-    while (span <= maxDepth && !hop.isEmpty) {
+    while (span <= maxDepth && nHop > 0) {
       // compose only rows that stay within the cap — the pruned rows can
       // never produce an in-cap pair later either (distances only grow)
       val composable = reach.where(col("_dist") + span <= maxDepth)
@@ -132,13 +139,15 @@ object Closure {
             hop("_h_to").as("ancestor_id"),
             (composable("_dist") + span).as("_dist")))
         .transform(Materialize.checkpointIterative)
-      hop = hop.alias("a")
-        .join(hop.alias("b"), col("a._h_to") === col("b._h_from"))
-        .select(col("a._h_from").as("_h_from"), col("b._h_to").as("_h_to"))
-        // even-length cycles collapse to self-pointers at span ≥ cycle
-        // length; dropping them re-drains the hop table (no-op on forests)
-        .where(col("_h_from") =!= col("_h_to"))
-        .transform(Materialize.checkpointIterative)
+      val (nextHop, n) = Materialize.checkpointIterativeCounted(
+        hop.alias("a")
+          .join(hop.alias("b"), col("a._h_to") === col("b._h_from"))
+          .select(col("a._h_from").as("_h_from"), col("b._h_to").as("_h_to"))
+          // even-length cycles collapse to self-pointers at span ≥ cycle
+          // length; dropping them re-drains the hop table (no-op on forests)
+          .where(col("_h_from") =!= col("_h_to")))
+      hop = nextHop
+      nHop = n
       span *= 2
     }
     val out = reach.select(col("descendant_id"), col("ancestor_id"))
@@ -286,27 +295,33 @@ object Closure {
         col(nameCol).as("_name"))
       .transform(Materialize.checkpointIterative)
     val ids = base.select(col("_id").as("_x"))
-    var state = base
-      .join(ids, base("_parent") === col("_x"), "left")
-      .select(col("_id"),
-        when(col("_x").isNotNull, col("_parent")).as("_up"),
-        array(col("_name")).as("path"))
-      .transform(Materialize.checkpointIterative)
+    // counted-while-forcing: each round's convergence probe (any rows
+    // still walking, i.e. non-null _up?) is the checkpoint's forcing
+    // action — one job per round, not checkpoint + isEmpty
+    def pending(df: DataFrame): Long =
+      df.where(col("_up").isNotNull).queryExecution.toRdd.count()
+    var (state, nPending) = Materialize.checkpointIterativeForced(
+      base
+        .join(ids, base("_parent") === col("_x"), "left")
+        .select(col("_id"),
+          when(col("_x").isNotNull, col("_parent")).as("_up"),
+          array(col("_name")).as("path")))(pending)
     var span = 1L
-    while (span < maxDepth &&
-        !state.where(col("_up").isNotNull).isEmpty) {
+    while (span < maxDepth && nPending > 0) {
       val anc = state.select(col("_id").as("_a_id"),
         col("_up").as("_a_up"), col("path").as("_a_path"))
       // `_up` non-null ⇒ the ancestor row exists (pointers are only ever
       // set to ids present in the table), so the left join's NULL branch
       // is exactly the already-complete rows.
-      state = state
-        .join(anc, state("_up") === col("_a_id"), "left")
-        .select(state("_id"),
-          when(state("_up").isNotNull, col("_a_up")).as("_up"),
-          when(state("_up").isNotNull, concat(col("_a_path"), state("path")))
-            .otherwise(state("path")).as("path"))
-        .transform(Materialize.checkpointIterative)
+      val (next, n) = Materialize.checkpointIterativeForced(
+        state
+          .join(anc, state("_up") === col("_a_id"), "left")
+          .select(state("_id"),
+            when(state("_up").isNotNull, col("_a_up")).as("_up"),
+            when(state("_up").isNotNull, concat(col("_a_path"), state("path")))
+              .otherwise(state("path")).as("path")))(pending)
+      state = next
+      nPending = n
       span *= 2
     }
     // clamp to the walker's boundary: completed paths deeper than
@@ -355,22 +370,23 @@ object Closure {
     // for nothing (~25% of the operator at sf1/200k nodes). The final
     // union's lineage is `depth` flat union nodes over already-
     // materialized frames.
-    val levels = scala.collection.mutable.ArrayBuffer(roots.transform(Materialize.checkpointIterative))
-    var level = levels.last
-    // ONE isEmpty job per frontier: the loop guard and the append both
-    // consume the same boolean (isEmpty launches a job each time it is
-    // called, and scheduling latency dominates at dimension scale)
-    var levelEmpty = level.isEmpty
+    // counted iterative checkpoints: the level count doubles as the loop
+    // guard and the append condition (one job per frontier; the retired
+    // checkpoint-then-isEmpty shape was two)
+    val (roots0, nRoots) = Materialize.checkpointIterativeCounted(roots)
+    val levels = scala.collection.mutable.ArrayBuffer(roots0)
+    var level = roots0
+    var levelEmpty = nRoots == 0L
     var depth = 1
     while (depth < maxDepth && !levelEmpty) {
-      val next = base
-        .join(level.withColumnRenamed("_b_id", "_l_id"),
-          base("_b_parent") === col("_l_id"))
-        .select(base("_b_id"),
-          concat(col("path"), array(col("_b_name"))).as("path"))
-        .transform(Materialize.checkpointIterative)
+      val (next, n) = Materialize.checkpointIterativeCounted(
+        base
+          .join(level.withColumnRenamed("_b_id", "_l_id"),
+            base("_b_parent") === col("_l_id"))
+          .select(base("_b_id"),
+            concat(col("path"), array(col("_b_name"))).as("path")))
       level = next
-      levelEmpty = next.isEmpty
+      levelEmpty = n == 0L
       if (!levelEmpty) levels += next
       depth += 1
     }

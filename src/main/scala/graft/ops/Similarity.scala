@@ -1925,16 +1925,20 @@ object Similarity {
 
   private def adcTableUnchecked(vec: Column, model: PqModel): Column = {
     val sub = model.subDim
-    array((0 until model.m).map { s =>
-      val qsv = slice(vec, s * sub + 1, sub)
-      array(model.books(s).map { cw =>
-        // single-Literal codeword (see bookMat) — the surrounding
-        // zip_with/aggregate tree is per-entry already; keeping the
-        // codeword to one node caps the table plan at m×ks HOF nodes
-        // instead of m×ks×(subDim+1)
-        val cwLit = typedlit(cw.toSeq)
+    // The WHOLE codebook enters as ONE nested-array Literal and the
+    // m×ks table is built by two index-aware transforms — ~25 plan
+    // nodes. The retired shape unrolled m×ks per-entry HOF trees
+    // (~2000 nodes for 8×16): per-QUERY-row evaluation cost was fine,
+    // but ANALYSIS + codegen of that tree was the measured driver-side
+    // bulk of every PQ row. Arithmetic is node-for-node identical
+    // (cast-double subtract, square, left-fold sum, isnan → NULL,
+    // round(·,6) → decimal(18,6)), so the table is bit-identical.
+    val bookLit = typedlit(model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(bookLit, (bookS, s) => {
+      val qsv = slice(vec, s * lit(sub) + 1, lit(sub))
+      transform(bookS, cw => {
         val d2 = aggregate(
-          zip_with(qsv, cwLit, (a, b) => {
+          zip_with(qsv, cw, (a, b) => {
             val d = a.cast("double") - b
             d * d
           }),
@@ -1944,8 +1948,8 @@ object Similarity {
         // entry so the malformed-query row drops with the others
         when(isnan(d2), lit(null).cast("decimal(18,6)"))
           .otherwise(round(d2, 6).cast("decimal(18,6)"))
-      }: _*)
-    }: _*)
+      })
+    })
   }
 
   /** Σ_s table[s][code_s] — m `element_at` lookups per candidate, all
