@@ -1267,11 +1267,50 @@ object Dedup {
     // reuses it.
     val sym = p.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
-    val edges = sym
+    // counted checkpoint: the edge count sizes the local-solver dispatch
+    // below at zero extra jobs
+    val (edges, nEdges) = Materialize.checkpointCounted(sym
       .unionByName(nonNullEndpoints(raw)
         .select(col("id").as("a"), col("id").as("b")))
-      .distinct()
-      .transform(Materialize.checkpoint)
+      .distinct())
+    // Size-gated driver-side solve (the incrementalMergeParts precedent):
+    // below the broadcast gates the LABEL table would ride a broadcast
+    // join downstream anyway, and the edge set is within a factor ~2 of
+    // it — so for integral ids the min-union-find runs once on the
+    // collected (already-checkpointed) edges: identical labels (min
+    // reachable id — pinned against the distributed passes in
+    // ComponentsSpec), one collect job where the propagation loop paid
+    // one join+agg+probe action per round. Above the gates, or for
+    // non-integral ids (string ordering differs between JVM and
+    // UTF8String for non-ASCII), the distributed loop runs unchanged.
+    val integralIds = edges.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && Joins.fitsBroadcast(
+        pairs.sparkSession, nEdges, Joins.staticRowBytes(edges))) {
+      val comp = localMinComponents(edges.collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue(),
+          r.get(1).asInstanceOf[Number].longValue())))
+      val idType = edges.schema("a").dataType
+      def conv(v: Long): Any = idType match {
+        case org.apache.spark.sql.types.LongType => v
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case org.apache.spark.sql.types.ShortType => v.toShort
+        case _ => v.toByte
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          comp.toSeq.sortBy(_._1).map { case (k, c) =>
+            org.apache.spark.sql.Row(conv(k), conv(c)) }).asJava
+      return (pairs.sparkSession.createDataFrame(rows, schema), true, p)
+    }
     val labels0 = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("component", col("id"))

@@ -51,13 +51,25 @@ class ComponentsSpec extends SparkSpec {
     // detects the non-convergence and falls back to the star pass, which
     // contracts in O(log²) phases regardless of diameter.
     val chain = (0 until 120).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
-    val capped = Dedup.connectedComponentsLabelProp(chain, maxRounds = 10)
+    // force the DISTRIBUTED propagation arm: below the broadcast gates
+    // the size-gated local solver answers exactly regardless of
+    // diameter, so the capped-propagation failure mode this test pins
+    // only exists above the gates
+    spark.conf.set(Joins.MaxBroadcastRowsKey, "0")
+    try {
+      val capped = Dedup.connectedComponentsLabelProp(chain, maxRounds = 10)
+        .as[(Long, Long)].collect()
+      assert(capped.exists(_._2 != 0L)) // the failure mode the default avoids
+      val hybrid = Dedup.connectedComponents(chain, propagationRounds = 10)
+        .as[(Long, Long)].collect()
+      assert(hybrid.length === 121)
+      assert(hybrid.forall(_._2 == 0L))
+    } finally spark.conf.unset(Joins.MaxBroadcastRowsKey)
+    // and the size-gated local solver answers the same chain exactly,
+    // no rescue needed
+    val local = Dedup.connectedComponents(chain, propagationRounds = 10)
       .as[(Long, Long)].collect()
-    assert(capped.exists(_._2 != 0L)) // the failure mode the default avoids
-    val hybrid = Dedup.connectedComponents(chain, propagationRounds = 10)
-      .as[(Long, Long)].collect()
-    assert(hybrid.length === 121)
-    assert(hybrid.forall(_._2 == 0L))
+    assert(local.length === 121 && local.forall(_._2 == 0L))
   }
 
   test("star CC and label propagation agree on short-diameter graphs") {
