@@ -471,9 +471,11 @@ object Text {
     * disagree on 15/500 sf0.01 docs by 1e-6 — integer units: 0.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // map-side per-doc tf ([[tokenTf]]) — no instance-level shuffle;
-    // materialized once for its two consumers (freq aggregate + the join)
-    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
+    // NOT checkpointed (unlike bm25): both consumers (freq aggregate +
+    // the join) sit in ONE query here, so ReuseExchange already shares
+    // the tf exchange — a checkpoint added a job and full-suite read
+    // slower, A/B-measured
+    val tf = tokenTf(docs, idCol, textCol)
     val freq = tf.groupBy("token").agg(sum("tf").as("freq"))
     val total = freq.select(sum("freq").as("_t"))
     tf.join(vocabSide(freq), Seq("token"))
@@ -767,10 +769,11 @@ object Text {
   def dsirLogRatio(
       docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame): DataFrame = {
-    // map-side per-doc tf ([[tokenTf]]); the corpus side is materialized
-    // once for its two consumers (rawFreq + the join), the seed-set side
-    // is small by contract and recomputes its one cheap pass
-    val tf = Materialize.checkpoint(tokenTf(docs, idCol, textCol))
+    // NOT checkpointed (unlike bm25): both corpus-side consumers
+    // (rawFreq + the join) sit in ONE query, so ReuseExchange already
+    // shares the tf exchange — a checkpoint added a job and full-suite
+    // read slower, A/B-measured
+    val tf = tokenTf(docs, idCol, textCol)
     val rawFreq = tf.groupBy("token").agg(sum("tf").as("rfreq"))
     val tgtFreq = tokenTf(target, idCol, textCol)
       .groupBy("token").agg(sum("tf").as("tfreq"))
