@@ -26,6 +26,21 @@ object Bench {
       // here and is ~19% SLOWER on this suite (size-based coalescing
       // collapses medium shuffles to one partition and serializes their
       // downstream stages) — keep AQE's parallelism-first default.
+      //
+      // Shuffle WRITER selection: with shuffle.partitions = 32 (≤ the
+      // 200 default bypassMergeThreshold) every SQL exchange falls into
+      // BypassMergeSortShuffleWriter — numPartitions temp files + a
+      // merge + an index per MAP TASK, which ProfileStacks measured as
+      // ~60% of executor thread-time on the exchange-heavy fold rows
+      // (hundreds of tiny exchanges × 32 file creates each). A real
+      // cluster runs thousands of shuffle partitions, always above the
+      // threshold, i.e. on UnsafeShuffleWriter's one-sorted-file path —
+      // threshold 0 makes the bench exercise the SAME writer the
+      // cluster uses (more representative) and drops the per-exchange
+      // file-creation storm (A/B'd, see OPTIMIZATION_r18.md;
+      // SPARK_GRAFT_BYPASS_THRESHOLD=200 restores the Spark default).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,6 +51,15 @@ object Bench {
       .foreach(spark.conf.set(Materialize.ModeKey, _))
     sys.env.get("SPARK_GRAFT_MATERIALIZE_DIR")
       .foreach(spark.conf.set(Materialize.DirKey, _))
+    // A/B regime knobs (VERDICT r17 #4: keep the DISTRIBUTED CC arm
+    // measured): maxRows=0 forces every broadcast/local-solve dispatch
+    // to its distributed arm, so the star/label-prop loops' at-scale
+    // code path keeps a benchmarked cost even where sf0.1 rides the
+    // driver union-find. Not set = the engine's production defaults.
+    sys.env.get("SPARK_GRAFT_BROADCAST_MAXROWS")
+      .foreach(spark.conf.set(graft.ops.Joins.MaxBroadcastRowsKey, _))
+    sys.env.get("SPARK_GRAFT_CC_LOCALMAX")
+      .foreach(spark.conf.set(graft.ops.Dedup.LocalSolveMaxBytesKey, _))
     // Untimed session warmup: JIT, codegen compiler, parquet reader, and
     // shuffle machinery init otherwise land entirely on the first query.
     // Touch every table once so per-query timings measure the operator,

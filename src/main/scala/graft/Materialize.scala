@@ -70,6 +70,34 @@ object Materialize {
   def checkpoint(df: DataFrame): DataFrame =
     materialize(df, spark => spark.conf.get(ModeKey, "local"))
 
+  /** [[checkpoint]] marked LAZILY: the first job that touches the frame
+    * materializes it (and every later consumer reads the blocks), so a
+    * multi-consumer frame whose FIRST consumer is itself an action costs
+    * ZERO dedicated checkpoint jobs — where the eager form schedules one
+    * job per call purely to force blocks. Use when (a) the frame has a
+    * downstream action that is guaranteed to run before any second
+    * consumer, and (b) nothing needs the row count (otherwise
+    * [[checkpointCounted]] — same one-job property, count kept).
+    * Lineage truncation and mode dispatch are identical to
+    * [[checkpoint]]; under `persist` this is the persist call itself
+    * (lazy by nature) without the forcing count.
+    */
+  def checkpointLazy(df: DataFrame): DataFrame =
+    materializeLazy(df, spark => spark.conf.get(ModeKey, "local"))
+
+  private def materializeLazy(
+      df: DataFrame,
+      modeFor: org.apache.spark.sql.SparkSession => String): DataFrame =
+    modeFor(df.sparkSession) match {
+      case "local" => df.localCheckpoint(eager = false)
+      case "reliable" =>
+        ensureReliableDir(df.sparkSession)
+        df.checkpoint(eager = false)
+      case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK_2)
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|persist, got '$other'")
+    }
+
   /** [[checkpoint]] that also returns the frame's ROW COUNT at zero
     * extra cost: the checkpoint is taken LAZILY and the count() is the
     * forcing action — one job, exactly like the eager form (whose own

@@ -223,5 +223,17 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, value)
         case _ => throw new IllegalArgumentException(
           "might_contain(bloomFilter, xxhash64(key))")
+      }),
+    // plan-compact constant carrier for model artifacts (centroid
+    // matrices, PQ codebooks, id decode arrays) — same value semantics as
+    // the Literal argument, O(1) plan rendering/hashing (see ModelConst)
+    (
+      new FunctionIdentifier("model_const"),
+      new ExpressionInfo(classOf[ModelConst].getName, "model_const"),
+      (args: Seq[Expression]) => args match {
+        case Seq(l: Literal) => ModelConst.fromLiteral(l)
+        case _ => throw new IllegalArgumentException(
+          "model_const(value): value must be a non-null literal " +
+            "(build it with typedlit)")
       }))
 }

@@ -53,7 +53,7 @@ case class VecArgminL2(left: Expression, right: Expression)
       case _ => false
     }
     val matOk = right.dataType match {
-      case ArrayType(ArrayType(DoubleType, _), _) => right.foldable
+      case ArrayType(ArrayType(DoubleType, _), _) => ModelConst.isConst(right)
       case _ => false
     }
     if (vecOk && matOk) {
@@ -65,7 +65,7 @@ case class VecArgminL2(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckFailure(e.getMessage)
       }
     } else TypeCheckResult.TypeCheckFailure(
-      "vec_argmin_l2 expects (array<float|double>, foldable " +
+      "vec_argmin_l2 expects (array<float|double>, foldable-or-model_const " +
         s"array<array<double>>), got (${left.dataType.simpleString}, " +
         s"${right.dataType.simpleString}${if (right.foldable) "" else ", non-foldable"})")
   }

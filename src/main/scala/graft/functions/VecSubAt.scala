@@ -51,7 +51,7 @@ case class VecSubAt(first: Expression, second: Expression, third: Expression)
       case _ => false
     }
     val matOk = second.dataType match {
-      case ArrayType(ArrayType(DoubleType, _), _) => second.foldable
+      case ArrayType(ArrayType(DoubleType, _), _) => ModelConst.isConst(second)
       case _ => false
     }
     val idxOk = third.dataType == IntegerType
@@ -63,7 +63,7 @@ case class VecSubAt(first: Expression, second: Expression, third: Expression)
         TypeCheckResult.TypeCheckFailure(e.getMessage)
       }
     } else TypeCheckResult.TypeCheckFailure(
-      "vec_sub_at expects (array<float|double>, foldable " +
+      "vec_sub_at expects (array<float|double>, foldable-or-model_const " +
         "array<array<double>>, int), got (" +
         s"${first.dataType.simpleString}, ${second.dataType.simpleString}" +
         s"${if (second.foldable) "" else " non-foldable"}, " +

@@ -47,7 +47,7 @@ case class VecTopCells(left: Expression, right: Expression, p: Int)
       case _ => false
     }
     val matOk = right.dataType match {
-      case ArrayType(ArrayType(DoubleType, _), _) => right.foldable
+      case ArrayType(ArrayType(DoubleType, _), _) => ModelConst.isConst(right)
       case _ => false
     }
     if (p < 1)
@@ -59,7 +59,7 @@ case class VecTopCells(left: Expression, right: Expression, p: Int)
         TypeCheckResult.TypeCheckFailure(e.getMessage)
       }
     } else TypeCheckResult.TypeCheckFailure(
-      "vec_top_cells expects (array<float|double>, foldable " +
+      "vec_top_cells expects (array<float|double>, foldable-or-model_const " +
         s"array<array<double>>, int literal), got (${left.dataType.simpleString}, " +
         s"${right.dataType.simpleString}${if (right.foldable) "" else ", non-foldable"})")
   }

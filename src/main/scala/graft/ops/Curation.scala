@@ -590,8 +590,12 @@ object Curation {
     // Some(df.count()))` form issued one count job per frame, ~8 per
     // fold, pure scheduler overhead compounding across ingest batches
     // (PlanSpec pins the fold's action count).
+    // fixed-width only: a FORCED hint must not ride staticRowBytes'
+    // per-string constant (see Joins.fixedWidth) — string-id frames skip
+    // the hint and AQE decides from runtime stats
     def bcn(df: DataFrame, rows: Long): DataFrame =
-      if (Joins.fitsBroadcast(batch.sparkSession, rows,
+      if (Joins.fixedWidth(df) &&
+          Joins.fitsBroadcast(batch.sparkSession, rows,
           Joins.staticRowBytes(df))) broadcast(df)
       else df
 
@@ -680,8 +684,12 @@ object Curation {
         val (sc, nSc) = Materialize.checkpointCounted(
           Text.bigramLogProbAgainst(screened, idCol, textCol, lm))
         if (nSc == 0L) (None, sc)
+        // lazy: the thresholds' first consumer (pplBucketAgainst's
+        // params probe in ppl_band) aggregates the whole frame — it IS
+        // the forcing job, so the bootstrap sheds one dedicated action
+        // (VERDICT r17 item 2: pipeline the 3-action bootstrap)
         else (Some(PplModel(lm,
-          Materialize.checkpoint(Text.pplThresholds(sc, pplBuckets)))), sc)
+          Materialize.checkpointLazy(Text.pplThresholds(sc, pplBuckets)))), sc)
     })
     val (headIds, nHeadIds) = step("ppl_band")(model match {
       case Some(m) => Materialize.checkpointCounted(

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Materialize
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.
@@ -651,21 +651,37 @@ object Dedup {
     val keep = blocks - maxHamming
     val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = hashes.transform(Materialize.checkpoint)
-    // one band per keep-sized block combination; the key concatenates the
-    // chosen blocks' bits (band id disambiguates which combination)
+    // one band per keep-sized block combination. The band key PACKS the
+    // band id and the chosen blocks' bits into ONE LONG whenever they
+    // fit 63 bits (the default 8-block/hamming-3 geometry: 6 id bits +
+    // 5×8 block bits = 46) — packing is injective, so the candidate set
+    // (and therefore the output) is IDENTICAL to the retired
+    // concat_ws("|") string key, while the band self-join shuffles 8
+    // bytes per row instead of a ~40-byte string and compares longs
+    // instead of strings (guide §2.3 narrower types — this join is the
+    // operator's one big exchange). Geometries past 63 bits (keep×width
+    // + id bits) keep the string key.
     val combos = (0 until blocks).combinations(keep).toSeq
+    val bandIdBits =
+      32 - Integer.numberOfLeadingZeros(math.max(1, combos.size - 1))
+    val packable = bandIdBits + keep * width <= 63
+    def packedKey(combo: Seq[Int], bandId: Int): Column =
+      combo.foldLeft(lit(bandId.toLong)) { (acc, b) =>
+        shiftleft(acc, width).bitwiseOR(
+          shiftright(col("_h"), b * width).bitwiseAND(lit(mask)))
+      }
+    def stringKey(combo: Seq[Int], bandId: Int): Column =
+      concat_ws("|", lit(bandId.toString) +: combo.map(b =>
+        shiftright(col("_h"), b * width).bitwiseAND(lit(mask))): _*)
     val banded = hashed.select(col("_id"), col("_h"),
       explode(array(combos.zipWithIndex.map { case (combo, bandId) =>
-        struct(lit(bandId).as("pos"),
-          concat_ws("|", combo.map(b =>
-            shiftright(col("_h"), b * width).bitwiseAND(lit(mask))): _*).as("v"))
-      }: _*)).as("_b"))
-      .select(col("_id"), col("_h"), col("_b.pos").as("_pos"), col("_b.v").as("_v"))
-    val a = banded.select(col("_pos"), col("_v"),
+        if (packable) packedKey(combo, bandId) else stringKey(combo, bandId)
+      }: _*)).as("_v"))
+    val a = banded.select(col("_v"),
       col("_id").as("id_a"), col("_h").as("_ha"))
-    val b = banded.select(col("_pos"), col("_v"),
+    val b = banded.select(col("_v"),
       col("_id").as("id_b"), col("_h").as("_hb"))
-    a.join(b, Seq("_pos", "_v"))
+    a.join(b, Seq("_v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
@@ -991,11 +1007,16 @@ object Dedup {
     // batch endpoint → its current label (own id when not yet labeled)
     val endpointLbl = endpointRaw
       .select(col("id"), coalesce(col("component"), col("id")).as("_lbl"))
-    // batch-sized and fixed-width-ish → broadcast when they fit the
-    // gates, so the quotient build streams the edge side with zero
-    // label-side Exchange (above the gates the shuffle joins return)
+    // batch-sized → broadcast when they fit the gates, so the quotient
+    // build streams the edge side with zero label-side Exchange (above
+    // the gates the shuffle joins return). FIXED-WIDTH schemas only: a
+    // forced hint overrides Spark's own size checks, and staticRowBytes'
+    // flat per-string constant can underestimate multi-KB string ids
+    // (URL/path doc ids) — the driver-OOM direction. String-id frames
+    // skip the hint; AQE still auto-broadcasts off runtime stats.
     def bcl(df: DataFrame): DataFrame =
-      if (Joins.fitsBroadcast(newEdges.sparkSession, nEndpoints,
+      if (Joins.fixedWidth(df) &&
+          Joins.fitsBroadcast(newEdges.sparkSession, nEndpoints,
           Joins.staticRowBytes(df))) broadcast(df)
       else df
     val la = endpointLbl.select(col("id").as("id_a"), col("_lbl").as("_la"))
@@ -1027,7 +1048,7 @@ object Dedup {
     })
     val (qck, nQ) = Materialize.checkpointCounted(quotient)
     val bcMerged =
-      if (integralIds && Joins.fitsBroadcast(
+      if (integralIds && fitsLocalSolve(
           newEdges.sparkSession, nQ, Joins.staticRowBytes(quotient))) {
         val comp = localMinComponents(qck.collect().map(r =>
           (r.get(0).asInstanceOf[Number].longValue(),
@@ -1059,6 +1080,25 @@ object Dedup {
       .select(col("component").as("c")).distinct()
     (bcMerged, newRows, storeComps)
   }
+
+  /** Runtime conf key: max estimated BYTES the driver-side union-find
+    * fast paths will still collect (default 64 MB — a quarter of the
+    * broadcast byte gate). The broadcast gate models Tungsten broadcast
+    * cost; collect() materializes boxed GenericRows plus a mutable
+    * HashMap of up to 2M Long entries, several times the estimate on the
+    * driver heap, so the collect path carries its own tighter cap.
+    */
+  val LocalSolveMaxBytesKey = "spark.graft.cc.localMaxBytes"
+
+  /** The driver-side union-find dispatch gate: the broadcast gates (the
+    * same data would be collected for a broadcast anyway) AND the
+    * dedicated local-solve byte cap above.
+    */
+  private def fitsLocalSolve(
+      spark: SparkSession, rows: Long, rowBytes: Long): Boolean =
+    Joins.fitsBroadcast(spark, rows, rowBytes) &&
+      rows * rowBytes <= spark.conf
+        .get(LocalSolveMaxBytesKey, (64L * 1024 * 1024).toString).toLong
 
   /** Driver-side connected components over an edge list with MIN-id
     * representatives — the local twin of [[connectedComponentsStar]] for
@@ -1145,8 +1185,12 @@ object Dedup {
     // Exchange; each exchange is its own AQE stage-job). Above the gates
     // the shuffle join returns — the standard size law.
     var edgeBound = 0L
+    // fixed-width gate: see incrementalMergeParts' bcl — a forced hint
+    // must never ride staticRowBytes' per-string constant for
+    // variable-width id schemas (driver-OOM direction)
     def bcMins(mins: DataFrame): DataFrame =
-      if (Joins.fitsBroadcast(pairs.sparkSession, 2L * edgeBound,
+      if (Joins.fixedWidth(mins) &&
+          Joins.fitsBroadcast(pairs.sparkSession, 2L * edgeBound,
           Joins.staticRowBytes(mins))) broadcast(mins)
       else mins
     // large-star: every node u connects its STRICTLY LARGER neighbors to
@@ -1290,7 +1334,7 @@ object Dedup {
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     })
-    if (integralIds && Joins.fitsBroadcast(
+    if (integralIds && fitsLocalSolve(
         pairs.sparkSession, nEdges, Joins.staticRowBytes(edges))) {
       val comp = localMinComponents(edges.collect().map(r =>
         (r.get(0).asInstanceOf[Number].longValue(),
@@ -1346,7 +1390,7 @@ object Dedup {
     // own AQE stage-job, so this halves the loop's job count). Above the
     // gates (web-scale graphs) the shuffle join returns — the dispatch
     // is the same size law as every other broadcast seam here.
-    val bcLabels = Joins.fitsBroadcast(
+    val bcLabels = Joins.fixedWidth(labels0) && Joins.fitsBroadcast(
       pairs.sparkSession, nNodes, Joins.staticRowBytes(labels0))
     while (!converged && round < maxRounds) {
       val lbl = labels.withColumnRenamed("id", "b")

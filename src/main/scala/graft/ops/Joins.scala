@@ -98,13 +98,18 @@ object Joins {
       }
     }.sum + 64L
 
-  def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
-    val conf = dim.sparkSession.conf
-    val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong
-    val maxBytes =
-      conf.get(MaxBroadcastBytesKey, (256L * 1024 * 1024).toString).toLong
-    val n = countHint.getOrElse(dim.count())
-    val fixedWidth = dim.schema.forall(f => f.dataType match {
+  /** True when every column is fixed-width — exactly the schemas whose
+    * [[staticRowBytes]] is EXACT. FORCED-broadcast dispatches (the CC
+    * loops' bcMins/bcLabels, the incremental merge's label sides, the
+    * curation fold's bcn) must require this: for variable-width columns
+    * a static per-string constant can UNDERestimate long payloads
+    * (URL/path doc ids are routine in this domain), and a forced hint
+    * overrides Spark's own size checks — the driver-OOM direction.
+    * Variable-width frames simply skip the hint; AQE still
+    * auto-broadcasts off runtime stats, the recoverable direction.
+    */
+  def fixedWidth(df: DataFrame): Boolean =
+    df.schema.forall(f => f.dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.BinaryType |
            _: org.apache.spark.sql.types.ArrayType |
@@ -112,13 +117,21 @@ object Joins {
            _: org.apache.spark.sql.types.StructType => false
       case _ => true
     })
+
+  def broadcastIfSmall(dim: DataFrame, countHint: Option[Long] = None): DataFrame = {
+    val conf = dim.sparkSession.conf
+    val maxRows = conf.get(MaxBroadcastRowsKey, "2000000").toLong
+    val maxBytes =
+      conf.get(MaxBroadcastBytesKey, (256L * 1024 * 1024).toString).toLong
+    val n = countHint.getOrElse(dim.count())
+    val isFixedWidth = fixedWidth(dim)
     if (n > maxRows) dim
     // Fixed-width schemas (id/label/hash frames — the common dispatch
     // targets) need no sampling job: staticRowBytes is EXACT for them,
     // so the byte gate decides from the schema alone. Variable-width
     // frames keep the sampled estimate — a static per-string constant
     // can underestimate long payloads, the driver-OOM direction.
-    else if (fixedWidth) {
+    else if (isFixedWidth) {
       if (n * staticRowBytes(dim) <= maxBytes) broadcast(dim) else dim
     } else {
       val sample =

@@ -677,8 +677,8 @@ object Similarity {
     // the √n law cell count the old CreateArray matrix was k×dim
     // literal nodes (≈2,900 at sf0.1's k=45) re-walked by every
     // analyzer pass — plan-construction overhead, not row work
-    val mat = typedlit(ordered.map(_._2.toSeq))
-    val cidArr = typedlit(ordered.map(_._1))
+    val mat = modelConst(typedlit(ordered.map(_._2.toSeq)))
+    val cidArr = modelConst(typedlit(ordered.map(_._1)))
     corpus.select(col(idCol), col(vecCol),
       element_at(cidArr,
         call_function("vec_argmax_cell", col(vecCol), mat) + 1).as("_cell"))
@@ -707,8 +707,8 @@ object Similarity {
     } else {
       val ordered = cents.sortBy(_._1)
       // single-Literal model (see withCell)
-      val mat = typedlit(ordered.map(_._2.toSeq))
-      val cidArr = typedlit(ordered.map(_._1))
+      val mat = modelConst(typedlit(ordered.map(_._2.toSeq)))
+      val cidArr = modelConst(typedlit(ordered.map(_._1)))
       corpus.select(col(idCol), col(vecCol),
         explode(transform(
           call_function("vec_top_cells", col(vecCol), mat, lit(nprobe)),
@@ -1638,10 +1638,17 @@ object Similarity {
   // m×ks×subDim literal children is re-traversed by every analyzer pass
   // and re-evaluated per foldable check — the bpeTokens lesson (ABBench
   // `bpe` measured the two shapes); typedlit collapses the whole
-  // codebook to a single O(1)-eval node and stays foldable, which is
-  // all vec_argmin_l2's contract requires
+  // codebook to a single O(1)-eval node. Wrapped in `model_const`
+  // (graft.functions.ModelConst) so the EXECUTED plan renders/hashes it
+  // in O(1): Literal.toString renders every element, and Spark
+  // stringifies the executed plan per action AND per AQE re-plan — the
+  // measured driver-side bulk of the PQ family after the literal
+  // collapse (ProfileStacks, round 18).
+  private[ops] def modelConst(c: Column): Column =
+    call_function("model_const", c)
+
   private def bookMat(book: Seq[Seq[Double]]): Column =
-    typedlit(book.map(_.toSeq).toSeq)
+    modelConst(typedlit(book.map(_.toSeq).toSeq))
 
   /** Train per-subspace PQ codebooks: split each vector into `m`
     * contiguous subvectors, run Lloyd rounds independently per subspace
@@ -1933,7 +1940,7 @@ object Similarity {
     // bulk of every PQ row. Arithmetic is node-for-node identical
     // (cast-double subtract, square, left-fold sum, isnan → NULL,
     // round(·,6) → decimal(18,6)), so the table is bit-identical.
-    val bookLit = typedlit(model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val bookLit = modelConst(typedlit(model.books.map(_.map(_.toSeq).toSeq).toSeq))
     transform(bookLit, (bookS, s) => {
       val qsv = slice(vec, s * lit(sub) + 1, lit(sub))
       transform(bookS, cw => {
@@ -2098,8 +2105,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val ordered = cents.sortBy(_._1)
-    val mat = typedlit(ordered.map(_._2.toSeq))
-    val cidArr = typedlit(ordered.map(_._1))
+    val mat = modelConst(typedlit(ordered.map(_._2.toSeq)))
+    val cidArr = modelConst(typedlit(ordered.map(_._1)))
     val ci = call_function("vec_argmax_cell", col(vecCol), mat)
     corpus.select(col(idCol), col(vecCol),
       element_at(cidArr, ci + 1).as("_cell"),
@@ -2122,8 +2129,8 @@ object Similarity {
         .select(col(idCol), col("_cell"), col("_rv"))
     else {
       val ordered = cents.sortBy(_._1)
-      val mat = typedlit(ordered.map(_._2.toSeq))
-      val cidArr = typedlit(ordered.map(_._1))
+      val mat = modelConst(typedlit(ordered.map(_._2.toSeq)))
+      val cidArr = modelConst(typedlit(ordered.map(_._1)))
       queries
         .select(col(idCol), col(vecCol),
           explode(call_function("vec_top_cells", col(vecCol), mat,

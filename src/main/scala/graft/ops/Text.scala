@@ -690,6 +690,16 @@ object Text {
     * (e.g. a hash-sampled subset — the fixed-thresholds-from-a-sample
     * production shape). Both frames need a `logprob` column; output is
     * `sample`'s thresholds applied to every `scored` row.
+    *
+    * SHARING CONTRACT: the single-scoring-pass optimization below keys
+    * on REFERENCE equality (`sample eq scored`) — pass the SAME DataFrame
+    * instance when thresholds come from the frame being banded (as
+    * [[pplBucket]] does). A semantically identical but distinct instance
+    * is treated as a genuine separate sample: its scoring chain executes
+    * for the thresholds and `scored`'s executes for the banding — correct,
+    * just not shared. Callers wanting sharing across distinct instances
+    * should `Materialize.checkpoint` the scored frame themselves and pass
+    * it for both parameters.
     */
   def pplBucketWith(
       scored: DataFrame, sample: DataFrame, buckets: Int): DataFrame = {
@@ -700,13 +710,20 @@ object Text {
     // (measured — the dominant cost of the curation chain's stage 4 and
     // of the graded q_ppl_bucket row). Materialize the shared scored
     // frame once and band from the checkpoint; same rows, one pass.
+    // LAZY checkpoints: the thresholds artifact's FIRST consumer is
+    // pplBucketAgainst's _params probe, whose lineage is the percentile
+    // aggregate over ALL of `sc`'s partitions — one job materializes
+    // both checkpoints (the eager form scheduled two dedicated forcing
+    // jobs first). Lazy is safe here precisely because the forcing
+    // action is a full aggregate, never a limit that could compute a
+    // partition subset.
     if (sample eq scored) {
-      val sc = Materialize.checkpoint(scored)
+      val sc = Materialize.checkpointLazy(scored)
       pplBucketAgainst(sc,
-        Materialize.checkpoint(pplThresholds(sc, buckets)), buckets)
+        Materialize.checkpointLazy(pplThresholds(sc, buckets)), buckets)
     } else
       pplBucketAgainst(scored,
-        Materialize.checkpoint(pplThresholds(sample, buckets)), buckets)
+        Materialize.checkpointLazy(pplThresholds(sample, buckets)), buckets)
   }
 
   private[graft] def pplThresholdParams(buckets: Int) = s"pplth:b$buckets"
@@ -1235,11 +1252,14 @@ object Text {
     // broadcastIfSmall's count and size sample are actions, and an
     // uncached aggregate would re-run the corpus-wide span shuffle once
     // per action (its documented caller contract)
-    val repeated = Materialize.checkpoint(spans.groupBy("_k")
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= 2)
-      .select("_k"))
-    val nRepeated = repeated.count()
+    // counted checkpoint: the count IS the forcing action (one job, not
+    // eager-checkpoint + a count job — the broadcastIfSmall dispatch
+    // needs the count anyway)
+    val (repeated, nRepeated) = Materialize.checkpointCounted(
+      spans.groupBy("_k")
+        .agg(countDistinct(col(idCol)).as("_nd"))
+        .where(col("_nd") >= 2)
+        .select("_k"))
     val marked = spans
       .join(graft.ops.Joins.broadcastIfSmall(repeated, Some(nRepeated)),
         Seq("_k"), "left_semi")
