@@ -41,6 +41,20 @@ object Bench {
       // SPARK_GRAFT_BYPASS_THRESHOLD=200 restores the Spark default).
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
+      // Suite-position A/B knobs (VERDICT r17 #7): the app/SQL status
+      // stores retain per-job/stage/execution records (including plan
+      // descriptions) across all 310 suite executions even with the UI
+      // disabled; these bound that growth. Defaults = Spark defaults, so
+      // an unset run is unchanged; the A/B result is in
+      // OPTIMIZATION_r18.md.
+      .config("spark.sql.ui.retainedExecutions",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED_EXECUTIONS", "1000"))
+      .config("spark.ui.retainedJobs",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED_JOBS", "1000"))
+      .config("spark.ui.retainedStages",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED_STAGES", "1000"))
+      .config("spark.ui.retainedTasks",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED_TASKS", "100000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,19 +45,22 @@ object BudgetReport {
     // re-runs inside the broadcast-exchange computation, and the
     // dimension-sized result (|tasks| × depth) is checkpoint-cheap
     // (measured ~0.4s off the report at sf0.1).
-    val closure = (if (doublingClosure)
+    // counted checkpoint: the count IS the forcing job, and it feeds the
+    // broadcastIfSmall dispatch below (the retired eager-checkpoint +
+    // uncounted broadcastIfSmall shape paid a separate count job)
+    val (closure, nClosure) = Materialize.checkpointCounted(
+      if (doublingClosure)
         Closure.transitiveClosureDoubling(tasks, "task_id", "parent_id")
           .select(col("descendant_id"), col("ancestor_id"))
       else
         Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id"))
-      .transform(Materialize.checkpoint)
     // Eager aggregation below the join: 60M fact rows → ≤|tasks| partials
     // (the shuffle carries map-side-combined partial sums, not raw rows).
     val perTask = entries
       .groupBy(col("task_id").as("descendant_id"))
       .agg(sum("duration").as("_partial"))
     val tracked = perTask
-      .join(Joins.broadcastIfSmall(closure), Seq("descendant_id"))
+      .join(Joins.broadcastIfSmall(closure, Some(nClosure)), Seq("descendant_id"))
       .groupBy(col("ancestor_id").as("task_id"))
       .agg(sum("_partial").as("tracked_seconds"))
     tasks

@@ -18,23 +18,22 @@ import org.apache.spark.sql.functions._
 object ProjectBudgetReport {
 
   def apply(tasks: DataFrame, entries: DataFrame): DataFrame = {
-    // Materialized once (same reasoning as BudgetReport): the recursion
-    // must not re-execute inside the memberOf join's exchange.
+    // The recursion has exactly ONE consumer (the memberOf derivation,
+    // itself materialized below), so it needs no checkpoint of its own:
+    // the UnionLoop executes once, inside memberOf's forcing job. (The
+    // retired eager checkpoint here was one extra action per report.)
     val closure = Closure.transitiveClosureRecursive(tasks, "task_id", "parent_id")
-      .transform(Materialize.checkpoint)
     val roots = tasks.where(col("parent_id").isNull)
       .select(col("task_id").as("project_id"), col("name").as("project_name"))
     // descendant → its root ancestor; materialized once — it feeds two
     // joins (budget + tracked), which would otherwise re-execute the
-    // recursion per consumer. Dimension-sized, so the checkpoint is cheap.
-    val memberOf = closure
+    // recursion per consumer. Dimension-sized, so the checkpoint is
+    // cheap; COUNTED, because the count IS the forcing job and feeds the
+    // broadcast dispatch (eager checkpoint + a count job was two).
+    val (memberOf, nMember) = Materialize.checkpointCounted(closure
       .join(roots, closure("ancestor_id") === roots("project_id"))
-      .select(col("descendant_id"), col("project_id"), col("project_name"))
-      .transform(Materialize.checkpoint)
-    // One count decides the strategy for BOTH consumers of the member
-    // table (it is materialized, so the count is a pass over resident
-    // blocks, not a recompute).
-    val member = Joins.broadcastIfSmall(memberOf, Some(memberOf.count()))
+      .select(col("descendant_id"), col("project_id"), col("project_name")))
+    val member = Joins.broadcastIfSmall(memberOf, Some(nMember))
     val budget = tasks
       .join(member, tasks("task_id") === col("descendant_id"))
       .groupBy("project_id")
